@@ -1,0 +1,100 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB at sf0.01, then compares row count, column names, and exact
+(order-insensitive) values. Stricter than the driver's value hash:
+floats must match bit-for-bit.
+
+Usage: python scripts/check_correctness.py [sf_dir] [key ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from vector_indexer_spark.session import get_spark
+
+    spark = get_spark(app_name="correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(got)} rows (no oracle declared)")
+            continue
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
+            continue
+        ok, msg = compare(got, exp)
+        print(("PASS" if ok else "FAIL") + f" {name}: {msg}")
+        if not ok:
+            failures.append(name)
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} green")
+    sys.exit(1 if failures else 0)
+
+
+def compare(got: pd.DataFrame, exp: pd.DataFrame) -> tuple[bool, str]:
+    if sorted(got.columns) != sorted(exp.columns):
+        return False, f"columns differ: {list(got.columns)} vs {list(exp.columns)}"
+    if len(got) != len(exp):
+        return False, f"row count {len(got)} vs {len(exp)}"
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    e = exp[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        gv, ev = g[c].to_numpy(), e[c].to_numpy()
+        if gv.dtype.kind == "f" or ev.dtype.kind == "f":
+            if not np.array_equal(
+                gv.astype(np.float64), ev.astype(np.float64)
+            ):
+                bad = np.flatnonzero(gv.astype(np.float64) != ev.astype(np.float64))
+                return False, (
+                    f"float col {c}: {len(bad)} mismatches, first at row "
+                    f"{bad[0]}: {gv[bad[0]]!r} vs {ev[bad[0]]!r}"
+                )
+        else:
+            if not (gv.astype(object) == ev.astype(object)).all():
+                bad = np.flatnonzero(gv.astype(object) != ev.astype(object))
+                return False, (
+                    f"col {c}: {len(bad)} mismatches, first at row {bad[0]}: "
+                    f"{gv[bad[0]]!r} vs {ev[bad[0]]!r}"
+                )
+    return True, f"{len(got)} rows, {len(cols)} cols exact"
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Exact kNN invariants (reference tests/ivf_index_tests.rs + test_utils).
+
+NumPy brute force is the in-test oracle; both Spark execution paths
+(native expression and Arrow kernel) must agree with it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.functions.kernels import pairwise_dist2, topk_per_row
+from vector_indexer_spark.operators.knn import knn_exact
+
+
+def _queries_df(spark, embeddings, n=5):
+    return (
+        embeddings.filter(F.col("vec_id") < n)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+        )
+    )
+
+
+@pytest.mark.parametrize("method", ["native", "arrow"])
+def test_knn_matches_numpy_oracle(spark, embeddings, emb_np, method):
+    ids, mat = emb_np
+    q = _queries_df(spark, embeddings)
+    out = knn_exact(
+        embeddings, q, k=10, id_col="vec_id", vec_col="embedding", method=method
+    ).toPandas()
+
+    m64 = mat.astype(np.float64)
+    # exact (non-GEMM) oracle: broadcast differences
+    d2 = ((m64[:5, None, :] - m64[None, :, :]) ** 2).sum(axis=-1)
+    exp_d, exp_i = topk_per_row(d2, 10, ids=ids)
+    for qi in range(5):
+        got = out[out.query_id == qi].sort_values("rank")
+        assert list(got.neighbor_id) == list(exp_i[qi])
+        np.testing.assert_allclose(
+            got.dist2.to_numpy(), exp_d[qi], rtol=1e-9, atol=1e-9
+        )
+
+
+@pytest.mark.parametrize("method", ["native", "arrow"])
+def test_knn_self_is_top1(spark, embeddings, method):
+    # exact-match query returns itself at rank 1 with dist 0
+    # (reference tests/ivf_index_tests.rs:122-159)
+    q = _queries_df(spark, embeddings, n=3)
+    out = knn_exact(
+        embeddings, q, k=1, id_col="vec_id", vec_col="embedding", method=method
+    ).toPandas()
+    assert len(out) == 3
+    for _, r in out.iterrows():
+        assert r.neighbor_id == r.query_id
+        # arrow path computes dist2 via GEMM; self-distance is 0 up to
+        # float64 round-off (native path yields exactly 0.0)
+        assert r.dist2 <= 1e-9
+
+
+def test_knn_k_greater_than_n(spark, embeddings):
+    # k > n returns exactly n rows (tests/ivf_index_tests.rs:278-306)
+    n = embeddings.count()
+    q = _queries_df(spark, embeddings, n=2)
+    out = knn_exact(
+        embeddings, q, k=n + 100, id_col="vec_id", vec_col="embedding"
+    )
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == n for r in counts)
+
+
+def test_knn_sorted_and_exactly_k(spark, embeddings):
+    # results ascending per query, exactly k rows
+    # (tests/ivf_index_tests.rs:163-224)
+    q = _queries_df(spark, embeddings, n=4)
+    out = knn_exact(
+        embeddings, q, k=7, id_col="vec_id", vec_col="embedding"
+    ).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert len(grp) == 7
+        assert (np.diff(grp.dist2.to_numpy()) >= 0).all()
+        assert (grp.dist2.to_numpy() >= 0).all()
+
+
+def test_knn_k_zero_raises(spark, embeddings):
+    q = _queries_df(spark, embeddings, n=1)
+    with pytest.raises(ValueError):
+        knn_exact(embeddings, q, k=0, id_col="vec_id", vec_col="embedding")
+
+
+def test_knn_include_vectors(spark, embeddings):
+    q = _queries_df(spark, embeddings, n=2)
+    out = knn_exact(
+        embeddings,
+        q,
+        k=3,
+        id_col="vec_id",
+        vec_col="embedding",
+        include_vectors=True,
+    ).toPandas()
+    assert "values" in out.columns
+    assert all(len(v) == 64 for v in out["values"])
+
+
+def test_native_and_arrow_agree(spark, embeddings):
+    q = _queries_df(spark, embeddings, n=5)
+    a = knn_exact(
+        embeddings, q, k=10, id_col="vec_id", vec_col="embedding", method="native"
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = knn_exact(
+        embeddings, q, k=10, id_col="vec_id", vec_col="embedding", method="arrow"
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(a.neighbor_id) == list(b.neighbor_id)
+    np.testing.assert_allclose(a.dist2, b.dist2, rtol=1e-9, atol=1e-9)

@@ -27,7 +27,12 @@ SUPER_KMEANS_ITERS = 100  # super-centroid training iters (ivf_index.rs:103-109)
 
 def suggest_nlist(n: int) -> int:
     """F5 — nlist heuristic (src/utils.rs:9-16; duplicated in
-    bindings/python/src/lib.rs:307-315)."""
+    bindings/python/src/lib.rs:307-315).
+
+    Intentional n=0 deviation: the reference returns 0 for n=0 (isqrt(0));
+    we clamp to >=1 because a 0-cluster k-means is never a valid build and
+    the Spark pipeline fails earlier on empty input anyway.
+    """
     if n < 10_000:
         return max(1, int(math.isqrt(n)))
     if n < 100_000:

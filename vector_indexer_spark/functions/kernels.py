@@ -1,0 +1,79 @@
+"""Arrow-batched NumPy kernels — the engine's "SIMD tier".
+
+The reference hand-vectorizes its distance loop with ``f32x8``/``f32x4``
+lanes (src/kmeans.rs:375-419). Our equivalent is NumPy over Arrow
+batches inside ``mapInPandas``/``pandas_udf``: same semantics as the
+native expressions in ``functions.distance``, different execution
+strategy. Everything here is a plain NumPy function so it is unit
+testable without Spark; the Spark wrappers live in the operators.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def pairwise_dist2(points: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """All-pairs squared L2: (n,d) x (k,d) -> (n,k), float64.
+
+    Uses the expanded form ||p||² - 2 p·c + ||c||² (one GEMM) rather
+    than broadcasting (n,k,d) differences — O(n·k·d) flops but O(n·k)
+    memory, which is what keeps a 10k-row Arrow batch against 4k
+    centroids inside executor memory.
+    """
+    p = np.asarray(points, dtype=np.float64)
+    c = np.asarray(centroids, dtype=np.float64)
+    p2 = np.einsum("ij,ij->i", p, p)[:, None]
+    c2 = np.einsum("ij,ij->i", c, c)[None, :]
+    d2 = p2 - 2.0 * (p @ c.T) + c2
+    # GEMM round-off can push exact-zero distances slightly negative.
+    np.maximum(d2, 0.0, out=d2)
+    return d2
+
+
+def assign_nearest(points: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """J1 — argmin-distance cluster assignment, (n,) int64.
+
+    Ties break toward the lower centroid id (np.argmin first-wins), the
+    same rule the reference's sequential min-scan applies
+    (src/kmeans.rs:353-373).
+    """
+    return np.argmin(pairwise_dist2(points, centroids), axis=1).astype(np.int64)
+
+
+def min_dist2(points: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Distance to the nearest centroid, (n,) float64 (inertia input)."""
+    return np.min(pairwise_dist2(points, centroids), axis=1)
+
+
+def topk_per_row(
+    d2: np.ndarray, k: int, ids: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-k smallest with (distance, id) tie-break.
+
+    Returns (dists (n,k'), ids (n,k')) with k' = min(k, ncols), sorted
+    ascending. ``ids`` defaults to column ordinals. argpartition bounds
+    the sort cost at O(ncols + k log k) per row — the NumPy analog of
+    the reference's partial sort-then-take (src/ivf_index.rs:264-266).
+    """
+    n, m = d2.shape
+    if ids is None:
+        ids = np.arange(m, dtype=np.int64)
+    k = min(k, m)
+    if k < m:
+        part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+    else:
+        part = np.broadcast_to(np.arange(m), (n, m)).copy()
+    part_d = np.take_along_axis(d2, part, axis=1)
+    part_ids = ids[part]
+    # stable lexsort: primary distance, secondary id — deterministic ties
+    order = np.lexsort((part_ids, part_d), axis=1)
+    return (
+        np.take_along_axis(part_d, order, axis=1),
+        np.take_along_axis(part_ids, order, axis=1),
+    )
+
+
+def stack_arrays(series) -> np.ndarray:
+    """pandas Series of list/np.ndarray -> contiguous (n,d) float64."""
+    return np.asarray([np.asarray(v, dtype=np.float64) for v in series])

@@ -16,7 +16,7 @@ VECTOR_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
         T.StructField("external_id", T.LongType(), False),
-        T.StructField("values", T.ArrayType(T.FloatType()), False),
+        T.StructField("values", T.ArrayType(T.FloatType(), containsNull=False), False),
         T.StructField("ts", T.LongType(), False),
     ]
 )
@@ -25,7 +25,7 @@ VECTOR_SCHEMA = T.StructType(
 RECORD_SCHEMA = T.StructType(
     [
         T.StructField("external_id", T.LongType(), False),
-        T.StructField("values", T.ArrayType(T.FloatType()), False),
+        T.StructField("values", T.ArrayType(T.FloatType(), containsNull=False), False),
         T.StructField("ts", T.LongType(), True),
     ]
 )
@@ -34,7 +34,7 @@ RECORD_SCHEMA = T.StructType(
 QUERY_SCHEMA = T.StructType(
     [
         T.StructField("query_id", T.LongType(), False),
-        T.StructField("query", T.ArrayType(T.FloatType()), False),
+        T.StructField("query", T.ArrayType(T.FloatType(), containsNull=False), False),
     ]
 )
 
@@ -52,7 +52,7 @@ RESULT_SCHEMA = T.StructType(
 CENTROID_SCHEMA = T.StructType(
     [
         T.StructField("centroid_id", T.LongType(), False),
-        T.StructField("vector", T.ArrayType(T.FloatType()), False),
+        T.StructField("vector", T.ArrayType(T.FloatType(), containsNull=False), False),
         T.StructField("shard_id", T.LongType(), False),
     ]
 )

@@ -23,7 +23,11 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-    shuffle_partitions = shuffle_partitions or cpus
+    if shuffle_partitions is None:
+        # Local mode: size shuffles to cores. On a real cluster the caller
+        # (or spark-submit conf) must supply this — cores-on-the-driver is
+        # meaningless there, so only default it for local masters.
+        shuffle_partitions = cpus if master.startswith("local") else 200
 
     builder = (
         SparkSession.builder.master(master)
@@ -35,11 +39,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         # parquet scan parallelism at 100 TB: default 128 MiB splits are right;
         # make it explicit so the intent survives config drift.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    # Only pin driver memory when the caller asked for it; a hardcoded large
+    # default fails JVM launch on small hosts and is silently ignored when
+    # getOrCreate reuses an existing JVM.
+    if "SPARK_DRIVER_MEMORY" in os.environ:
+        builder = builder.config(
+            "spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"]
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
