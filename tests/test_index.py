@@ -1,0 +1,190 @@
+"""IVF build/persist/search invariants (reference tests/ivf_index_tests.rs,
+api_tests.rs, integration_tests.rs — SURVEY §5)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators.index_build import build_index, load_index
+from vector_indexer_spark.operators.knn import knn_exact
+from vector_indexer_spark.operators.search import (
+    calculate_recall,
+    search_index,
+)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark, embeddings):
+    return embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+
+
+@pytest.fixture(scope="module")
+def index(spark, vec_df, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf") / "index")
+    return build_index(vec_df, path, nlist=16, seed=42)
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark, embeddings):
+    return embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+
+
+def test_layout_and_meta(index):
+    # shards + centroid table + meta created (ivf_index_tests.rs:38-84)
+    assert os.path.exists(index.meta_path)
+    meta = json.load(open(index.meta_path))
+    assert meta["dimension"] == 64
+    assert meta["nlist"] == index.nlist <= 16
+    assert meta["n_shards"] == index.n_shards
+    shard_dirs = [
+        d for d in os.listdir(index.vectors_path) if d.startswith("shard_id=")
+    ]
+    assert len(shard_dirs) == index.n_shards
+
+
+def test_conservation(spark, index):
+    # Σ per-cluster counts = n, no duplicate ids across shards
+    # (ivf_index_tests.rs:548-653)
+    v = index.vectors(spark)
+    assert v.count() == index.n_vectors == 500
+    per_cluster = v.groupBy("cluster_id").count().collect()
+    assert sum(r["count"] for r in per_cluster) == 500
+    assert v.select("id").distinct().count() == 500
+    # dense renumbering (P5): ids 0..nlist-1, all non-empty
+    assert {r["cluster_id"] for r in per_cluster} == set(range(index.nlist))
+
+
+def test_save_load_roundtrip(spark, index):
+    loaded = load_index(spark, index.path)
+    assert loaded.dimension == index.dimension
+    assert loaded.nlist == index.nlist
+    np.testing.assert_allclose(loaded.centroids, index.centroids, atol=1e-6)
+    np.testing.assert_array_equal(loaded.centroid_shards, index.centroid_shards)
+
+
+def test_load_missing_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        load_index(spark, str(tmp_path / "nope"))
+
+
+def test_empty_build_raises(spark):
+    df = spark.createDataFrame([], "id long, values array<float>")
+    with pytest.raises(ValueError):
+        build_index(df, "/tmp/never-written")
+
+
+def test_dim_mismatch_build_raises(spark):
+    rows = [(0, [1.0] * 8), (1, [1.0] * 7)]
+    df = spark.createDataFrame(rows, "id long, values array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        build_index(df, "/tmp/never-written", dimension=8)
+
+
+@pytest.mark.parametrize("method", ["native", "arrow"])
+def test_search_self_top1_full_probe(spark, index, queries_df, method):
+    # probing all clusters, an exact-match query returns itself
+    # (ivf_index_tests.rs:122-159 / integration_tests.rs:16-80)
+    out = search_index(
+        spark, index, queries_df, k=1, n_probe=index.nlist, method=method
+    ).toPandas()
+    assert len(out) == 10
+    assert (out.neighbor_id == out.query_id).all()
+    assert (out.dist2 <= 1e-9).all()
+
+
+def test_search_full_probe_equals_exact(spark, index, vec_df, queries_df):
+    # n_probe = nlist ⇒ ANN results == brute force (same candidate set)
+    ann = search_index(
+        spark, index, queries_df, k=10, n_probe=index.nlist
+    ).toPandas().sort_values(["query_id", "rank"])
+    exact = knn_exact(
+        vec_df, queries_df, k=10, id_col="id", vec_col="values"
+    ).toPandas().sort_values(["query_id", "rank"])
+    assert list(ann.neighbor_id) == list(exact.neighbor_id)
+
+
+def test_search_sorted_exactly_k(spark, index, queries_df):
+    out = search_index(spark, index, queries_df, k=5, n_probe=8).toPandas()
+    for qid, grp in out.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert len(grp) <= 5
+        assert (np.diff(grp.dist2.to_numpy()) >= 0).all()
+
+
+def test_search_invalid_params(spark, index, queries_df):
+    # k=0 / n_probe=0 → error (ivf_index_tests.rs:396-457)
+    with pytest.raises(ValueError):
+        search_index(spark, index, queries_df, k=0)
+    with pytest.raises(ValueError):
+        search_index(spark, index, queries_df, n_probe=0)
+
+
+def test_search_dim_mismatch_raises(spark, index):
+    q = spark.createDataFrame(
+        [(0, [1.0] * 32)], "query_id long, query array<float>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        search_index(spark, index, q)
+
+
+def test_search_include_vectors(spark, index, queries_df):
+    out = search_index(
+        spark, index, queries_df, k=3, n_probe=4, include_vectors=True
+    ).toPandas()
+    assert "values" in out.columns
+    assert all(len(v) == 64 for v in out["values"])
+
+
+def test_recall_thresholds_and_monotonicity(spark, index, vec_df, queries_df):
+    # recall@10 ≥ 0.6 at moderate n_probe; recall monotone in n_probe
+    # (ivf_index_tests.rs:465-498, integration_tests.rs:310-391)
+    exact = knn_exact(vec_df, queries_df, k=10, id_col="id", vec_col="values")
+    exact.cache()
+    r_small = calculate_recall(
+        search_index(spark, index, queries_df, k=10, n_probe=2), exact, 10
+    )
+    r_mid = calculate_recall(
+        search_index(spark, index, queries_df, k=10, n_probe=8), exact, 10
+    )
+    r_full = calculate_recall(
+        search_index(spark, index, queries_df, k=10, n_probe=index.nlist),
+        exact,
+        10,
+    )
+    assert r_mid >= 0.6
+    assert r_small <= r_mid + 1e-9 <= r_full + 2e-9
+    assert r_full == 1.0
+
+
+def test_repeated_search_identical(spark, index, queries_df):
+    # repeated identical searches byte-identical (integration_tests.rs:131-188)
+    a = search_index(spark, index, queries_df, k=5, n_probe=4).toPandas()
+    b = search_index(spark, index, queries_df, k=5, n_probe=4).toPandas()
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_partition_pruning_in_plan(spark, index, queries_df):
+    # the pruned scan must show PartitionFilters (SURVEY §4)
+    from vector_indexer_spark.operators.search import rank_probes
+
+    probes = rank_probes(queries_df, index.centroids, index.centroid_shards, 2)
+    keys = probes.select("shard_id", "cluster_id").distinct().collect()
+    shard_ids = sorted({r.shard_id for r in keys})
+    cluster_ids = sorted({r.cluster_id for r in keys})
+    pruned = index.vectors(spark).where(
+        F.col("shard_id").isin(shard_ids) & F.col("cluster_id").isin(cluster_ids)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cluster_id" in plan.split("PartitionFilters")[1][:400]

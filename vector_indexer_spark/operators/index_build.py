@@ -1,0 +1,233 @@
+"""IVF index build, persist, and load (K8 + S5–S7 + P5).
+
+The reference's build pipeline (src/ivf_index.rs:57-177) trains
+k-means, groups vectors into IVF lists, groups lists into
+``ceil(sqrt(nlist))`` shards via a super-centroid k-means over the
+centroids (seed·31+7), drops empty lists, renumbers centroid ids
+densely, and writes a custom binary format (src/shards.rs:68-177).
+
+Spark-first re-expression — *tables, not files*:
+
+- the shard/cluster two-level binary layout becomes Hive partitioning:
+  ``vectors/shard_id=S/cluster_id=C/*.parquet`` (S7). The reference's
+  per-cluster byte-range index (CentroidIndex) is exactly what Parquet
+  partition pruning gives us for free at search time.
+- the index root (centroids + centroid→shard map + dimension,
+  src/ivf_index.rs:269-316) becomes a small ``centroids`` Parquet
+  table + a JSON metadata sidecar (S5/S6).
+- empty-list filtering + dense renumbering (P5, src/ivf_index.rs:122-146)
+  is a count join + driver-side relabel of the (tiny) centroid set.
+
+At 100 TB: the only full-data passes are the k-means iterations
+(O(partitions·k·d) shuffle each, see operators.kmeans) and the final
+assigned write, which shuffles once on (shard_id, cluster_id) so each
+partition directory is written by one task.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.config import (
+    SUPER_KMEANS_ITERS,
+    calculate_max_iterations,
+    num_shards,
+    suggest_nlist,
+    super_centroid_seed,
+)
+from vector_indexer_spark.operators.kmeans import (
+    assign_clusters,
+    assign_nearest,
+    kmeans_fit,
+    kmeans_numpy,
+)
+
+FORMAT_VERSION = 1
+
+
+@dataclass
+class IvfIndex:
+    """Handle to a persisted index: metadata + lazy table accessors."""
+
+    path: str
+    dimension: int
+    nlist: int
+    n_shards: int
+    seed: int
+    n_vectors: int
+    centroids: np.ndarray  # (nlist, d) float64, dense ids 0..nlist-1
+    centroid_shards: np.ndarray  # (nlist,) int64 centroid→shard map
+
+    @property
+    def vectors_path(self) -> str:
+        return os.path.join(self.path, "vectors")
+
+    @property
+    def centroids_path(self) -> str:
+        return os.path.join(self.path, "centroids")
+
+    @property
+    def meta_path(self) -> str:
+        return os.path.join(self.path, "meta.json")
+
+    def vectors(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.vectors_path)
+
+    def centroids_df(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.centroids_path)
+
+
+def build_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    dimension: int | None = None,
+    nlist: int | None = None,
+    seed: int = 42,
+    mode: str = "full",
+    max_iters: int | None = None,
+) -> IvfIndex:
+    """K8 — train, shard, and persist an IVF index from a vector table.
+
+    ``df`` must carry a unique ``id_col`` and an ``ARRAY<FLOAT>``
+    ``vec_col``; all other columns are carried through to the persisted
+    vector table as payload (the reference carries external_id + ts,
+    src/shards.rs:139-144).
+    """
+    spark = df.sparkSession
+    n = df.count()
+    if n == 0:
+        # reference: empty build is an error (tests/api_tests.rs:265-271)
+        raise ValueError("cannot build an index from an empty DataFrame")
+
+    dimension = dimension or len(df.select(vec_col).first()[0])
+    # P1 — dimension validation, fail fast before any training
+    bad = df.filter(F.size(vec_col) != dimension).count()
+    if bad:
+        raise ValueError(
+            f"{bad} records have dimension != {dimension} (dim validation, P1)"
+        )
+
+    nlist = nlist or suggest_nlist(n)
+    max_iters = max_iters or calculate_max_iterations(n)
+
+    # 1. train (K1/K2) and assign (J1)
+    model = kmeans_fit(
+        df, nlist, vec_col=vec_col, max_iters=max_iters, seed=seed, mode=mode
+    )
+    assigned = assign_clusters(df, model.centroids, vec_col=vec_col, out_col="__raw_cluster")
+
+    # 2. P5 — drop empty clusters, renumber densely (driver-side: the
+    # cluster set is ≈4√n rows)
+    counts = {
+        r["__raw_cluster"]: r["cnt"]
+        for r in assigned.groupBy("__raw_cluster").agg(F.count("*").alias("cnt")).collect()
+    }
+    live = sorted(c for c in counts if counts[c] > 0)
+    relabel = {old: new for new, old in enumerate(live)}
+    centroids = model.centroids[live]
+    eff_nlist = len(live)
+
+    # 3. super-centroid k-means → shard assignment (derived seed,
+    # src/ivf_index.rs:103-109)
+    n_sh = num_shards(eff_nlist)
+    if n_sh >= eff_nlist:
+        shard_of = np.arange(eff_nlist, dtype=np.int64)
+        n_sh = eff_nlist
+    else:
+        supers = kmeans_numpy(
+            centroids,
+            n_sh,
+            max_iters=SUPER_KMEANS_ITERS,
+            seed=super_centroid_seed(seed),
+        )
+        shard_of = assign_nearest(centroids, supers)
+
+    # 4. S7 — one shuffle on the partition keys, then partitioned write.
+    # The broadcast relabel map is tiny; repartition by (shard, cluster)
+    # so every Hive directory is written by a single task (bounded file
+    # count — the Spark analog of the reference's one-file-per-shard).
+    mapping = spark.createDataFrame(
+        [(int(old), int(new), int(shard_of[new])) for old, new in relabel.items()],
+        "__raw_cluster long, cluster_id long, shard_id long",
+    )
+    out = (
+        assigned.join(F.broadcast(mapping), "__raw_cluster")
+        .drop("__raw_cluster")
+        .repartition("shard_id", "cluster_id")
+    )
+    out.write.mode("overwrite").partitionBy("shard_id", "cluster_id").parquet(
+        os.path.join(path, "vectors")
+    )
+
+    # 5. S5 — centroid table + JSON meta sidecar
+    cent_rows = [
+        (int(i), [float(x) for x in centroids[i]], int(shard_of[i]))
+        for i in range(eff_nlist)
+    ]
+    spark.createDataFrame(
+        cent_rows, "centroid_id long, vector array<float>, shard_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+    meta = {
+        "version": FORMAT_VERSION,
+        "dimension": dimension,
+        "nlist": eff_nlist,
+        "n_shards": int(n_sh),
+        "seed": seed,
+        "n_vectors": n,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+    return IvfIndex(
+        path=path,
+        dimension=dimension,
+        nlist=eff_nlist,
+        n_shards=int(n_sh),
+        seed=seed,
+        n_vectors=n,
+        centroids=centroids,
+        centroid_shards=shard_of,
+    )
+
+
+def load_index(spark: SparkSession, path: str) -> IvfIndex:
+    """S6/S11 — reopen a persisted index from its directory."""
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no index at {path!r} (missing meta.json)"
+        )  # api_tests.rs:252-262
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("version") != FORMAT_VERSION:
+        raise ValueError(f"unsupported index version {meta.get('version')!r}")
+    cent = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    centroids = np.array([r["vector"] for r in cent], dtype=np.float64)
+    shards = np.array([r["shard_id"] for r in cent], dtype=np.int64)
+    return IvfIndex(
+        path=path,
+        dimension=meta["dimension"],
+        nlist=meta["nlist"],
+        n_shards=meta["n_shards"],
+        seed=meta["seed"],
+        n_vectors=meta["n_vectors"],
+        centroids=centroids,
+        centroid_shards=shards,
+    )
