@@ -1,0 +1,153 @@
+"""LLM-pipeline operators: dedup, minhash/LSH, simhash, jaccard,
+embedding near-dup, text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators import dedup, multimodal, text_analysis
+
+
+@pytest.fixture(scope="module")
+def docs(spark, documents):
+    return documents
+
+
+@pytest.fixture(scope="module")
+def doubled(spark, documents):
+    """Every text twice: once at doc_id, once at doc_id+10000."""
+    again = documents.withColumn("doc_id", F.col("doc_id") + 10_000)
+    return documents.unionByName(again)
+
+
+def test_exact_dup_groups(spark, doubled):
+    groups = dedup.exact_dup_groups(doubled).toPandas()
+    assert len(groups) == 500
+    assert (groups.n_copies == 2).all()
+    assert (groups.keep_id < 10_000).all()
+
+
+def test_dedup_exact_keeps_min(spark, doubled):
+    out = dedup.dedup_exact(doubled)
+    assert out.count() == 500
+    assert out.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_minhash_deterministic_and_identical_docs_collide(spark, doubled):
+    sig = dedup.minhash_signatures(doubled).toPandas()
+    sig_map = {r.doc_id: tuple(r.signature) for _, r in sig.iterrows()}
+    for i in range(20):
+        assert sig_map[i] == sig_map[i + 10_000]
+    # distinct docs rarely share a full signature
+    uniq = len({sig_map[i] for i in range(100)})
+    assert uniq > 90
+
+
+def test_lsh_finds_identical_pairs(spark, doubled):
+    small = doubled.filter((F.col("doc_id") % 10_000) < 50)
+    pairs = dedup.lsh_candidate_pairs(small).toPandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for i in range(50):
+        assert (i, i + 10_000) in found  # identical docs must collide
+    assert (pairs.id_a < pairs.id_b).all()
+
+
+def test_jaccard_identical_is_one(spark, doubled):
+    pairs = spark.createDataFrame(
+        [(i, i + 10_000) for i in range(10)], "id_a long, id_b long"
+    )
+    out = dedup.jaccard_pairs(doubled, pairs).toPandas()
+    assert len(out) == 10
+    assert (out.jaccard == 1.0).all()
+
+
+def test_near_dup_minhash_end_to_end(spark, doubled):
+    small = doubled.filter((F.col("doc_id") % 10_000) < 40)
+    out = dedup.near_dup_minhash(small, threshold=0.99).toPandas()
+    found = {(a, b) for a, b in zip(out.id_a, out.id_b)}
+    assert {(i, i + 10_000) for i in range(40)} <= found
+
+
+def test_simhash_identical_equal(spark, doubled):
+    small = doubled.filter((F.col("doc_id") % 10_000) < 30)
+    sh = dedup.simhash(small).toPandas()
+    m = {r.doc_id: r.simhash for _, r in sh.iterrows()}
+    for i in range(30):
+        assert m[i] == m[i + 10_000]
+        assert 0 <= m[i] < 2**32
+
+
+def test_embedding_near_dups_blocked(spark, embeddings):
+    out = dedup.embedding_near_dups(embeddings, threshold=0.95).toPandas()
+    assert (out.id_a < out.id_b).all()
+    assert ((out.cosine >= 0.95) & (out.cosine <= 1.0 + 1e-12)).all()
+    # blocking respected: pairs share a label
+    lab = {r.vec_id: r.label for r in embeddings.collect()}
+    for _, r in out.iterrows():
+        assert lab[r.id_a] == lab[r.id_b]
+
+
+def test_text_stats_values(spark):
+    df = spark.createDataFrame(
+        [(0, "The cat and the dog. 42 !!")], "doc_id long, text string"
+    )
+    row = text_analysis.text_stats(df).collect()[0]
+    assert row.n_chars == 26
+    assert row.n_tokens == 6  # the cat and the dog 42 (!! drops, '42' stays)
+    assert row.n_stopwords == 3  # the, and, the
+    assert abs(row.digit_ratio - 2 / 26) < 1e-12
+    assert 0 <= row.quality <= 1
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat is in the house and that is fine"),
+        (1, "der hund ist nicht mit der katze und das ist gut"),
+        (2, "le chat est dans la maison et les oiseaux pour que"),
+        (3, "el perro es una mascota para los ninos con del gato"),
+        (4, "xyzzy plugh 12345"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.lang_pred for r in text_analysis.language_id(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha"), (2, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.fingerprint for r in text_analysis.fingerprints(df).collect()}
+    assert fp[0] == fp[2] != fp[1]
+
+
+def test_quality_filter_passes_through_columns(spark, docs):
+    out = text_analysis.quality_filter(docs, min_quality=0.0, min_tokens=1)
+    assert set(out.columns) == set(docs.columns)
+    assert 0 < out.count() <= docs.count()
+
+
+def test_multimodal_extract_deterministic(spark, docs):
+    media = multimodal.text_as_media(docs.limit(50))
+    a = multimodal.extract_features(media).toPandas().sort_values("media_id")
+    b = multimodal.extract_features(media).toPandas().sort_values("media_id")
+    assert len(a) == 50
+    assert (a.byte_len > 0).all()
+    for fa, fb in zip(a.features, b.features):
+        np.testing.assert_array_equal(fa, fb)
+    assert all(len(f) == multimodal.FEATURE_DIM for f in a.features)
+
+
+def test_multimodal_real_decoder_stubbed(spark, docs):
+    media = multimodal.text_as_media(docs.limit(2))
+    with pytest.raises(Exception, match="NotImplemented|real media decode"):
+        multimodal.extract_features(media, decoder="real").collect()
+
+
+def test_sample_frames(spark, docs):
+    media = multimodal.text_as_media(docs.limit(20))
+    frames = multimodal.sample_frames(media, every_n_bytes=100, max_frames=3).toPandas()
+    assert frames.groupby("media_id").size().max() <= 3
+    assert (frames.frame_offset == frames.frame_idx * 100).all()

@@ -1,0 +1,83 @@
+"""File sources: xvecs/npy loaders + seeded synthetic generation."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from vector_indexer_spark.sources.files import (
+    generate_vectors,
+    read_fvecs,
+    read_ivecs,
+    read_npy,
+    vectors_from_numpy,
+)
+
+
+def _write_fvecs(path, mat):
+    with open(path, "wb") as f:
+        for row in mat:
+            f.write(struct.pack("<i", len(row)))
+            f.write(np.asarray(row, dtype=np.float32).tobytes())
+
+
+def test_fvecs_roundtrip(tmp_path):
+    mat = np.random.default_rng(0).normal(size=(10, 6)).astype(np.float32)
+    p = str(tmp_path / "x.fvecs")
+    _write_fvecs(p, mat)
+    got = read_fvecs(p)
+    np.testing.assert_array_equal(got, mat)
+    np.testing.assert_array_equal(read_fvecs(p, max_rows=4), mat[:4])
+
+
+def test_ivecs_roundtrip(tmp_path):
+    mat = np.arange(12, dtype=np.int32).reshape(3, 4)
+    p = str(tmp_path / "x.ivecs")
+    with open(p, "wb") as f:
+        for row in mat:
+            f.write(struct.pack("<i", 4))
+            f.write(row.tobytes())
+    np.testing.assert_array_equal(read_ivecs(p), mat)
+
+
+def test_fvecs_truncated_raises(tmp_path):
+    p = str(tmp_path / "bad.fvecs")
+    with open(p, "wb") as f:
+        f.write(b"\x06\x00\x00\x00\x00\x00")  # dim=6 then garbage
+    with pytest.raises(ValueError):
+        read_fvecs(p)
+
+
+def test_npy_loader(tmp_path):
+    mat = np.random.default_rng(1).normal(size=(8, 5)).astype(np.float32)
+    p = str(tmp_path / "m.npy")
+    np.save(p, mat)
+    np.testing.assert_array_equal(read_npy(p), mat)
+    np.testing.assert_array_equal(read_npy(p, max_rows=3), mat[:3])
+
+
+def test_generate_vectors_deterministic(spark):
+    a = generate_vectors(spark, 100, 8, seed=5, partitions=4).collect()
+    b = generate_vectors(spark, 100, 8, seed=5, partitions=4).collect()
+    assert len(a) == 100
+    am = {r.id: r.values for r in a}
+    bm = {r.id: r.values for r in b}
+    assert am == bm
+    vals = np.array([am[i] for i in range(100)])
+    assert vals.min() >= -1.0 and vals.max() <= 1.0
+    assert len(np.unique(vals.round(6))) > 700  # actually random
+
+
+def test_generate_vectors_validates(spark):
+    with pytest.raises(ValueError):
+        generate_vectors(spark, 0, 8)
+
+
+def test_vectors_from_numpy(spark):
+    mat = np.random.default_rng(2).normal(size=(6, 4)).astype(np.float32)
+    df = vectors_from_numpy(spark, mat)
+    rows = {r.id: r.values for r in df.collect()}
+    assert len(rows) == 6
+    np.testing.assert_allclose(rows[3], mat[3], rtol=1e-6)

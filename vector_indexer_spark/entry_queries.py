@@ -209,3 +209,809 @@ _register(
     FROM scored
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# ivf_ — fixed-centroid IVF operators (J1/J3/J4, W1/W2, A5, P6).
+# k-means output is runtime-specific, so the oracle-checked IVF queries
+# pin a deterministic centroid fixture (the first 16 embeddings); every
+# downstream operator is then exactly SQL-reproducible (SURVEY §5).
+# The *trained* pipeline is covered by pytest invariants + rows-only
+# queries below.
+# --------------------------------------------------------------------------
+
+_N_FIXED_CENTROIDS = 16
+
+_DD_DIST2 = """
+  list_reduce(
+    list_transform(range(1, len({b}) + 1),
+      i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+         * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))),
+    (acc, x) -> acc + x)
+"""
+
+_DD_ASSIGN = f"""
+  cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < {_N_FIXED_CENTROIDS}),
+  pairs AS (
+    SELECT v.vec_id, c.centroid_id,
+           {_DD_DIST2.format(a="c.cvec", b="v.embedding")} AS dist2
+    FROM embeddings v CROSS JOIN cents c
+  ),
+  assigned AS (
+    SELECT vec_id, centroid_id, dist2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist2, centroid_id) AS rn
+    FROM pairs
+  )
+"""
+
+
+def _fixed_centroid_frames(spark, sf_dir):
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < _N_FIXED_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    pairs = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "centroid_id",
+        dist2_expr("cvec", "embedding").alias("dist2"),
+    )
+    return emb, cents, pairs
+
+
+def _ivf_assign(spark, sf_dir):
+    """J1 as a bit-exact relational query: nearest fixed centroid per
+    vector (the production path runs the same argmin in NumPy —
+    operators.kmeans.assign_clusters; equality of the two is a pytest)."""
+    from pyspark.sql import Window
+
+    _, _, pairs = _fixed_centroid_frames(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy("dist2", "centroid_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cluster_id"), "dist2")
+    )
+
+
+_register(
+    "ivf_assign_fixed",
+    _ivf_assign,
+    f"""
+    WITH {_DD_ASSIGN}
+    SELECT vec_id, centroid_id AS cluster_id, dist2
+    FROM assigned WHERE rn = 1
+    """,
+)
+
+
+def _ivf_cluster_counts(spark, sf_dir):
+    """A5 — conservation: per-cluster member counts (Σ = n)."""
+    return (
+        _ivf_assign(spark, sf_dir)
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+    )
+
+
+_register(
+    "ivf_cluster_counts_fixed",
+    _ivf_cluster_counts,
+    f"""
+    WITH {_DD_ASSIGN}
+    SELECT centroid_id AS cluster_id, count(*) AS n_members
+    FROM assigned WHERE rn = 1 GROUP BY 1
+    """,
+)
+
+
+def _ivf_probe_rank(spark, sf_dir):
+    """J3/W1 — top-4 probe centroids per query (queries = vec_id 490+)."""
+    from pyspark.sql import Window
+
+    emb, cents, _ = _fixed_centroid_frames(spark, sf_dir)
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "centroid_id", dist2_expr("cvec", "query").alias("centroid_dist2")
+    )
+    w = Window.partitionBy("query_id").orderBy("centroid_dist2", "centroid_id")
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= 4)
+        .select("query_id", "probe_rank", "centroid_id", "centroid_dist2")
+    )
+
+
+_register(
+    "ivf_probe_rank_fixed",
+    _ivf_probe_rank,
+    f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                   FROM embeddings WHERE vec_id < {_N_FIXED_CENTROIDS}),
+    q AS (SELECT vec_id AS query_id, embedding AS query
+          FROM embeddings WHERE vec_id >= 490),
+    scored AS (
+      SELECT q.query_id, c.centroid_id,
+             {_DD_DIST2.format(a="c.cvec", b="q.query")} AS centroid_dist2
+      FROM q CROSS JOIN cents c
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY centroid_dist2, centroid_id) AS probe_rank
+      FROM scored
+    )
+    SELECT query_id, CAST(probe_rank AS INT) AS probe_rank, centroid_id,
+           centroid_dist2
+    FROM ranked WHERE probe_rank <= 4
+    """,
+)
+
+
+def _ivf_search_fixed(spark, sf_dir):
+    """K9 with pinned centroids: probe top-4 clusters → candidates from
+    those clusters only (P6 semi-join) → top-5 by dist2 (W2)."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    emb, _, _ = _fixed_centroid_frames(spark, sf_dir)
+    assigned = _ivf_assign(spark, sf_dir).select(
+        "vec_id", "cluster_id"
+    )
+    probes = _ivf_probe_rank(spark, sf_dir).select(
+        "query_id", F.col("centroid_id").alias("cluster_id")
+    )
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    cand_ids = (
+        assigned.join(probes, "cluster_id")
+        .select("query_id", "vec_id")
+    )
+    cand = cand_ids.join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    ).join(F.broadcast(q), "query_id")
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist2_expr("query", "embedding").alias("dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "dist2")
+    )
+
+
+_register(
+    "ivf_search_fixed",
+    _ivf_search_fixed,
+    f"""
+    WITH {_DD_ASSIGN},
+    members AS (SELECT vec_id, centroid_id AS cluster_id
+                FROM assigned WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS query
+          FROM embeddings WHERE vec_id >= 490),
+    qprobe AS (
+      SELECT query_id, centroid_id AS cluster_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_DD_DIST2.format(a="c.cvec", b="q.query")}, c.centroid_id)
+                 AS pr
+        FROM q CROSS JOIN cents c
+      ) WHERE pr <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, m.vec_id FROM qprobe p JOIN members m USING (cluster_id)
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             {_DD_DIST2.format(a="q.query", b="v.embedding")} AS dist2
+      FROM cand c
+      JOIN embeddings v ON v.vec_id = c.vec_id
+      JOIN q ON q.query_id = c.query_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dist2, neighbor_id) AS INT) AS rank,
+           neighbor_id, dist2
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# dedup_ / text_ / sim_ — LLM-pipeline operators over documents/embeddings
+# --------------------------------------------------------------------------
+
+# shared DuckDB text macros (mirror functions.text exactly)
+_DD_TOKENS = (
+    "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'),"
+    " t -> t <> '')"
+)
+_DD_HASH32 = "CAST(concat('0x', substr(md5({t}), 1, 8)) AS BIGINT)"
+_DD_SHINGLE_HASHES = f"""
+  CASE WHEN len({{toks}}) >= 3 THEN
+    list_transform(
+      list_distinct(list_transform(range(1, len({{toks}}) - 1),
+        i -> concat({{toks}}[i], ' ', {{toks}}[i+1], ' ', {{toks}}[i+2]))),
+      s -> {_DD_HASH32.format(t="s")} % 2147483647)
+  ELSE CAST([] AS BIGINT[]) END
+"""
+
+# doubled-documents fixture: every text appears at doc_id and doc_id+10000
+_DD_DOUBLED = """
+  doubled AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000 AS doc_id, text FROM documents
+  )
+"""
+
+
+def _doubled_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    again = docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    return docs.unionByName(again)
+
+
+def _dedup_exact_groups(spark, sf_dir):
+    from vector_indexer_spark.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_doubled_docs(spark, sf_dir))
+
+
+_register(
+    "dedup_exact_groups",
+    _dedup_exact_groups,
+    f"""
+    WITH {_DD_DOUBLED}
+    SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM doubled GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+
+
+def _dedup_exact_kept(spark, sf_dir):
+    from vector_indexer_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_doubled_docs(spark, sf_dir)).select("doc_id")
+
+
+_register(
+    "dedup_exact_kept",
+    _dedup_exact_kept,
+    f"""
+    WITH {_DD_DOUBLED},
+    ranked AS (
+      SELECT doc_id, row_number() OVER (PARTITION BY sha256(text)
+                                        ORDER BY doc_id) AS rn
+      FROM doubled
+    )
+    SELECT doc_id FROM ranked WHERE rn = 1
+    """,
+)
+
+
+def _text_stats(spark, sf_dir):
+    from vector_indexer_spark.operators.text_analysis import text_stats
+
+    return text_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_STOP_EN_SQL = "('the','and','of','to','is','in','that','with','for','a','it','on','as','are','this','be','at')"
+
+_register(
+    "text_stats",
+    _text_stats,
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DD_TOKENS.format(c="text")} AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, toks,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+        CAST(length(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS n_space,
+        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT) AS n_alpha,
+        CAST(len(list_filter(toks, t -> t IN {_STOP_EN_SQL})) AS BIGINT) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_chars, n_tokens,
+      CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) AS digit_ratio,
+      CAST(n_space AS DOUBLE) / CAST(n_chars AS DOUBLE) AS space_ratio,
+      CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+      n_stopwords,
+      CASE WHEN n_tokens > 0
+           THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           ELSE 0.0 END AS stopword_ratio,
+      (least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+       + CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)
+       + least((CASE WHEN n_tokens > 0
+                THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END) * 4.0, 1.0)) / 3.0 AS quality
+    FROM m
+    """,
+)
+
+
+def _text_lang_id(spark, sf_dir):
+    from vector_indexer_spark.operators.text_analysis import language_id
+
+    return language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _lang_sql():
+    from vector_indexer_spark.functions.text import LANG_MARKERS
+
+    counts = ",\n        ".join(
+        f"CAST(len(list_filter(toks, t -> t IN ({', '.join(repr(w) for w in ws)}))) AS BIGINT) AS c_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join('c_' + la for la in langs)})"
+    case = "CASE "
+    for la in langs:  # declaration order wins ties
+        case += f"WHEN best > 0 AND c_{la} = best THEN '{la}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_DD_TOKENS.format(c="text")} AS toks FROM documents
+    ),
+    m AS (SELECT doc_id, {counts} FROM t),
+    g AS (SELECT doc_id, *, {best} AS best FROM m)
+    SELECT doc_id, {case} AS lang_pred FROM g
+    """
+
+
+_register("text_lang_id", _text_lang_id, _lang_sql())
+
+
+def _text_fingerprint(spark, sf_dir):
+    from vector_indexer_spark.operators.text_analysis import fingerprints
+
+    return fingerprints(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_register(
+    "text_fingerprint",
+    _text_fingerprint,
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DD_TOKENS.format(c="text")} AS toks FROM documents
+    )
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(toks, tk -> {_DD_HASH32.format(t="tk")} % 2147483647)),
+        (acc, h) -> (acc * 31 + h) % 2147483647) AS fingerprint
+    FROM t
+    """,
+)
+
+
+def _minhash_sig4(spark, sf_dir):
+    """First 4 MinHash signature components as scalar columns."""
+    from vector_indexer_spark.operators.dedup import minhash_signatures
+
+    sig = minhash_signatures(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return sig.select(
+        "doc_id", *[F.col("signature")[i].alias(f"s{i}") for i in range(4)]
+    )
+
+
+def _minhash_sql():
+    from vector_indexer_spark.operators.dedup import minhash_params
+
+    params = minhash_params(16)[:4]
+    shingles = _DD_SHINGLE_HASHES.format(toks="toks")
+    cols = ",\n      ".join(
+        f"coalesce(list_min(list_transform(sh, h -> ({a} * (h % 2147483647) + {b}) % 2147483647)), 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_DD_TOKENS.format(c="text")} AS toks FROM documents
+    ),
+    s AS (SELECT doc_id, {shingles} AS sh FROM t)
+    SELECT doc_id, {cols} FROM s
+    """
+
+
+_register("dedup_minhash_sig", _minhash_sig4, _minhash_sql())
+
+
+def _simhash32(spark, sf_dir):
+    from vector_indexer_spark.operators.dedup import simhash
+
+    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ",\n        ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS b{b}" for b in range(bits)
+    )
+    recon = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest({_DD_TOKENS.format(c="text")}) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {_DD_HASH32.format(t="tok")} AS h FROM t),
+    s AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+    SELECT doc_id, {recon} AS simhash FROM s
+    """
+
+
+_register("dedup_simhash", _simhash32, _simhash_sql())
+
+
+def _jaccard_consecutive(spark, sf_dir):
+    """Exact n-gram Jaccard for the fixed pair set (i, i+1), i<50."""
+    from vector_indexer_spark.operators.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    return jaccard_pairs(docs, pairs)
+
+
+_register(
+    "dedup_jaccard_pairs",
+    _jaccard_consecutive,
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DD_TOKENS.format(c="text")} AS toks FROM documents
+    ),
+    s AS (SELECT doc_id, {_DD_SHINGLE_HASHES.format(toks="toks")} AS sh FROM t),
+    pairs AS (SELECT i AS id_a, i + 1 AS id_b FROM range(0, 50) r(i)),
+    j AS (
+      SELECT p.id_a, p.id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+             CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+               - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
+      FROM pairs p
+      JOIN s a ON a.doc_id = p.id_a
+      JOIN s b ON b.doc_id = p.id_b
+    )
+    SELECT id_a, id_b,
+           CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END AS jaccard
+    FROM j
+    """,
+)
+
+
+def _lsh_pairs(spark, sf_dir):
+    """LSH candidate pairs over the doubled fixture (first 60 ids)."""
+    from vector_indexer_spark.operators.dedup import lsh_candidate_pairs
+
+    doubled = _doubled_docs(spark, sf_dir).filter(
+        (F.col("doc_id") % 10_000) < 60
+    )
+    return lsh_candidate_pairs(doubled)
+
+
+def _lsh_sql():
+    from vector_indexer_spark.operators.dedup import minhash_params
+
+    params = minhash_params(16)
+    shingles = _DD_SHINGLE_HASHES.format(toks="toks")
+    sig_cols = ",\n      ".join(
+        f"coalesce(list_min(list_transform(sh, h -> ({a} * (h % 2147483647) + {b}) % 2147483647)), 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = ", ".join(
+        f"({b}, concat_ws('_', s{b * 4}, s{b * 4 + 1}, s{b * 4 + 2}, s{b * 4 + 3}))"
+        for b in range(4)
+    )
+    return f"""
+    WITH {_DD_DOUBLED},
+    small AS (SELECT * FROM doubled WHERE doc_id % 10000 < 60),
+    t AS (SELECT doc_id, {_DD_TOKENS.format(c="text")} AS toks FROM small),
+    sh AS (SELECT doc_id, {shingles} AS sh FROM t),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh),
+    banded AS (
+      SELECT doc_id, b.band, b.bucket
+      FROM sig, LATERAL (VALUES {band_rows}) AS b(band, bucket)
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    """
+
+
+_register("dedup_lsh_pairs", _lsh_pairs, _lsh_sql())
+
+
+_DD_DOT = """
+  list_reduce(
+    list_transform(range(1, len({b}) + 1),
+      i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)),
+    (acc, x) -> acc + x)
+"""
+_DD_NORM = """
+  sqrt(list_reduce(
+    list_transform(range(1, len({a}) + 1),
+      i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)),
+    (acc, x) -> acc + x))
+"""
+
+
+def _sim_cosine_top10(spark, sf_dir):
+    """Brute-force cosine top-10 (similarity-search baseline)."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.distance import cosine_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") >= 495).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_expr("query", "embedding").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+_register(
+    "sim_cosine_top10",
+    _sim_cosine_top10,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query
+               FROM embeddings WHERE vec_id >= 495),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             {_DD_DOT.format(a="q.query", b="v.embedding")}
+               / ({_DD_NORM.format(a="q.query")} * {_DD_NORM.format(a="v.embedding")})
+               AS cosine
+      FROM embeddings v CROSS JOIN q
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id) AS INT) AS rank,
+           neighbor_id, cosine
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+
+
+def _sim_near_dup_cosine(spark, sf_dir):
+    """Blocked cosine near-dup pairs (block = label, τ=0.3)."""
+    from vector_indexer_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(emb, threshold=0.3)
+
+
+_register(
+    "sim_near_dup_cosine",
+    _sim_near_dup_cosine,
+    f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DD_DOT.format(a="a.embedding", b="b.embedding")}
+               / ({_DD_NORM.format(a="a.embedding")} * {_DD_NORM.format(a="b.embedding")})
+               AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+)
+
+
+def _media_byte_len(spark, sf_dir):
+    """Multimodal plumbing: binary ingest + per-payload byte length."""
+    from vector_indexer_spark.operators.multimodal import (
+        extract_features,
+        text_as_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return extract_features(text_as_media(docs)).select(
+        "media_id", "modality", "byte_len"
+    )
+
+
+_register(
+    "media_byte_len",
+    _media_byte_len,
+    """
+    SELECT doc_id AS media_id, 'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+    FROM documents
+    """,
+)
+
+
+def _events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table (the
+    batch expression of the Structured Streaming rollup — see
+    vector_indexer_spark.streaming). Float sums are int-scaled so the
+    aggregation is order-independent and exactly comparable.
+
+    The events table stores nanosecond timestamps, which Spark's
+    parquet reader rejects by default — read them as raw int64 nanos
+    (legacy conf) and truncate arithmetically."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ns_per_hour = 3_600 * 1_000_000_000
+    return ev.groupBy(
+        (F.expr(f"ts div {ns_per_hour}") * 3600).alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+            "value_sum_micros"
+        ),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+_register(
+    "events_hourly",
+    _events_hourly,
+    """
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           SUM(CAST(floor(value * 1000000) AS BIGINT)) AS value_sum_micros,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# rows-only queries — the *trained* pipeline (K1/K2/K8/K9). k-means
+# centroids are runtime-specific (NumPy RNG vs the oracle's SQL), so
+# these are declared without oracle SQL; the driver records the weaker
+# rows-only check and pytest enforces the invariants (SURVEY §5).
+# --------------------------------------------------------------------------
+
+_INDEX_CACHE: dict = {}
+
+
+def _built_index(spark, sf_dir):
+    import tempfile
+
+    if sf_dir not in _INDEX_CACHE:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from vector_indexer_spark.operators.index_build import build_index
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        vec = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        path = tempfile.mkdtemp(prefix="ivf_entry_") + "/index"
+        _INDEX_CACHE[sf_dir] = build_index(vec, path, seed=42)
+    return _INDEX_CACHE[sf_dir]
+
+
+def _ivf_build_meta(spark, sf_dir):
+    """K8 — real trained build: index metadata + conservation counts."""
+    idx = _built_index(spark, sf_dir)
+    v = idx.vectors(spark)
+    return (
+        v.groupBy()
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.count_distinct("id").alias("n_distinct_ids"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.count_distinct("shard_id").alias("n_shards"),
+        )
+        .select(
+            F.lit(idx.dimension).alias("dimension"),
+            "n_vectors",
+            "n_distinct_ids",
+            "n_clusters",
+            "n_shards",
+        )
+    )
+
+
+_register("ivf_build_meta_trained", _ivf_build_meta)
+
+
+def _ivf_search_trained(spark, sf_dir):
+    """K9 — real trained ANN search, full pipeline incl. pruned scan."""
+    from vector_indexer_spark.operators.search import search_index
+
+    idx = _built_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_index(spark, idx, q, k=10, n_probe=8)
+
+
+_register("ivf_search_trained", _ivf_search_trained)
+
+
+def _ivf_recall_trained(spark, sf_dir):
+    """A7 — recall@10 of the trained ANN path vs exact brute force."""
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.search import (
+        calculate_recall,
+        search_index,
+    )
+
+    idx = _built_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("values"))
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    exact = knn_exact(vec, q, k=10, id_col="id", vec_col="values")
+    recalls = []
+    for n_probe in (2, 8, idx.nlist):
+        r = calculate_recall(
+            search_index(spark, idx, q, k=10, n_probe=n_probe), exact, 10
+        )
+        recalls.append((n_probe, float(r)))
+    return spark.createDataFrame(recalls, "n_probe long, recall double")
+
+
+_register("ivf_recall_trained", _ivf_recall_trained)
+
+
+def _media_features(spark, sf_dir):
+    """Multimodal feature extraction (fake decoder — deterministic
+    blake2b features; not SQL-expressible)."""
+    from vector_indexer_spark.operators.multimodal import (
+        extract_features,
+        text_as_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = extract_features(text_as_media(docs.limit(100)))
+    return out.select(
+        "media_id", "byte_len", F.col("features")[0].alias("f0")
+    )
+
+
+_register("media_features", _media_features)
+
+
+def _synthetic_gen(spark, sf_dir):
+    """S4 — seeded synthetic vector generation (deterministic for a
+    fixed partitioning; RNG is NumPy-specific → rows-only)."""
+    from vector_indexer_spark.sources.files import generate_vectors
+
+    df = generate_vectors(spark, 1000, 16, seed=42, partitions=4)
+    return df.groupBy().agg(
+        F.count("*").alias("n"),
+        F.count_distinct("id").alias("n_ids"),
+        F.min(F.array_min("values")).alias("min_component"),
+        F.max(F.array_max("values")).alias("max_component"),
+    )
+
+
+_register("sources_synthetic_gen", _synthetic_gen)

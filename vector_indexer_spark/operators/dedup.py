@@ -1,0 +1,312 @@
+"""Deduplication + similarity operators for training-data pipelines.
+
+Post-parity extensions (SURVEY §7 Phase 6): the operations a 100 TB
+LLM-data pipeline runs over a ``documents`` table. Design rules:
+
+- **never all-pairs**: every near-dup operator generates candidate
+  pairs through a *blocking key* (LSH band bucket, simhash band,
+  cluster/label) and only scores within buckets. The candidate join is
+  a shuffle on the bucket key; skewed buckets are AQE's problem
+  (skew-join splitting is on in our session factory).
+- **JVM expressions only** in the hot path (functions.text primitives
+  are Catalyst folds) — no Python UDFs.
+- every operator is deterministic and mirrored by a DuckDB oracle.
+
+MinHash constants: ``num_hashes`` seeded affine permutations
+``h_i(x) = (a_i·x + b_i) mod 2^31-1`` with banding for LSH; SimHash is
+the classic 32-bit sign-of-weighted-bit-sums over token hashes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.functions.distance import cosine_expr
+from vector_indexer_spark.functions.text import (
+    HASH_MOD,
+    shingle_hashes_expr,
+    token_hash_expr,
+    tokens_expr,
+)
+
+MINHASH_SEED = 1_000_003
+
+
+def minhash_params(num_hashes: int, seed: int = MINHASH_SEED) -> list[tuple[int, int]]:
+    """Seeded (a, b) affine coefficients, a ∈ [1, p), b ∈ [0, p)."""
+    rng = np.random.default_rng(seed)
+    return [
+        (int(rng.integers(1, HASH_MOD)), int(rng.integers(0, HASH_MOD)))
+        for _ in range(num_hashes)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dup_groups(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by sha256(text): one row per duplicated
+    content hash with the canonical (min) id and the group size.
+
+    Pure hash-groupBy — at 100 TB this is one shuffle on a 64-hex-char
+    key with map-side partial aggregation.
+    """
+    return (
+        df.select(
+            F.sha2(F.col(text_col), 256).alias("content_hash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row of every exact-content group (all columns)."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature_expr(text_col, num_hashes: int = 16, shingle_k: int = 3):
+    """ARRAY<BIGINT> MinHash signature of a text column (empty-shingle
+    docs get p as the sentinel min)."""
+    hs = shingle_hashes_expr(text_col, shingle_k)
+
+    def _perm(a: int, b: int):
+        # closure factory: the Spark lambda must take exactly one arg
+        return lambda h: (F.lit(a) * (h % F.lit(HASH_MOD)) + F.lit(b)) % F.lit(
+            HASH_MOD
+        )
+
+    sigs = [
+        F.coalesce(F.array_min(F.transform(hs, _perm(a, b))), F.lit(HASH_MOD))
+        for a, b in minhash_params(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        minhash_signature_expr(text_col, num_hashes, shingle_k).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH blocking: docs sharing any band of the signature
+    become a candidate pair (id_a < id_b, distinct).
+
+    The self-join shuffles on the band-bucket key only — candidate
+    volume is Σ_bucket |bucket|², never n².
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signatures(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_k=shingle_k,
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("signature")[b * rows + r]
+                                for r in range(rows)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over
+    distinct hashed shingles. ``pairs`` carries (id_a, id_b)."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(shingle_hashes_expr(text_col, shingle_k)).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a").cast("double") + F.size("sh_b").cast("double") - inter
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+def near_dup_minhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup: LSH candidates → exact Jaccard filter."""
+    cand = lsh_candidate_pairs(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k,
+    )
+    return jaccard_pairs(
+        df, cand, text_col=text_col, id_col=id_col, shingle_k=shingle_k
+    ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Classic SimHash over token hashes: bit b of the output is set
+    iff Σ_tokens (±1 by bit b of hash(token)) > 0.
+
+    One explode + one groupBy (map-side combinable sums) — no UDF.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(text_col)).alias("tok"),
+    ).withColumn("h", token_hash_expr(F.col("tok")))
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return sums.select("doc_id", out.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup (blocked)
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cosine near-duplicate pairs within a blocking key.
+
+    ``block_col`` is the candidate-generation key (a cluster id from
+    :func:`~vector_indexer_spark.operators.kmeans.assign_clusters`, a
+    label, an LSH bucket, …). With ``None`` it degrades to all-pairs —
+    only for tiny test tables, never at scale.
+    """
+    sel = df.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+    )
+    a, b = sel.alias("a"), sel.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

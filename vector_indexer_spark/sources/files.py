@@ -1,0 +1,136 @@
+"""Vector file sources: Parquet (canonical), .npy/.fvecs/.ivecs
+(benchmark formats), and seeded synthetic generation.
+
+Reference mapping:
+- S2/S3 — the reference's bincode vector-file ingest
+  (src/api.rs:149-186, src/utils.rs:82-107). Our canonical on-disk
+  vector format *is* Parquet; these helpers read the legacy benchmark
+  formats into that shape.
+- S12 — Faiss benchmark loaders for .npy/.fvecs/.ivecs with row caps
+  (bench/faiss_bench_official/bench_all_ivf.py:88-156). These formats
+  are single-file, driver-decoded (they are bounded benchmark inputs,
+  not the 100 TB path — that path is Parquet).
+- S4 — synthetic generation (src/utils.rs:34-79): uniform(-1, 1)
+  components, seeded, distributed via mapInPandas with a
+  per-partition derived seed (the Spark analog of the reference's
+  parallel producer threads + single writer).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_fvecs(path: str, max_rows: int | None = None) -> np.ndarray:
+    """S12 — .fvecs: per record an int32 dim header then d float32s."""
+    return _read_xvecs(path, np.float32, max_rows)
+
+
+def read_ivecs(path: str, max_rows: int | None = None) -> np.ndarray:
+    """S12 — .ivecs: per record an int32 dim header then d int32s."""
+    return _read_xvecs(path, np.int32, max_rows)
+
+
+def _read_xvecs(path: str, dtype, max_rows: int | None) -> np.ndarray:
+    with open(path, "rb") as f:
+        header = f.read(4)
+        if len(header) < 4:
+            raise ValueError(f"{path}: empty or truncated xvecs file")
+        (d,) = struct.unpack("<i", header)
+        if d <= 0:
+            raise ValueError(f"{path}: invalid dimension {d}")
+        f.seek(0)
+        raw = np.fromfile(f, dtype=np.int32)
+    record = d + 1
+    if raw.size % record:
+        raise ValueError(f"{path}: size {raw.size} not a multiple of {record}")
+    mat = raw.reshape(-1, record)[:, 1:]
+    if max_rows is not None:
+        mat = mat[:max_rows]
+    return mat.view(dtype) if dtype is np.float32 else mat.astype(dtype)
+
+
+def read_npy(path: str, max_rows: int | None = None) -> np.ndarray:
+    """S12 — .npy matrix loader with a row cap."""
+    mat = np.load(path, mmap_mode="r")
+    if max_rows is not None:
+        mat = mat[:max_rows]
+    return np.ascontiguousarray(mat)
+
+
+def vectors_from_numpy(
+    spark: SparkSession, mat: np.ndarray, *, id_offset: int = 0
+) -> DataFrame:
+    """Driver matrix → internal vector DataFrame (ids = ordinals)."""
+    mat = np.ascontiguousarray(mat, dtype=np.float32)
+    n = mat.shape[0]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": np.arange(id_offset, id_offset + n, dtype=np.int64),
+                "external_id": np.arange(id_offset, id_offset + n, dtype=np.int64),
+                "values": list(mat),
+                "ts": np.zeros(n, dtype=np.int64),
+            }
+        ),
+        "id long, external_id long, values array<float>, ts long",
+    )
+
+
+def generate_vectors(
+    spark: SparkSession,
+    count: int,
+    dimension: int,
+    *,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """S4 — seeded synthetic vectors, components ~ uniform(-1, 1).
+
+    Distributed: ``spark.range`` partitions the id space; each Arrow
+    batch derives its RNG from (seed, first id in batch), so the output
+    is deterministic for a given (count, dimension, seed, partitioning)
+    and generation parallelism scales with the cluster, like the
+    reference's producer threads (src/utils.rs:34-79).
+    """
+    if count <= 0 or dimension <= 0:
+        raise ValueError("count and dimension must be positive")
+    base = spark.range(0, count, 1, partitions or spark.sparkContext.defaultParallelism)
+
+    def _gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng((seed, int(ids[0])))
+            vals = rng.uniform(-1.0, 1.0, size=(len(ids), dimension)).astype(
+                np.float32
+            )
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "external_id": ids,
+                    "values": list(vals),
+                    "ts": np.zeros(len(ids), dtype=np.int64),
+                }
+            )
+
+    return base.mapInPandas(
+        _gen, "id long, external_id long, values array<float>, ts long"
+    )
+
+
+def read_vector_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S2/S3 — canonical vector-file ingest (directory of Parquet)."""
+    return spark.read.parquet(path)
+
+
+def write_vector_parquet(df: DataFrame, path: str, *, mode: str = "overwrite"):
+    """Canonical vector-file writer (the reference's append-batches
+    writer collapses to one partitioned write)."""
+    df.write.mode(mode).parquet(path)
