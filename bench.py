@@ -1,0 +1,201 @@
+"""Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR.
+
+Methodology mirrors the reference bench harness's ``eval_setting``
+(bench/faiss_bench_official/bench_all_ivf.py:283-363): warm up once,
+then repeat each query until ≥ ``MIN_DURATION`` seconds of measured
+time, report the mean seconds per execution.
+
+Prints exactly ONE JSON line:
+  {"metric": "total_query_sec", "value": N, "unit": "sec",
+   "queries": {...}, "sf": ..., "extras": {...}}
+
+``queries`` holds mean sec per headline query. ``extras`` carries the
+derived ratios the perf gate cares about (ANN-vs-exact speedup, build
+wall-clock, trained recall).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+MIN_DURATION = float(os.environ.get("BENCH_MIN_DURATION", "3.0"))
+MAX_REPEATS = int(os.environ.get("BENCH_MAX_REPEATS", "20"))
+
+
+def timed(fn) -> float:
+    """Warm up once, then repeat until MIN_DURATION; mean seconds."""
+    fn()  # warm-up (JIT, broadcast, file-listing caches)
+    total, runs = 0.0, 0
+    while total < MIN_DURATION and runs < MAX_REPEATS:
+        t0 = time.perf_counter()
+        fn()
+        total += time.perf_counter() - t0
+        runs += 1
+    return total / runs
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators import dedup, text_analysis
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.search import (
+        calculate_recall,
+        search_index,
+    )
+    from vector_indexer_spark.session import get_spark
+
+    spark = get_spark(app_name="vector-indexer-bench")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    emb.count(), docs.count()
+
+    vec = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("values"))
+    queries_df = emb.limit(100).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    ).cache()
+    queries_df.count()
+
+    results: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # --- index build (measured once — it is a minutes-scale pipeline) ---
+    t0 = time.perf_counter()
+    path = tempfile.mkdtemp(prefix="bench_ivf_") + "/index"
+    idx = build_index(vec, path, seed=42)
+    extras["build_sec"] = round(time.perf_counter() - t0, 3)
+    extras["nlist"] = idx.nlist
+
+    # hot index table: repeated search batches hit a cached scan, the
+    # same footing as the cached table the exact path scans. Coalesce
+    # first: the partitioned layout yields one sliver per cluster dir
+    # at this sf, and per-task overhead would dominate the measurement
+    # (at real scale task count is byte-driven via maxPartitionBytes).
+    idx_vec = idx.vectors(spark).coalesce(8).cache()
+    idx_vec.count()
+
+    # --- headline queries ---
+    results["knn_exact_100q"] = timed(
+        lambda: knn_exact(
+            vec, queries_df, k=10, id_col="id", vec_col="values"
+        ).count()
+    )
+    results["ivf_search_100q"] = timed(
+        lambda: search_index(
+            spark, idx, queries_df, k=10, n_probe=8, vectors=idx_vec
+        ).count()
+    )
+    results["dedup_exact"] = timed(
+        lambda: dedup.exact_dup_groups(docs).count()
+    )
+    results["dedup_minhash_lsh"] = timed(
+        lambda: dedup.lsh_candidate_pairs(docs).count()
+    )
+    results["dedup_simhash"] = timed(lambda: dedup.simhash(docs).count())
+    results["text_stats"] = timed(
+        lambda: text_analysis.text_stats(docs).agg(F.sum("n_tokens")).collect()
+    )
+    results["events_hourly"] = timed(
+        lambda: events.groupBy(
+            F.expr("ts div 3600000000000"), "event_type"
+        ).count().count()
+    )
+
+    # --- derived perf gates ---
+    exact = knn_exact(vec, queries_df, k=10, id_col="id", vec_col="values")
+    extras["ann_speedup_vs_exact"] = round(
+        results["knn_exact_100q"] / results["ivf_search_100q"], 3
+    )
+    extras["recall_at_10_nprobe8"] = round(
+        calculate_recall(
+            search_index(
+                spark, idx, queries_df, k=10, n_probe=8, vectors=idx_vec
+            ),
+            exact,
+            10,
+        ),
+        4,
+    )
+
+    # --- synthetic scale section (reference bench default: n=100k
+    # d=128 synthetic, docker-compose.bench.yml:28-30) — the sf tables
+    # are too small to exercise cluster pruning, so this is where the
+    # ANN-vs-exact comparison is physically meaningful ---
+    if os.environ.get("BENCH_SYNTH", "1") == "1":
+        from vector_indexer_spark.sources.files import generate_clustered_vectors
+
+        # Gaussian-clustered corpus (the reference's own evaluation
+        # distribution — uniform data defeats any IVF, reference or ours)
+        n_synth, d_synth, nq_synth = 100_000, 128, 64
+        synth = generate_clustered_vectors(
+            spark, n_synth, d_synth, n_clusters=256, seed=42
+        ).drop("true_cluster").cache()
+        synth.count()
+        sq = synth.limit(nq_synth).select(
+            F.col("id").alias("query_id"), F.col("values").alias("query")
+        ).cache()
+        sq.count()
+
+        t0 = time.perf_counter()
+        spath = tempfile.mkdtemp(prefix="bench_synth_") + "/index"
+        sidx = build_index(synth, spath, seed=42, mode="minibatch")
+        extras["synth_build_sec"] = round(time.perf_counter() - t0, 3)
+        extras["synth_nlist"] = sidx.nlist
+        sidx_vec = sidx.vectors(spark).coalesce(32).cache()
+        sidx_vec.count()
+
+        results["synth100k_exact_64q"] = timed(
+            lambda: knn_exact(synth, sq, k=10).count()
+        )
+        results["synth100k_ivf_64q"] = timed(
+            lambda: search_index(
+                spark, sidx, sq, k=10, n_probe=32, vectors=sidx_vec
+            ).count()
+        )
+        extras["synth_ann_speedup"] = round(
+            results["synth100k_exact_64q"] / results["synth100k_ivf_64q"], 3
+        )
+        sexact = knn_exact(synth, sq, k=10)
+        extras["synth_recall_at_10_nprobe32"] = round(
+            calculate_recall(
+                search_index(
+                    spark, sidx, sq, k=10, n_probe=32, vectors=sidx_vec
+                ),
+                sexact,
+                10,
+            ),
+            4,
+        )
+        synth.unpersist()
+        sidx_vec.unpersist()
+
+    results = {k: round(v, 4) for k, v in results.items()}
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_sec",
+                "value": round(sum(results.values()), 4),
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "extras": extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

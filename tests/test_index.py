@@ -186,5 +186,10 @@ def test_partition_pruning_in_plan(spark, index, queries_df):
         F.col("shard_id").isin(shard_ids) & F.col("cluster_id").isin(cluster_ids)
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # shard predicate prunes Hive partitions; cluster predicate is
+    # pushed to the parquet reader (row-group stats via the
+    # sortWithinPartitions(cluster_id) write layout)
     assert "PartitionFilters" in plan
-    assert "cluster_id" in plan.split("PartitionFilters")[1][:400]
+    assert "shard_id" in plan.split("PartitionFilters")[1][:400]
+    assert "PushedFilters" in plan
+    assert "cluster_id" in plan.split("PushedFilters")[1][:400]

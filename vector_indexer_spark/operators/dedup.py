@@ -88,22 +88,39 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature_expr(text_col, num_hashes: int = 16, shingle_k: int = 3):
-    """ARRAY<BIGINT> MinHash signature of a text column (empty-shingle
-    docs get p as the sentinel min)."""
-    hs = shingle_hashes_expr(text_col, shingle_k)
+def minhash_sig_columns(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, s0..s{num_hashes-1}) MinHash signature columns.
 
-    def _perm(a: int, b: int):
-        # closure factory: the Spark lambda must take exactly one arg
-        return lambda h: (F.lit(a) * (h % F.lit(HASH_MOD)) + F.lit(b)) % F.lit(
-            HASH_MOD
-        )
-
-    sigs = [
-        F.coalesce(F.array_min(F.transform(hs, _perm(a, b))), F.lit(HASH_MOD))
-        for a, b in minhash_params(num_hashes)
+    Physical shape: explode the (distinct, hashed) shingles to rows,
+    then one groupBy(doc_id) with ``num_hashes`` MIN aggregates. The
+    md5 per shingle is computed exactly once (an array-expression
+    formulation re-inlines the shingle subtree into every permutation —
+    measured 100× slower), and the MIN aggregates combine map-side, so
+    the shuffle is one row per (doc, partition). Empty-shingle docs
+    keep the sentinel p via explode_outer + coalesce.
+    """
+    hs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode_outer(shingle_hashes_expr(text_col, shingle_k)).alias("h"),
+    )
+    aggs = [
+        F.coalesce(
+            F.min(
+                (F.lit(a) * (F.col("h") % F.lit(HASH_MOD)) + F.lit(b))
+                % F.lit(HASH_MOD)
+            ),
+            F.lit(HASH_MOD),
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return F.array(*sigs)
+    return hs.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(
@@ -114,9 +131,14 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        minhash_signature_expr(text_col, num_hashes, shingle_k).alias("signature"),
+    """(doc_id, signature ARRAY<BIGINT>) — array view of the signature."""
+    cols = minhash_sig_columns(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_k=shingle_k,
+    )
+    return cols.select(
+        "doc_id",
+        F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("signature"),
     )
 
 
@@ -138,7 +160,7 @@ def lsh_candidate_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = minhash_signatures(
+    sig = minhash_sig_columns(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
         shingle_k=shingle_k,
     )
@@ -151,10 +173,7 @@ def lsh_candidate_pairs(
                         F.lit(b).alias("band"),
                         F.concat_ws(
                             "_",
-                            *[
-                                F.col("signature")[b * rows + r]
-                                for r in range(rows)
-                            ],
+                            *[F.col(f"s{b * rows + r}") for r in range(rows)],
                         ).alias("bucket"),
                     )
                     for b in range(bands)

@@ -151,10 +151,15 @@ def build_index(
         )
         shard_of = assign_nearest(centroids, supers)
 
-    # 4. S7 — one shuffle on the partition keys, then partitioned write.
-    # The broadcast relabel map is tiny; repartition by (shard, cluster)
-    # so every Hive directory is written by a single task (bounded file
-    # count — the Spark analog of the reference's one-file-per-shard).
+    # 4. S7 — one shuffle on the shard key, then partitioned write with
+    # rows sorted by cluster_id inside each shard file. This mirrors
+    # the reference layout exactly (one shard file containing cluster
+    # blocks + a per-cluster byte-range index, src/shards.rs:68-177):
+    # Hive pruning skips whole shards, and the cluster_id sort gives
+    # parquet row-group min/max stats that skip non-probed clusters
+    # inside a shard. A cluster_id-level directory layout would create
+    # nlist≈4√n tiny dirs — file-listing overhead dominates long before
+    # 100 TB.
     mapping = spark.createDataFrame(
         [(int(old), int(new), int(shard_of[new])) for old, new in relabel.items()],
         "__raw_cluster long, cluster_id long, shard_id long",
@@ -162,9 +167,10 @@ def build_index(
     out = (
         assigned.join(F.broadcast(mapping), "__raw_cluster")
         .drop("__raw_cluster")
-        .repartition("shard_id", "cluster_id")
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cluster_id")
     )
-    out.write.mode("overwrite").partitionBy("shard_id", "cluster_id").parquet(
+    out.write.mode("overwrite").partitionBy("shard_id").parquet(
         os.path.join(path, "vectors")
     )
 

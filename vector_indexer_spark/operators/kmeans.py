@@ -208,22 +208,32 @@ def _partial_sums(
         _partials, "cluster_id long, cnt long, vsum array<double>"
     )
 
-    def _combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        tot_c = int(pdf["cnt"].sum())
-        tot_s = np.sum(np.stack(pdf["vsum"].to_numpy()), axis=0)
-        return pd.DataFrame(
-            {"cluster_id": [key[0]], "cnt": [tot_c], "vsum": [tot_s]}
-        )
+    # Adaptive combine: the partial set is ≤ partitions×k rows. When it
+    # is driver-sized, collect it directly and fold in NumPy — saving a
+    # shuffle stage per iteration (the dominant cost of small fits). At
+    # cluster scale (say 10⁴ partitions × 10⁴ clusters) the distributed
+    # groupBy combine keeps the driver out of the data path.
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts * k <= 200_000:
+        rows = partials.collect()
+    else:
 
-    combined = partials.groupBy("cluster_id").applyInPandas(
-        _combine, "cluster_id long, cnt long, vsum array<double>"
-    )
-    rows = combined.collect()
+        def _combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            tot_c = int(pdf["cnt"].sum())
+            tot_s = np.sum(np.stack(pdf["vsum"].to_numpy()), axis=0)
+            return pd.DataFrame(
+                {"cluster_id": [key[0]], "cnt": [tot_c], "vsum": [tot_s]}
+            )
+
+        rows = partials.groupBy("cluster_id").applyInPandas(
+            _combine, "cluster_id long, cnt long, vsum array<double>"
+        ).collect()
+
     sums = np.zeros((k, d), dtype=np.float64)
     counts = np.zeros(k, dtype=np.int64)
     for r in rows:
-        sums[r["cluster_id"]] = np.asarray(r["vsum"])
-        counts[r["cluster_id"]] = r["cnt"]
+        sums[r["cluster_id"]] += np.asarray(r["vsum"])
+        counts[r["cluster_id"]] += r["cnt"]
     return sums, counts
 
 
@@ -257,20 +267,31 @@ def kmeans_fit(
         raise ValueError(f"unknown mode {mode!r}")
 
     rng = np.random.default_rng(seed)
-    sample = _collect_sample(df, vec_col, sample_cap, seed)
-    n_est = df.count()
-    if max_iters is None:
-        max_iters = calculate_max_iterations(n_est)
-    centroids = kmeans_pp_init(sample, k, rng)
+    # The training loop re-scans the input every iteration — pin it.
+    # (On a 100 TB table callers should pre-cache / use DISK_ONLY or
+    # accept re-scans; we only cache when Spark says it isn't already.)
+    we_cached = False
+    if mode == "full" and df.storageLevel.useMemory is False:
+        df = df.cache()
+        we_cached = True
+    try:
+        sample = _collect_sample(df, vec_col, sample_cap, seed)
+        n_est = df.count()
+        if max_iters is None:
+            max_iters = calculate_max_iterations(n_est)
+        centroids = kmeans_pp_init(sample, k, rng)
 
-    if mode == "minibatch":
-        centroids, n_iters, converged = _train_minibatch(
-            sample, centroids, n_est, max_iters, tol, rng
-        )
-    else:
-        centroids, n_iters, converged = _train_full(
-            df, vec_col, centroids, sample, max_iters, tol, rng
-        )
+        if mode == "minibatch":
+            centroids, n_iters, converged = _train_minibatch(
+                sample, centroids, n_est, max_iters, tol, rng
+            )
+        else:
+            centroids, n_iters, converged = _train_full(
+                df, vec_col, centroids, sample, max_iters, tol, rng
+            )
+    finally:
+        if we_cached:
+            df.unpersist()
     return KMeansModel(centroids=centroids, n_iters=n_iters, converged=converged)
 
 

@@ -103,11 +103,23 @@ def search_index(
     query_col: str = "query",
     include_vectors: bool = False,
     method: str = "arrow",
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """K9 — batched ANN search. Returns
     ``(query_id, rank, neighbor_id, dist2[, values])`` ascending per
     query; may return < k rows per query when the probed clusters hold
     fewer than k vectors (reference behavior, SURVEY §7 trap 5).
+
+    ``vectors`` optionally overrides the index's vector table scan
+    (e.g. an already-cached DataFrame for repeated search batches); it
+    must carry the same (id, values, cluster_id, shard_id) columns.
+
+    The arrow path runs exactly TWO Spark actions: one query collect
+    (the query batch is driver-sized by contract — the reference's
+    whole input is a NumPy matrix), and one scan→score→rank job. Probe
+    ranking happens on the driver against the resident (nlist, d)
+    centroid matrix; the reference does the same scan-all-centroids
+    ranking per query (src/ivf_index.rs:204-220).
     """
     # P3/P4 — positivity + clamping (reference api.rs:189-190,
     # ivf_index.rs:197-202)
@@ -116,12 +128,46 @@ def search_index(
     k = min(k, MAX_K)
     n_probe = min(n_probe, MAX_N_PROBE)
 
+    if method == "native":
+        out = _search_native(
+            spark, index, queries, k, n_probe, query_id_col, query_col, vectors
+        )
+    elif method == "arrow":
+        out = _search_arrow(
+            spark, index, queries, k, n_probe, query_id_col, query_col, vectors
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    if include_vectors:  # P7
+        payload = (vectors if vectors is not None else index.vectors(spark)).select(
+            F.col("id").alias("neighbor_id"), "values"
+        )
+        out = out.join(payload, "neighbor_id", "left").select(
+            "query_id", "rank", "neighbor_id", "dist2", "values"
+        )
+    return out
+
+
+def _pruned_scan(spark, index, vectors, shard_ids, cluster_ids):
+    """S8/P6 — literal partition predicates → Hive partition pruning."""
+    base = vectors if vectors is not None else index.vectors(spark)
+    return base.where(
+        F.col("shard_id").isin([int(s) for s in shard_ids])
+        & F.col("cluster_id").isin([int(c) for c in cluster_ids])
+    )
+
+
+def _search_native(
+    spark, index, queries, k, n_probe, query_id_col, query_col, vectors
+):
+    """Fully-relational pipeline (distributed probe ranking): the
+    bit-reproducible / oracle-checkable path, and the scale path for
+    query batches too large to collect."""
     # P2 — query dimension validation
     bad = queries.filter(F.size(query_col) != index.dimension).count()
     if bad:
-        raise ValueError(
-            f"{bad} queries have dimension != {index.dimension}"
-        )
+        raise ValueError(f"{bad} queries have dimension != {index.dimension}")
 
     probes = rank_probes(
         queries,
@@ -131,39 +177,52 @@ def search_index(
         query_id_col=query_id_col,
         query_col=query_col,
     )
-
-    # collect the probed partition keys — bounded by nlist, always small
     probe_keys = probes.select("shard_id", "cluster_id").distinct().collect()
-    shard_ids = sorted({r.shard_id for r in probe_keys})
-    cluster_ids = sorted({r.cluster_id for r in probe_keys})
+    pruned = _pruned_scan(
+        spark,
+        index,
+        vectors,
+        sorted({r.shard_id for r in probe_keys}),
+        sorted({r.cluster_id for r in probe_keys}),
+    )
+    return _score_native(pruned, probes, queries, k, query_id_col, query_col)
 
-    # S8/P6 — pruned scan: literal partition predicates → Hive pruning
-    vectors = index.vectors(spark).where(
-        F.col("shard_id").isin(shard_ids) & F.col("cluster_id").isin(cluster_ids)
+
+def _search_arrow(
+    spark, index, queries, k, n_probe, query_id_col, query_col, vectors
+):
+    """Two-action pipeline: collect queries → driver probe ranking →
+    one pruned scan+score+rank job."""
+    qrows = queries.select(query_id_col, query_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, dist2 double"
+        )
+    # P2 — validate on the collected batch (no extra Spark job)
+    bad = sum(1 for r in qrows if len(r[1]) != index.dimension)
+    if bad:
+        raise ValueError(f"{bad} queries have dimension != {index.dimension}")
+
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = stack_arrays([r[1] for r in qrows])
+    # J3/W1 on the driver: (nq, nlist) distances, top-n_probe each
+    d2 = pairwise_dist2(qmat, index.centroids)
+    _, probe_ids = topk_per_row(d2, n_probe)
+    cluster_ids = np.unique(probe_ids)  # sorted
+    shard_ids = np.unique(index.centroid_shards[cluster_ids])
+    # (nq, n_probed_clusters) membership mask over the compacted
+    # cluster list — the executor-side scoring mask
+    pos = {int(c): i for i, c in enumerate(cluster_ids)}
+    probe_mask = np.zeros((len(qids), len(cluster_ids)), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, [pos[int(c)] for c in probe_ids[qi]]] = True
+    pruned = _pruned_scan(spark, index, vectors, shard_ids, cluster_ids)
+    return _score_arrow_scan(
+        spark, pruned, qids, qmat, cluster_ids, probe_mask, k
     )
 
-    if method == "native":
-        out = _score_native(
-            vectors, probes, queries, index, k, query_id_col, query_col
-        )
-    elif method == "arrow":
-        out = _score_arrow(
-            vectors, probes, queries, index, k, query_id_col, query_col
-        )
-    else:
-        raise ValueError(f"unknown method {method!r}")
 
-    if include_vectors:  # P7
-        payload = index.vectors(spark).select(
-            F.col("id").alias("neighbor_id"), "values"
-        )
-        out = out.join(payload, "neighbor_id", "left").select(
-            "query_id", "rank", "neighbor_id", "dist2", "values"
-        )
-    return out
-
-
-def _score_native(vectors, probes, queries, index, k, query_id_col, query_col):
+def _score_native(vectors, probes, queries, k, query_id_col, query_col):
     """Pure-DataFrame scoring: probes ⋈ queries (both small, broadcast)
     ⋈ pruned vectors on cluster_id, fold-expression dist2, window top-k."""
     q = queries.select(
@@ -186,48 +245,73 @@ def _score_native(vectors, probes, queries, index, k, query_id_col, query_col):
     )
 
 
-def _score_arrow(vectors, probes, queries, index, k, query_id_col, query_col):
-    """Arrow scoring: broadcast (query matrix, cluster→probing-queries
-    map); per-batch NumPy scoring + local top-k; global window rank."""
-    spark = vectors.sparkSession
-    qrows = queries.select(query_id_col, query_col).collect()
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = stack_arrays([r[1] for r in qrows])
-    qpos = {int(qid): i for i, qid in enumerate(qids)}
+def _score_arrow_scan(spark, vectors, qids, qmat, cluster_ids, probe_mask, k):
+    """Arrow scoring with a probe mask: one GEMM per Arrow batch for
+    all queries × all batch rows, non-probed (query, row) slots masked
+    to +inf, local top-k emitted map-side, then one global window rank.
 
-    probe_rows = probes.select("query_id", "cluster_id").collect()
-    cluster_to_q: dict[int, list[int]] = {}
-    for r in probe_rows:
-        cluster_to_q.setdefault(int(r.cluster_id), []).append(qpos[int(r.query_id)])
+    A per-cluster Python group loop was ~2× slower at nlist≈1.3k
+    (thousands of tiny GEMMs); masking trades a few redundant flops on
+    the already-pruned rows for batch-sized vectorized kernels.
+    """
     bc = spark.sparkContext.broadcast(
-        (qids, qmat, {c: np.array(v) for c, v in cluster_to_q.items()})
+        (qids, qmat, np.asarray(cluster_ids, dtype=np.int64), probe_mask)
     )
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, qmat_, c2q = bc.value
+        qids_, qmat_, cids_, mask_ = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
-            for cid, grp in pdf.groupby("cluster_id"):
-                qidx = c2q.get(int(cid))
-                if qidx is None or len(qidx) == 0:
-                    continue
-                vmat = stack_arrays(grp["values"])
-                vids = grp["id"].to_numpy()
-                d2 = pairwise_dist2(qmat_[qidx], vmat)
-                dists, ids = topk_per_row(d2, k, ids=vids)
-                nq, kk = dists.shape
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.repeat(qids_[qidx], kk),
-                        "neighbor_id": ids.reshape(-1),
-                        "dist2": dists.reshape(-1),
-                    }
-                )
+            vmat = stack_arrays(pdf["values"])
+            vids = pdf["id"].to_numpy()
+            # compact position of each row's cluster (cids_ is sorted;
+            # the scan predicate guarantees membership)
+            rowpos = np.searchsorted(cids_, pdf["cluster_id"].to_numpy())
+            d2 = pairwise_dist2(qmat_, vmat)
+            d2[~mask_[:, rowpos]] = np.inf
+            dists, ids = topk_per_row(d2, k, ids=vids)
+            keep = np.isfinite(dists)
+            if not keep.any():
+                continue
+            nq, kk = dists.shape
+            qrep = np.repeat(qids_, kk).reshape(nq, kk)
+            yield pd.DataFrame(
+                {
+                    "query_id": qrep[keep],
+                    "neighbor_id": ids[keep],
+                    "dist2": dists[keep],
+                }
+            )
 
     local = vectors.select("id", "values", "cluster_id").mapInPandas(
         _score, "query_id long, neighbor_id long, dist2 double"
     )
+    # Final merge: the local top-k stream is ≤ tasks × nq × k rows. For
+    # driver-sized batches, collect and merge in NumPy — the same
+    # driver-side assembly the reference does (and what Spark's own
+    # TakeOrderedAndProject does for global top-k), skipping a whole
+    # shuffle stage. Very large batches fall back to a window rank.
+    # (estimate with a generous task-count bound — computing the real
+    # partition count would force plan→RDD conversion, itself a job)
+    est_rows = 1024 * len(qids) * k
+    if est_rows <= 50_000_000:
+        pdf = local.toPandas()
+        if pdf.empty:
+            return spark.createDataFrame(
+                [], "query_id long, rank int, neighbor_id long, dist2 double"
+            )
+        order = np.lexsort(
+            (pdf["neighbor_id"].to_numpy(), pdf["dist2"].to_numpy(),
+             pdf["query_id"].to_numpy())
+        )
+        pdf = pdf.iloc[order]
+        rank = pdf.groupby("query_id", sort=False).cumcount() + 1
+        out = pdf.assign(rank=rank.astype("int32"))
+        out = out[out["rank"] <= k][["query_id", "rank", "neighbor_id", "dist2"]]
+        return spark.createDataFrame(
+            out, "query_id long, rank int, neighbor_id long, dist2 double"
+        )
     w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
     return (
         local.withColumn("rank", F.row_number().over(w))

@@ -48,6 +48,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # larger Arrow batches amortize Python-worker round trips in the
+        # mapInPandas kernels (default 10k; our rows are narrow vectors)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         # parquet scan parallelism at 100 TB: default 128 MiB splits are right;

@@ -125,6 +125,61 @@ def generate_vectors(
     )
 
 
+def generate_clustered_vectors(
+    spark: SparkSession,
+    count: int,
+    dimension: int,
+    *,
+    n_clusters: int = 100,
+    separation: float = 10.0,
+    noise: float = 0.5,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Seeded Gaussian-cluster synthetic vectors (the reference's test
+    data shape: centers at cluster_id·separation + dim·0.1 with uniform
+    noise, tests/test_utils/mod.rs:34-66). This is the *evaluation*
+    distribution for ANN benchmarks — IVF pruning is meaningless on
+    uniform data, and real embedding corpora are clustered.
+    """
+    if count <= 0 or dimension <= 0 or n_clusters <= 0:
+        raise ValueError("count, dimension, n_clusters must be positive")
+    base = spark.range(
+        0, count, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+
+    def _gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng((seed, int(ids[0])))
+            cluster = ids % n_clusters
+            centers = (
+                cluster[:, None] * separation
+                + np.arange(dimension)[None, :] * 0.1
+            )
+            vals = (
+                centers
+                + rng.uniform(-noise, noise, size=(len(ids), dimension))
+            ).astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "external_id": ids,
+                    "values": list(vals),
+                    "ts": np.zeros(len(ids), dtype=np.int64),
+                    "true_cluster": cluster,
+                }
+            )
+
+    return base.mapInPandas(
+        _gen,
+        "id long, external_id long, values array<float>, ts long,"
+        " true_cluster long",
+    )
+
+
 def read_vector_parquet(spark: SparkSession, path: str) -> DataFrame:
     """S2/S3 — canonical vector-file ingest (directory of Parquet)."""
     return spark.read.parquet(path)
