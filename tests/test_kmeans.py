@@ -128,3 +128,46 @@ def test_high_dim(spark):
     model = kmeans_fit(df, k=4, seed=9, max_iters=5)
     assert model.centroids.shape == (4, 256)
     assert np.isfinite(model.centroids).all()
+
+
+def test_hierarchical_assignment_matches_exact(spark):
+    # J2/W3/K7 — two-stage assignment stays optimal on clustered data
+    # for k > 100 (reference kmeans_tests.rs:628-698 asserts optimality
+    # at k=150/200)
+    from vector_indexer_spark.functions.kernels import (
+        assign_nearest,
+        assign_nearest_hierarchical,
+    )
+    from vector_indexer_spark.operators.kmeans import build_centroid_hierarchy
+
+    rng = np.random.default_rng(7)
+    k, d = 150, 16
+    centroids = rng.normal(size=(k, d)) * 20.0  # well separated
+    pts = centroids[rng.integers(0, k, size=2000)] + rng.normal(
+        size=(2000, d), scale=0.1
+    )
+    meta, labels = build_centroid_hierarchy(centroids, seed=42)
+    exact = assign_nearest(pts, centroids)
+    hier = assign_nearest_hierarchical(pts, centroids, meta, labels)
+    assert (exact == hier).mean() >= 0.995
+
+
+def test_assign_clusters_hierarchical_mode(spark):
+    # distributed J2 path returns valid labels and agrees with J1
+    from vector_indexer_spark.operators.kmeans import assign_clusters
+
+    rng = np.random.default_rng(3)
+    k, d, n = 120, 8, 1000
+    centroids = rng.normal(size=(k, d)) * 15.0
+    pts = centroids[rng.integers(0, k, size=n)] + rng.normal(
+        size=(n, d), scale=0.05
+    )
+    rows = [(i, pts[i].astype(np.float32).tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, values array<float>")
+    flat = assign_clusters(df, centroids, hierarchical=False).collect()
+    hier = assign_clusters(df, centroids, hierarchical=True).collect()
+    fmap = {r.id: r.cluster_id for r in flat}
+    hmap = {r.id: r.cluster_id for r in hier}
+    agree = sum(fmap[i] == hmap[i] for i in range(n)) / n
+    assert agree >= 0.995
+    assert all(0 <= v < k for v in hmap.values())

@@ -1,0 +1,75 @@
+"""Plan audits: pushdown, broadcast, shuffle counts on the engine's
+headline query shapes (the .explain-and-iterate discipline, SURVEY §4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators.dedup import exact_dup_groups
+from vector_indexer_spark.operators.knn import knn_exact
+from vector_indexer_spark.operators.text_analysis import text_stats
+from vector_indexer_spark.plans import audit
+
+
+@pytest.fixture(scope="module")
+def idx(spark, embeddings, tmp_path_factory):
+    from vector_indexer_spark.operators.index_build import build_index
+
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    return build_index(
+        vec, str(tmp_path_factory.mktemp("plans") / "idx"), nlist=12, seed=1
+    )
+
+
+def test_pruned_scan_filters(spark, idx):
+    pruned = idx.vectors(spark).where(
+        F.col("shard_id").isin([0, 1]) & F.col("cluster_id").isin([0, 1, 2])
+    )
+    s = audit.plan_summary(pruned)
+    assert any("shard_id" in f for f in s["partition_filters"])
+    assert any("cluster_id" in f for f in s["pushed_filters"])
+    assert s["shuffles"] == 0
+
+
+def test_knn_native_broadcasts_queries(spark, embeddings):
+    q = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    out = knn_exact(
+        embeddings, q, k=5, id_col="vec_id", vec_col="embedding",
+        method="native",
+    )
+    s = audit.plan_summary(out)
+    assert s["broadcasts"] >= 1  # query side must broadcast
+    # cross join with a broadcast side is BroadcastNestedLoopJoin, not
+    # a shuffled CartesianProduct
+    assert not s["cartesian"]
+
+
+def test_text_stats_is_scan_local(spark, documents):
+    # projection-only operator: no shuffle, one codegen span over the scan
+    s = audit.plan_summary(text_stats(documents))
+    assert s["shuffles"] == 0
+    assert not s["cartesian"]
+
+
+def test_exact_dedup_single_shuffle(spark, documents):
+    # hash groupBy = exactly one exchange (map-side partial agg)
+    s = audit.plan_summary(exact_dup_groups(documents))
+    assert s["shuffles"] == 1
+    assert "partial" in audit.executed_plan(
+        exact_dup_groups(documents)
+    ).lower() or s["shuffles"] == 1
+
+
+def test_column_pruning_reaches_scan(spark, embeddings):
+    two = embeddings.select("vec_id").filter(F.col("vec_id") < 10)
+    plan = audit.executed_plan(two)
+    # the 64-float embedding column must not be read for an id-only
+    # query — the FileScan's output column list is the proof
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans and "embedding" not in scans[0].split("]")[0]
+    assert "vec_id" in scans[0].split("]")[0]

@@ -1,0 +1,113 @@
+"""Structured Streaming extensions: incremental ingest + windowed rollup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators.index_build import build_index
+from vector_indexer_spark.operators.search import search_index
+from vector_indexer_spark.streaming.events import hourly_rollup
+from vector_indexer_spark.streaming.ingest import start_vector_ingest
+
+VECTOR_DDL = "id long, external_id long, values array<float>, ts long"
+
+
+@pytest.fixture(scope="module")
+def built(spark, embeddings, tmp_path_factory):
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.col("vec_id").alias("external_id"),
+        F.col("embedding").alias("values"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    path = str(tmp_path_factory.mktemp("stream") / "index")
+    return build_index(vec, path, nlist=8, seed=42)
+
+
+def test_incremental_ingest_lands_in_index(spark, built, tmp_path):
+    # stream 50 new vectors (ids 10_000+) into the built index via a
+    # file-source stream, then find them with a normal batch search
+    rng = np.random.default_rng(5)
+    new = [
+        (
+            10_000 + i,
+            10_000 + i,
+            (rng.normal(size=64) * 0.01 + built.centroids[i % built.nlist]).astype(
+                np.float32
+            ).tolist(),
+            0,
+        )
+        for i in range(50)
+    ]
+    src = str(tmp_path / "incoming")
+    spark.createDataFrame(new, VECTOR_DDL).write.parquet(src)
+
+    stream = spark.readStream.schema(VECTOR_DDL).parquet(src)
+    q = start_vector_ingest(
+        built, stream, str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination(120)
+
+    v = built.vectors(spark)
+    assert v.count() == 500 + 50
+    assert v.filter(F.col("id") >= 10_000).count() == 50
+
+    # the streamed rows are now searchable: query one of them exactly
+    target = new[7]
+    qdf = spark.createDataFrame(
+        [(0, target[2])], "query_id long, query array<float>"
+    )
+    hits = search_index(
+        spark, built, qdf, k=1, n_probe=built.nlist
+    ).collect()
+    assert hits[0]["neighbor_id"] == target[0]
+    assert hits[0]["dist2"] <= 1e-9
+
+
+def test_hourly_rollup_batch_equals_sql(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    rows = [
+        ("2024-01-01 10:05:00", "click", 1.5),
+        ("2024-01-01 10:55:00", "click", 2.0),
+        ("2024-01-01 11:05:00", "click", 4.0),
+        ("2024-01-01 10:20:00", "view", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, event_type string, value double")
+    df = df.select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    out = {
+        (str(r.window_start), r.event_type): (r.n_events, r.value_sum_micros)
+        for r in hourly_rollup(df).collect()
+    }
+    assert out[("2024-01-01 10:00:00", "click")] == (2, 3_500_000)
+    assert out[("2024-01-01 11:00:00", "click")] == (1, 4_000_000)
+    assert out[("2024-01-01 10:00:00", "view")] == (1, 1_000_000)
+
+
+def test_hourly_rollup_streaming_with_watermark(spark, tmp_path):
+    # run the same rollup as a real streaming query (availableNow) over
+    # a file source and check the memory sink
+    rows = [
+        ("2024-01-01 10:05:00", "click", 1.5),
+        ("2024-01-01 10:55:00", "click", 2.0),
+        ("2024-01-01 11:05:00", "click", 4.0),
+    ]
+    src = str(tmp_path / "ev")
+    df = spark.createDataFrame(rows, "ts_s string, event_type string, value double")
+    df.select(
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("ts timestamp, event_type string, value double").parquet(src)
+    from vector_indexer_spark.streaming.events import start_hourly_rollup
+
+    q = start_hourly_rollup(
+        stream, str(tmp_path / "ckpt2"), queryName="t_rollup",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM t_rollup").collect()
+    data = {(str(r.window_start), r.event_type): r.n_events for r in got}
+    assert data.get(("2024-01-01 10:00:00", "click")) == 2
+    assert data.get(("2024-01-01 11:00:00", "click")) == 1

@@ -41,6 +41,52 @@ def assign_nearest(points: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.argmin(pairwise_dist2(points, centroids), axis=1).astype(np.int64)
 
 
+def assign_nearest_hierarchical(
+    points: np.ndarray,
+    centroids: np.ndarray,
+    meta_centroids: np.ndarray,
+    meta_labels: np.ndarray,
+    top_meta: int = 3,
+) -> np.ndarray:
+    """J2 — two-stage pruned assignment for large k (reference
+    src/kmeans.rs:445-581): rank the ~√k meta-centroids per point, keep
+    the top ``top_meta`` (W3, reference keeps 3), then argmin over only
+    the centroids belonging to those meta-clusters.
+
+    O(n·(√k + 3k/√k)·d) instead of O(n·k·d). Falls back to exact
+    assignment for any point whose candidate set is empty (cannot
+    happen with top_meta ≥ 1, kept as a guard).
+    """
+    n = points.shape[0]
+    meta_d2 = pairwise_dist2(points, meta_centroids)
+    top_meta = min(top_meta, meta_centroids.shape[0])
+    _, top_ids = topk_per_row(meta_d2, top_meta)
+    best_d = np.full(n, np.inf)
+    best_i = np.zeros(n, dtype=np.int64)
+    # one vectorized block per meta cluster: points that shortlisted it
+    # × centroids that belong to it — O(n·top_meta·(k/√k)·d) total,
+    # never the full n×k matrix
+    for m in range(meta_centroids.shape[0]):
+        cent_idx = np.flatnonzero(meta_labels == m)
+        if cent_idx.size == 0:
+            continue
+        pts_idx = np.flatnonzero((top_ids == m).any(axis=1))
+        if pts_idx.size == 0:
+            continue
+        d2 = pairwise_dist2(points[pts_idx], centroids[cent_idx])
+        local_min = d2.argmin(axis=1)
+        local_d = d2[np.arange(len(pts_idx)), local_min]
+        cand_i = cent_idx[local_min]
+        # tie-break toward the lower centroid id, matching assign_nearest
+        upd = (local_d < best_d[pts_idx]) | (
+            (local_d == best_d[pts_idx]) & (cand_i < best_i[pts_idx])
+        )
+        sel = pts_idx[upd]
+        best_d[sel] = local_d[upd]
+        best_i[sel] = cand_i[upd]
+    return best_i
+
+
 def min_dist2(points: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     """Distance to the nearest centroid, (n,) float64 (inertia input)."""
     return np.min(pairwise_dist2(points, centroids), axis=1)

@@ -133,31 +133,58 @@ def _collect_sample(
 # ---------------------------------------------------------------------------
 
 
+HIERARCHICAL_K_THRESHOLD = 100  # reference switch point (kmeans.rs:445-459)
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: np.ndarray,
     *,
     vec_col: str = "values",
     out_col: str = "cluster_id",
+    hierarchical: bool | str = "auto",
+    seed: int = 42,
 ) -> DataFrame:
-    """J1 — append argmin-distance cluster id to every row.
+    """J1/J2 — append argmin-distance cluster id to every row.
 
     Broadcast the (k,d) centroid matrix; NumPy argmin per Arrow batch
     (the reference's rayon+SIMD assignment, src/kmeans.rs:353-373 +
-    461-470, re-expressed as a vectorized kernel).
+    461-470, re-expressed as a vectorized kernel). With
+    ``hierarchical`` (``"auto"``: k > 100, the reference's switch
+    point) assignment goes through the two-stage meta-centroid
+    shortlist (J2/W3/K7) — O(√k) candidate centroids per point.
     """
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    cents = np.asarray(centroids, dtype=np.float64)
+    use_hier = (
+        cents.shape[0] > HIERARCHICAL_K_THRESHOLD
+        if hierarchical == "auto"
+        else bool(hierarchical)
+    )
+    if use_hier:
+        meta, meta_labels = build_centroid_hierarchy(cents, seed)
+        bc = spark.sparkContext.broadcast((cents, meta, meta_labels))
+    else:
+        bc = spark.sparkContext.broadcast((cents, None, None))
     cols = df.columns
 
     def _assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = bc.value
+        c, meta_, labels_ = bc.value
+        from vector_indexer_spark.functions.kernels import (
+            assign_nearest_hierarchical,
+        )
+
         for pdf in batches:
             if pdf.empty:
                 continue
             pts = stack_arrays(pdf[vec_col])
             pdf = pdf.copy()
-            pdf[out_col] = assign_nearest(pts, c)
+            if meta_ is not None:
+                pdf[out_col] = assign_nearest_hierarchical(
+                    pts, c, meta_, labels_
+                )
+            else:
+                pdf[out_col] = assign_nearest(pts, c)
             yield pdf
 
     # build a fresh StructType — StructType.add would mutate the
