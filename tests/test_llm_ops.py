@@ -151,3 +151,25 @@ def test_sample_frames(spark, docs):
     frames = multimodal.sample_frames(media, every_n_bytes=100, max_frames=3).toPandas()
     assert frames.groupby("media_id").size().max() <= 3
     assert (frames.frame_offset == frames.frame_idx * 100).all()
+
+
+def test_cosine_ann_matches_brute_top1(spark, embeddings, tmp_path_factory):
+    # cosine ANN (L2-on-normalized reduction) agrees with brute cosine
+    from vector_indexer_spark.operators.similarity import (
+        build_cosine_index,
+        cosine_topk,
+        search_cosine,
+    )
+
+    path = str(tmp_path_factory.mktemp("cos") / "idx")
+    idx = build_cosine_index(embeddings, path, nlist=8, seed=42)
+    q = embeddings.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    brute = cosine_topk(embeddings, q, k=5).toPandas()
+    ann = search_cosine(spark, idx, q, k=5, n_probe=idx.nlist).toPandas()
+    b1 = brute[brute["rank"] == 1].set_index("query_id")
+    a1 = ann[ann["rank"] == 1].set_index("query_id")
+    for qid in range(10):
+        assert a1.loc[qid, "neighbor_id"] == b1.loc[qid, "neighbor_id"]
+        assert abs(a1.loc[qid, "cosine"] - b1.loc[qid, "cosine"]) < 1e-5

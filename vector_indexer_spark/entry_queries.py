@@ -754,28 +754,14 @@ _DD_NORM = """
 
 
 def _sim_cosine_top10(spark, sf_dir):
-    """Brute-force cosine top-10 (similarity-search baseline)."""
-    from pyspark.sql import Window
-
-    from vector_indexer_spark.functions.distance import cosine_expr
+    """Brute-force cosine top-10 (similarity-search exact baseline)."""
+    from vector_indexer_spark.operators.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") >= 495).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
     )
-    scored = emb.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        cosine_expr("query", "embedding").alias("cosine"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), "neighbor_id"
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "rank", "neighbor_id", "cosine")
-    )
+    return cosine_topk(emb, q, k=10)
 
 
 _register(
@@ -1015,3 +1001,167 @@ def _synthetic_gen(spark, sf_dir):
 
 
 _register("sources_synthetic_gen", _synthetic_gen)
+
+
+def _cfg_clamps(spark, sf_dir):
+    """P3/P4 — k/n_probe defaulting and clamping (reference
+    api.rs:189-190, 33-43)."""
+    from vector_indexer_spark.config import IndexConfig
+
+    cfg = IndexConfig(dimension=64, index_dir="/tmp/unused")
+    rows = [
+        ("default_k", cfg.clamp_k(None)),
+        ("default_n_probe", cfg.clamp_n_probe(None)),
+        ("k_passthrough", cfg.clamp_k(99)),
+        ("k_clamped", cfg.clamp_k(123_456)),
+        ("n_probe_clamped", cfg.clamp_n_probe(50_000)),
+    ]
+    return spark.createDataFrame(rows, "name string, value long")
+
+
+_register(
+    "cfg_clamps",
+    _cfg_clamps,
+    """
+    SELECT c0 AS name, CAST(c1 AS BIGINT) AS value FROM (VALUES
+      ('default_k', 10), ('default_n_probe', 20), ('k_passthrough', 99),
+      ('k_clamped', 10000), ('n_probe_clamped', 10000)
+    ) AS t(c0, c1)
+    """,
+)
+
+
+def _ivf_probe_shards(spark, sf_dir):
+    """SO1 — distinct probed shards for a query batch (shard-visit
+    dedup, reference src/ivf_index.rs:222-226). Shard of a fixed
+    centroid := centroid_id % 4 (deterministic fixture)."""
+    probes = _ivf_probe_rank(spark, sf_dir)
+    return (
+        probes.select(
+            "query_id", (F.col("centroid_id") % 4).alias("shard_id")
+        )
+        .distinct()
+    )
+
+
+_register(
+    "ivf_probe_shards",
+    _ivf_probe_shards,
+    f"""
+    WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+                   FROM embeddings WHERE vec_id < {_N_FIXED_CENTROIDS}),
+    q AS (SELECT vec_id AS query_id, embedding AS query
+          FROM embeddings WHERE vec_id >= 490),
+    ranked AS (
+      SELECT q.query_id, c.centroid_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               {_DD_DIST2.format(a="c.cvec", b="q.query")}, c.centroid_id)
+               AS probe_rank
+      FROM q CROSS JOIN cents c
+    )
+    SELECT DISTINCT query_id, centroid_id % 4 AS shard_id
+    FROM ranked WHERE probe_rank <= 4
+    """,
+)
+
+
+def _ivf_recall_fixed(spark, sf_dir):
+    """A7 — per-query recall@5 of fixed-centroid IVF (n_probe=4) vs
+    exact kNN, fully SQL-expressible (integer hit counts / 5.0)."""
+    from vector_indexer_spark.operators.knn import knn_exact
+
+    emb, _, _ = _fixed_centroid_frames(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    ann = _ivf_search_fixed(spark, sf_dir).filter(F.col("rank") <= 5)
+    exact = knn_exact(
+        emb, q, k=5, id_col="vec_id", vec_col="embedding", method="native"
+    )
+    hits = ann.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    return q.select("query_id").join(hits, "query_id", "left").select(
+        "query_id",
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.lit(5.0)).alias(
+            "recall_at_5"
+        ),
+    )
+
+
+_register(
+    "ivf_recall_fixed",
+    _ivf_recall_fixed,
+    f"""
+    WITH {_DD_ASSIGN},
+    members AS (SELECT vec_id, centroid_id AS cluster_id
+                FROM assigned WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS query
+          FROM embeddings WHERE vec_id >= 490),
+    qprobe AS (
+      SELECT query_id, centroid_id AS cluster_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_DD_DIST2.format(a="c.cvec", b="q.query")}, c.centroid_id)
+                 AS pr
+        FROM q CROSS JOIN cents c
+      ) WHERE pr <= 4
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY c.query_id ORDER BY
+                 {_DD_DIST2.format(a="q.query", b="v.embedding")}, c.vec_id)
+                 AS rank
+        FROM (SELECT p.query_id, m.vec_id
+              FROM qprobe p JOIN members m USING (cluster_id)) c
+        JOIN embeddings v ON v.vec_id = c.vec_id
+        JOIN q ON q.query_id = c.query_id
+      ) WHERE rank <= 5
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_DD_DIST2.format(a="q.query", b="v.embedding")}, v.vec_id)
+                 AS rank
+        FROM embeddings v CROSS JOIN q
+      ) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT a.query_id, count(*) AS n_hits
+      FROM ann a JOIN exact e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0 AS recall_at_5
+    FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+    """,
+)
+
+
+def _sim_cosine_ann_trained(spark, sf_dir):
+    """Cosine ANN via the L2-on-normalized-vectors reduction on a real
+    trained index (rows-only — k-means is runtime-specific)."""
+    import tempfile
+
+    from vector_indexer_spark.operators.similarity import (
+        build_cosine_index,
+        search_cosine,
+    )
+
+    key = ("cosine", sf_dir)
+    if key not in _INDEX_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = tempfile.mkdtemp(prefix="cos_entry_") + "/index"
+        _INDEX_CACHE[key] = build_cosine_index(emb, path, seed=42)
+    idx = _INDEX_CACHE[key]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_cosine(spark, idx, q, k=10, n_probe=idx.nlist)
+
+
+_register("sim_cosine_ann_trained", _sim_cosine_ann_trained)

@@ -98,29 +98,53 @@ def minhash_sig_columns(
 ) -> DataFrame:
     """(doc_id, s0..s{num_hashes-1}) MinHash signature columns.
 
-    Physical shape: explode the (distinct, hashed) shingles to rows,
-    then one groupBy(doc_id) with ``num_hashes`` MIN aggregates. The
-    md5 per shingle is computed exactly once (an array-expression
-    formulation re-inlines the shingle subtree into every permutation —
-    measured 100× slower), and the MIN aggregates combine map-side, so
-    the shuffle is one row per (doc, partition). Empty-shingle docs
-    keep the sentinel p via explode_outer + coalesce.
+    Physical shape: posexplode tokens, build k-shingles with window
+    ``lead`` (plain codegen-friendly expressions — a nested
+    higher-order-function formulation runs interpreted at ~12 µs per
+    shingle, ~10× slower), hash each shingle once, then one
+    groupBy(doc_id) with ``num_hashes`` map-side-combinable MIN
+    aggregates. Duplicate shingles are NOT removed first: MIN is
+    idempotent under duplicates, so the distinct pass would be pure
+    cost. Docs with < k tokens get the sentinel p via the left join.
     """
-    hs = df.select(
+    from vector_indexer_spark.functions.text import token_hash_expr
+
+    tok = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode_outer(shingle_hashes_expr(text_col, shingle_k)).alias("h"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, shingle_k)
+    ]
+    sh = tok.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        parts[-1].alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    hs = sh.select(
+        "doc_id",
+        (token_hash_expr(F.col("shingle")) % F.lit(HASH_MOD)).alias("h"),
     )
     aggs = [
         F.coalesce(
             F.min(
-                (F.lit(a) * (F.col("h") % F.lit(HASH_MOD)) + F.lit(b))
-                % F.lit(HASH_MOD)
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_MOD)
             ),
             F.lit(HASH_MOD),
         ).alias(f"s{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return hs.groupBy("doc_id").agg(*aggs)
+    sig = hs.groupBy("doc_id").agg(*aggs)
+    # reattach shingle-less docs with the sentinel signature
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(sig, "doc_id", "left").select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(f"s{i}"), F.lit(HASH_MOD)).alias(f"s{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_signatures(
@@ -211,10 +235,23 @@ def jaccard_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| over
-    distinct hashed shingles. ``pairs`` carries (id_a, id_b)."""
-    sh = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_sort(shingle_hashes_expr(text_col, shingle_k)).alias("sh"),
+    distinct hashed shingles. ``pairs`` carries (id_a, id_b).
+
+    Shingle sets are computed only for docs that appear in a pair
+    (semi-join first) — after LSH blocking that is a small fraction of
+    the corpus.
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = (
+        df.join(ids, df[id_col] == ids["doc_id"], "left_semi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_sort(shingle_hashes_expr(text_col, shingle_k)).alias("sh"),
+        )
     )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
