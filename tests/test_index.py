@@ -193,3 +193,18 @@ def test_partition_pruning_in_plan(spark, index, queries_df):
     assert "shard_id" in plan.split("PartitionFilters")[1][:400]
     assert "PushedFilters" in plan
     assert "cluster_id" in plan.split("PushedFilters")[1][:400]
+
+
+def test_search_arrow_window_fallback_matches_driver_merge(
+    spark, index, queries_df, monkeypatch
+):
+    # force the huge-batch window path and check it agrees with the
+    # driver-merge path
+    import vector_indexer_spark.operators.search as S
+
+    a = search_index(spark, index, queries_df, k=5, n_probe=4).toPandas()
+    monkeypatch.setattr(S, "_DRIVER_MERGE_LIMIT", 0, raising=True)
+    b = search_index(spark, index, queries_df, k=5, n_probe=4).toPandas()
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(a.neighbor_id) == list(b.neighbor_id)

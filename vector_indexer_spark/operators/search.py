@@ -46,6 +46,10 @@ from vector_indexer_spark.functions.kernels import (
 )
 from vector_indexer_spark.operators.index_build import IvfIndex
 
+# Above this many estimated local-top-k rows, the final merge falls
+# back to a distributed window rank instead of a driver merge.
+_DRIVER_MERGE_LIMIT = 50_000_000
+
 
 def rank_probes(
     queries: DataFrame,
@@ -295,7 +299,7 @@ def _score_arrow_scan(spark, vectors, qids, qmat, cluster_ids, probe_mask, k):
     # (estimate with a generous task-count bound — computing the real
     # partition count would force plan→RDD conversion, itself a job)
     est_rows = 1024 * len(qids) * k
-    if est_rows <= 50_000_000:
+    if est_rows <= _DRIVER_MERGE_LIMIT:
         pdf = local.toPandas()
         if pdf.empty:
             return spark.createDataFrame(
