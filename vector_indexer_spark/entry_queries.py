@@ -1165,3 +1165,26 @@ def _sim_cosine_ann_trained(spark, sf_dir):
 
 
 _register("sim_cosine_ann_trained", _sim_cosine_ann_trained)
+
+
+def _text_corpus_stats(spark, sf_dir):
+    """Corpus-level rollup: per (lang, source) doc counts and integer
+    aggregate sizes (order-independent aggregates only)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_register(
+    "text_corpus_stats",
+    _text_corpus_stats,
+    """
+    SELECT lang, source, count(*) AS n_docs, SUM(n_chars) AS total_chars,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM documents GROUP BY 1, 2
+    """,
+)
