@@ -12,7 +12,21 @@ bit-for-bit.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Make the package importable by Python workers regardless of the
+# harness's cwd or session configuration: export the repo root onto
+# PYTHONPATH before any JVM (and its workers) observes the env.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+_existing = os.environ.get("PYTHONPATH", "")
+if _REPO_ROOT not in _existing.split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        f"{_REPO_ROOT}{os.pathsep}{_existing}" if _existing else _REPO_ROOT
+    )
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

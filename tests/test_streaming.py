@@ -111,3 +111,33 @@ def test_hourly_rollup_streaming_with_watermark(spark, tmp_path):
     data = {(str(r.window_start), r.event_type): r.n_events for r in got}
     assert data.get(("2024-01-01 10:00:00", "click")) == 2
     assert data.get(("2024-01-01 11:00:00", "click")) == 1
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    # stateful cross-batch dedup: duplicates in a LATER run (same
+    # checkpoint) must be dropped by the state store
+    from vector_indexer_spark.streaming.dedup import start_streaming_dedup
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_out")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    ddl = "doc_id long, text string"
+
+    batch1 = [(0, "alpha"), (1, "beta"), (2, "alpha")]  # in-batch dup
+    spark.createDataFrame(batch1, ddl).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ddl).parquet(src)
+    q = start_streaming_dedup(stream, out, ckpt, trigger_available_now=True)
+    q.awaitTermination(120)
+
+    got1 = {r.text: r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {"alpha": 0, "beta": 1}  # first occurrence kept
+
+    # second run: cross-batch duplicates + one new doc
+    batch2 = [(10, "alpha"), (11, "gamma"), (12, "beta")]
+    spark.createDataFrame(batch2, ddl).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(ddl).parquet(src)
+    q2 = start_streaming_dedup(stream2, out, ckpt, trigger_available_now=True)
+    q2.awaitTermination(120)
+
+    got2 = {r.text: r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got2 == {"alpha": 0, "beta": 1, "gamma": 11}
