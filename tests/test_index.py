@@ -208,3 +208,32 @@ def test_search_arrow_window_fallback_matches_driver_merge(
     a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
     b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert list(a.neighbor_id) == list(b.neighbor_id)
+
+
+def test_range_search_full_probe_matches_brute(spark, index, vec_df, queries_df):
+    # range search with full probe == brute-force distance filter
+    from vector_indexer_spark.operators.search import range_search
+
+    r2 = 1.3
+    got = range_search(
+        spark, index, queries_df, radius2=r2, n_probe=index.nlist
+    ).toPandas()
+    exact = knn_exact(
+        vec_df, queries_df, k=10_000, id_col="id", vec_col="values"
+    ).toPandas()
+    exact = exact[exact.dist2 <= r2]
+    g = {(r.query_id, r.neighbor_id) for _, r in got.iterrows()}
+    e = {(r.query_id, r.neighbor_id) for _, r in exact.iterrows()}
+    assert g == e and len(g) > 10
+    assert (got.dist2 <= r2).all()
+
+
+def test_range_search_validates(spark, index, queries_df):
+    from vector_indexer_spark.operators.search import range_search
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        range_search(spark, index, queries_df, radius2=-1.0)
+    with _pytest.raises(ValueError):
+        range_search(spark, index, queries_df, radius2=1.0, n_probe=0)

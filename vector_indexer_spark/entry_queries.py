@@ -1188,3 +1188,95 @@ _register(
     FROM documents GROUP BY 1, 2
     """,
 )
+
+
+def _ivf_range_search_fixed(spark, sf_dir):
+    """Range search (all neighbors with dist2 <= r²) under the fixed
+    centroid fixture, probing top-4 clusters — exactly SQL-reproducible."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    emb, _, _ = _fixed_centroid_frames(spark, sf_dir)
+    assigned = _ivf_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    probes = _ivf_probe_rank(spark, sf_dir).select(
+        "query_id", F.col("centroid_id").alias("cluster_id")
+    )
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    cand = (
+        assigned.join(probes, "cluster_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    return cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist2_expr("query", "embedding").alias("dist2"),
+    ).filter(F.col("dist2") <= 1.4)
+
+
+_register(
+    "ivf_range_search_fixed",
+    _ivf_range_search_fixed,
+    f"""
+    WITH {_DD_ASSIGN},
+    members AS (SELECT vec_id, centroid_id AS cluster_id
+                FROM assigned WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS query
+          FROM embeddings WHERE vec_id >= 490),
+    qprobe AS (
+      SELECT query_id, centroid_id AS cluster_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_DD_DIST2.format(a="c.cvec", b="q.query")}, c.centroid_id)
+                 AS pr
+        FROM q CROSS JOIN cents c
+      ) WHERE pr <= 4
+    )
+    SELECT c.query_id, c.vec_id AS neighbor_id,
+           {_DD_DIST2.format(a="q.query", b="v.embedding")} AS dist2
+    FROM (SELECT p.query_id, m.vec_id
+          FROM qprobe p JOIN members m USING (cluster_id)) c
+    JOIN embeddings v ON v.vec_id = c.vec_id
+    JOIN q ON q.query_id = c.query_id
+    WHERE {_DD_DIST2.format(a="q.query", b="v.embedding")} <= 1.4
+    """,
+)
+
+
+def _events_windowed(spark, sf_dir):
+    """The F.window tumbling rollup (streaming twin) as a batch query —
+    locks Spark's window() bucketing against DuckDB date_trunc."""
+    from vector_indexer_spark.streaming.events import hourly_rollup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.select(
+        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = hourly_rollup(ev)
+    return out.select(
+        F.unix_timestamp("window_start").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "value_sum_micros",
+    )
+
+
+_register(
+    "events_windowed_rollup",
+    _events_windowed,
+    """
+    SELECT CAST(epoch(date_trunc('hour',
+             CAST(to_timestamp(epoch_ns(ts) // 1000000000) AS TIMESTAMP)
+           )) AS BIGINT) AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           SUM(CAST(floor(value * 1000000) AS BIGINT)) AS value_sum_micros
+    FROM events GROUP BY 1, 2
+    """,
+)

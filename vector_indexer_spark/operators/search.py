@@ -324,6 +324,63 @@ def _score_arrow_scan(spark, vectors, qids, qmat, cluster_ids, probe_mask, k):
     )
 
 
+def range_search(
+    spark: SparkSession,
+    index: IvfIndex,
+    queries: DataFrame,
+    radius2: float,
+    n_probe: int = 20,
+    *,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    vectors: DataFrame | None = None,
+) -> DataFrame:
+    """All neighbors within squared distance ``radius2`` (extension —
+    the near-duplicate query shape: "everything closer than τ", not
+    top-k). Same pruned-scan pipeline as :func:`search_index`, with a
+    distance filter instead of a rank cut. Results carry no rank; at
+    scale output size is data-dependent, so no driver merge is
+    attempted.
+
+    Approximate like any IVF query: only probed clusters are scanned
+    (``n_probe >= nlist`` makes it exact).
+    """
+    if radius2 < 0:
+        raise ValueError("radius2 must be non-negative")
+    if n_probe <= 0:
+        raise ValueError("n_probe must be positive")
+
+    probes = rank_probes(
+        queries,
+        index.centroids,
+        index.centroid_shards,
+        min(n_probe, MAX_N_PROBE),
+        query_id_col=query_id_col,
+        query_col=query_col,
+    )
+    probe_keys = probes.select("shard_id", "cluster_id").distinct().collect()
+    pruned = _pruned_scan(
+        spark,
+        index,
+        vectors,
+        sorted({r.shard_id for r in probe_keys}),
+        sorted({r.cluster_id for r in probe_keys}),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_col).alias("__q")
+    )
+    probe_q = probes.select("query_id", "cluster_id").join(q, "query_id")
+    cand = pruned.join(F.broadcast(probe_q), "cluster_id")
+    return (
+        cand.select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            dist2_expr("__q", "values").alias("dist2"),
+        )
+        .filter(F.col("dist2") <= F.lit(float(radius2)))
+    )
+
+
 def calculate_recall(
     results: DataFrame, ground_truth: DataFrame, k: int
 ) -> float:
