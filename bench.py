@@ -118,6 +118,21 @@ def main() -> None:
         ).count().count()
     )
 
+    # --- plan evidence: the search scan must actually prune ---
+    from pyspark.sql import functions as SF
+
+    from vector_indexer_spark.plans import audit
+
+    probe_scan = idx.vectors(spark).where(
+        SF.col("shard_id").isin([0]) & SF.col("cluster_id").isin([0, 1])
+    )
+    extras["scan_partition_pruned"] = audit.has_partition_filter(
+        probe_scan, "shard_id"
+    )
+    extras["scan_cluster_pushdown"] = audit.has_pushed_filter(
+        probe_scan, "cluster_id"
+    )
+
     # --- derived perf gates ---
     exact = knn_exact(vec, queries_df, k=10, id_col="id", vec_col="values")
     extras["ann_speedup_vs_exact"] = round(

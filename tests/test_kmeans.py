@@ -171,3 +171,21 @@ def test_assign_clusters_hierarchical_mode(spark):
     agree = sum(fmap[i] == hmap[i] for i in range(n)) / n
     assert agree >= 0.995
     assert all(0 <= v < k for v in hmap.values())
+
+
+def test_full_batch_training_with_large_k_uses_hierarchy(spark):
+    # the k>100 full-batch training path (hierarchical per-batch
+    # assignment inside _partial_sums) converges to valid centroids
+    rng = np.random.default_rng(11)
+    k, d, n = 128, 8, 3000
+    centers = rng.normal(size=(k, d)) * 25.0
+    pts = centers[rng.integers(0, k, size=n)] + rng.normal(size=(n, d), scale=0.1)
+    rows = [(i, pts[i].astype(np.float32).tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "id long, values array<float>")
+    model = kmeans_fit(df, k=k, seed=2, max_iters=8, mode="full")
+    assert model.centroids.shape == (k, d)
+    assert np.isfinite(model.centroids).all()
+    # quality: inertia near the generative noise floor (scale 0.1 →
+    # E[dist2] ≈ d·0.01 per point; allow generous slack)
+    inertia = compute_inertia(df, model.centroids)
+    assert inertia / n < d * 0.01 * 10

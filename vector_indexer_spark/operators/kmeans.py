@@ -204,18 +204,35 @@ def _partial_sums(
     vector-sum). Reduce-side: groupBy(cluster_id) folds the partials.
     Driver receives exactly k rows — the n-row shuffle of a naive
     posexplode/avg plan never happens.
+
+    For k > 100 the per-batch assignment goes through the J2 meta
+    shortlist (the reference trains through the same hierarchical
+    switch, src/kmeans.rs:445-459) — per-iteration flops drop from
+    O(n·k·d) to O(n·√k·d).
     """
     spark = df.sparkSession
     k, d = centroids.shape
-    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    c64 = np.asarray(centroids, dtype=np.float64)
+    if k > HIERARCHICAL_K_THRESHOLD:
+        meta, meta_labels = build_centroid_hierarchy(c64, seed=0)
+        bc = spark.sparkContext.broadcast((c64, meta, meta_labels))
+    else:
+        bc = spark.sparkContext.broadcast((c64, None, None))
 
     def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c = bc.value
+        c, meta_, mlabels_ = bc.value
+        from vector_indexer_spark.functions.kernels import (
+            assign_nearest_hierarchical,
+        )
+
         for pdf in batches:
             if pdf.empty:
                 continue
             pts = stack_arrays(pdf[vec_col])
-            labels = assign_nearest(pts, c)
+            if meta_ is not None:
+                labels = assign_nearest_hierarchical(pts, c, meta_, mlabels_)
+            else:
+                labels = assign_nearest(pts, c)
             uniq = np.unique(labels)
             sums = np.zeros((len(uniq), c.shape[1]))
             counts = np.zeros(len(uniq), dtype=np.int64)
