@@ -237,3 +237,33 @@ def test_range_search_validates(spark, index, queries_df):
         range_search(spark, index, queries_df, radius2=-1.0)
     with _pytest.raises(ValueError):
         range_search(spark, index, queries_df, radius2=1.0, n_probe=0)
+
+
+def test_custom_column_index_is_searchable(spark, embeddings, tmp_path):
+    # index built with non-default id/vec column names must be
+    # searchable (names persisted in meta and normalized at scan time)
+    path = str(tmp_path / "custom")
+    idx = build_index(
+        embeddings.select("vec_id", "embedding"),
+        path,
+        id_col="vec_id",
+        vec_col="embedding",
+        nlist=8,
+        seed=1,
+    )
+    assert idx.id_col == "vec_id" and idx.vec_col == "embedding"
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    for method in ("arrow", "native"):
+        out = search_index(
+            spark, idx, q, k=1, n_probe=idx.nlist, method=method
+        ).toPandas()
+        assert (out.neighbor_id == out.query_id).all()
+    # reload from disk: names come back from meta.json
+    idx2 = load_index(spark, path)
+    assert idx2.id_col == "vec_id" and idx2.vec_col == "embedding"
+    out2 = search_index(
+        spark, idx2, q, k=2, n_probe=idx2.nlist, include_vectors=True
+    ).toPandas()
+    assert "values" in out2.columns and len(out2) == 10

@@ -22,7 +22,7 @@ def test_ingest_assigns_ordinals_and_defaults_ts(spark):
         rows, "external_id long, values array<float>, ts long"
     )
     now = int(time.time())
-    out = {r.external_id: r for r in ingest_records(spark, df).collect()}
+    out = {r.external_id: r for r in ingest_records(df).collect()}
     # internal id = ordinal in external_id order (reference assigns
     # ordinals at ingest, src/vector_store.rs:31-34)
     assert out[50].id == 0 and out[75].id == 1 and out[100].id == 2
@@ -36,7 +36,7 @@ def test_ingest_without_ts_column(spark):
     df = spark.createDataFrame(
         [(1, [1.0]), (2, [2.0])], "external_id long, values array<float>"
     )
-    out = ingest_records(spark, df, ts_col=None).collect()
+    out = ingest_records(df, ts_col=None).collect()
     assert all(r.ts > 0 for r in out)
 
 

@@ -95,6 +95,12 @@ class VectorIndex:
             raise ValueError(
                 f"query matrix must be (nq, {self.dimension}), got {xq.shape}"
             )
+        # clamp before allocating: padding columns beyond the engine's
+        # clamped k would falsely read as "no neighbor found" (P4)
+        from vector_indexer_spark.config import MAX_K, MAX_N_PROBE
+
+        k = min(k, MAX_K)
+        n_probe = min(n_probe, MAX_N_PROBE)
         nq = xq.shape[0]
         qdf = self._spark.createDataFrame(
             pd.DataFrame(
@@ -119,7 +125,6 @@ class VectorIndex:
 
 
 def ingest_records(
-    spark: SparkSession,
     df: DataFrame,
     *,
     external_id_col: str = "external_id",

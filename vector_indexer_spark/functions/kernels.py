@@ -53,9 +53,10 @@ def assign_nearest_hierarchical(
     the top ``top_meta`` (W3, reference keeps 3), then argmin over only
     the centroids belonging to those meta-clusters.
 
-    O(n·(√k + 3k/√k)·d) instead of O(n·k·d). Falls back to exact
-    assignment for any point whose candidate set is empty (cannot
-    happen with top_meta ≥ 1, kept as a guard).
+    O(n·(√k + 3k/√k)·d) instead of O(n·k·d). Points whose shortlisted
+    meta clusters all turn out memberless (possible when duplicated
+    meta centroids leave higher-id duplicates with zero member
+    centroids) fall back to exact assignment.
     """
     n = points.shape[0]
     meta_d2 = pairwise_dist2(points, meta_centroids)
@@ -84,6 +85,9 @@ def assign_nearest_hierarchical(
         sel = pts_idx[upd]
         best_d[sel] = local_d[upd]
         best_i[sel] = cand_i[upd]
+    missing = ~np.isfinite(best_d)
+    if missing.any():  # empty shortlist → exact fallback
+        best_i[missing] = assign_nearest(points[missing], centroids)
     return best_i
 
 

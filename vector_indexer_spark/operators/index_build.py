@@ -63,6 +63,8 @@ class IvfIndex:
     n_vectors: int
     centroids: np.ndarray  # (nlist, d) float64, dense ids 0..nlist-1
     centroid_shards: np.ndarray  # (nlist,) int64 centroid→shard map
+    id_col: str = "id"  # column names in the persisted vector table
+    vec_col: str = "values"
 
     @property
     def vectors_path(self) -> str:
@@ -119,11 +121,17 @@ def build_index(
     nlist = nlist or suggest_nlist(n)
     max_iters = max_iters or calculate_max_iterations(n)
 
-    # 1. train (K1/K2) and assign (J1)
+    # 1. train (K1/K2) and assign (J1; J2 shortlist above k=100 — the
+    # build seed drives the hierarchy so training and final assignment
+    # agree). The assigned frame is consumed twice (counts collect +
+    # partitioned write) — cache it so the full-table assignment pass
+    # runs once.
     model = kmeans_fit(
         df, nlist, vec_col=vec_col, max_iters=max_iters, seed=seed, mode=mode
     )
-    assigned = assign_clusters(df, model.centroids, vec_col=vec_col, out_col="__raw_cluster")
+    assigned = assign_clusters(
+        df, model.centroids, vec_col=vec_col, out_col="__raw_cluster", seed=seed
+    ).cache()
 
     # 2. P5 — drop empty clusters, renumber densely (driver-side: the
     # cluster set is ≈4√n rows)
@@ -173,6 +181,7 @@ def build_index(
     out.write.mode("overwrite").partitionBy("shard_id").parquet(
         os.path.join(path, "vectors")
     )
+    assigned.unpersist()
 
     # 5. S5 — centroid table + JSON meta sidecar
     cent_rows = [
@@ -206,6 +215,8 @@ def build_index(
         n_vectors=n,
         centroids=centroids,
         centroid_shards=shard_of,
+        id_col=id_col,
+        vec_col=vec_col,
     )
 
 
@@ -236,4 +247,6 @@ def load_index(spark: SparkSession, path: str) -> IvfIndex:
         n_vectors=meta["n_vectors"],
         centroids=centroids,
         centroid_shards=shards,
+        id_col=meta.get("id_col", "id"),
+        vec_col=meta.get("vec_col", "values"),
     )

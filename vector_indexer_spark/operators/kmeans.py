@@ -196,7 +196,7 @@ def assign_clusters(
 
 
 def _partial_sums(
-    df: DataFrame, centroids: np.ndarray, vec_col: str
+    df: DataFrame, centroids: np.ndarray, vec_col: str, seed: int = 42
 ) -> tuple[np.ndarray, np.ndarray]:
     """One full-batch iteration's statistics: per-cluster (sum, count).
 
@@ -214,7 +214,9 @@ def _partial_sums(
     k, d = centroids.shape
     c64 = np.asarray(centroids, dtype=np.float64)
     if k > HIERARCHICAL_K_THRESHOLD:
-        meta, meta_labels = build_centroid_hierarchy(c64, seed=0)
+        # same seed as the final assign_clusters call so training and
+        # index placement use identical meta shortlists
+        meta, meta_labels = build_centroid_hierarchy(c64, seed=seed)
         bc = spark.sparkContext.broadcast((c64, meta, meta_labels))
     else:
         bc = spark.sparkContext.broadcast((c64, None, None))
@@ -331,7 +333,7 @@ def kmeans_fit(
             )
         else:
             centroids, n_iters, converged = _train_full(
-                df, vec_col, centroids, sample, max_iters, tol, rng
+                df, vec_col, centroids, sample, max_iters, tol, rng, seed
             )
     finally:
         if we_cached:
@@ -339,11 +341,11 @@ def kmeans_fit(
     return KMeansModel(centroids=centroids, n_iters=n_iters, converged=converged)
 
 
-def _train_full(df, vec_col, centroids, sample, max_iters, tol, rng):
+def _train_full(df, vec_col, centroids, sample, max_iters, tol, rng, seed=42):
     converged = False
     it = 0
     for it in range(1, max_iters + 1):
-        sums, counts = _partial_sums(df, centroids, vec_col)
+        sums, counts = _partial_sums(df, centroids, vec_col, seed=seed)
         new = centroids.copy()
         nonzero = counts > 0
         new[nonzero] = sums[nonzero] / counts[nonzero, None]

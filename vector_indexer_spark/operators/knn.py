@@ -85,6 +85,9 @@ def _knn_native(vectors, queries, k, id_col, vec_col, query_id_col, query_col):
     scored = v.crossJoin(F.broadcast(q)).select(
         "query_id", "neighbor_id", dist2_expr("__q", "__v").alias("dist2")
     )
+    # a wrong-length vector row yields NULL from zip_with, and ascending
+    # sort is NULLS FIRST — drop rather than rank corrupt rows first
+    scored = scored.filter(F.col("dist2").isNotNull())
     w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -145,7 +145,8 @@ def search_index(
 
     if include_vectors:  # P7
         payload = (vectors if vectors is not None else index.vectors(spark)).select(
-            F.col("id").alias("neighbor_id"), "values"
+            F.col(index.id_col).alias("neighbor_id"),
+            F.col(index.vec_col).alias("values"),
         )
         out = out.join(payload, "neighbor_id", "left").select(
             "query_id", "rank", "neighbor_id", "dist2", "values"
@@ -154,11 +155,22 @@ def search_index(
 
 
 def _pruned_scan(spark, index, vectors, shard_ids, cluster_ids):
-    """S8/P6 — literal partition predicates → Hive partition pruning."""
+    """S8/P6 — literal partition predicates → Hive partition pruning.
+
+    Output is normalized to ``(id, values, cluster_id, shard_id)``
+    whatever column names the index was built with (meta carries
+    id_col/vec_col), so downstream scoring never sees build-time names.
+    """
     base = vectors if vectors is not None else index.vectors(spark)
-    return base.where(
+    pruned = base.where(
         F.col("shard_id").isin([int(s) for s in shard_ids])
         & F.col("cluster_id").isin([int(c) for c in cluster_ids])
+    )
+    return pruned.select(
+        F.col(index.id_col).alias("id"),
+        F.col(index.vec_col).alias("values"),
+        "cluster_id",
+        "shard_id",
     )
 
 
@@ -173,6 +185,10 @@ def _search_native(
     if bad:
         raise ValueError(f"{bad} queries have dimension != {index.dimension}")
 
+    # probes feeds both the key collect and the scoring join — persist
+    # so the query scan + centroid ranking runs once (the consumer's
+    # action executes the join later, so no unpersist here; the cache
+    # is small: nq × n_probe rows)
     probes = rank_probes(
         queries,
         index.centroids,
@@ -180,7 +196,7 @@ def _search_native(
         n_probe,
         query_id_col=query_id_col,
         query_col=query_col,
-    )
+    ).persist()
     probe_keys = probes.select("shard_id", "cluster_id").distinct().collect()
     pruned = _pruned_scan(
         spark,

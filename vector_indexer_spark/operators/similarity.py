@@ -21,14 +21,24 @@ from vector_indexer_spark.operators.search import search_index
 def normalize_vectors(
     df: DataFrame, *, vec_col: str = "embedding", out_col: str | None = None
 ) -> DataFrame:
-    """L2-normalize an embedding column (zero vectors pass through)."""
+    """L2-normalize an embedding column (zero vectors pass through).
+
+    The norm is hoisted into a temporary column first: referencing the
+    aggregate inside the per-element transform lambda would re-evaluate
+    the whole O(d) fold for every element (O(d²) per row — Catalyst
+    does not CSE across a higher-order-function boundary).
+    """
     out_col = out_col or vec_col
-    n = norm_expr(vec_col)
+    n = F.col("__norm")
     normed = F.when(
         n > 0,
         F.transform(F.col(vec_col), lambda x: (x.cast("double") / n).cast("float")),
     ).otherwise(F.col(vec_col))
-    return df.withColumn(out_col, normed)
+    return (
+        df.withColumn("__norm", norm_expr(vec_col))
+        .withColumn(out_col, normed)
+        .drop("__norm")
+    )
 
 
 def cosine_topk(

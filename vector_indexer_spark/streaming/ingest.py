@@ -29,7 +29,11 @@ def assign_and_shard(batch_df: DataFrame, index: IvfIndex) -> DataFrame:
     """Assign a (micro-)batch of vector records to the index's frozen
     centroids and attach shard ids (the per-batch body of the stream)."""
     assigned = assign_clusters(
-        batch_df, index.centroids, out_col="cluster_id"
+        batch_df,
+        index.centroids,
+        vec_col=index.vec_col,
+        out_col="cluster_id",
+        seed=index.seed,
     )
     shard_map = batch_df.sparkSession.createDataFrame(
         [
