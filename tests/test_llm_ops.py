@@ -173,3 +173,25 @@ def test_cosine_ann_matches_brute_top1(spark, embeddings, tmp_path_factory):
     for qid in range(10):
         assert a1.loc[qid, "neighbor_id"] == b1.loc[qid, "neighbor_id"]
         assert abs(a1.loc[qid, "cosine"] - b1.loc[qid, "cosine"]) < 1e-5
+
+
+def test_resolve_duplicate_groups(spark):
+    # chain 1-2-3, pair 10-11, singleton 20 → canonical = min of component
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: r.canonical_id
+        for r in dedup.resolve_duplicate_groups(docs, pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_resolve_duplicate_groups_bound(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="pairs"):
+        dedup.resolve_duplicate_groups(docs, pairs, max_pairs_driver=0)

@@ -1280,3 +1280,54 @@ _register(
     FROM events GROUP BY 1, 2
     """,
 )
+
+
+def _dedup_groups_resolved(spark, sf_dir):
+    """Connected-component duplicate groups over the doubled fixture
+    plus chain pairs (i, i+10000) and (i, i+20000) for i < 30 — every
+    component's canonical is its min id. Oracle: recursive CTE closure."""
+    from vector_indexer_spark.operators.dedup import resolve_duplicate_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tripled = (
+        docs.select("doc_id")
+        .union(docs.select((F.col("doc_id") + 10_000).alias("doc_id")))
+        .union(docs.select((F.col("doc_id") + 20_000).alias("doc_id")))
+        .filter((F.col("doc_id") % 10_000) < 30)
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 10_000) for i in range(30)]
+        + [(i + 10_000, i + 20_000) for i in range(30)],
+        "id_a long, id_b long",
+    )
+    return resolve_duplicate_groups(tripled, pairs)
+
+
+_register(
+    "dedup_groups_resolved",
+    _dedup_groups_resolved,
+    """
+    WITH RECURSIVE ids AS (
+      SELECT doc_id FROM documents WHERE doc_id % 10000 < 30
+      UNION SELECT doc_id + 10000 FROM documents WHERE doc_id % 10000 < 30
+      UNION SELECT doc_id + 20000 FROM documents WHERE doc_id % 10000 < 30
+    ),
+    edges AS (
+      SELECT i AS id_a, i + 10000 AS id_b FROM range(0, 30) r(i)
+      UNION ALL
+      SELECT i + 10000, i + 20000 FROM range(0, 30) r(i)
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS reached FROM ids
+      UNION
+      SELECT r.node, u.dst
+      FROM reach r JOIN und u ON u.src = r.reached
+    )
+    SELECT node AS doc_id, MIN(reached) AS canonical_id
+    FROM reach GROUP BY 1
+    """,
+)

@@ -293,6 +293,66 @@ def near_dup_minhash(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-group resolution (connected components over dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def resolve_duplicate_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    max_pairs_driver: int = 5_000_000,
+) -> DataFrame:
+    """Assign every doc its duplicate-group canonical id (the min id
+    reachable through the pair graph); docs in no pair are their own
+    canonical. The keep-list of a dedup pass is
+    ``filter(doc_id == canonical_id)``.
+
+    Pair sets arrive post-blocking (LSH/threshold), so they are orders
+    of magnitude smaller than the corpus: union-find runs on the driver
+    over the collected edges (the corpus itself is never collected —
+    the final labeling is a broadcast join). Pair sets beyond
+    ``max_pairs_driver`` raise rather than silently thrash; that
+    regime wants a dedicated iterative label-propagation job.
+    """
+    edges = pairs.select("id_a", "id_b").distinct()
+    n_pairs = edges.count()
+    if n_pairs > max_pairs_driver:
+        raise ValueError(
+            f"{n_pairs} candidate pairs exceed the driver union-find bound"
+            f" ({max_pairs_driver}); raise max_pairs_driver or pre-partition"
+        )
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges.collect():
+        ra, rb = find(int(r.id_a)), find(int(r.id_b))
+        if ra != rb:
+            # union by min id so the root IS the canonical id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    mapping = [(x, find(x)) for x in list(parent)]
+    spark = df.sparkSession
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    if not mapping:
+        return ids.select("doc_id", F.col("doc_id").alias("canonical_id"))
+    mdf = spark.createDataFrame(mapping, "doc_id long, canonical_id long")
+    return ids.join(F.broadcast(mdf), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canonical_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
