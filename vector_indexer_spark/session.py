@@ -57,12 +57,24 @@ def get_spark(
         # make it explicit so the intent survives config drift.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
-    # Only pin driver memory when the caller asked for it; a hardcoded large
-    # default fails JVM launch on small hosts and is silently ignored when
-    # getOrCreate reuses an existing JVM.
+    # Driver memory: in local mode the driver JVM IS the executor, and
+    # Spark's 1g default OOMs the vectorized parquet reader with 32
+    # concurrent tasks on wide array columns. Size it to half the
+    # machine (capped), unless the caller pinned it via env. (Ignored
+    # when getOrCreate reuses an existing JVM — unavoidable.)
     if "SPARK_DRIVER_MEMORY" in os.environ:
         builder = builder.config(
             "spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"]
+        )
+    elif master.startswith("local"):
+        try:
+            total_gb = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) // (1024**3)
+        except (ValueError, OSError):
+            total_gb = 8
+        builder = builder.config(
+            "spark.driver.memory", f"{max(2, min(total_gb // 2, 64))}g"
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
