@@ -114,3 +114,18 @@ def test_native_and_arrow_agree(spark, embeddings):
     ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert list(a.neighbor_id) == list(b.neighbor_id)
     np.testing.assert_allclose(a.dist2, b.dist2, rtol=1e-9, atol=1e-9)
+
+
+def test_chunked_topk_matches_unchunked(monkeypatch):
+    # chunked path (forced via a tiny cell budget) must equal one-shot
+    import vector_indexer_spark.functions.kernels as K
+
+    rng = np.random.default_rng(4)
+    qmat = rng.normal(size=(7, 16))
+    vmat = rng.normal(size=(533, 16))
+    vids = rng.permutation(533).astype(np.int64)
+    d_full, i_full = K.chunked_topk(qmat, vmat, vids, 9)
+    monkeypatch.setattr(K, "MAX_SCORE_CELLS", 100)  # ~14-row chunks
+    d_chunk, i_chunk = K.chunked_topk(qmat, vmat, vids, 9)
+    np.testing.assert_array_equal(i_full, i_chunk)
+    np.testing.assert_allclose(d_full, d_chunk)

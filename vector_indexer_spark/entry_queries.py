@@ -1331,3 +1331,34 @@ _register(
     FROM reach GROUP BY 1
     """,
 )
+
+
+def _dedup_normalized_groups(spark, sf_dir):
+    """Case/whitespace-insensitive exact dedup: union documents with an
+    uppercased, double-spaced copy — normalization must collapse them."""
+    from vector_indexer_spark.operators.dedup import exact_dup_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mangled = docs.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper(F.col("text")), F.lit("  ")).alias("text"),
+    )
+    both = docs.select("doc_id", "text").unionByName(mangled)
+    return exact_dup_groups(both, normalize=True)
+
+
+_register(
+    "dedup_normalized_groups",
+    _dedup_normalized_groups,
+    """
+    WITH combined AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, concat('  ', upper(text), '  ') FROM documents
+    )
+    SELECT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS content_hash,
+           MIN(doc_id) AS keep_id, count(*) AS n_copies
+    FROM combined GROUP BY 1 HAVING count(*) > 1
+    """,
+)

@@ -127,3 +127,49 @@ def topk_per_row(
 def stack_arrays(series) -> np.ndarray:
     """pandas Series of list/np.ndarray -> contiguous (n,d) float64."""
     return np.asarray([np.asarray(v, dtype=np.float64) for v in series])
+
+
+# Bound on the (n_queries × n_candidates) scratch matrix inside one
+# kernel call: 4e7 float64s ≈ 320 MB. Larger batches are processed in
+# candidate chunks with a top-k merge — O(k) extra work per chunk, no
+# change in results.
+MAX_SCORE_CELLS = 40_000_000
+
+
+def chunked_topk(
+    qmat: np.ndarray,
+    vmat: np.ndarray,
+    vids: np.ndarray,
+    k: int,
+    mask_fn=None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-query top-k over candidates, chunked so the distance matrix
+    never exceeds MAX_SCORE_CELLS. ``mask_fn(chunk_slice, d2)`` may set
+    non-eligible (query, candidate) cells to +inf before ranking.
+    Returns (dists (nq,k'), ids (nq,k')) like :func:`topk_per_row`.
+    """
+    nq, n = qmat.shape[0], vmat.shape[0]
+    chunk = max(1, MAX_SCORE_CELLS // max(nq, 1))
+    if n <= chunk:
+        d2 = pairwise_dist2(qmat, vmat)
+        if mask_fn is not None:
+            mask_fn(slice(0, n), d2)
+        return topk_per_row(d2, k, ids=vids)
+    best_d = best_i = None
+    for start in range(0, n, chunk):
+        sl = slice(start, min(start + chunk, n))
+        d2 = pairwise_dist2(qmat, vmat[sl])
+        if mask_fn is not None:
+            mask_fn(sl, d2)
+        cd, ci = topk_per_row(d2, k, ids=vids[sl])
+        if best_d is None:
+            best_d, best_i = cd, ci
+        else:
+            # merge this chunk's winners with the running winners by
+            # (dist, id) rank over the concatenated columns
+            md = np.concatenate([best_d, cd], axis=1)
+            mi = np.concatenate([best_i, ci], axis=1)
+            order = np.lexsort((mi, md), axis=1)[:, :k]
+            best_d = np.take_along_axis(md, order, axis=1)
+            best_i = np.take_along_axis(mi, order, axis=1)
+    return best_d, best_i

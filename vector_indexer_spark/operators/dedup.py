@@ -48,18 +48,35 @@ def minhash_params(num_hashes: int, seed: int = MINHASH_SEED) -> list[tuple[int,
 # ---------------------------------------------------------------------------
 
 
+def normalized_text_expr(col):
+    """Canonical text form for near-exact dedup: lowercase, whitespace
+    runs collapsed to single spaces, trimmed. Catches the
+    capitalization/formatting re-posts that byte-exact hashing misses."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
 def exact_dup_groups(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
 ) -> DataFrame:
     """Exact duplicate groups by sha256(text): one row per duplicated
     content hash with the canonical (min) id and the group size.
 
     Pure hash-groupBy — at 100 TB this is one shuffle on a 64-hex-char
-    key with map-side partial aggregation.
+    key with map-side partial aggregation. ``normalize`` hashes the
+    canonical text form (case/whitespace-insensitive) instead of the
+    raw bytes.
     """
+    key = (
+        normalized_text_expr(text_col) if normalize else F.col(text_col)
+    )
     return (
         df.select(
-            F.sha2(F.col(text_col), 256).alias("content_hash"),
+            F.sha2(key, 256).alias("content_hash"),
             F.col(id_col).alias("doc_id"),
         )
         .groupBy("content_hash")

@@ -109,16 +109,16 @@ def _knn_arrow(vectors, queries, k, id_col, vec_col, query_id_col, query_col):
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, qmat_ = bq.value
-        from vector_indexer_spark.functions.kernels import pairwise_dist2
+        from vector_indexer_spark.functions.kernels import chunked_topk
 
         for pdf in batches:
             if pdf.empty:
                 continue
             vmat = stack_arrays(pdf[vec_col])
             vids = pdf[id_col].to_numpy()
-            # (n_queries, n_batch) distances; per-query local top-k
-            d2 = pairwise_dist2(qmat_, vmat)
-            dists, ids = topk_per_row(d2, k, ids=vids)
+            # per-query local top-k; candidate-chunked so the scratch
+            # matrix stays bounded for large query batches
+            dists, ids = chunked_topk(qmat_, vmat, vids, k)
             nq, kk = dists.shape
             yield pd.DataFrame(
                 {

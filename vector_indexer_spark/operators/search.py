@@ -280,6 +280,8 @@ def _score_arrow_scan(spark, vectors, qids, qmat, cluster_ids, probe_mask, k):
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, qmat_, cids_, mask_ = bc.value
+        from vector_indexer_spark.functions.kernels import chunked_topk
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -288,9 +290,11 @@ def _score_arrow_scan(spark, vectors, qids, qmat, cluster_ids, probe_mask, k):
             # compact position of each row's cluster (cids_ is sorted;
             # the scan predicate guarantees membership)
             rowpos = np.searchsorted(cids_, pdf["cluster_id"].to_numpy())
-            d2 = pairwise_dist2(qmat_, vmat)
-            d2[~mask_[:, rowpos]] = np.inf
-            dists, ids = topk_per_row(d2, k, ids=vids)
+
+            def _mask(sl, d2, rowpos=rowpos, mask_=mask_):
+                d2[~mask_[:, rowpos[sl]]] = np.inf
+
+            dists, ids = chunked_topk(qmat_, vmat, vids, k, mask_fn=_mask)
             keep = np.isfinite(dists)
             if not keep.any():
                 continue
