@@ -195,3 +195,16 @@ def test_resolve_duplicate_groups_bound(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="pairs"):
         dedup.resolve_duplicate_groups(docs, pairs, max_pairs_driver=0)
+
+
+def test_resolve_groups_canonical_always_present(spark):
+    # pairs may reference ids filtered out of df — canonical must be
+    # the min surviving member, so filter(doc_id == canonical_id)
+    # always keeps one doc per group
+    docs = spark.createDataFrame([(2,), (3,)], "doc_id long")  # doc 1 filtered
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    out = {
+        r.doc_id: r.canonical_id
+        for r in dedup.resolve_duplicate_groups(docs, pairs).collect()
+    }
+    assert out == {2: 2, 3: 2}

@@ -333,12 +333,13 @@ def resolve_duplicate_groups(
     ``max_pairs_driver`` raise rather than silently thrash; that
     regime wants a dedicated iterative label-propagation job.
     """
-    edges = pairs.select("id_a", "id_b").distinct()
-    n_pairs = edges.count()
-    if n_pairs > max_pairs_driver:
+    # one job: collect the (distinct) edge list, bound-check in memory
+    edge_rows = pairs.select("id_a", "id_b").distinct().collect()
+    if len(edge_rows) > max_pairs_driver:
         raise ValueError(
-            f"{n_pairs} candidate pairs exceed the driver union-find bound"
-            f" ({max_pairs_driver}); raise max_pairs_driver or pre-partition"
+            f"{len(edge_rows)} candidate pairs exceed the driver union-find"
+            f" bound ({max_pairs_driver}); raise max_pairs_driver or"
+            " pre-partition"
         )
     parent: dict[int, int] = {}
 
@@ -350,10 +351,10 @@ def resolve_duplicate_groups(
             parent[x], x = root, parent[x]
         return root
 
-    for r in edges.collect():
+    for r in edge_rows:
         ra, rb = find(int(r.id_a)), find(int(r.id_b))
         if ra != rb:
-            # union by min id so the root IS the canonical id
+            # union by min id so the root is the component's min PAIR id
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
@@ -362,11 +363,19 @@ def resolve_duplicate_groups(
     ids = df.select(F.col(id_col).alias("doc_id"))
     if not mapping:
         return ids.select("doc_id", F.col("doc_id").alias("canonical_id"))
-    mdf = spark.createDataFrame(mapping, "doc_id long, canonical_id long")
-    return ids.join(F.broadcast(mdf), "doc_id", "left").select(
+    mdf = spark.createDataFrame(mapping, "doc_id long, component long")
+    # canonical = min id of the component that is PRESENT IN df — the
+    # pair graph may reference ids df no longer carries (e.g. pairs
+    # computed before a quality filter); anchoring on the min pair id
+    # would make filter(doc_id == canonical_id) drop whole groups.
+    labeled = ids.join(F.broadcast(mdf), "doc_id", "left").select(
         "doc_id",
-        F.coalesce(F.col("canonical_id"), F.col("doc_id")).alias("canonical_id"),
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
     )
+    canon = labeled.groupBy("component").agg(
+        F.min("doc_id").alias("canonical_id")
+    )
+    return labeled.join(canon, "component").select("doc_id", "canonical_id")
 
 
 # ---------------------------------------------------------------------------

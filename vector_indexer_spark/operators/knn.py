@@ -82,16 +82,22 @@ def _knn_native(vectors, queries, k, id_col, vec_col, query_id_col, query_col):
     )
     # The query batch is the small side at scale — broadcast it so the
     # 100 TB vector table never shuffles for the join itself.
-    scored = v.crossJoin(F.broadcast(q)).select(
-        "query_id", "neighbor_id", dist2_expr("__q", "__v").alias("dist2")
-    )
     # a wrong-length vector row yields NULL from zip_with, and ascending
-    # sort is NULLS FIRST — drop rather than rank corrupt rows first
-    scored = scored.filter(F.col("dist2").isNotNull())
+    # sort is NULLS FIRST — map corrupt rows to +inf (sorts last) and
+    # drop them after ranking. (A pre-window isNotNull filter gets
+    # pushed into the join condition by Catalyst, re-evaluating the
+    # whole O(d) fold once more per pair.)
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.coalesce(
+            dist2_expr("__q", "__v"), F.lit(float("inf"))
+        ).alias("dist2"),
+    )
     w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k) & (F.col("dist2") != float("inf")))
         .select("query_id", "rank", "neighbor_id", "dist2")
     )
 

@@ -116,7 +116,9 @@ def search_index(
 
     ``vectors`` optionally overrides the index's vector table scan
     (e.g. an already-cached DataFrame for repeated search batches); it
-    must carry the same (id, values, cluster_id, shard_id) columns.
+    must carry the index's *build-time* column names — ``index.id_col``
+    and ``index.vec_col`` — plus ``cluster_id`` and ``shard_id``
+    (i.e. the persisted table's schema; the scan normalizes names).
 
     The arrow path runs exactly TWO Spark actions: one query collect
     (the query batch is driver-sized by contract — the reference's
@@ -186,9 +188,10 @@ def _search_native(
         raise ValueError(f"{bad} queries have dimension != {index.dimension}")
 
     # probes feeds both the key collect and the scoring join — persist
-    # so the query scan + centroid ranking runs once (the consumer's
-    # action executes the join later, so no unpersist here; the cache
-    # is small: nq × n_probe rows)
+    # so the query scan + centroid ranking runs once. No explicit
+    # unpersist (the consumer's action runs later); Spark's
+    # ContextCleaner unpersists the blocks once the caller drops the
+    # returned plan, and the cache is small (nq × n_probe rows).
     probes = rank_probes(
         queries,
         index.centroids,
@@ -370,6 +373,8 @@ def range_search(
     if n_probe <= 0:
         raise ValueError("n_probe must be positive")
 
+    # persist: probes feeds the key collect AND the scoring join (same
+    # double-consumption pattern as _search_native)
     probes = rank_probes(
         queries,
         index.centroids,
@@ -377,7 +382,7 @@ def range_search(
         min(n_probe, MAX_N_PROBE),
         query_id_col=query_id_col,
         query_col=query_col,
-    )
+    ).persist()
     probe_keys = probes.select("shard_id", "cluster_id").distinct().collect()
     pruned = _pruned_scan(
         spark,

@@ -29,15 +29,18 @@ def normalize_vectors(
     does not CSE across a higher-order-function boundary).
     """
     out_col = out_col or vec_col
-    n = F.col("__norm")
+    tmp = "__norm"
+    while tmp in df.columns:  # never clobber a caller's column
+        tmp += "_"
+    n = F.col(tmp)
     normed = F.when(
         n > 0,
         F.transform(F.col(vec_col), lambda x: (x.cast("double") / n).cast("float")),
     ).otherwise(F.col(vec_col))
     return (
-        df.withColumn("__norm", norm_expr(vec_col))
+        df.withColumn(tmp, norm_expr(vec_col))
         .withColumn(out_col, normed)
-        .drop("__norm")
+        .drop(tmp)
     )
 
 

@@ -15,6 +15,28 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _usable_ram_gb() -> int:
+    """Physical RAM in GiB, respecting cgroup limits when present (a
+    container on a big host must size to its limit, not the host)."""
+    try:
+        host = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) // (1024**3)
+    except (ValueError, OSError, AttributeError):  # non-POSIX
+        host = 8
+    for limit_file in (
+        "/sys/fs/cgroup/memory.max",  # cgroup v2
+        "/sys/fs/cgroup/memory/memory.limit_in_bytes",  # cgroup v1
+    ):
+        try:
+            raw = open(limit_file).read().strip()
+            if raw.isdigit():
+                host = min(host, int(raw) // (1024**3))
+        except OSError:
+            continue
+    return max(host, 1)
+
+
 def get_spark(
     app_name: str = "vector-indexer-spark",
     master: str | None = None,
@@ -67,14 +89,8 @@ def get_spark(
             "spark.driver.memory", os.environ["SPARK_DRIVER_MEMORY"]
         )
     elif master.startswith("local"):
-        try:
-            total_gb = (
-                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-            ) // (1024**3)
-        except (ValueError, OSError):
-            total_gb = 8
         builder = builder.config(
-            "spark.driver.memory", f"{max(2, min(total_gb // 2, 64))}g"
+            "spark.driver.memory", f"{max(2, min(_usable_ram_gb() // 2, 64))}g"
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
