@@ -208,3 +208,24 @@ def test_resolve_groups_canonical_always_present(spark):
         for r in dedup.resolve_duplicate_groups(docs, pairs).collect()
     }
     assert out == {2: 2, 3: 2}
+
+
+def test_bpe_token_count(spark):
+    from vector_indexer_spark.functions.text import bpe_token_count_expr
+
+    df = spark.createDataFrame(
+        [(0, "tokenization works"), (1, "a b!"), (2, "12 cats")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.n
+        for r in df.select(
+            "doc_id", bpe_token_count_expr("text").alias("n")
+        ).collect()
+    }
+    # "tokenization works" -> toke|niza|tion + work|s = 5 chunks
+    assert out[0] == 5
+    # "a b!" -> a, b, ! = 3
+    assert out[1] == 3
+    # "12 cats" -> 1, 2, cats = 3
+    assert out[2] == 3

@@ -1362,3 +1362,32 @@ _register(
     FROM combined GROUP BY 1 HAVING count(*) > 1
     """,
 )
+
+
+def _text_bpe_tokens(spark, sf_dir):
+    """BPE-ish subword-count estimates per document."""
+    from vector_indexer_spark.functions.text import (
+        bpe_token_count_expr,
+        token_count_expr,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count_expr("text").alias("n_words"),
+        bpe_token_count_expr("text").alias("n_bpe_tokens"),
+    )
+
+
+_register(
+    "text_bpe_tokens",
+    _text_bpe_tokens,
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text),
+                '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)

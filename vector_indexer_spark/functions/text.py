@@ -53,6 +53,21 @@ def token_count_expr(col: Column | str) -> Column:
     return F.size(tokens_expr(col)).cast("long")
 
 
+BPE_ISH_PATTERN = "[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
+
+
+def bpe_token_count_expr(col: Column | str) -> Column:
+    """BPE-ish subword count estimate: lowercased text split into
+    letter chunks of ≤4 chars, single digits, and non-space symbols —
+    the regex approximation of byte-pair tokenizer output volume
+    (restricted to RE2-compatible constructs so the DuckDB oracle can
+    mirror it; real learned BPE merges would be a Pandas-UDF stage).
+    """
+    return F.size(
+        F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_ISH_PATTERN), F.lit(0))
+    ).cast("long")
+
+
 def char_count_expr(col: Column | str, char_class: str) -> Column:
     """Count of characters matching a regexp class."""
     return F.length(F.regexp_replace(_c(col), f"[^{char_class}]", "")).cast(
