@@ -58,7 +58,7 @@ def timed_pair(fn_a, fn_b, key_a, key_b, min_duration: float = 6.0):
 
 
 def timed(fn, min_duration: float | None = None, key: str | None = None) -> float:
-    """Warm up once, then repeat until min_duration; median seconds
+    """Warm up three times, then repeat until min_duration; median seconds
     (median over mean: local-mode GC/JIT outliers dominate the mean at
     sub-second query times)."""
     min_duration = min_duration or MIN_DURATION

@@ -866,7 +866,7 @@ _register(
     SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
            event_type,
            count(*) AS n_events,
-           SUM(CAST(floor(value * 1000000) AS BIGINT)) AS value_sum_micros,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_micros,
            count(DISTINCT user_id) AS n_users
     FROM events
     GROUP BY 1, 2
@@ -1183,7 +1183,7 @@ _register(
     "text_corpus_stats",
     _text_corpus_stats,
     """
-    SELECT lang, source, count(*) AS n_docs, SUM(n_chars) AS total_chars,
+    SELECT lang, source, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM documents GROUP BY 1, 2
     """,
@@ -1276,7 +1276,7 @@ _register(
            )) AS BIGINT) AS hour_start,
            event_type,
            count(*) AS n_events,
-           SUM(CAST(floor(value * 1000000) AS BIGINT)) AS value_sum_micros
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_micros
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1387,7 +1387,7 @@ _register(
            CAST(len(list_filter(regexp_split_to_array(lower(text),
                 '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_words,
            CAST(len(regexp_extract_all(lower(text),
-                '[a-z]{1,4}|[0-9]|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+                '[a-z]{1,4}|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
     FROM documents
     """,
 )

@@ -53,7 +53,7 @@ def token_count_expr(col: Column | str) -> Column:
     return F.size(tokens_expr(col)).cast("long")
 
 
-BPE_ISH_PATTERN = "[a-z]{1,4}|[0-9]|[^a-z0-9 ]"
+BPE_ISH_PATTERN = "[a-z]{1,4}|[0-9]|[^a-z0-9\\s]"
 
 
 def bpe_token_count_expr(col: Column | str) -> Column:
