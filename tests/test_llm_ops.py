@@ -54,6 +54,33 @@ def test_lsh_finds_identical_pairs(spark, doubled):
     assert (pairs.id_a < pairs.id_b).all()
 
 
+def test_lsh_shingleless_docs_never_band(spark):
+    """1k sub-k-token docs share the sentinel signature; banding them
+    would be quadratic (≈500k pairs here, 10¹⁶ on a web corpus of
+    short docs). They cannot be shingle-Jaccard near-dups, so the
+    operator must emit ZERO candidate pairs for them."""
+    short = spark.createDataFrame(
+        [(i, f"hi {i % 7}") for i in range(1_000)], "doc_id long, text string"
+    )
+    assert dedup.lsh_candidate_pairs(short, shingle_k=3).count() == 0
+
+
+def test_lsh_bucket_cap_drops_boilerplate_bucket(spark):
+    """With a small cap, a mass-duplicated boilerplate bucket is
+    dropped while normal-sized buckets still pair."""
+    rows = [(i, "the same boilerplate footer text repeated verbatim")
+            for i in range(50)]
+    rows += [(1_000, "a genuinely unique document about spark shuffles"),
+             (1_001, "a genuinely unique document about spark shuffles")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.lsh_candidate_pairs(df, max_bucket_size=10).toPandas()
+    found = {(a, b) for a, b in zip(capped.id_a, capped.id_b)}
+    assert (1_000, 1_001) in found
+    assert not any(a < 50 and b < 50 for a, b in found)
+    uncapped = dedup.lsh_candidate_pairs(df, max_bucket_size=None)
+    assert uncapped.count() == 50 * 49 // 2 + 1
+
+
 def test_jaccard_identical_is_one(spark, doubled):
     pairs = spark.createDataFrame(
         [(i, i + 10_000) for i in range(10)], "id_a long, id_b long"

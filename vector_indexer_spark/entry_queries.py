@@ -729,6 +729,7 @@ def _lsh_sql():
     banded AS (
       SELECT doc_id, b.band, b.bucket
       FROM sig, LATERAL (VALUES {band_rows}) AS b(band, bucket)
+      WHERE sig.s0 <> 2147483647
     )
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
     FROM banded l JOIN banded r

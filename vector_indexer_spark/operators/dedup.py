@@ -191,12 +191,25 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """MinHash-LSH blocking: docs sharing any band of the signature
     become a candidate pair (id_a < id_b, distinct).
 
     The self-join shuffles on the band-bucket key only — candidate
-    volume is Σ_bucket |bucket|², never n².
+    volume is Σ_bucket |bucket|², never n². Two skew guards keep that
+    sum bounded on web-scale corpora:
+
+    - **shingle-less docs never band.** Docs with < ``shingle_k``
+      tokens carry the all-sentinel signature; banding them would
+      collide *every* short doc with every other one in every band
+      (10⁸ short docs → 10¹⁶ candidate pairs). They cannot be
+      shingle-Jaccard near-dups (empty shingle set ⇒ J = 0), so they
+      are excluded before banding.
+    - **oversized buckets are dropped** (``max_bucket_size``, default
+      100k): a bucket that large is mass-duplicated boilerplate, which
+      belongs to :func:`exact_dup_groups` — run exact dedup first, then
+      LSH on the survivors. ``None`` disables the cap.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -205,6 +218,10 @@ def lsh_candidate_pairs(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
         shingle_k=shingle_k,
     )
+    # the sentinel appears iff the doc had zero shingles (per-column
+    # mins are < HASH_MOD by construction), and then in every column —
+    # checking s0 is exact
+    sig = sig.filter(F.col("s0") != F.lit(HASH_MOD))
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -222,6 +239,15 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        # one extra shuffle on the band key (linear count, never
+        # quadratic) — the skewed bucket is counted, not joined
+        bw = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("__bsz", F.count("*").over(bw))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -298,11 +324,12 @@ def near_dup_minhash(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """End-to-end near-dup: LSH candidates → exact Jaccard filter."""
     cand = lsh_candidate_pairs(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
-        bands=bands, shingle_k=shingle_k,
+        bands=bands, shingle_k=shingle_k, max_bucket_size=max_bucket_size,
     )
     return jaccard_pairs(
         df, cand, text_col=text_col, id_col=id_col, shingle_k=shingle_k
