@@ -12,6 +12,12 @@ from vector_indexer_spark.session import get_spark
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute scale tests (always run in CI)"
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark(

@@ -217,11 +217,52 @@ def test_resolve_duplicate_groups(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
-def test_resolve_duplicate_groups_bound(spark):
-    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
-    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
-    with pytest.raises(ValueError, match="pairs"):
-        dedup.resolve_duplicate_groups(docs, pairs, max_pairs_driver=0)
+def test_resolve_groups_distributed_matches_driver(spark):
+    # max_pairs_driver=0 forces the label-propagation path; it must
+    # produce exactly the union-find answer, including the
+    # filtered-id canonical anchoring
+    docs = spark.createDataFrame(
+        [(i,) for i in (2, 3, 10, 11, 20)], "doc_id long"  # doc 1 filtered
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: r.canonical_id
+        for r in dedup.resolve_duplicate_groups(
+            docs, pairs, max_pairs_driver=0
+        ).collect()
+    }
+    assert out == {2: 2, 3: 2, 10: 10, 11: 10, 20: 20}
+
+
+def test_resolve_groups_distributed_long_chain(spark):
+    # a 200-link chain needs ~log2(200) pointer-jumping rounds — the
+    # propagation loop, not just the initial neighbor-min
+    n = 200
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = dedup.resolve_duplicate_groups(docs, pairs, max_pairs_driver=0)
+    assert out.filter(F.col("canonical_id") != 0).count() == 0
+    assert out.count() == n
+
+
+@pytest.mark.slow
+def test_resolve_groups_beyond_driver_bound(spark):
+    # > 5M disjoint pairs must resolve without the old ValueError and
+    # without collecting the edge list on the driver
+    n = 5_000_100
+    docs = spark.range(2 * n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n).select(
+        (F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b")
+    )
+    out = dedup.resolve_duplicate_groups(docs, pairs)
+    bad = out.filter(
+        F.col("canonical_id") != F.col("doc_id") - F.col("doc_id") % 2
+    ).count()
+    assert bad == 0
 
 
 def test_resolve_groups_canonical_always_present(spark):

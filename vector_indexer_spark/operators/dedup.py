@@ -354,48 +354,130 @@ def resolve_duplicate_groups(
     ``filter(doc_id == canonical_id)``.
 
     Pair sets arrive post-blocking (LSH/threshold), so they are orders
-    of magnitude smaller than the corpus: union-find runs on the driver
-    over the collected edges (the corpus itself is never collected —
-    the final labeling is a broadcast join). Pair sets beyond
-    ``max_pairs_driver`` raise rather than silently thrash; that
-    regime wants a dedicated iterative label-propagation job.
+    of magnitude smaller than the corpus. Up to ``max_pairs_driver``
+    distinct pairs, union-find runs on the driver over the collected
+    edges (the corpus itself is never collected — the final labeling
+    is a broadcast join). Beyond the bound the resolver switches to
+    distributed min-label propagation (:func:`_propagate_min_labels`),
+    which never materializes the edge list on the driver.
     """
-    # one job: collect the (distinct) edge list, bound-check in memory
-    edge_rows = pairs.select("id_a", "id_b").distinct().collect()
-    if len(edge_rows) > max_pairs_driver:
-        raise ValueError(
-            f"{len(edge_rows)} candidate pairs exceed the driver union-find"
-            f" bound ({max_pairs_driver}); raise max_pairs_driver or"
-            " pre-partition"
+    dist = pairs.select("id_a", "id_b").distinct().persist()
+    try:
+        n_pairs = dist.count()
+        if n_pairs > max_pairs_driver:
+            mdf = _propagate_min_labels(dist)
+            return _canonical_from_components(df, mdf, id_col, broadcast=False)
+
+        edge_rows = dist.collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edge_rows:
+            ra, rb = find(int(r.id_a)), find(int(r.id_b))
+            if ra != rb:
+                # union by min id: the root is the component's min PAIR id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+        mapping = [(x, find(x)) for x in list(parent)]
+        spark = df.sparkSession
+        if not mapping:
+            ids = df.select(F.col(id_col).alias("doc_id"))
+            return ids.select("doc_id", F.col("doc_id").alias("canonical_id"))
+        mdf = spark.createDataFrame(mapping, "doc_id long, component long")
+        return _canonical_from_components(df, mdf, id_col, broadcast=True)
+    finally:
+        dist.unpersist()
+
+
+def _propagate_min_labels(
+    edges: DataFrame, *, max_iter: int = 50
+) -> DataFrame:
+    """Distributed connected components over an (id_a, id_b) edge list:
+    iterative min-label propagation with pointer jumping.
+
+    Each round every node takes the min label among itself, its
+    neighbors' labels, and its label's label (pointer jump), so chain
+    diameter collapses roughly geometrically — O(log d) rounds for
+    diameter d, each round a pair of shuffles on node id. State is
+    localCheckpoint-ed per round to truncate lineage. Returns
+    (doc_id, component) for every node appearing in an edge.
+    """
+    sym = edges.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("nbr")
+    ).union(
+        edges.select(F.col("id_b").alias("node"), F.col("id_a").alias("nbr"))
+    ).persist()
+    lab = (
+        sym.groupBy("node")
+        .agg(F.min("nbr").alias("nbr_min"))
+        .select("node", F.least("node", "nbr_min").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_lab = (
+            sym.join(
+                lab.select(
+                    F.col("node").alias("nbr"), F.col("label").alias("nl")
+                ),
+                "nbr",
+            )
+            .groupBy("node")
+            .agg(F.min("nl").alias("nbr_label"))
         )
-    parent: dict[int, int] = {}
+        new = lab.join(nbr_lab, "node", "left").select(
+            "node",
+            F.least(
+                "label", F.coalesce("nbr_label", "label")
+            ).alias("label"),
+        )
+        # pointer jump: label ← label(label) when the label is a node
+        # (node is unique in `new`, so this is a plain keyed lookup)
+        jump = new.select(
+            F.col("node").alias("label"), F.col("label").alias("jump_label")
+        )
+        new = new.join(jump, "label", "left").select(
+            "node",
+            F.least(
+                "label", F.coalesce("jump_label", "label")
+            ).alias("label"),
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return lab.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
 
-    def find(x: int) -> int:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = root, parent[x]
-        return root
 
-    for r in edge_rows:
-        ra, rb = find(int(r.id_a)), find(int(r.id_b))
-        if ra != rb:
-            # union by min id so the root is the component's min PAIR id
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+def _canonical_from_components(
+    df: DataFrame, mdf: DataFrame, id_col: str, *, broadcast: bool
+) -> DataFrame:
+    """(doc_id, canonical_id) from a (doc_id, component) mapping.
 
-    mapping = [(x, find(x)) for x in list(parent)]
-    spark = df.sparkSession
+    canonical = min id of the component that is PRESENT IN df — the
+    pair graph may reference ids df no longer carries (e.g. pairs
+    computed before a quality filter); anchoring on the min pair id
+    would make filter(doc_id == canonical_id) drop whole groups.
+    """
     ids = df.select(F.col(id_col).alias("doc_id"))
-    if not mapping:
-        return ids.select("doc_id", F.col("doc_id").alias("canonical_id"))
-    mdf = spark.createDataFrame(mapping, "doc_id long, component long")
-    # canonical = min id of the component that is PRESENT IN df — the
-    # pair graph may reference ids df no longer carries (e.g. pairs
-    # computed before a quality filter); anchoring on the min pair id
-    # would make filter(doc_id == canonical_id) drop whole groups.
-    labeled = ids.join(F.broadcast(mdf), "doc_id", "left").select(
+    m = F.broadcast(mdf) if broadcast else mdf
+    labeled = ids.join(m, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
     )
