@@ -32,6 +32,25 @@ def test_ingest_assigns_ordinals_and_defaults_ts(spark):
     assert abs(out[75].ts - now) < 120
 
 
+def test_ingest_ordinals_distributed_and_dense(spark):
+    # 1000 shuffled ids across many input partitions: ordinals must be
+    # the dense rank of external_id, and the plan must carry no
+    # single-partition exchange (the old global Window.orderBy shape)
+    df = (
+        spark.range(1_000)
+        .repartition(16)
+        .select(
+            ((F.col("id") * 7919) % 10_007).alias("external_id"),
+            F.array(F.col("id").cast("float")).alias("values"),
+        )
+    )
+    out = ingest_records(df, ts_col=None)
+    assert "Exchange SinglePartition" not in out._jdf.queryExecution().executedPlan().toString()
+    rows = out.select("id", "external_id").collect()
+    by_key = sorted(rows, key=lambda r: r.external_id)
+    assert [r.id for r in by_key] == list(range(1_000))
+
+
 def test_ingest_without_ts_column(spark):
     df = spark.createDataFrame(
         [(1, [1.0]), (2, [2.0])], "external_id long, values array<float>"

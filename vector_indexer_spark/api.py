@@ -135,9 +135,16 @@ def ingest_records(
 
     Missing/NULL timestamps default to now (F4 — coalesce with the
     current epoch, src/vector_store.rs:36-40); internal ``id`` is a
-    row ordinal like the reference's ingest (src/vector_store.rs:31-34).
-    The ordinal requires a global ordering pass; at scale prefer
-    carrying your own ids and calling ``build_index`` directly.
+    row ordinal in ``external_id`` order like the reference's ingest
+    (src/vector_store.rs:31-34).
+
+    The ordinal is assigned distributed-deterministically (zipWithIndex
+    shape, no single-task global sort): range-partition by external_id,
+    sort within partitions, then per-partition row_number plus the
+    cumulative count of the preceding ranges. The sorted frame is
+    persisted so the offset-count job and the output job see identical
+    range boundaries; the cache is dropped lazily once the caller
+    materializes downstream.
     """
     from pyspark.sql import Window
 
@@ -151,10 +158,31 @@ def ingest_records(
         )
     else:
         cols.append(F.unix_timestamp().cast("long").alias("ts"))
-    w = Window.orderBy("external_id")
-    return (
+    ranged = (
         df.select(*cols)
-        .withColumn("id", F.row_number().over(w).cast("long") - 1)
+        .repartitionByRange("external_id")
+        .sortWithinPartitions("external_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = sorted(
+        (r["__pid"], r["cnt"])
+        for r in ranged.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in counts:
+        offsets.append((pid, acc))
+        acc += cnt
+    odf = df.sparkSession.createDataFrame(
+        offsets, "__pid int, __offset long"
+    )
+    w = Window.partitionBy("__pid").orderBy("external_id")
+    return (
+        ranged.join(F.broadcast(odf), "__pid")
+        .withColumn(
+            "id",
+            F.row_number().over(w).cast("long") - 1 + F.col("__offset"),
+        )
         .select("id", "external_id", "values", "ts")
     )
 
