@@ -210,6 +210,31 @@ def test_search_arrow_window_fallback_matches_driver_merge(
     assert list(a.neighbor_id) == list(b.neighbor_id)
 
 
+def test_search_arrow_mask_overflow_routes_to_native(
+    spark, index, queries_df, monkeypatch
+):
+    # an oversized dense probe mask must auto-route the arrow batch to
+    # the distributed native path with identical results
+    import vector_indexer_spark.operators.search as S
+
+    a = search_index(spark, index, queries_df, k=5, n_probe=4).toPandas()
+    calls = []
+    native = S._search_native
+    monkeypatch.setattr(
+        S, "_search_native",
+        lambda *args: calls.append(1) or native(*args), raising=True,
+    )
+    monkeypatch.setattr(S, "_ARROW_DENSE_MASK_LIMIT", 0, raising=True)
+    b = search_index(
+        spark, index, queries_df, k=5, n_probe=4, method="arrow"
+    ).toPandas()
+    assert calls, "mask overflow did not route to the native path"
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(a.neighbor_id) == list(b.neighbor_id)
+    assert np.allclose(a.dist2, b.dist2)
+
+
 def test_range_search_full_probe_matches_brute(spark, index, vec_df, queries_df):
     # range search with full probe == brute-force distance filter
     from vector_indexer_spark.operators.search import range_search

@@ -50,6 +50,11 @@ from vector_indexer_spark.operators.index_build import IvfIndex
 # back to a distributed window rank instead of a driver merge.
 _DRIVER_MERGE_LIMIT = 50_000_000
 
+# The arrow path broadcasts a dense (nq × probed-clusters) bool mask;
+# past this many mask bytes (256 MB ≈ nq=100k × 2.5k clusters) the
+# batch routes to the fully-distributed native path instead.
+_ARROW_DENSE_MASK_LIMIT = 256 * 1024 * 1024
+
 
 def rank_probes(
     queries: DataFrame,
@@ -232,6 +237,14 @@ def _search_arrow(
     d2 = pairwise_dist2(qmat, index.centroids)
     _, probe_ids = topk_per_row(d2, n_probe)
     cluster_ids = np.unique(probe_ids)  # sorted
+    if len(qids) * len(cluster_ids) > _ARROW_DENSE_MASK_LIMIT:
+        # the dense bool mask alone would exceed the broadcast budget —
+        # run the batch through the fully-distributed relational path
+        # (same semantics, no driver-sized state)
+        return _search_native(
+            spark, index, queries, k, n_probe, query_id_col, query_col,
+            vectors,
+        )
     shard_ids = np.unique(index.centroid_shards[cluster_ids])
     # (nq, n_probed_clusters) membership mask over the compacted
     # cluster list — the executor-side scoring mask
