@@ -196,7 +196,11 @@ def assign_clusters(
 
 
 def _partial_sums(
-    df: DataFrame, centroids: np.ndarray, vec_col: str, seed: int = 42
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str,
+    seed: int = 42,
+    n_parts: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """One full-batch iteration's statistics: per-cluster (sum, count).
 
@@ -259,7 +263,10 @@ def _partial_sums(
     # shuffle stage per iteration (the dominant cost of small fits). At
     # cluster scale (say 10⁴ partitions × 10⁴ clusters) the distributed
     # groupBy combine keeps the driver out of the data path.
-    n_parts = df.rdd.getNumPartitions()
+    # (plan→RDD conversion lists input files — callers in a loop pass
+    # the invariant count instead of re-deriving it every iteration)
+    if n_parts is None:
+        n_parts = df.rdd.getNumPartitions()
     if n_parts * k <= 200_000:
         rows = partials.collect()
     else:
@@ -344,8 +351,11 @@ def kmeans_fit(
 def _train_full(df, vec_col, centroids, sample, max_iters, tol, rng, seed=42):
     converged = False
     it = 0
+    n_parts = df.rdd.getNumPartitions()  # invariant across iterations
     for it in range(1, max_iters + 1):
-        sums, counts = _partial_sums(df, centroids, vec_col, seed=seed)
+        sums, counts = _partial_sums(
+            df, centroids, vec_col, seed=seed, n_parts=n_parts
+        )
         new = centroids.copy()
         nonzero = counts > 0
         new[nonzero] = sums[nonzero] / counts[nonzero, None]
