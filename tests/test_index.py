@@ -210,6 +210,43 @@ def test_search_arrow_window_fallback_matches_driver_merge(
     assert list(a.neighbor_id) == list(b.neighbor_id)
 
 
+def test_concurrent_searches_identical(spark, index, queries_df):
+    # reference runs searches concurrently against one index
+    # (tests/ivf_index_tests.rs:768-807, shards_tests.rs:729-767);
+    # Spark's scheduler must serve parallel jobs on the same index
+    # with results identical to a serial run
+    import threading
+
+    expected = search_index(
+        spark, index, queries_df, k=5, n_probe=4
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    results: dict[int, object] = {}
+    errors: list[Exception] = []
+
+    def _run(slot: int):
+        try:
+            results[slot] = (
+                search_index(spark, index, queries_df, k=5, n_probe=4)
+                .toPandas()
+                .sort_values(["query_id", "rank"])
+                .reset_index(drop=True)
+            )
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=_run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    for slot in range(2):
+        got = results[slot]
+        assert list(got.neighbor_id) == list(expected.neighbor_id)
+        assert np.allclose(got.dist2, expected.dist2)
+
+
 def test_search_arrow_mask_overflow_routes_to_native(
     spark, index, queries_df, monkeypatch
 ):
