@@ -189,3 +189,25 @@ def test_full_batch_training_with_large_k_uses_hierarchy(spark):
     # E[dist2] ≈ d·0.01 per point; allow generous slack)
     inertia = compute_inertia(df, model.centroids)
     assert inertia / n < d * 0.01 * 10
+
+
+def test_partial_sums_match_brute_force_statistics(spark, embeddings):
+    # A1 bridge: the production (sum, count) accumulation equals the
+    # brute-force per-cluster statistics under the fixed-centroid
+    # fixture — the same statistics centroid_update_fixed oracles in SQL
+    from vector_indexer_spark.operators.kmeans import _partial_sums
+
+    rows = embeddings.orderBy("vec_id").collect()
+    pts = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    cents = pts[:16]
+    d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    labels = d2.argmin(1)
+    exp_counts = np.bincount(labels, minlength=16)
+    exp_sums = np.zeros_like(cents)
+    for j in range(16):
+        exp_sums[j] = pts[labels == j].sum(axis=0)
+
+    df = embeddings.select(F.col("embedding").alias("values"))
+    sums, counts = _partial_sums(df, cents, "values")
+    assert (counts == exp_counts).all()
+    assert np.allclose(sums, exp_sums, rtol=1e-9, atol=1e-9)

@@ -130,6 +130,7 @@ def ingest_records(
     external_id_col: str = "external_id",
     vec_col: str = "values",
     ts_col: str | None = "ts",
+    now: int | None = None,
 ) -> DataFrame:
     """S1 — normalize a user record frame to the internal vector schema.
 
@@ -152,12 +153,17 @@ def ingest_records(
         F.col(external_id_col).alias("external_id"),
         F.col(vec_col).alias("values"),
     ]
+    # `now` freezes the F4 default timestamp for reproducible runs
+    # (and the SQL oracle); None = wall clock, the reference default
+    now_expr = (
+        F.lit(int(now)).cast("long")
+        if now is not None
+        else F.unix_timestamp().cast("long")
+    )
     if ts_col is not None and ts_col in df.columns:
-        cols.append(
-            F.coalesce(F.col(ts_col), F.unix_timestamp().cast("long")).alias("ts")
-        )
+        cols.append(F.coalesce(F.col(ts_col), now_expr).alias("ts"))
     else:
-        cols.append(F.unix_timestamp().cast("long").alias("ts"))
+        cols.append(now_expr.alias("ts"))
     ranged = (
         df.select(*cols)
         .repartitionByRange("external_id")

@@ -1392,3 +1392,82 @@ _register(
     FROM documents
     """,
 )
+
+
+def _ingest_ts_default(spark, sf_dir):
+    """F4 + S1 ordinals as an oracle query: ingest a record frame built
+    from ``documents`` (every 3rd ts NULL) with a frozen "now", so the
+    coalesce default (src/vector_store.rs:36-40) and the external_id-
+    ordered ordinal assignment are both SQL-checkable."""
+    from vector_indexer_spark.api import ingest_records
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rec = docs.select(
+        F.col("doc_id").alias("external_id"),
+        F.array(F.col("n_chars").cast("float")).alias("values"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("doc_id") * 1000).cast("long"))
+        .alias("ts"),
+    )
+    out = ingest_records(rec, now=1_700_000_000)
+    return out.select("id", "external_id", "ts")
+
+
+_register(
+    "ingest_ts_default",
+    _ingest_ts_default,
+    """
+    SELECT CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS id,
+           doc_id AS external_id,
+           CAST(COALESCE(CASE WHEN doc_id % 3 = 0 THEN NULL
+                              ELSE doc_id * 1000 END,
+                         1700000000) AS BIGINT) AS ts
+    FROM documents
+    """,
+)
+
+
+def _centroid_update_fixed(spark, sf_dir):
+    """A1 as an oracle query: ONE full-batch centroid-update step under
+    the fixed-centroid fixture, reported as order-independent per-dim
+    statistics (micro-scaled integer sums + member counts — the exact
+    (sum, count) pair _partial_sums accumulates, src/kmeans.rs:281-331;
+    float means would be shuffle-order-dependent). The production path
+    computes the same statistics in NumPy; their equality is a pytest."""
+    assigned = _ivf_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exploded = assigned.join(emb, "vec_id").select(
+        "cluster_id",
+        F.posexplode("embedding").alias("dim", "x"),
+    )
+    return exploded.groupBy("cluster_id", "dim").agg(
+        F.sum(
+            F.floor(F.col("x").cast("double") * 1_000_000).cast("long")
+        ).alias("sum_micros"),
+        F.count("*").alias("cnt"),
+    )
+
+
+_register(
+    "centroid_update_fixed",
+    _centroid_update_fixed,
+    f"""
+    WITH {_DD_ASSIGN},
+    members AS (
+      SELECT a.centroid_id AS cluster_id, v.embedding
+      FROM assigned a JOIN embeddings v USING (vec_id)
+      WHERE a.rn = 1
+    ),
+    exploded AS (
+      SELECT cluster_id, CAST(u.i - 1 AS INT) AS dim,
+             CAST(embedding[u.i] AS DOUBLE) AS x
+      FROM members,
+           LATERAL (SELECT UNNEST(range(1, len(embedding) + 1)) AS i) u
+    )
+    SELECT cluster_id, dim,
+           CAST(SUM(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_micros,
+           count(*) AS cnt
+    FROM exploded GROUP BY 1, 2
+    """,
+)
