@@ -81,3 +81,25 @@ def test_vectors_from_numpy(spark):
     rows = {r.id: r.values for r in df.collect()}
     assert len(rows) == 6
     np.testing.assert_allclose(rows[3], mat[3], rtol=1e-6)
+
+
+def test_fvecs_end_to_end_build_and_search(spark, tmp_path):
+    # S12 end-to-end: .fvecs file -> index build -> search. Clustered
+    # data so self-top-1 is unambiguous.
+    from vector_indexer_spark.api import build
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(8, 12)) * 30.0
+    mat = (
+        centers[np.arange(400) % 8]
+        + rng.normal(size=(400, 12), scale=0.05)
+    ).astype(np.float32)
+    p = str(tmp_path / "base.fvecs")
+    _write_fvecs(p, mat)
+
+    loaded = read_fvecs(p)
+    np.testing.assert_array_equal(loaded, mat)
+    idx = build(loaded, str(tmp_path / "idx"), spark=spark, seed=3)
+    D, I = idx.search(loaded[:20], k=1, n_probe=idx.nlist)
+    assert (I[:, 0] == np.arange(20)).all()  # self is its own top-1
+    assert np.allclose(D[:, 0], 0.0, atol=1e-5)
