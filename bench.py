@@ -117,16 +117,18 @@ def main() -> None:
     # accumulated over many jobs) penalizes multi-job pipelines like
     # the IVF search far more than single-job scans — measured 2x drift
     # by the end of a full bench session.
-    # --- synthetic scale section (reference bench default: n=100k
-    # d=128 synthetic, docker-compose.bench.yml:28-30) — the sf tables
-    # are too small to exercise cluster pruning, so this is where the
-    # ANN-vs-exact comparison is physically meaningful ---
+    # --- synthetic scale section (reference bench shape: d=128
+    # synthetic, docker-compose.bench.yml:28-30; we default to n=1M —
+    # the scale where nlist≈4k pruning physically pays; the sf tables
+    # are far too small to exercise it) ---
     if os.environ.get("BENCH_SYNTH", "1") == "1":
         from vector_indexer_spark.sources.files import generate_clustered_vectors
 
         # Gaussian-clustered corpus (the reference's own evaluation
         # distribution — uniform data defeats any IVF, reference or ours)
-        n_synth, d_synth, nq_synth = 100_000, 128, 256
+        n_synth = int(os.environ.get("BENCH_SYNTH_N", "1000000"))
+        d_synth, nq_synth = 128, 256
+        slabel = f"synth{n_synth // 1000}k"
         synth = generate_clustered_vectors(
             spark, n_synth, d_synth, n_clusters=256, seed=42
         ).drop("true_cluster").cache()
@@ -150,23 +152,24 @@ def main() -> None:
         sidx = build_index(synth, spath, seed=42, mode="minibatch")
         extras["synth_build_sec"] = round(time.perf_counter() - t0, 3)
         extras["synth_nlist"] = sidx.nlist
+        extras["synth_n"] = n_synth
         sidx_vec = sidx.vectors(spark).coalesce(32).cache()
         sidx_vec.count()
 
         (
-            results["synth100k_exact_256q"],
-            results["synth100k_ivf_256q"],
+            results[f"{slabel}_exact_256q"],
+            results[f"{slabel}_ivf_256q"],
         ) = timed_pair(
             lambda: knn_exact(synth, sq, k=10).count(),
             lambda: search_index(
                 spark, sidx, sq, k=10, n_probe=16, vectors=sidx_vec
             ).count(),
-            "synth100k_exact_256q",
-            "synth100k_ivf_256q",
+            f"{slabel}_exact_256q",
+            f"{slabel}_ivf_256q",
         )
         extras["synth_ann_speedup"] = round(
-            MIN_TIMES.get("synth100k_exact_256q", results["synth100k_exact_256q"])
-            / MIN_TIMES.get("synth100k_ivf_256q", results["synth100k_ivf_256q"]),
+            MIN_TIMES.get(f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"])
+            / MIN_TIMES.get(f"{slabel}_ivf_256q", results[f"{slabel}_ivf_256q"]),
             3,
         )
         sexact = knn_exact(synth, sq, k=10)
@@ -180,6 +183,51 @@ def main() -> None:
             ),
             4,
         )
+
+        # --- nprobe sweep, reference methodology: k=100, R@1/R@10/R@100
+        # where R@r = fraction of queries whose TRUE nearest neighbor
+        # appears in the returned top-r (bench_all_ivf.py:336-350,
+        # 591-596, 600-605; sweep values docker-compose.bench.yml:32) ---
+        if os.environ.get("BENCH_SWEEP", "1") == "1":
+            gt1 = knn_exact(synth, sq, k=1).toPandas()  # true NN per query
+            true_nn = dict(zip(gt1.query_id, gt1.neighbor_id))
+            sweep: dict[str, dict] = {}
+            for p in (1, 2, 4, 8, 16, 32, 64):
+                fn = lambda: search_index(  # noqa: E731
+                    spark, sidx, sq, k=100, n_probe=p, vectors=sidx_vec
+                )
+                res = fn().toPandas()  # also the warm-up run
+                t_runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn().count()
+                    t_runs.append(time.perf_counter() - t0)
+                sec = min(t_runs)
+                found_rank = {
+                    q: int(r)
+                    for q, n, r in zip(
+                        res.query_id, res.neighbor_id, res["rank"]
+                    )
+                    if true_nn.get(q) == n
+                }
+                nq_run = len(true_nn)
+                sweep[str(p)] = {
+                    "sec": round(sec, 4),
+                    "qps": round(nq_run / sec, 1),
+                    **{
+                        f"r{r}": round(
+                            sum(
+                                1
+                                for q in true_nn
+                                if found_rank.get(q, 10**9) <= r
+                            )
+                            / nq_run,
+                            4,
+                        )
+                        for r in (1, 10, 100)
+                    },
+                }
+            extras["nprobe_sweep"] = sweep
         synth.unpersist()
         sidx_vec.unpersist()
 

@@ -1471,3 +1471,44 @@ _register(
     FROM exploded GROUP BY 1, 2
     """,
 )
+
+
+def _sim_near_dup_clustered(spark, sf_dir):
+    """Embedding near-dup with a *learned* blocking key: assign every
+    vector to its nearest fixed centroid (J1) and generate candidate
+    pairs only within a cluster — the 100 TB path (the label-blocked
+    variant assumes labels exist; this one builds its own blocks the
+    way an IVF-partitioned corpus would)."""
+    from vector_indexer_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned = _ivf_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    return embedding_near_dups(
+        emb.join(assigned, "vec_id"),
+        id_col="vec_id",
+        vec_col="embedding",
+        block_col="cluster_id",
+        threshold=0.3,
+    )
+
+
+_register(
+    "sim_near_dup_clustered",
+    _sim_near_dup_clustered,
+    f"""
+    WITH {_DD_ASSIGN},
+    members AS (
+      SELECT v.vec_id, v.embedding, a.centroid_id AS cluster_id
+      FROM assigned a JOIN embeddings v USING (vec_id)
+      WHERE a.rn = 1
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DD_DOT.format(a="a.embedding", b="b.embedding")}
+               / ({_DD_NORM.format(a="a.embedding")} * {_DD_NORM.format(a="b.embedding")})
+               AS cosine
+      FROM members a JOIN members b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.3
+    """,
+)
