@@ -211,3 +211,34 @@ def test_partial_sums_match_brute_force_statistics(spark, embeddings):
     sums, counts = _partial_sums(df, cents, "values")
     assert (counts == exp_counts).all()
     assert np.allclose(sums, exp_sums, rtol=1e-9, atol=1e-9)
+
+
+def test_hierarchical_kernel_matches_relational_fixture(spark, embeddings):
+    # J2 bridge: the NumPy shortlist kernel equals the relational
+    # fixed-hierarchy assignment (ivf_hier_assign_fixed oracle query)
+    from vector_indexer_spark.functions.kernels import (
+        assign_nearest_hierarchical,
+    )
+
+    rows = embeddings.orderBy("vec_id").collect()
+    pts = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    cents, metas = pts[:16], pts[:4]
+    meta_labels = ((cents[:, None, :] - metas[None, :, :]) ** 2).sum(-1).argmin(1)
+    got = assign_nearest_hierarchical(pts, cents, metas, meta_labels)
+
+    import os
+
+    from vector_indexer_spark.entry_queries import QUERIES
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rel = {
+        r.vec_id: r.cluster_id
+        for r in QUERIES["ivf_hier_assign_fixed"](spark, sf_dir).collect()
+    }
+    assert len(rel) == len(pts)
+    mismatches = sum(
+        1 for i, r in enumerate(rows) if got[i] != rel[r.vec_id]
+    )
+    assert mismatches == 0

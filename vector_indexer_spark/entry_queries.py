@@ -1512,3 +1512,137 @@ _register(
     ) WHERE cosine >= 0.3
     """,
 )
+
+
+_N_FIXED_METAS = 4
+
+_DD_HIER = f"""
+  cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+            FROM embeddings WHERE vec_id < {_N_FIXED_CENTROIDS}),
+  metas AS (SELECT vec_id AS meta_id, embedding AS mvec
+            FROM embeddings WHERE vec_id < {_N_FIXED_METAS}),
+  c2m AS (
+    SELECT centroid_id, meta_id FROM (
+      SELECT c.centroid_id, m.meta_id,
+             row_number() OVER (PARTITION BY c.centroid_id
+                  ORDER BY {_DD_DIST2.format(a="c.cvec", b="m.mvec")},
+                           m.meta_id) AS rn
+      FROM cents c CROSS JOIN metas m)
+    WHERE rn = 1),
+  pm AS (
+    SELECT vec_id, meta_id, rn AS meta_rank FROM (
+      SELECT v.vec_id, m.meta_id,
+             row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY {_DD_DIST2.format(a="v.embedding", b="m.mvec")},
+                           m.meta_id) AS rn
+      FROM embeddings v CROSS JOIN metas m)
+    WHERE rn <= 3)
+"""
+
+
+def _hier_frames(spark, sf_dir):
+    """Shared fixed-hierarchy fixture: 16 centroids, 4 meta-centroids
+    (both = leading embeddings), cluster→meta by nearest-meta argmin —
+    the deterministic twin of operators.kmeans.centroid_hierarchy."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < _N_FIXED_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    metas = emb.filter(F.col("vec_id") < _N_FIXED_METAS).select(
+        F.col("vec_id").alias("meta_id"), F.col("embedding").alias("mvec")
+    )
+    wc = Window.partitionBy("centroid_id").orderBy("__d", "meta_id")
+    c2m = (
+        cents.crossJoin(F.broadcast(metas))
+        .select(
+            "centroid_id", "meta_id",
+            dist2_expr("cvec", "mvec").alias("__d"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("centroid_id", "meta_id")
+    )
+    wp = Window.partitionBy("vec_id").orderBy("__d", "meta_id")
+    pm = (
+        emb.crossJoin(F.broadcast(metas))
+        .select(
+            "vec_id", "meta_id",
+            dist2_expr("embedding", "mvec").alias("__d"),
+        )
+        .withColumn("meta_rank", F.row_number().over(wp))
+        .filter(F.col("meta_rank") <= 3)
+        .select("vec_id", "meta_id", "meta_rank")
+    )
+    return emb, cents, metas, c2m, pm
+
+
+def _ivf_meta_top3_fixed(spark, sf_dir):
+    """W3 — per-point top-3 meta-centroid shortlist (reference keeps 3,
+    src/kmeans.rs:497-516) under the fixed hierarchy."""
+    _, _, _, _, pm = _hier_frames(spark, sf_dir)
+    return pm.select("vec_id", "meta_rank", "meta_id")
+
+
+_register(
+    "ivf_meta_top3_fixed",
+    _ivf_meta_top3_fixed,
+    f"""
+    WITH {_DD_HIER}
+    SELECT vec_id, CAST(meta_rank AS INT) AS meta_rank, meta_id FROM pm
+    """,
+)
+
+
+def _ivf_hier_assign_fixed(spark, sf_dir):
+    """J2 — hierarchical (meta-shortlisted) assignment as a bit-exact
+    relational query: argmin over only the clusters whose meta-cluster
+    is in the point's top-3 shortlist (reference src/kmeans.rs:445-581).
+    The production NumPy kernel (kernels.assign_nearest_hierarchical)
+    computes the same shortlist semantics; their equality on this
+    fixture is a pytest."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    emb, cents, _, c2m, pm = _hier_frames(spark, sf_dir)
+    cand = (
+        pm.join(c2m, "meta_id")
+        .join(F.broadcast(cents), "centroid_id")
+        .join(emb, "vec_id")
+        .select(
+            "vec_id", "centroid_id",
+            dist2_expr("embedding", "cvec").alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist2", "centroid_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("centroid_id").alias("cluster_id"), "dist2")
+    )
+
+
+_register(
+    "ivf_hier_assign_fixed",
+    _ivf_hier_assign_fixed,
+    f"""
+    WITH {_DD_HIER},
+    cand AS (
+      SELECT p.vec_id, cm.centroid_id,
+             {_DD_DIST2.format(a="v.embedding", b="c.cvec")} AS dist2
+      FROM pm p
+      JOIN c2m cm USING (meta_id)
+      JOIN cents c USING (centroid_id)
+      JOIN embeddings v USING (vec_id)
+    )
+    SELECT vec_id, centroid_id AS cluster_id, dist2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist2, centroid_id) AS rn
+      FROM cand)
+    WHERE rn = 1
+    """,
+)

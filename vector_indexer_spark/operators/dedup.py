@@ -240,13 +240,18 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     if max_bucket_size is not None:
-        # one extra shuffle on the band key (linear count, never
-        # quadratic) — the skewed bucket is counted, not joined
-        bw = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("__bsz", F.count("*").over(bw))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .drop("__bsz")
+        # the oversized-bucket list is tiny by definition (≤ n/cap
+        # buckets can exceed the cap), so: map-side-combined count →
+        # filter → broadcast anti-join. The only extra shuffle carries
+        # partial (band, bucket) counts, never the banded rows.
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        banded = banded.join(
+            F.broadcast(big), ["band", "bucket"], "left_anti"
         )
     left = banded.alias("l")
     right = banded.alias("r")
