@@ -222,6 +222,15 @@ def lsh_candidate_pairs(
     # mins are < HASH_MOD by construction), and then in every column —
     # checking s0 is exact
     sig = sig.filter(F.col("s0") != F.lit(HASH_MOD))
+    # sig feeds the self-join twice (left/right) and, with the cap, the
+    # bucket-count branch too — Catalyst does not reuse the MinHash
+    # aggregation exchange across those branches (verified: 4x subtree
+    # recomputation in the executed plan), so pin the compact per-doc
+    # signature table (n x num_hashes ints; the exploded banding stays
+    # lazy — caching IT is slower than recomputing it). Same pattern as
+    # _search_native's probes: no explicit unpersist, the
+    # ContextCleaner drops the blocks when the plan is dropped.
+    sig = sig.persist()
     banded = sig.select(
         "doc_id",
         F.explode(
