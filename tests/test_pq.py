@@ -1,0 +1,204 @@
+"""Product-quantization tests: encode/search semantics, the
+kernel ≡ relational bridge the oracle relies on, recall quality, and
+model persistence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.functions.distance import dist2_expr
+from vector_indexer_spark.operators.knn import knn_exact
+from vector_indexer_spark.operators.pq import (
+    PQModel,
+    pq_encode,
+    pq_reconstruct,
+    pq_search,
+    pq_train,
+)
+from vector_indexer_spark.operators.search import calculate_recall
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark, embeddings):
+    return embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def model(vec_df):
+    return pq_train(vec_df, m=4, ksub=8, seed=42)
+
+
+def test_train_shapes_and_determinism(vec_df, model):
+    assert model.codebooks.shape == (4, 8, 16)
+    assert model.dimension == 64
+    again = pq_train(vec_df, m=4, ksub=8, seed=42)
+    np.testing.assert_array_equal(model.codebooks, again.codebooks)
+
+
+def test_train_validates_divisibility(vec_df):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(vec_df, m=7, ksub=4)
+    with pytest.raises(ValueError, match="positive"):
+        pq_train(vec_df, m=0, ksub=4)
+
+
+def test_encode_matches_relational_argmin(spark, vec_df, model):
+    """Bridge: the Arrow encode kernel must agree with the declarative
+    per-subspace argmin formulation (the shape the DuckDB oracle runs)."""
+    from pyspark.sql import Window
+
+    got = pq_encode(vec_df, model).toPandas().set_index("id").codes.to_dict()
+
+    cb_rows = [
+        (j, c, [float(x) for x in model.codebooks[j, c]])
+        for j in range(model.m)
+        for c in range(model.ksub)
+    ]
+    cb = spark.createDataFrame(
+        cb_rows, "subspace INT, code INT, codeword ARRAY<DOUBLE>"
+    )
+    dsub = model.dsub
+    pairs = vec_df.crossJoin(F.broadcast(cb)).select(
+        "id",
+        "subspace",
+        "code",
+        dist2_expr(
+            F.slice(F.col("values"), F.col("subspace") * dsub + 1, dsub),
+            "codeword",
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("id", "subspace").orderBy("dist2", "code")
+    rel = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct("subspace", "code"))).alias("sc"))
+        .select("id", F.col("sc.code").alias("codes"))
+        .toPandas()
+        .set_index("id")
+        .codes.to_dict()
+    )
+    assert set(got) == set(rel)
+    for i in got:
+        assert list(got[i]) == list(rel[i]), f"codes differ for id {i}"
+
+
+def test_adc_equals_reconstruction_distance(spark, vec_df, model):
+    """ADC contract: adc_dist2 == ||q − recon(candidate)||² exactly
+    (modulo float summation order → tight tolerance)."""
+    queries = vec_df.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    codes_df = pq_encode(vec_df, model).cache()
+    res = pq_search(codes_df, queries, model, k=3).toPandas()
+    assert len(res) == 15
+    codes_pd = codes_df.toPandas().set_index("id")
+    qrows = queries.collect()
+    qmap = {r.query_id: np.asarray(r.query, dtype=np.float64) for r in qrows}
+    for row in res.itertuples():
+        codes = np.asarray(codes_pd.loc[row.neighbor_id, "codes"])[None, :]
+        recon = pq_reconstruct(codes, model)[0]
+        expect = float(((qmap[row.query_id] - recon) ** 2).sum())
+        assert row.adc_dist2 == pytest.approx(expect, rel=1e-9)
+    codes_df.unpersist()
+
+
+def test_search_rank_contract(vec_df, model):
+    queries = vec_df.filter(F.col("id") < 3).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    codes_df = pq_encode(vec_df, model)
+    res = pq_search(codes_df, queries, model, k=4).toPandas()
+    for _, grp in res.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == [1, 2, 3, 4]
+        d = grp.adc_dist2.to_numpy()
+        assert (np.diff(d) >= 0).all()
+
+
+def test_search_k_gt_n(vec_df, model):
+    small = vec_df.filter(F.col("id") < 7)
+    queries = vec_df.filter(F.col("id") == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    res = pq_search(pq_encode(small, model), queries, model, k=50).toPandas()
+    assert len(res) == 7  # k > n returns n (reference contract)
+
+
+def test_search_validates(vec_df, model):
+    queries = vec_df.limit(1).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    codes_df = pq_encode(vec_df, model)
+    with pytest.raises(ValueError, match="positive"):
+        pq_search(codes_df, queries, model, k=0)
+
+
+def test_empty_queries(spark, vec_df, model):
+    empty = spark.createDataFrame([], "query_id long, query array<float>")
+    res = pq_search(pq_encode(vec_df, model), empty, model, k=3)
+    assert res.count() == 0
+
+
+def test_recall_against_exact(spark, vec_df, model):
+    """PQ@m=4,ksub=8 is a coarse quantizer, but on 500 clustered-ish
+    embeddings recall@10 of the compressed search should still be
+    substantial — and must improve with a finer quantizer."""
+    queries = vec_df.filter(F.col("id") >= 490).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    exact = knn_exact(vec_df, queries, k=10)
+    codes = pq_encode(vec_df, model)
+    approx = pq_search(codes, queries, model, k=10).withColumnRenamed(
+        "adc_dist2", "dist2"
+    )
+    r_coarse = calculate_recall(approx, exact, 10)
+    # 12-bit codes on d=64 near-uniform embeddings — the hard case for
+    # PQ; measured 0.18 (vs 0.02 for random ranking)
+    assert r_coarse > 0.1
+
+    fine = pq_train(vec_df, m=16, ksub=64, seed=42)
+    approx_f = pq_search(
+        pq_encode(vec_df, fine), queries, fine, k=10
+    ).withColumnRenamed("adc_dist2", "dist2")
+    r_fine = calculate_recall(approx_f, exact, 10)
+    assert r_fine > r_coarse  # finer quantizer → better recall
+    assert r_fine > 0.45  # measured 0.59
+
+
+def test_reconstruction_error_shrinks_with_ksub(vec_df):
+    """Quantization error must drop as the codebook grows."""
+    x = np.asarray(
+        [np.asarray(r.values, dtype=np.float64) for r in vec_df.collect()]
+    )
+
+    def mse(ksub):
+        mdl = pq_train(vec_df, m=4, ksub=ksub, seed=1)
+        from vector_indexer_spark.operators.pq import _encode_batch
+
+        codes = _encode_batch(x, mdl.codebooks)
+        recon = pq_reconstruct(codes, mdl)
+        return float(((x - recon) ** 2).sum(axis=1).mean())
+
+    assert mse(16) < mse(4)
+
+
+def test_model_save_load_roundtrip(spark, vec_df, model, tmp_path):
+    path = str(tmp_path / "pq_model")
+    model.save(spark, path)
+    loaded = PQModel.load(spark, path)
+    np.testing.assert_array_equal(model.codebooks, loaded.codebooks)
+    with pytest.raises(FileNotFoundError):
+        PQModel.load(spark, str(tmp_path / "nope"))
+
+
+def test_encode_dim_mismatch_raises(spark, model):
+    bad = spark.createDataFrame(
+        [(1, [0.0] * 32)], "id long, values array<float>"
+    )
+    with pytest.raises(Exception, match="dimension"):
+        pq_encode(bad, model).collect()

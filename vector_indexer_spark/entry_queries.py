@@ -1646,3 +1646,184 @@ _register(
     WHERE rn = 1
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# pq_ — product quantization (beyond-the-reference compression tier;
+# operators/pq.py). Fixed codebooks = subspace slices of the first 8
+# embeddings, so encode (per-subspace argmin) and ADC search
+# (distance-to-reconstruction) are bit-exact relational queries in both
+# engines. The production Arrow kernels (pq_encode / pq_search) are
+# bridged to this relational form by tests/test_pq.py.
+# --------------------------------------------------------------------------
+
+_PQ_M = 4
+_PQ_DSUB = 16  # embeddings are d=64
+_N_PQ_CODEWORDS = 8
+
+_DD_PQ = f"""
+  cw AS (SELECT vec_id AS code, embedding AS cwv
+         FROM embeddings WHERE vec_id < {_N_PQ_CODEWORDS}),
+  subs AS (SELECT CAST(t.range AS INT) AS subspace FROM range(0, {_PQ_M}) t),
+  cb AS (
+    SELECT s.subspace, c.code,
+           list_slice(c.cwv, s.subspace * {_PQ_DSUB} + 1,
+                      s.subspace * {_PQ_DSUB} + {_PQ_DSUB}) AS codeword
+    FROM cw c CROSS JOIN subs s
+  ),
+  pq_pairs AS (
+    SELECT v.vec_id, b.subspace, b.code,
+           {_DD_DIST2.format(
+               a="list_slice(v.embedding, b.subspace * %d + 1, "
+                 "b.subspace * %d + %d)" % (_PQ_DSUB, _PQ_DSUB, _PQ_DSUB),
+               b="b.codeword")} AS dist2
+    FROM embeddings v CROSS JOIN cb b
+  ),
+  enc AS (
+    SELECT vec_id, subspace, code FROM (
+      SELECT vec_id, subspace, code,
+             row_number() OVER (PARTITION BY vec_id, subspace
+                                ORDER BY dist2, code) AS rn
+      FROM pq_pairs)
+    WHERE rn = 1
+  )
+"""
+
+
+def _pq_fixed_frames(spark, sf_dir):
+    """Fixed-codebook fixture: codebook j = dims [16j, 16j+16) of the
+    first 8 embeddings; encode = per-(vector, subspace) argmin."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cw = emb.filter(F.col("vec_id") < _N_PQ_CODEWORDS).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("cwv")
+    )
+    subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("subspace"))
+    cb = cw.crossJoin(subs).select(
+        "subspace",
+        "code",
+        F.slice(
+            F.col("cwv"), F.col("subspace") * _PQ_DSUB + 1, _PQ_DSUB
+        ).alias("codeword"),
+    )
+    pairs = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "subspace",
+        "code",
+        dist2_expr(
+            F.slice(
+                F.col("embedding"), F.col("subspace") * _PQ_DSUB + 1, _PQ_DSUB
+            ),
+            "codeword",
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("dist2", "code")
+    enc = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    return emb, cb, enc
+
+
+def _pq_codes_fixed(spark, sf_dir):
+    """PQ encode under fixed codebooks — one row per (vector, subspace)."""
+    _, _, enc = _pq_fixed_frames(spark, sf_dir)
+    return enc
+
+
+_register(
+    "pq_codes_fixed",
+    _pq_codes_fixed,
+    f"""
+    WITH {_DD_PQ}
+    SELECT vec_id, subspace, code FROM enc
+    """,
+)
+
+
+def _pq_adc_topk_fixed(spark, sf_dir):
+    """ADC top-5 per query under fixed codebooks. adc_dist2 is computed
+    as dist2(query, reconstruction) — mathematically identical to the
+    LUT sum (Σ_j ||q_j − cb_j[code_j]||²) and bit-reproducible because
+    both engines run the same fold-left double sum over the
+    concatenated reconstruction."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    emb, cb, enc = _pq_fixed_frames(spark, sf_dir)
+    recon = (
+        enc.join(F.broadcast(cb), ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.sort_array(
+                    F.collect_list(F.struct("subspace", "codeword"))
+                ).codeword
+            ).alias("rvec")
+        )
+    )
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    scored = q.crossJoin(recon).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist2_expr("query", "rvec").alias("adc_dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "neighbor_id", "adc_dist2")
+    )
+
+
+_register(
+    "pq_adc_topk_fixed",
+    _pq_adc_topk_fixed,
+    f"""
+    WITH {_DD_PQ},
+    recon AS (
+      SELECT e.vec_id, flatten(list(b.codeword ORDER BY e.subspace)) AS rvec
+      FROM enc e JOIN cb b USING (subspace, code)
+      GROUP BY e.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS query
+          FROM embeddings WHERE vec_id >= 490),
+    scored AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id,
+             {_DD_DIST2.format(a="q.query", b="r.rvec")} AS adc_dist2
+      FROM q CROSS JOIN recon r
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist2, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+
+
+def _pq_search_trained(spark, sf_dir):
+    """Production PQ pipeline end-to-end: train → encode → ADC top-10
+    (rows-only: codebooks come from seeded k-means)."""
+    from vector_indexer_spark.operators.pq import pq_encode, pq_search, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("values"))
+    model = pq_train(vec, m=8, ksub=16, seed=42)
+    codes = pq_encode(vec, model)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return pq_search(codes, q, model, k=10)
+
+
+_register("pq_search_trained", _pq_search_trained)
