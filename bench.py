@@ -34,10 +34,34 @@ def timed_pair(fn_a, fn_b, key_a, key_b, min_duration: float = 6.0):
     """Interleaved A-B-A-B measurement of two competing queries: host
     noise bursts hit both sides equally, so the min-ratio stays fair
     even when a burst spans the whole window. Returns (median_a,
-    median_b) and records minima in MIN_TIMES."""
-    for _ in range(2):
+    median_b) and records minima in MIN_TIMES.
+
+    Warm-up is adaptive: the first pass over a freshly cached 1M-row
+    table runs up to 20x slower than steady state (JIT of the Arrow
+    IPC path + GC of the materialized cache — measured 95s → 51s →
+    17s → 4.6s on the same query), so a fixed warm-up count records
+    still-warming values. Repeat until both sides are within 30% of
+    their previous run (cap 8 pairs), then measure."""
+    prev_a = prev_b = float("inf")
+    stable_streak = 0
+    for _ in range(10):
+        t0 = time.perf_counter()
         fn_a()
+        da = time.perf_counter() - t0
+        t0 = time.perf_counter()
         fn_b()
+        db = time.perf_counter() - t0
+        # warming shows as a consistent downward march; require two
+        # consecutive <30%-improvement pairs so a mid-warmup plateau
+        # (JIT compiles in stages) doesn't end warm-up early
+        stable_streak = (
+            stable_streak + 1
+            if (da > prev_a * 0.7 and db > prev_b * 0.7)
+            else 0
+        )
+        prev_a, prev_b = da, db
+        if stable_streak >= 2:
+            break
     ta: list = []
     tb: list = []
     total = 0.0
@@ -222,6 +246,18 @@ def main() -> None:
 
         gt1 = knn_exact(base, swq, k=1).toPandas()  # true NN per query
         true_nn = dict(zip(gt1.query_id, gt1.neighbor_id))
+        # stabilize the search path before the sweep: the first probe
+        # values measured otherwise absorb the JIT/GC warm-up tail and
+        # read slower than larger nprobe (measured 7.4s at nprobe=1 vs
+        # 1.3s at nprobe=2 without this)
+        prev = float("inf")
+        for _ in range(6):
+            t0 = time.perf_counter()
+            search_index(spark, widx, swq, k=100, n_probe=8, vectors=widx_vec).count()
+            dt = time.perf_counter() - t0
+            if dt > prev * 0.7:
+                break
+            prev = dt
         sweep: dict[str, dict] = {}
         for p in (1, 2, 4, 8, 16, 32, 64):
             fn = lambda: search_index(  # noqa: E731

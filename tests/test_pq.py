@@ -202,3 +202,189 @@ def test_encode_dim_mismatch_raises(spark, model):
     )
     with pytest.raises(Exception, match="dimension"):
         pq_encode(bad, model).collect()
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfpq(spark, vec_df, tmp_path_factory):
+    from vector_indexer_spark.operators.pq import build_ivfpq_index
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "index")
+    idx = build_ivfpq_index(
+        vec_df, path, nlist=16, m=4, ksub=16, seed=42, mode="full"
+    )
+    return idx
+
+
+def test_ivfpq_layout_and_meta(spark, ivfpq):
+    import os
+
+    assert os.path.exists(os.path.join(ivfpq.path, "ivfpq_meta.json"))
+    codes = ivfpq.codes(spark)
+    # one code row per input vector, no raw vectors stored
+    assert codes.count() == 500
+    assert set(codes.columns) == {"id", "codes", "cluster_id", "shard_id"}
+    row = codes.first()
+    assert len(row.codes) == 4
+    assert all(0 <= c < 16 for c in row.codes)
+
+
+def test_ivfpq_load_roundtrip(spark, ivfpq):
+    from vector_indexer_spark.operators.pq import load_ivfpq_index
+
+    loaded = load_ivfpq_index(spark, ivfpq.path)
+    # centroid table persists as array<float> (reference f32 parity) —
+    # roundtrip is float32-exact; PQ codebooks persist as double
+    np.testing.assert_array_equal(
+        loaded.centroids, ivfpq.centroids.astype(np.float32).astype(np.float64)
+    )
+    np.testing.assert_array_equal(
+        loaded.pq.codebooks, ivfpq.pq.codebooks
+    )
+    assert loaded.nlist == ivfpq.nlist
+    with pytest.raises(FileNotFoundError):
+        load_ivfpq_index(spark, "/tmp/definitely-missing-ivfpq")
+
+
+def test_ivfpq_search_contract(spark, vec_df, ivfpq):
+    from vector_indexer_spark.operators.pq import search_ivfpq
+
+    queries = vec_df.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    res = search_ivfpq(spark, ivfpq, queries, k=5, n_probe=4).toPandas()
+    assert set(res.query_id) == set(range(5))
+    for _, grp in res.groupby("query_id"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (np.diff(grp.adc_dist2.to_numpy()) >= 0).all()
+
+
+def test_ivfpq_recall_vs_exact(spark, vec_df, ivfpq):
+    """Residual PQ over probed clusters: recall@10 must beat flat PQ at
+    the same code budget (residuals have far less variance than raw
+    vectors) and grow with n_probe."""
+    from vector_indexer_spark.operators.pq import search_ivfpq
+
+    queries = vec_df.filter(F.col("id") >= 490).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    exact = knn_exact(vec_df, queries, k=10)
+
+    def recall(n_probe):
+        approx = search_ivfpq(
+            spark, ivfpq, queries, k=10, n_probe=n_probe
+        ).withColumnRenamed("adc_dist2", "dist2")
+        return calculate_recall(approx, exact, 10)
+
+    r4, r16 = recall(4), recall(16)
+    assert r16 >= r4  # more probes → recall cannot drop
+    # flat PQ at m=4, ksub=8 measured 0.18; residual coding at m=4,
+    # ksub=16 with full probing must do substantially better
+    assert r16 > 0.3
+
+
+def test_ivfpq_search_validations(spark, vec_df, ivfpq):
+    from vector_indexer_spark.operators.pq import search_ivfpq
+
+    queries = vec_df.limit(1).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    with pytest.raises(ValueError, match="positive"):
+        search_ivfpq(spark, ivfpq, queries, k=0)
+    bad = spark.createDataFrame(
+        [(1, [0.0] * 32)], "query_id long, query array<float>"
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        search_ivfpq(spark, ivfpq, bad, k=3)
+    empty = spark.createDataFrame([], "query_id long, query array<float>")
+    assert search_ivfpq(spark, ivfpq, empty, k=3).count() == 0
+
+
+def test_ivfpq_dim_not_divisible_raises(spark, vec_df, tmp_path):
+    from vector_indexer_spark.operators.pq import build_ivfpq_index
+
+    with pytest.raises(ValueError, match="not divisible"):
+        build_ivfpq_index(vec_df, str(tmp_path / "x"), nlist=4, m=7)
+
+
+def test_ivfpq_search_matches_relational_fixture(spark, embeddings):
+    """Bridge: the production IVF-PQ kernel path (search_ivfpq over an
+    in-memory fixed-quantizer index) must reproduce the relational
+    formulation the DuckDB oracle runs (ivfpq_adc_fixed)."""
+    import os
+
+    import pandas as pd
+
+    from vector_indexer_spark.entry_queries import QUERIES
+    from vector_indexer_spark.functions.kernels import assign_nearest
+    from vector_indexer_spark.operators.pq import (
+        IvfPqIndex,
+        PQModel as _PQModel,
+        _encode_batch,
+        search_ivfpq,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    rows = embeddings.orderBy("vec_id").collect()
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    cents = np.stack([emb[i] for i in range(16)])
+    cb = np.stack(
+        [
+            [emb[c][j * 16 : (j + 1) * 16] for c in range(8)]
+            for j in range(4)
+        ]
+    )  # (m=4, ksub=8, dsub=16)
+    ids = np.array(sorted(emb), dtype=np.int64)
+    X = np.stack([emb[i] for i in ids])
+    cl = assign_nearest(X, cents)
+    codes = _encode_batch(X - cents[cl], cb)
+    codes_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ids,
+                "codes": list(codes),
+                "cluster_id": cl,
+                "shard_id": np.zeros(len(ids), dtype=np.int64),
+            }
+        ),
+        "id long, codes array<int>, cluster_id long, shard_id long",
+    )
+    idx = IvfPqIndex(
+        path="",
+        dimension=64,
+        nlist=16,
+        n_shards=1,
+        seed=0,
+        n_vectors=len(ids),
+        centroids=cents,
+        centroid_shards=np.zeros(16, dtype=np.int64),
+        pq=_PQModel(codebooks=cb),
+    )
+    queries = embeddings.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    got = (
+        search_ivfpq(spark, idx, queries, k=5, n_probe=4, codes=codes_df)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = (
+        QUERIES["ivfpq_adc_fixed"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 50
+    assert (got.query_id == want.query_id).all()
+    assert (got.neighbor_id == want.neighbor_id).all()
+    np.testing.assert_allclose(
+        got.adc_dist2.to_numpy(), want.adc_dist2.to_numpy(), rtol=1e-9
+    )

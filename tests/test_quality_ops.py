@@ -1,0 +1,128 @@
+"""Tests for the corpus-quality operators (repetition, duplicate
+n-grams) and the engine-independent LCG generator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators.text_analysis import (
+    duplicate_ngram_fraction,
+    repetition_stats,
+)
+from vector_indexer_spark.sources.files import generate_vectors_lcg
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        rows = {
+            r.doc_id: r
+            for r in repetition_stats(
+                _docs(spark, ["a a a a", "x y z", "w w", "", "solo"])
+            ).collect()
+        }
+        # "a a a a": bigrams [a a, a a, a a] → 3 total, 1 distinct
+        assert rows[0].n_ngrams == 3 and rows[0].n_distinct == 1
+        assert rows[0].repetition == pytest.approx(2 / 3)
+        # "x y z": all distinct
+        assert rows[1].n_ngrams == 2 and rows[1].repetition == 0.0
+        assert rows[2].n_ngrams == 1 and rows[2].repetition == 0.0
+        # empty / single-token docs: no n-grams, repetition 0
+        assert rows[3].n_ngrams == 0 and rows[3].repetition == 0.0
+        assert rows[4].n_ngrams == 0 and rows[4].repetition == 0.0
+
+    def test_tokenization_case_punct(self, spark):
+        # tokens are lowercased, punctuation splits
+        rows = repetition_stats(_docs(spark, ["Foo foo! FOO?"])).collect()
+        assert rows[0].n_ngrams == 2 and rows[0].n_distinct == 1
+
+    def test_n_validation(self, spark):
+        with pytest.raises(ValueError):
+            repetition_stats(_docs(spark, ["x"]), n=0)
+
+
+class TestDuplicateNgramFraction:
+    def test_hand_computed(self, spark):
+        df = _docs(
+            spark,
+            [
+                "the quick brown fox jumps",  # shares "the quick brown"+.. with doc1
+                "the quick brown fox sleeps",
+                "completely different words here",
+                "tiny",  # < n tokens
+            ],
+        )
+        rows = {r.doc_id: r for r in duplicate_ngram_fraction(df, n=3).collect()}
+        # doc0 trigrams: [the quick brown, quick brown fox, brown fox jumps]
+        # shared with doc1: first two
+        assert rows[0].n_shingles == 3 and rows[0].n_shared == 2
+        assert rows[0].shared_fraction == pytest.approx(2 / 3)
+        assert rows[1].n_shingles == 3 and rows[1].n_shared == 2
+        assert rows[2].n_shingles == 2 and rows[2].n_shared == 0
+        assert rows[3].n_shingles == 0 and rows[3].shared_fraction == 0.0
+
+    def test_duplicate_within_one_doc_not_shared(self, spark):
+        # a trigram repeated inside ONE doc only is not cross-doc shared
+        df = _docs(spark, ["p q r p q r", "unrelated text entirely"])
+        rows = {r.doc_id: r for r in duplicate_ngram_fraction(df, n=3).collect()}
+        assert rows[0].n_shared == 0
+
+    def test_all_rows_present(self, spark, documents):
+        out = duplicate_ngram_fraction(documents)
+        assert out.count() == documents.count()
+
+
+class TestLcgGenerator:
+    def test_shape_and_range(self, spark):
+        df = generate_vectors_lcg(spark, 50, 8, seed=3)
+        rows = df.collect()
+        assert len(rows) == 50
+        for r in rows:
+            assert len(r.values) == 8
+            assert all(-1.0 <= v < 1.0 for v in r.values)
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        a = generate_vectors_lcg(spark, 100, 4, seed=9, partitions=1).collect()
+        b = generate_vectors_lcg(spark, 100, 4, seed=9, partitions=7).collect()
+        am = {r.id: list(r.values) for r in a}
+        bm = {r.id: list(r.values) for r in b}
+        assert am == bm  # value is a pure function of (id, j, seed)
+
+    def test_seed_changes_output(self, spark):
+        a = generate_vectors_lcg(spark, 10, 4, seed=1).collect()
+        b = generate_vectors_lcg(spark, 10, 4, seed=2).collect()
+        assert {r.id: list(r.values) for r in a} != {
+            r.id: list(r.values) for r in b
+        }
+
+    def test_rough_uniformity(self, spark):
+        vals = np.array(
+            [
+                v
+                for r in generate_vectors_lcg(spark, 500, 16, seed=5).collect()
+                for v in r.values
+            ]
+        )
+        assert abs(vals.mean()) < 0.05
+        assert 0.5 < vals.std() < 0.65  # uniform(-1,1) std ≈ 0.577
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError):
+            generate_vectors_lcg(spark, 0, 4)
+        with pytest.raises(ValueError):
+            generate_vectors_lcg(spark, 4, 0)
+
+    def test_buildable(self, spark, tmp_path):
+        # the generated frame feeds the standard build path
+        from vector_indexer_spark.operators.index_build import build_index
+
+        df = generate_vectors_lcg(spark, 300, 8, seed=11)
+        idx = build_index(df, str(tmp_path / "idx"), seed=11)
+        assert idx.n_vectors == 300

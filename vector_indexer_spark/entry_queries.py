@@ -1827,3 +1827,350 @@ def _pq_search_trained(spark, sf_dir):
 
 
 _register("pq_search_trained", _pq_search_trained)
+
+
+# --------------------------------------------------------------------------
+# sources_lcg_gen — deterministic generation as an oracle-checked op:
+# both engines compute the identical two-round LCG per (id, component).
+# --------------------------------------------------------------------------
+
+_LCG_N, _LCG_D, _LCG_SEED = 200, 16, 7
+
+
+def _sources_lcg_gen(spark, sf_dir):
+    """S4 (oracle-able variant) — engine-independent deterministic
+    synthetic vectors (sources/files.py:generate_vectors_lcg), exploded
+    to scalar (id, j, component) rows so the value hash covers every
+    generated component (array columns don't hash portably)."""
+    from vector_indexer_spark.sources.files import generate_vectors_lcg
+
+    gen = generate_vectors_lcg(spark, _LCG_N, _LCG_D, seed=_LCG_SEED)
+    return gen.select(
+        "id", F.posexplode("values").alias("j", "component")
+    ).select("id", F.col("j").cast("int").alias("j"), "component")
+
+
+_LCG_OFF = (_LCG_SEED * 2654435761) % (2**31)
+
+_register(
+    "sources_lcg_gen",
+    _sources_lcg_gen,
+    f"""
+    SELECT t.range AS id, CAST(j.range AS INT) AS j,
+           CAST(CAST(
+             ((((t.range * {_LCG_D} + j.range + {_LCG_OFF}) % 2147483648)
+                * 1103515245 + 12345) % 2147483648
+                * 1103515245 + 12345) % 2147483648
+             AS DOUBLE) / 2147483648.0 * 2.0 - 1.0 AS FLOAT) AS component
+    FROM range(0, {_LCG_N}) t CROSS JOIN range(0, {_LCG_D}) j
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# text_repetition / text_dup_ngrams — pre-training quality signals
+# (operators/text_analysis.py:repetition_stats / duplicate_ngram_fraction)
+# --------------------------------------------------------------------------
+
+
+def _text_repetition(spark, sf_dir):
+    """Intra-doc repeated-bigram fraction (scan-local, zero shuffle)."""
+    from vector_indexer_spark.operators.text_analysis import repetition_stats
+
+    return repetition_stats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=2
+    )
+
+
+_register(
+    "text_repetition",
+    _text_repetition,
+    f"""
+    WITH t AS (SELECT doc_id, {_DD_TOKENS.format(c="text")} AS w
+               FROM documents),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1])
+             END AS ng
+      FROM t)
+    SELECT doc_id,
+           CAST(len(ng) AS BIGINT) AS n_ngrams,
+           CAST(len(list_distinct(ng)) AS BIGINT) AS n_distinct,
+           CASE WHEN len(ng) > 0
+                THEN 1.0 - CAST(len(list_distinct(ng)) AS DOUBLE)
+                           / CAST(len(ng) AS DOUBLE)
+                ELSE 0.0 END AS repetition
+    FROM g
+    """,
+)
+
+
+def _text_dup_ngrams(spark, sf_dir):
+    """Cross-doc duplicate-trigram share (boilerplate signal)."""
+    from vector_indexer_spark.operators.text_analysis import (
+        duplicate_ngram_fraction,
+    )
+
+    return duplicate_ngram_fraction(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=3
+    )
+
+
+_register(
+    "text_dup_ngrams",
+    _text_dup_ngrams,
+    f"""
+    WITH t AS (SELECT doc_id, {_DD_TOKENS.format(c="text")} AS w
+               FROM documents),
+    sh AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(w) >= 3
+             THEN list_transform(range(1, len(w) - 1),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE []::VARCHAR[] END) AS shingle
+      FROM t),
+    shared AS (
+      SELECT shingle FROM sh GROUP BY shingle
+      HAVING count(DISTINCT doc_id) > 1),
+    per AS (
+      SELECT s.doc_id, count(*) AS n_shingles,
+             SUM(CASE WHEN sr.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_shared
+      FROM sh s LEFT JOIN shared sr USING (shingle)
+      GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_shared, 0) AS BIGINT) AS n_shared,
+           CASE WHEN COALESCE(p.n_shingles, 0) > 0
+                THEN CAST(p.n_shared AS DOUBLE)
+                     / CAST(p.n_shingles AS DOUBLE)
+                ELSE 0.0 END AS shared_fraction
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# ivfpq_ — IVF-PQ (coarse probe pruning + residual-PQ ADC) under fixed
+# centroids (first 16 embeddings) and fixed codebooks (subspace slices
+# of the first 8): the full compressed-search semantics as a bit-exact
+# relational query. The production path (operators/pq.py:search_ivfpq)
+# is bridged to this fixture by tests/test_pq.py.
+# --------------------------------------------------------------------------
+
+
+def _ivfpq_adc_fixed(spark, sf_dir):
+    """Probe top-4 clusters per query; candidates from those clusters
+    scored by ||q − (c + recon(residual codes))||² — residual ADC."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    emb, cents, pairs = _fixed_centroid_frames(spark, sf_dir)
+    # assignment (J1) + the assigned centroid vector for residuals
+    w = Window.partitionBy("vec_id").orderBy("dist2", "centroid_id")
+    assigned = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+        .join(F.broadcast(cents), "centroid_id")
+        .join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "cvec",
+            F.zip_with(
+                "embedding",
+                "cvec",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("resid"),
+        )
+    )
+    # fixed codebooks (same fixture as pq_): slices of the first 8
+    cw = emb.filter(F.col("vec_id") < _N_PQ_CODEWORDS).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("cwv")
+    )
+    subs = spark.range(_PQ_M).select(F.col("id").cast("int").alias("subspace"))
+    cb = cw.crossJoin(subs).select(
+        "subspace",
+        "code",
+        F.slice(
+            F.col("cwv"), F.col("subspace") * _PQ_DSUB + 1, _PQ_DSUB
+        ).alias("codeword"),
+    )
+    epairs = assigned.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "subspace",
+        "code",
+        dist2_expr(
+            F.slice(
+                F.col("resid"), F.col("subspace") * _PQ_DSUB + 1, _PQ_DSUB
+            ),
+            "codeword",
+        ).alias("cdist2"),
+    )
+    we = Window.partitionBy("vec_id", "subspace").orderBy("cdist2", "code")
+    enc = (
+        epairs.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+    recon = (
+        enc.join(F.broadcast(cb), ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.sort_array(
+                    F.collect_list(F.struct("subspace", "codeword"))
+                ).codeword
+            ).alias("rvec")
+        )
+    )
+    apx = assigned.join(recon, "vec_id").select(
+        "vec_id",
+        "centroid_id",
+        F.zip_with(
+            "cvec", "rvec", lambda c, r: c.cast("double") + r.cast("double")
+        ).alias("apx"),
+    )
+    # probes: top-4 centroids per query (queries = vec_id >= 490)
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    wp = Window.partitionBy("query_id").orderBy("cdist2", "centroid_id")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "centroid_id",
+            dist2_expr("cvec", "query").alias("cdist2"),
+        )
+        .withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= 4)
+        .select("query_id", "centroid_id")
+    )
+    scored = (
+        q.join(probes, "query_id")
+        .join(apx, "centroid_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dist2_expr("query", "apx").alias("adc_dist2"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "adc_dist2",
+        )
+    )
+
+
+_DD_RESID = f"""
+  {_DD_ASSIGN},
+  resid AS (
+    SELECT a.vec_id, a.centroid_id, c.cvec,
+           list_transform(range(1, len(v.embedding) + 1),
+             i -> CAST(v.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+             AS r
+    FROM assigned a
+    JOIN embeddings v USING (vec_id)
+    JOIN cents c ON a.centroid_id = c.centroid_id
+    WHERE a.rn = 1
+  ),
+  cw AS (SELECT vec_id AS code, embedding AS cwv
+         FROM embeddings WHERE vec_id < {_N_PQ_CODEWORDS}),
+  subs AS (SELECT CAST(t.range AS INT) AS subspace FROM range(0, {_PQ_M}) t),
+  cb AS (
+    SELECT s.subspace, c.code,
+           list_slice(c.cwv, s.subspace * {_PQ_DSUB} + 1,
+                      s.subspace * {_PQ_DSUB} + {_PQ_DSUB}) AS codeword
+    FROM cw c CROSS JOIN subs s
+  ),
+  encr AS (
+    SELECT vec_id, subspace, code FROM (
+      SELECT r.vec_id, b.subspace, b.code,
+             row_number() OVER (PARTITION BY r.vec_id, b.subspace
+                                ORDER BY {_DD_DIST2.format(
+                a="list_slice(r.r, b.subspace * %d + 1, b.subspace * %d + %d)"
+                  % (_PQ_DSUB, _PQ_DSUB, _PQ_DSUB),
+                b="b.codeword")}, b.code) AS rn
+      FROM resid r CROSS JOIN cb b)
+    WHERE rn = 1
+  ),
+  reconr AS (
+    SELECT e.vec_id, flatten(list(b.codeword ORDER BY e.subspace)) AS rvec
+    FROM encr e JOIN cb b USING (subspace, code)
+    GROUP BY e.vec_id
+  ),
+  apx AS (
+    SELECT r.vec_id, r.centroid_id,
+           list_transform(range(1, len(r.cvec) + 1),
+             i -> CAST(r.cvec[i] AS DOUBLE) + CAST(rc.rvec[i] AS DOUBLE))
+             AS apxv
+    FROM resid r JOIN reconr rc USING (vec_id)
+  )
+"""
+
+_register(
+    "ivfpq_adc_fixed",
+    _ivfpq_adc_fixed,
+    f"""
+    WITH {_DD_RESID},
+    q AS (SELECT vec_id AS query_id, embedding AS query
+          FROM embeddings WHERE vec_id >= 490),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                    ORDER BY {_DD_DIST2.format(a="c.cvec", b="q.query")},
+                             c.centroid_id) AS pr
+        FROM q CROSS JOIN cents c)
+      WHERE pr <= 4
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             {_DD_DIST2.format(a="q.query", b="a.apxv")} AS adc_dist2
+      FROM q
+      JOIN probes p USING (query_id)
+      JOIN apx a ON a.centroid_id = p.centroid_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adc_dist2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist2, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+
+
+def _ivfpq_search_trained(spark, sf_dir):
+    """Production IVF-PQ pipeline end-to-end (rows-only: trained)."""
+    import tempfile
+
+    from vector_indexer_spark.operators.pq import (
+        build_ivfpq_index,
+        search_ivfpq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("values"))
+    path = tempfile.mkdtemp(prefix="ivfpq_trained_") + "/index"
+    idx = build_ivfpq_index(
+        vec, path, nlist=16, m=4, ksub=16, seed=42, mode="full"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_ivfpq(spark, idx, q, k=10, n_probe=8)
+
+
+_register("ivfpq_search_trained", _ivfpq_search_trained)

@@ -85,6 +85,37 @@ class IvfIndex:
         return spark.read.parquet(self.centroids_path)
 
 
+def dense_relabel_and_shards(
+    counts: dict, raw_centroids: np.ndarray, seed: int
+):
+    """P5 + super-centroid sharding, shared by the flat and PQ builders:
+    drop empty clusters, renumber densely, then k-means the surviving
+    centroids into ``num_shards`` super-clusters (derived seed,
+    reference src/ivf_index.rs:103-109, 122-146).
+
+    Returns ``(relabel, centroids, eff_nlist, n_shards, shard_of)``
+    where ``relabel`` maps raw→dense cluster ids and ``shard_of[i]`` is
+    the shard of dense cluster ``i``.
+    """
+    live = sorted(c for c in counts if counts[c] > 0)
+    relabel = {old: new for new, old in enumerate(live)}
+    centroids = raw_centroids[live]
+    eff_nlist = len(live)
+    n_sh = num_shards(eff_nlist)
+    if n_sh >= eff_nlist:
+        shard_of = np.arange(eff_nlist, dtype=np.int64)
+        n_sh = eff_nlist
+    else:
+        supers = kmeans_numpy(
+            centroids,
+            n_sh,
+            max_iters=SUPER_KMEANS_ITERS,
+            seed=super_centroid_seed(seed),
+        )
+        shard_of = assign_nearest(centroids, supers)
+    return relabel, centroids, eff_nlist, int(n_sh), shard_of
+
+
 def build_index(
     df: DataFrame,
     path: str,
@@ -133,31 +164,15 @@ def build_index(
         df, model.centroids, vec_col=vec_col, out_col="__raw_cluster", seed=seed
     ).cache()
 
-    # 2. P5 — drop empty clusters, renumber densely (driver-side: the
-    # cluster set is ≈4√n rows)
+    # 2.+3. P5 dense renumber + super-centroid sharding (driver-side:
+    # the cluster set is ≈4√n rows)
     counts = {
         r["__raw_cluster"]: r["cnt"]
         for r in assigned.groupBy("__raw_cluster").agg(F.count("*").alias("cnt")).collect()
     }
-    live = sorted(c for c in counts if counts[c] > 0)
-    relabel = {old: new for new, old in enumerate(live)}
-    centroids = model.centroids[live]
-    eff_nlist = len(live)
-
-    # 3. super-centroid k-means → shard assignment (derived seed,
-    # src/ivf_index.rs:103-109)
-    n_sh = num_shards(eff_nlist)
-    if n_sh >= eff_nlist:
-        shard_of = np.arange(eff_nlist, dtype=np.int64)
-        n_sh = eff_nlist
-    else:
-        supers = kmeans_numpy(
-            centroids,
-            n_sh,
-            max_iters=SUPER_KMEANS_ITERS,
-            seed=super_centroid_seed(seed),
-        )
-        shard_of = assign_nearest(centroids, supers)
+    relabel, centroids, eff_nlist, n_sh, shard_of = dense_relabel_and_shards(
+        counts, model.centroids, seed
+    )
 
     # 4. S7 — one shuffle on the shard key, then partitioned write with
     # rows sorted by cluster_id inside each shard file. This mirrors

@@ -320,3 +320,351 @@ def pq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_dist2")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cluster pruning + residual PQ codes — the 100 TB layout
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class IvfPqIndex:
+    """Persisted IVF-PQ index: centroid table + per-vector codes
+    partitioned by shard (NO raw vectors — the corpus on disk is m
+    bytes-ish per vector plus ids). Classic residual encoding (Jégou
+    et al. 2011 §IV; Faiss ``IndexIVFPQ``): each vector is stored as
+    its coarse cluster plus PQ codes of the residual ``x − c``."""
+
+    path: str
+    dimension: int
+    nlist: int
+    n_shards: int
+    seed: int
+    n_vectors: int
+    centroids: np.ndarray  # (nlist, d) float64, dense ids
+    centroid_shards: np.ndarray  # (nlist,) int64
+    pq: PQModel
+
+    def codes_path(self) -> str:
+        return os.path.join(self.path, "codes")
+
+    def codes(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.codes_path())
+
+
+IVFPQ_FORMAT_VERSION = 1
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    nlist: int | None = None,
+    m: int = 8,
+    ksub: int = 256,
+    seed: int = 42,
+    mode: str = "full",
+    max_iters: int | None = None,
+) -> IvfPqIndex:
+    """Train coarse + PQ quantizers and persist the compressed index.
+
+    Pipeline (each phase streams; nothing driver-sized except the
+    quantizers themselves):
+
+    1. coarse k-means (reuses the IVF trainer incl. hierarchical
+       assignment above k=100),
+    2. distributed cluster assignment, dense renumber + sharding
+       (same layout contract as the flat index),
+    3. PQ codebooks trained on a seeded sample of *residuals*
+       ``x − c(x)`` (driver NumPy, bounded sample — same contract as
+       coarse training),
+    4. one distributed encode pass: residual → m codes per vector,
+       written ``partitionBy(shard_id)`` sorted by cluster — Hive
+       pruning + row-group stats exactly like the flat index, but the
+       table is ~m bytes per vector instead of 4d.
+    """
+    from vector_indexer_spark.config import calculate_max_iterations, suggest_nlist
+    from vector_indexer_spark.operators.index_build import (
+        dense_relabel_and_shards,
+    )
+    from vector_indexer_spark.operators.kmeans import (
+        _collect_sample,
+        assign_clusters,
+        kmeans_fit,
+    )
+    from vector_indexer_spark.functions.kernels import assign_nearest
+
+    spark = df.sparkSession
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot build an index from an empty DataFrame")
+    dimension = len(df.select(vec_col).first()[0])
+    bad = df.filter(F.size(vec_col) != dimension).count()
+    if bad:
+        raise ValueError(f"{bad} records have dimension != {dimension}")
+    if dimension % m != 0:
+        raise ValueError(f"dimension {dimension} not divisible by m={m}")
+
+    nlist = nlist or suggest_nlist(n)
+    max_iters = max_iters or calculate_max_iterations(n)
+
+    model = kmeans_fit(
+        df, nlist, vec_col=vec_col, max_iters=max_iters, seed=seed, mode=mode
+    )
+    assigned = assign_clusters(
+        df, model.centroids, vec_col=vec_col, out_col="__raw_cluster", seed=seed
+    ).cache()
+    counts = {
+        r["__raw_cluster"]: r["cnt"]
+        for r in assigned.groupBy("__raw_cluster")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    relabel, centroids, eff_nlist, n_sh, shard_of = dense_relabel_and_shards(
+        counts, model.centroids, seed
+    )
+
+    # 3. PQ on residual sample (seed offset keeps the PQ sample draw
+    # independent of the coarse-training draw)
+    sample = _collect_sample(df, vec_col, KMEANS_INIT_SAMPLE_CAP, seed + 1)
+    res = sample - centroids[assign_nearest(sample, centroids)]
+    dsub = dimension // m
+    cb = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        cb[j] = kmeans_numpy(
+            res[:, j * dsub : (j + 1) * dsub],
+            ksub,
+            max_iters=25,
+            seed=seed * 31 + j,
+        )
+    pqm = PQModel(codebooks=cb)
+
+    # 4. relabel + residual-encode + partitioned write
+    mapping = spark.createDataFrame(
+        [(int(old), int(new), int(shard_of[new])) for old, new in relabel.items()],
+        "__raw_cluster long, cluster_id long, shard_id long",
+    )
+    bstate = spark.sparkContext.broadcast((centroids, cb))
+
+    def _encode_res(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents_, cb_ = bstate.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = stack_arrays(pdf["__vec"])
+            cl = pdf["cluster_id"].to_numpy()
+            codes = _encode_batch(x - cents_[cl], cb_)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "codes": list(codes),
+                    "cluster_id": cl,
+                    "shard_id": pdf["shard_id"].to_numpy(),
+                }
+            )
+
+    out = (
+        assigned.join(F.broadcast(mapping), "__raw_cluster")
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__vec"),
+            "cluster_id",
+            "shard_id",
+        )
+        .mapInPandas(
+            _encode_res,
+            "id long, codes array<int>, cluster_id long, shard_id long",
+        )
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cluster_id")
+    )
+    out.write.mode("overwrite").partitionBy("shard_id").parquet(
+        os.path.join(path, "codes")
+    )
+    assigned.unpersist()
+
+    cent_rows = [
+        (int(i), [float(x) for x in centroids[i]], int(shard_of[i]))
+        for i in range(eff_nlist)
+    ]
+    spark.createDataFrame(
+        cent_rows, "centroid_id long, vector array<float>, shard_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    pqm.save(spark, path)
+    meta = {
+        "version": IVFPQ_FORMAT_VERSION,
+        "kind": "ivfpq",
+        "dimension": dimension,
+        "nlist": eff_nlist,
+        "n_shards": n_sh,
+        "seed": seed,
+        "n_vectors": n,
+        "m": m,
+        "ksub": ksub,
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "ivfpq_meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return IvfPqIndex(
+        path=path,
+        dimension=dimension,
+        nlist=eff_nlist,
+        n_shards=n_sh,
+        seed=seed,
+        n_vectors=n,
+        centroids=centroids,
+        centroid_shards=shard_of,
+        pq=pqm,
+    )
+
+
+def load_ivfpq_index(spark: SparkSession, path: str) -> IvfPqIndex:
+    meta_path = os.path.join(path, "ivfpq_meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(f"no IVF-PQ index at {path}")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("version") != IVFPQ_FORMAT_VERSION:
+        raise ValueError(f"unsupported IVF-PQ version {meta.get('version')!r}")
+    rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    centroids = np.asarray([r.vector for r in rows], dtype=np.float64)
+    shard_of = np.asarray([r.shard_id for r in rows], dtype=np.int64)
+    return IvfPqIndex(
+        path=path,
+        dimension=meta["dimension"],
+        nlist=meta["nlist"],
+        n_shards=meta["n_shards"],
+        seed=meta["seed"],
+        n_vectors=meta["n_vectors"],
+        centroids=centroids,
+        centroid_shards=shard_of,
+        pq=PQModel.load(spark, path),
+    )
+
+
+def search_ivfpq(
+    spark: SparkSession,
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 20,
+    *,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Pruned ADC search over the compressed index.
+
+    Same two-action shape as the flat arrow search (driver probe
+    ranking → one pruned scan+score job), but the scan reads only
+    ``(id, codes, cluster_id)`` of the probed partitions and scoring is
+    per-cluster residual ADC: for each scanned cluster, LUTs are built
+    from ``q − c`` for exactly the queries probing that cluster (LUT
+    state is per-batch local — never a broadcast of nq × nlist tables).
+    Returns ``(query_id, rank, neighbor_id, adc_dist2)``.
+    """
+    if k <= 0 or n_probe <= 0:
+        raise ValueError("k and n_probe must be positive")
+    qrows = queries.select(query_id_col, query_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, adc_dist2 double"
+        )
+    bad = sum(1 for r in qrows if len(r[1]) != index.dimension)
+    if bad:
+        raise ValueError(f"{bad} queries have dimension != {index.dimension}")
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = stack_arrays([r[1] for r in qrows])
+
+    from vector_indexer_spark.functions.kernels import (
+        pairwise_dist2,
+        topk_per_row as _topk,
+    )
+
+    d2c = pairwise_dist2(qmat, index.centroids)
+    _, probe_ids = _topk(d2c, min(n_probe, index.nlist))
+    cluster_ids = np.unique(probe_ids)
+    shard_ids = np.unique(index.centroid_shards[cluster_ids])
+    pos = {int(c): i for i, c in enumerate(cluster_ids)}
+    probe_mask = np.zeros((len(qids), len(cluster_ids)), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, [pos[int(c)] for c in probe_ids[qi]]] = True
+
+    base = codes if codes is not None else index.codes(spark)
+    pruned = base.where(
+        F.col("shard_id").isin([int(s) for s in shard_ids])
+        & F.col("cluster_id").isin([int(c) for c in cluster_ids])
+    ).select("id", "codes", "cluster_id")
+
+    bstate = spark.sparkContext.broadcast(
+        (qids, qmat, index.centroids, index.pq.codebooks, cluster_ids,
+         probe_mask)
+    )
+
+    def _adc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_, cents_, cb_, cids_, mask_ = bstate.value
+        m_, ksub_, dsub_ = cb_.shape
+        nq = qmat_.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes_np = np.asarray(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            vids = pdf["id"].to_numpy()
+            cl = pdf["cluster_id"].to_numpy()
+            nrows = len(vids)
+            d2 = np.full((nq, nrows), np.inf)
+            # per scanned cluster: residual LUTs for the probing
+            # queries only, then the LUT-gather distance fill
+            for c in np.unique(cl):
+                qsel = np.flatnonzero(mask_[:, np.searchsorted(cids_, c)])
+                if qsel.size == 0:
+                    continue
+                rsel = np.flatnonzero(cl == c)
+                qr = qmat_[qsel] - cents_[c]
+                lut = np.empty((qsel.size, m_, ksub_), dtype=np.float64)
+                for j in range(m_):
+                    qj = qr[:, j * dsub_ : (j + 1) * dsub_]
+                    cbj = cb_[j]
+                    lut[:, j, :] = (
+                        np.einsum("ij,ij->i", qj, qj)[:, None]
+                        - 2.0 * (qj @ cbj.T)
+                        + np.einsum("ij,ij->i", cbj, cbj)[None, :]
+                    )
+                np.maximum(lut, 0.0, out=lut)
+                sub = lut[:, 0, codes_np[rsel, 0]]
+                for j in range(1, m_):
+                    sub = sub + lut[:, j, codes_np[rsel, j]]
+                d2[np.ix_(qsel, rsel)] = sub
+            dists, ids = _topk(d2, k, ids=vids)
+            keep = np.isfinite(dists)
+            if not keep.any():
+                continue
+            kk = dists.shape[1]
+            qrep = np.repeat(qids_, kk).reshape(nq, kk)
+            yield pd.DataFrame(
+                {
+                    "query_id": qrep[keep],
+                    "neighbor_id": ids[keep],
+                    "adc_dist2": dists[keep],
+                }
+            )
+
+    local = pruned.mapInPandas(
+        _adc, "query_id long, neighbor_id long, adc_dist2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist2")
+    )

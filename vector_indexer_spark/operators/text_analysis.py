@@ -74,3 +74,128 @@ def quality_filter(
         (quality_score_expr(text_col) >= min_quality)
         & (token_count_expr(text_col) >= min_tokens)
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Intra-document repetition: fraction of word n-grams that are
+    repeats of an earlier n-gram in the same document (the standard
+    "repetitious text" pre-training quality signal — highly repetitive
+    documents are boilerplate/spam; cf. Gopher/RefinedWeb rules).
+
+    Scan-local: n-grams, distinct count, and ratio are all array
+    expressions inside whole-stage codegen — zero shuffle, no UDF, so
+    at 100 TB this is a single pass bounded by scan bandwidth.
+    Returns ``(doc_id, n_ngrams, n_distinct, repetition)`` where
+    ``repetition = 1 − n_distinct/n_ngrams`` (0.0 for docs with no
+    n-grams).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from vector_indexer_spark.functions.text import tokens_expr
+
+    toks = tokens_expr(text_col)
+    grams = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            # sequence() with stop < start counts DOWN — the when()
+            # guard above keeps that branch unevaluated rows out
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(n)]
+            ),
+        )
+    )
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(grams).cast("long").alias("n_ngrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+    )
+    return out.select(
+        "doc_id",
+        "n_ngrams",
+        "n_distinct",
+        F.when(
+            F.col("n_ngrams") > 0,
+            1.0
+            - F.col("n_distinct").cast("double")
+            / F.col("n_ngrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repetition"),
+    )
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-document boilerplate share: per document, the fraction of
+    its word n-gram occurrences whose n-gram also appears in at least
+    one OTHER document (the corpus-level "duplicate n-grams" signal
+    used to find templated/boilerplate text in pre-training corpora).
+
+    Plan shape (scales to 100 TB): tokenize+shingle scan-locally
+    (posexplode + window lead, same as MinHash), aggregate each
+    n-gram's distinct-document count with one hash shuffle on the
+    n-gram (map-side partial), semi-join the shared n-grams back onto
+    the per-document occurrences (shuffle reuses the n-gram key), then
+    one map-side-combinable groupBy(doc_id). Nothing is all-pairs.
+
+    Returns ``(doc_id, n_shingles, n_shared, shared_fraction)``;
+    shingle-less documents (< n tokens) get 0 / 0.0.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.text import tokens_expr
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            parts[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+    shared = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") > 1)
+        .select("shingle")
+    )
+    marked = sh.join(shared.withColumn("__shared", F.lit(1)), "shingle", "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__shared"), F.lit(0))).alias("n_shared"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.col("n_shared").cast("double")
+            / F.col("n_shingles").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("shared_fraction"),
+    )

@@ -189,3 +189,58 @@ def write_vector_parquet(df: DataFrame, path: str, *, mode: str = "overwrite"):
     """Canonical vector-file writer (the reference's append-batches
     writer collapses to one partitioned write)."""
     df.write.mode(mode).parquet(path)
+
+
+# LCG constants (glibc rand() multiplier — public constants) for the
+# engine-independent deterministic generator below.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2**31
+
+
+def generate_vectors_lcg(
+    spark: SparkSession,
+    count: int,
+    dimension: int,
+    *,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """S4, oracle-able variant — deterministic synthetic vectors whose
+    every component is a pure-integer function of ``(id, component,
+    seed)``, expressible identically in any SQL engine (two LCG rounds
+    keyed on the flattened component index; all intermediates < 2^61 so
+    64-bit integer arithmetic never overflows, ANSI-safe).
+
+    Unlike :func:`generate_vectors` (NumPy PRNG per Arrow batch —
+    higher-quality randomness, but only reproducible by this engine),
+    this variant is bit-reproducible by the DuckDB oracle, which turns
+    synthetic *generation* itself into an oracle-checked operator. The
+    whole expression is JVM-side Catalyst (``transform`` over
+    ``sequence``) — no Python workers, fully distributed via
+    ``spark.range``.
+    """
+    if count <= 0 or dimension <= 0:
+        raise ValueError("count and dimension must be positive")
+    offset = (seed * 2654435761) % _LCG_M  # Knuth multiplicative hash
+    base = spark.range(
+        0, count, 1, partitions or spark.sparkContext.defaultParallelism
+    )
+
+    def _component(j):
+        x0 = (F.col("id") * dimension + j + F.lit(offset)) % F.lit(_LCG_M)
+        x1 = (x0 * _LCG_A + _LCG_C) % F.lit(_LCG_M)
+        x2 = (x1 * _LCG_A + _LCG_C) % F.lit(_LCG_M)
+        return (
+            x2.cast("double") / float(_LCG_M) * 2.0 - 1.0
+        ).cast("float")
+
+    values = F.transform(
+        F.sequence(F.lit(0), F.lit(dimension - 1)), _component
+    )
+    return base.select(
+        F.col("id"),
+        F.col("id").alias("external_id"),
+        values.alias("values"),
+        F.lit(0).cast("long").alias("ts"),
+    )
