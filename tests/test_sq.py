@@ -1,0 +1,163 @@
+"""Scalar-quantization (SQ8) tests: training statistics, encode range /
+reconstruction-error contract, search quality vs exact kNN, and model
+persistence."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators.knn import knn_exact
+from vector_indexer_spark.operators.search import calculate_recall
+from vector_indexer_spark.operators.sq import (
+    SQModel,
+    sq_encode,
+    sq_search,
+    sq_train,
+)
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark, embeddings):
+    return embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def model(vec_df):
+    return sq_train(vec_df)
+
+
+def test_train_matches_numpy_minmax(vec_df, model):
+    mat = np.array(
+        [r["values"] for r in vec_df.select("values").collect()],
+        dtype=np.float32,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(model.dmin), mat.min(axis=0).astype(np.float64)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(model.dmax), mat.max(axis=0).astype(np.float64)
+    )
+    assert model.dimension == mat.shape[1]
+
+
+def test_train_empty_raises(spark):
+    empty = spark.createDataFrame([], "id long, values array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        sq_train(empty)
+
+
+def test_encode_range_and_determinism(vec_df, model):
+    codes = sq_encode(vec_df, model)
+    stats = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("dlo"),
+        F.max(F.size("codes")).alias("dhi"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] <= 255
+    assert stats["dlo"] == stats["dhi"] == model.dimension
+    # extremes of each dimension land on the end codes
+    assert stats["lo"] == 0 and stats["hi"] == 255
+    a = codes.orderBy("id").collect()
+    b = sq_encode(vec_df, model).orderBy("id").collect()
+    assert a == b
+
+
+def test_constant_dimension_encodes_zero(spark):
+    df = spark.createDataFrame(
+        [(0, [1.5, 2.0]), (1, [1.5, 3.0])], "id long, values array<float>"
+    )
+    m = sq_train(df)
+    rows = {r["id"]: r["codes"] for r in sq_encode(df, m).collect()}
+    assert rows[0][0] == 0 and rows[1][0] == 0  # constant dim -> code 0
+    assert rows[0][1] == 0 and rows[1][1] == 255
+
+
+def test_reconstruction_error_bounded(vec_df, model):
+    """|x_j − recon_j| ≤ scale_j/2 (+1 ULP slack) for every element."""
+    from vector_indexer_spark.operators.sq import reconstruct_expr
+
+    codes = sq_encode(vec_df, model)
+    joined = codes.join(vec_df, "id").select(
+        "id",
+        F.zip_with(
+            reconstruct_expr("codes", model),
+            F.col("values"),
+            lambda r, x: F.abs(r - x.cast("double")),
+        ).alias("err"),
+    )
+    max_err = joined.select(
+        F.max(F.array_max("err")).alias("e")
+    ).first()["e"]
+    max_half_scale = max(s / 2 for s in model.scale)
+    assert max_err <= max_half_scale * (1 + 1e-9)
+
+
+def test_search_recall_vs_exact(spark, vec_df, model):
+    """Decode-and-score search finds nearly the same neighbors as exact
+    kNN — SQ8 error is tiny relative to inter-point distances."""
+    q = vec_df.limit(10).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    codes = sq_encode(vec_df, model)
+    approx = sq_search(codes, model, q, k=10)
+    exact = knn_exact(vec_df, q, k=10)
+    assert calculate_recall(approx, exact, 10) >= 0.9
+    # top-1 self-match survives quantization
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in approx.filter(F.col("rank") == 1).collect()
+    }
+    assert all(qid == nid for qid, nid in top1.items())
+
+
+def test_adist_close_to_exact_dist(vec_df, model):
+    """sqrt(adist2) within ||recon err|| of sqrt(dist2) (triangle
+    inequality with the per-dim half-scale bound)."""
+    q = vec_df.limit(3).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    codes = sq_encode(vec_df, model)
+    approx = sq_search(codes, model, q, k=5)
+    exact = knn_exact(vec_df, q, k=5, method="native")
+    err_norm = math.sqrt(sum((s / 2) ** 2 for s in model.scale))
+    ex = {
+        (r["query_id"], r["neighbor_id"]): r["dist2"]
+        for r in exact.collect()
+    }
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert abs(math.sqrt(r["adist2"]) - math.sqrt(ex[key])) <= (
+                err_norm * (1 + 1e-9)
+            )
+
+
+def test_k_validation(vec_df, model):
+    codes = sq_encode(vec_df, model)
+    q = vec_df.limit(1).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    with pytest.raises(ValueError, match="positive"):
+        sq_search(codes, model, q, k=0)
+
+
+def test_model_roundtrip(tmp_path, model):
+    model.save(str(tmp_path))
+    again = SQModel.load(str(tmp_path))
+    assert again == model
+    with pytest.raises(ValueError, match="version"):
+        import json
+        import os
+
+        bad = tmp_path / "bad"
+        os.makedirs(bad, exist_ok=True)
+        with open(bad / "sq_model.json", "w") as fh:
+            json.dump({"version": 99, "dmin": [], "dmax": []}, fh)
+        SQModel.load(str(bad))

@@ -1830,6 +1830,135 @@ _register("pq_search_trained", _pq_search_trained)
 
 
 # --------------------------------------------------------------------------
+# sq_ — scalar quantization (operators/sq.py). Training is per-dimension
+# min/max — deterministic aggregates, NOT k-means — so unlike PQ/IVF the
+# ENTIRE train → encode → search pipeline is SQL-reproducible and these
+# queries run the real production operator against a full-pipeline oracle.
+# --------------------------------------------------------------------------
+
+_SQ_MODEL_CACHE: dict = {}
+
+
+def _sq_model(spark, sf_dir):
+    from vector_indexer_spark.operators.sq import sq_train
+
+    if sf_dir not in _SQ_MODEL_CACHE:
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _SQ_MODEL_CACHE[sf_dir] = sq_train(emb, vec_col="embedding")
+    return _SQ_MODEL_CACHE[sf_dir]
+
+
+# DuckDB reproduction of sq_train + encode_expr: min/max per dimension
+# (zip-unnest), then the identical affine quantization arithmetic —
+# (x−mn)/((mx−mn)/255) + 0.5 floored, clamped — all in doubles, so every
+# intermediate is bit-equal to the Spark codegen expression.
+_DD_SQ = """
+  stats AS (
+    SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+      SELECT unnest(embedding) AS val,
+             unnest(range(1, len(embedding) + 1)) AS pos
+      FROM embeddings)
+    GROUP BY pos
+  ),
+  model AS (
+    SELECT list(CAST(mn AS DOUBLE) ORDER BY pos) AS mn,
+           list(CAST(mx AS DOUBLE) ORDER BY pos) AS mx
+    FROM stats
+  ),
+  enc AS (
+    SELECT v.vec_id,
+           list_transform(range(1, len(v.embedding) + 1), i ->
+             CASE WHEN m.mx[i] = m.mn[i] THEN 0
+                  ELSE CAST(least(255, greatest(0,
+                       CAST(floor((CAST(v.embedding[i] AS DOUBLE) - m.mn[i])
+                            / ((m.mx[i] - m.mn[i]) / 255.0) + 0.5) AS INT)
+                       )) AS INT)
+             END) AS codes
+    FROM embeddings v CROSS JOIN model m
+  )
+"""
+
+
+def _sq_codes(spark, sf_dir):
+    """SQ8 train + encode over the whole embeddings table (the real
+    operators.sq pipeline; the oracle re-derives the model in SQL).
+    Codes exploded to one (vec_id, pos, code) row per element — the
+    compare hashes scalars, not arrays."""
+    from vector_indexer_spark.operators.sq import sq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = _sq_model(spark, sf_dir)
+    return (
+        sq_encode(emb, model, id_col="vec_id", vec_col="embedding")
+        .select(
+            F.col("id").alias("vec_id"),
+            F.posexplode("codes").alias("pos0", "code"),
+        )
+        .select(
+            "vec_id", (F.col("pos0") + 1).cast("long").alias("pos"), "code"
+        )
+    )
+
+
+_register(
+    "sq_codes_trained",
+    _sq_codes,
+    f"""
+    WITH {_DD_SQ}
+    SELECT vec_id,
+           unnest(range(1, len(codes) + 1)) AS pos,
+           unnest(codes) AS code
+    FROM enc
+    """,
+)
+
+
+def _sq_search(spark, sf_dir):
+    """SQ8 full pipeline: train → encode → decode-and-score top-10."""
+    from vector_indexer_spark.operators.sq import sq_encode, sq_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = _sq_model(spark, sf_dir)
+    codes = sq_encode(emb, model, id_col="vec_id", vec_col="embedding")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return sq_search(codes, model, q, k=10).select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        "neighbor_id", "adist2"
+    )
+
+
+_register(
+    "sq_search_top10",
+    _sq_search,
+    f"""
+    WITH {_DD_SQ},
+    recon AS (
+      SELECT e.vec_id,
+             list_transform(range(1, len(e.codes) + 1), i ->
+               m.mn[i] + CAST(e.codes[i] AS DOUBLE)
+                       * ((m.mx[i] - m.mn[i]) / 255.0)) AS rvec
+      FROM enc e CROSS JOIN model m
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS query
+          FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id,
+             {_DD_DIST2.format(a="q.query", b="r.rvec")} AS adist2
+      FROM q CROSS JOIN recon r
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adist2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist2, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # sources_lcg_gen — deterministic generation as an oracle-checked op:
 # both engines compute the identical two-round LCG per (id, component).
 # --------------------------------------------------------------------------

@@ -1,0 +1,224 @@
+"""Scalar quantization (SQ8) — per-dimension affine uint8 codes.
+
+A beyond-the-reference scale extension complementing PQ
+(operators/pq.py). The reference stores raw f32 vectors in every
+posting list (src/shards.rs:130-148); at 100 TB the scan bytes are the
+bottleneck. SQ8 (the public Faiss ``IndexScalarQuantizer`` /
+``SQ8`` family the reference's bench harness keys parse,
+bench/faiss_bench_official/bench_all_ivf.py:171-214) maps each
+dimension affinely onto 0..255: ``code_j = round((x_j - min_j) /
+scale_j)`` with ``scale_j = (max_j - min_j)/255`` — a 4x smaller scan
+with far better fidelity than PQ at the same compression tier.
+
+Unlike PQ/IVF (k-means-trained → RNG-dependent → rows-only checkable),
+SQ training is **deterministic aggregates** (per-dimension min/max), so
+the *entire* train → encode → search pipeline is reproducible in SQL
+and oracle-checked end-to-end (``sq_codes`` / ``sq_search_top10`` in
+entry_queries).
+
+Spark shape — all JVM codegen, zero Python in the hot path:
+
+- **train** — one pass: ``df.agg(min(vec[j]), max(vec[j]) for j in d)``
+  (2·d aggregate expressions, map-side combined; no explode, no
+  shuffle of data rows). The model is 2·d doubles on the driver.
+- **encode** — ``transform(values, (x, j) -> affine(x))`` against
+  broadcast literal min/scale arrays. Scan-local projection.
+- **search** — decode-and-score: candidates reconstructed
+  (``min_j + code_j·scale_j``) and scored with the bit-reproducible
+  fold (functions/distance.py) against the broadcast query batch; a
+  query-time scan reads ONLY the codes column (Parquet column
+  pruning) — the raw vector table is never touched.
+
+Error contract: ``|x_j − recon_j| ≤ scale_j/2``, so ADC distance
+converges to exact distance as the value range tightens; the pytest
+asserts the bound and recall-vs-exact on clustered data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SQ_FORMAT_VERSION = 1
+SQ_LEVELS = 255  # 8-bit codes: 0..255
+
+
+@dataclass(frozen=True)
+class SQModel:
+    """Per-dimension affine quantizer: ``code = round((x-dmin)/scale)``.
+
+    ``dmin``/``dmax`` are Python floats (doubles) — exact copies of the
+    float32 data values, so every engine reproduces the arithmetic
+    bit-for-bit.
+    """
+
+    dmin: tuple
+    dmax: tuple
+
+    @property
+    def dimension(self) -> int:
+        return len(self.dmin)
+
+    @property
+    def scale(self) -> tuple:
+        return tuple(
+            (mx - mn) / float(SQ_LEVELS) for mn, mx in zip(self.dmin, self.dmax)
+        )
+
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "sq_model.json"), "w") as fh:
+            json.dump(
+                {
+                    "version": SQ_FORMAT_VERSION,
+                    "dmin": list(self.dmin),
+                    "dmax": list(self.dmax),
+                },
+                fh,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "SQModel":
+        with open(os.path.join(path, "sq_model.json")) as fh:
+            meta = json.load(fh)
+        if meta.get("version") != SQ_FORMAT_VERSION:
+            raise ValueError(
+                f"unsupported sq model version {meta.get('version')!r}"
+            )
+        return cls(dmin=tuple(meta["dmin"]), dmax=tuple(meta["dmax"]))
+
+
+def sq_train(df: DataFrame, *, vec_col: str = "values") -> SQModel:
+    """Fit per-dimension min/max in ONE distributed pass.
+
+    2·d scalar aggregates over array element references — map-side
+    combined, shuffles exactly 2·d·partitions doubles, never explodes
+    the n×d rows. The d is read from the first row (fixed-dimension
+    contract, reference src/api.rs:11).
+    """
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train scalar quantizer on empty input")
+    d = first["d"]
+    aggs = [
+        F.min(F.element_at(F.col(vec_col), j + 1)).alias(f"mn{j}")
+        for j in range(d)
+    ] + [
+        F.max(F.element_at(F.col(vec_col), j + 1)).alias(f"mx{j}")
+        for j in range(d)
+    ]
+    row = df.agg(*aggs).first()
+    return SQModel(
+        dmin=tuple(float(row[f"mn{j}"]) for j in range(d)),
+        dmax=tuple(float(row[f"mx{j}"]) for j in range(d)),
+    )
+
+
+def _lit_darray(vals) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def encode_expr(vec: Column | str, model: SQModel) -> Column:
+    """``ARRAY<INT>`` of uint8 codes for a float-array column.
+
+    ``floor(u + 0.5)`` rather than ``round``: identical
+    round-half-up semantics in every engine (SQL ``round`` tie rules
+    differ between dialects). Constant dimensions (range 0) encode as 0.
+    """
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    mn = _lit_darray(model.dmin)
+    sc = _lit_darray(model.scale)
+
+    def one(x, j):
+        mnj = F.element_at(mn, j + 1)
+        scj = F.element_at(sc, j + 1)
+        code = F.least(
+            F.lit(255),
+            F.greatest(
+                F.lit(0),
+                F.floor((x.cast("double") - mnj) / scj + F.lit(0.5)).cast(
+                    "int"
+                ),
+            ),
+        )
+        return F.when(scj == 0.0, F.lit(0)).otherwise(code)
+
+    return F.transform(vec, one)
+
+
+def reconstruct_expr(codes: Column | str, model: SQModel) -> Column:
+    """``ARRAY<DOUBLE>`` reconstruction ``dmin_j + code_j·scale_j``."""
+    codes = F.col(codes) if isinstance(codes, str) else codes
+    mn = _lit_darray(model.dmin)
+    sc = _lit_darray(model.scale)
+    return F.transform(
+        codes,
+        lambda c, j: F.element_at(mn, j + 1)
+        + c.cast("double") * F.element_at(sc, j + 1),
+    )
+
+
+def sq_encode(
+    df: DataFrame,
+    model: SQModel,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+) -> DataFrame:
+    """``(id, codes ARRAY<INT>)`` — scan-local codegen projection."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        encode_expr(vec_col, model).alias("codes"),
+    )
+
+
+def sq_search(
+    codes_df: DataFrame,
+    model: SQModel,
+    queries: DataFrame,
+    k: int,
+    *,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Top-k by asymmetric distance: exact query vs reconstructed
+    candidates. Returns ``(query_id, rank, neighbor_id, adist2)``.
+
+    Plan: broadcast query batch × codes scan (only the ``codes``
+    column is read — column pruning), reconstruction + fold inside
+    whole-stage codegen, window top-k with the deterministic
+    ``(adist2, neighbor_id)`` tie-break (SURVEY §2.6).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")  # P3
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_col).alias("__q"),
+    )
+    recon = codes_df.select(
+        F.col("id").alias("neighbor_id"),
+        reconstruct_expr("codes", model).alias("__r"),
+    )
+    diffs = recon.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("__q"),
+                F.col("__r"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("adist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
+    return (
+        diffs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adist2")
+    )
