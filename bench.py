@@ -119,12 +119,13 @@ def main() -> None:
     )
     from vector_indexer_spark.session import get_spark
 
+    from vector_indexer_spark.sources.files import read_events_ns
+
     spark = get_spark(app_name="vector-indexer-bench")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = read_events_ns(spark, f"{sf_dir}/events.parquet")
     emb.count(), docs.count()
 
     vec = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("values"))

@@ -141,3 +141,106 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
 
     got2 = {r.text: r.doc_id for r in spark.read.parquet(out).collect()}
     assert got2 == {"alpha": 0, "beta": 1, "gamma": 11}
+
+
+NS = 1_000_000_000
+
+
+def _ev(eid, user, sec, value=1.0):
+    return (eid, sec * NS, user, "click", value)
+
+
+EV_DDL = "event_id long, ts long, user_id long, event_type string, value double"
+
+
+def test_sessionize_gap_semantics(spark):
+    from vector_indexer_spark.streaming.events import sessionize
+
+    gap = 30 * 60  # 30 min in seconds
+    rows = [
+        _ev(0, 1, 0),            # session 1
+        _ev(1, 1, 100),          # session 1 (gap 100s)
+        _ev(2, 1, 100 + gap),    # session 1 — EXACTLY 30 min still merges
+        _ev(3, 1, 100 + 3 * gap + 1),  # session 2 (gap = 30min + 1s)
+        _ev(4, 2, 50),           # other user: own session numbering
+    ]
+    df = spark.createDataFrame(rows, EV_DDL)
+    got = {
+        (r.user_id, r.session_id): (
+            r.session_start // NS,
+            r.session_end // NS,
+            r.n_events,
+        )
+        for r in sessionize(df).collect()
+    }
+    assert got[(1, 1)] == (0, 100 + gap, 3)
+    assert got[(1, 2)] == (100 + 3 * gap + 1, 100 + 3 * gap + 1, 1)
+    assert got[(2, 1)] == (50, 50, 1)
+
+
+def test_sessionize_matches_native_session_window(spark):
+    """The lag/cumsum formulation and Spark's session_window agree on
+    (user, session_start, n_events) — including at the exact-gap
+    boundary, where both start a new session."""
+    import random
+
+    from vector_indexer_spark.streaming.events import (
+        session_rollup,
+        sessionize,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for user in range(20):
+        t = rng.randrange(0, 3600)
+        for _ in range(rng.randrange(1, 40)):
+            # mix sub-gap and super-gap jumps, incl. exact-gap boundary
+            t += rng.choice([10, 60, 1799, 1800, 1801, 5000])
+            rows.append(_ev(eid, user, t, rng.random()))
+            eid += 1
+    df = spark.createDataFrame(rows, EV_DDL)
+    a = {
+        (r.user_id, r.session_start // NS): r.n_events
+        for r in sessionize(df).collect()
+    }
+    tdf = df.withColumn(
+        "ts", F.timestamp_seconds(F.col("ts") / NS)
+    )
+    b = {
+        (r.user_id, int(r.session_start.timestamp())): r.n_events
+        for r in session_rollup(tdf).collect()
+    }
+    assert a == b
+
+
+def test_session_rollup_streaming(spark, tmp_path):
+    from vector_indexer_spark.streaming.events import start_session_rollup
+
+    rows = [
+        ("2024-01-01 10:00:00", 1, 1.0),
+        ("2024-01-01 10:10:00", 1, 1.0),   # same session (gap 10m)
+        ("2024-01-01 11:00:00", 1, 1.0),   # new session (gap 50m)
+        ("2024-01-01 10:00:00", 2, 1.0),
+    ]
+    src = str(tmp_path / "sess_ev")
+    df = spark.createDataFrame(rows, "ts_s string, user_id long, value double")
+    df.select(
+        F.to_timestamp("ts_s").alias("ts"), "user_id", "value"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double"
+    ).parquet(src)
+    q = start_session_rollup(
+        stream, str(tmp_path / "ckpt_sess"), queryName="t_sessions",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in spark.sql("SELECT * FROM t_sessions").collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00")] == 2
+    assert got[(1, "2024-01-01 11:00:00")] == 1
+    assert got[(2, "2024-01-01 10:00:00")] == 1

@@ -842,11 +842,12 @@ def _events_hourly(spark, sf_dir):
     vector_indexer_spark.streaming). Float sums are int-scaled so the
     aggregation is order-independent and exactly comparable.
 
-    The events table stores nanosecond timestamps, which Spark's
-    parquet reader rejects by default — read them as raw int64 nanos
-    (legacy conf) and truncate arithmetically."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    The events timestamp physical type varies by generator run (int64
+    nanos vs TIMESTAMP micros) — ``read_events_ns`` normalizes to one
+    epoch-nanosecond long timeline before the bucketing arithmetic."""
+    from vector_indexer_spark.sources.files import read_events_ns
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
     ns_per_hour = 3_600 * 1_000_000_000
     return ev.groupBy(
         (F.expr(f"ts div {ns_per_hour}") * 3600).alias("hour_start"),
@@ -1250,10 +1251,10 @@ _register(
 def _events_windowed(spark, sf_dir):
     """The F.window tumbling rollup (streaming twin) as a batch query —
     locks Spark's window() bucketing against DuckDB date_trunc."""
+    from vector_indexer_spark.sources.files import read_events_ns
     from vector_indexer_spark.streaming.events import hourly_rollup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
     ev = ev.select(
         F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
         "event_type",
@@ -1279,6 +1280,48 @@ _register(
            count(*) AS n_events,
            CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_sum_micros
     FROM events GROUP BY 1, 2
+    """,
+)
+
+
+def _events_sessionized(spark, sf_dir):
+    """Gap-based sessionization (streaming/events.py:sessionize) over
+    the events table: 30-minute-gap sessions per user, numbered in time
+    order. Fully window-function relational -> exact SQL oracle."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import sessionize
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return sessionize(ev)
+
+
+_register(
+    "events_sessionized",
+    _events_sessionized,
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) AS tns, value FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, tns, value,
+             CASE WHEN lag(tns) OVER w IS NULL
+                       OR tns - lag(tns) OVER w > 1800000000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)
+    ),
+    sessioned AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY tns, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           min(tns) AS session_start, max(tns) AS session_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_sum_micros
+    FROM sessioned GROUP BY 1, 2
     """,
 )
 

@@ -191,6 +191,32 @@ def write_vector_parquet(df: DataFrame, path: str, *, mode: str = "overwrite"):
     df.write.mode(mode).parquet(path)
 
 
+def read_events_ns(spark: SparkSession, path: str) -> DataFrame:
+    """Events reader with the ``ts`` column normalized to BIGINT epoch
+    nanoseconds, whatever the parquet writer used.
+
+    Source files vary: nanosecond TIMESTAMP columns land as int64 nanos
+    (via the legacy nanosAsLong read conf), micro/millisecond ones as
+    TIMESTAMP/TIMESTAMP_NTZ. Downstream event-time arithmetic (hourly
+    buckets, session gaps) wants one integer timeline, so normalize at
+    the source — the same move as reading into a canonical schema on a
+    real lakehouse.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(path)
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # already int64 nanos
+        return ev
+    # TIMESTAMP / TIMESTAMP_NTZ → epoch nanos. Session timezone is
+    # pinned to UTC (session.py), so the NTZ → instant cast is exact.
+    return ev.withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    )
+
+
 # LCG constants (glibc rand() multiplier — public constants) for the
 # engine-independent deterministic generator below.
 _LCG_A = 1103515245

@@ -8,7 +8,7 @@ Post-parity extension — the reference has no streaming (SURVEY §2.10).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -49,6 +49,126 @@ def hourly_rollup(
             "value_sum_micros",
         )
     )
+
+
+DEFAULT_SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 minutes
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    gap_ns: int = DEFAULT_SESSION_GAP_NS,
+) -> DataFrame:
+    """Gap-based sessionization over nanosecond-long event times.
+
+    A new session starts when the gap since the user's previous event is
+    strictly ``> gap_ns`` — the exact merge rule of Spark's native
+    ``session_window`` (an event at ``prev + gap`` still merges: the
+    session extends to ``prev + gap`` inclusive), so this
+    window-function formulation and the ``session_window`` streaming
+    twin below agree row-for-row; a pytest asserts the equivalence on
+    randomized data that includes exact-boundary gaps.
+
+    Returns ``(user_id, session_id, session_start, session_end,
+    n_events, value_sum_micros)`` with ``session_id`` numbered 1..n per
+    user in time order. Plan shape: one shuffle on ``user_col`` — the
+    running-sum window partitions by user, and the follow-up group on
+    ``(user, session)`` reuses that partitioning (hash partitioning on
+    a subset of the grouping keys satisfies the aggregation's
+    distribution requirement), so sessions never re-shuffle. Per-user
+    data is bounded (one user's events fit a task), which is what makes
+    gap sessionization distributable at 100 TB.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col(ts_col) - prev > gap_ns), 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.withColumn("__new", new_sess)
+        .withColumn("session_id", F.sum("__new").over(run))
+        .groupBy(F.col(user_col).alias("user_id"), "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                "value_sum_micros"
+            ),
+        )
+    )
+
+
+def session_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """The same sessions via native ``session_window`` — the streaming
+    expression (works in batch too; in streaming the watermark closes
+    sessions and bounds state). ``ts_col`` must be a real TIMESTAMP
+    here; callers holding nanosecond longs cast with
+    ``(ts/1e9).cast("timestamp")``.
+
+    Returns ``(user_id, session_start, session_end_gap, n_events)``
+    where ``session_end_gap`` is ``session_window.end`` = last event
+    + gap (Spark's convention), NOT the last-event time ``sessionize``
+    reports — equivalence tests compare on (user, start, n_events).
+    """
+    withm = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    return (
+        withm.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"),
+            F.col(user_col).alias("user_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end_gap"),
+            "n_events",
+        )
+    )
+
+
+def start_session_rollup(
+    events_stream: DataFrame,
+    checkpoint_dir: str,
+    *,
+    queryName: str = "events_sessions",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = False,
+):
+    """Run gap sessionization as a streaming query (memory sink).
+
+    ``complete`` mode: session-window aggregation does not support
+    ``update`` output (Spark restriction — merged sessions can't be
+    retracted incrementally); production sinks would use ``append``,
+    where the watermark closes sessions and bounds state."""
+    writer = (
+        session_rollup(events_stream, gap=gap, watermark=watermark)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def start_hourly_rollup(
