@@ -388,3 +388,69 @@ def test_ivfpq_search_matches_relational_fixture(spark, embeddings):
     np.testing.assert_allclose(
         got.adc_dist2.to_numpy(), want.adc_dist2.to_numpy(), rtol=1e-9
     )
+
+
+def test_refine_full_depth_equals_exact(spark, vec_df, model):
+    """With the shortlist spanning the whole corpus, refined top-k IS
+    exact top-k — same rows, same distances."""
+    from vector_indexer_spark.operators.pq import pq_search_refined
+
+    n = vec_df.count()
+    q = vec_df.limit(5).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    codes = pq_encode(vec_df, model)
+    refined = pq_search_refined(
+        codes, q, model, k=5, vectors=vec_df, refine_factor=(n // 5) + 1
+    )
+    exact = knn_exact(vec_df, q, k=5, method="native")
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.dist2)
+           for r in refined.collect()}
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.dist2)
+            for r in exact.collect()}
+    assert got == want
+
+
+def test_refine_improves_or_matches_adc_recall(spark, vec_df, model):
+    from vector_indexer_spark.operators.pq import pq_search_refined
+
+    q = vec_df.limit(10).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    codes = pq_encode(vec_df, model)
+    exact = knn_exact(vec_df, q, k=10)
+    r_adc = calculate_recall(pq_search(codes, q, model, k=10), exact, 10)
+    r_ref = calculate_recall(
+        pq_search_refined(codes, q, model, k=10, vectors=vec_df,
+                          refine_factor=4),
+        exact, 10,
+    )
+    assert r_ref >= r_adc
+    # deeper shortlist -> recall grows toward exact (m=4 PQ is very
+    # coarse, so the absolute level is modest at shallow depth)
+    r_deep = calculate_recall(
+        pq_search_refined(codes, q, model, k=10, vectors=vec_df,
+                          refine_factor=20),
+        exact, 10,
+    )
+    assert r_deep >= r_ref
+    assert r_deep >= 0.6
+
+
+def test_refine_validation(spark, vec_df, model):
+    from vector_indexer_spark.operators.pq import (
+        pq_search_refined,
+        refine_topk,
+    )
+
+    q = vec_df.limit(1).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    codes = pq_encode(vec_df, model)
+    with pytest.raises(ValueError, match="refine_factor"):
+        pq_search_refined(codes, q, model, k=5, vectors=vec_df,
+                          refine_factor=0)
+    with pytest.raises(ValueError, match="positive"):
+        refine_topk(codes.select(F.col("id").alias("query_id"),
+                                 F.col("id").alias("neighbor_id")),
+                    vec_df, q, k=0)

@@ -1854,6 +1854,91 @@ _register(
 )
 
 
+def _pq_refine_topk_fixed(spark, sf_dir):
+    """ADC shortlist (top-20 under fixed codebooks, the proven
+    relational frames) exact-refined to top-5 by the production
+    ``refine_topk`` operator — the Faiss IndexRefineFlat pattern.
+    Every distance on both engines is the bit-reproducible fold."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.distance import dist2_expr
+    from vector_indexer_spark.operators.pq import refine_topk
+
+    emb, cb, enc = _pq_fixed_frames(spark, sf_dir)
+    recon = (
+        enc.join(F.broadcast(cb), ["subspace", "code"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.sort_array(
+                    F.collect_list(F.struct("subspace", "codeword"))
+                ).codeword
+            ).alias("rvec")
+        )
+    )
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    scored = q.crossJoin(recon).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist2_expr("query", "rvec").alias("adc_dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist2", "neighbor_id")
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("query_id", "neighbor_id")
+    )
+    return refine_topk(
+        shortlist, emb, q, k=5, id_col="vec_id", vec_col="embedding"
+    ).select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        "neighbor_id", "dist2"
+    )
+
+
+_register(
+    "pq_refine_topk_fixed",
+    _pq_refine_topk_fixed,
+    f"""
+    WITH {_DD_PQ},
+    recon AS (
+      SELECT e.vec_id, flatten(list(b.codeword ORDER BY e.subspace)) AS rvec
+      FROM enc e JOIN cb b USING (subspace, code)
+      GROUP BY e.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS query
+          FROM embeddings WHERE vec_id >= 490),
+    adc AS (
+      SELECT q.query_id, r.vec_id AS neighbor_id,
+             {_DD_DIST2.format(a="q.query", b="r.rvec")} AS adc_dist2
+      FROM q CROSS JOIN recon r
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY adc_dist2, neighbor_id) AS rn
+        FROM adc)
+      WHERE rn <= 20
+    ),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_DD_DIST2.format(a="q.query", b="v.embedding")} AS dist2
+      FROM short s
+      JOIN embeddings v ON v.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist2, neighbor_id) AS rank
+      FROM refined)
+    WHERE rank <= 5
+    """,
+)
+
+
 def _pq_search_trained(spark, sf_dir):
     """Production PQ pipeline end-to-end: train → encode → ADC top-10
     (rows-only: codebooks come from seeded k-means)."""

@@ -231,6 +231,107 @@ def pq_reconstruct(codes: np.ndarray, model: PQModel) -> np.ndarray:
     return out
 
 
+def refine_topk(
+    shortlist: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Exact re-rank of an approximate candidate shortlist — the public
+    Faiss ``IndexRefineFlat`` pattern (the reference bench harness's
+    "RFlat" suffix keys, bench/faiss_bench_official/bench_all_ivf.py:
+    parse_index refine handling): an ANN stage (PQ/SQ/IVF-PQ/LSH)
+    produces ``(query_id, neighbor_id)`` candidates, and this stage
+    rescores ONLY those against the raw vectors with the
+    bit-reproducible fold, returning the exact-distance top-k.
+
+    Returns ``(query_id, rank, neighbor_id, dist2)``, rank ascending by
+    ``(dist2, neighbor_id)``.
+
+    Plan shape for 100 TB: the shortlist is tiny (nq × refine depth) —
+    it is BROADCAST against the raw vector table, so the big side never
+    shuffles; the scan reads only (id, vector) columns and, when the
+    table is sorted/bucketed by id, parquet row-group stats skip
+    everything outside the candidate set. The rescored rows are
+    nq × depth, driver-scale, ranked by one window.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_col).alias("__q")
+    )
+    cand = shortlist.select("query_id", "neighbor_id")
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__v")
+    )
+    from vector_indexer_spark.functions.distance import (  # noqa: PLC0415
+        dist2_expr,
+    )
+
+    scored = (
+        v.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dist2_expr("__q", "__v").alias("dist2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dist2")
+    )
+
+
+def pq_search_refined(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    model: PQModel,
+    k: int,
+    vectors: DataFrame,
+    *,
+    refine_factor: int = 4,
+    id_col: str = "id",
+    codes_col: str = "codes",
+    vec_col: str = "values",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """PQ ADC shortlist of ``refine_factor·k`` candidates, exact-refined
+    to top-k. Two scans: the compressed codes table (full, tiny) and a
+    candidate-pruned read of the raw vectors — the standard way to get
+    exact-quality top-k without ever scanning raw vectors fully."""
+    if refine_factor < 1:
+        raise ValueError("refine_factor must be >= 1")
+    shortlist = pq_search(
+        codes_df,
+        queries,
+        model,
+        k=refine_factor * k,
+        id_col=id_col,
+        codes_col=codes_col,
+        query_id_col=query_id_col,
+        query_col=query_col,
+    )
+    return refine_topk(
+        shortlist,
+        vectors,
+        queries,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_col=query_col,
+    )
+
+
 def pq_search(
     codes_df: DataFrame,
     queries: DataFrame,
