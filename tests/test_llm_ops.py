@@ -297,3 +297,96 @@ def test_bpe_token_count(spark):
     assert out[1] == 3
     # "12 cats" -> 1, 2, cats = 3
     assert out[2] == 3
+
+
+# --- random-hyperplane (cosine) LSH ---
+
+
+def test_rhp_identical_vectors_always_pair(spark, embeddings):
+    """Identical vectors share every signature bit, so they collide in
+    every band and the verify stage reports cosine == 1."""
+    from vector_indexer_spark.operators.similarity import (
+        cosine_near_dup_rhp,
+        sample_hyperplanes,
+    )
+
+    dup = embeddings.limit(30).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding"
+    )
+    corpus = embeddings.limit(30).select("vec_id", "embedding").union(dup)
+    planes = sample_hyperplanes(embeddings, 16)
+    got = cosine_near_dup_rhp(corpus, planes, threshold=0.99).collect()
+    found = {(r.id_a, r.id_b) for r in got}
+    for i in range(30):
+        assert (i, i + 10_000) in found
+
+
+def test_rhp_candidates_subset_and_recall(spark, embeddings):
+    """Blocking is sound (candidates ⊆ all pairs trivially) and, on
+    clustered data, catches most truly-similar pairs (cos >= 0.9)."""
+    from vector_indexer_spark.functions.distance import cosine_expr
+    from vector_indexer_spark.operators.similarity import (
+        cosine_near_dup_rhp,
+        sample_hyperplanes,
+    )
+
+    planes = sample_hyperplanes(embeddings, 16)
+    got = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dup_rhp(
+            embeddings, planes, threshold=0.9
+        ).collect()
+    }
+    a = embeddings.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+    )
+    b = embeddings.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
+    )
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", cosine_expr("__va", "__vb").alias("c")
+        )
+        .filter(F.col("c") >= 0.9)
+        .collect()
+    }
+    assert got <= truth  # verify stage guarantees soundness
+    if truth:
+        assert len(got) / len(truth) >= 0.8  # LSH recall on near-dups
+
+
+def test_rhp_bucket_cap(spark, embeddings):
+    from vector_indexer_spark.operators.similarity import (
+        rhp_candidate_pairs,
+        sample_hyperplanes,
+    )
+
+    planes = sample_hyperplanes(embeddings, 16)
+    # duplicate one vector 40x: an uncapped run pairs them quadratically,
+    # the cap drops those buckets entirely
+    hot = embeddings.limit(1).select("embedding")
+    blown = embeddings.select("vec_id", "embedding").union(
+        hot.crossJoin(spark.range(40).select(
+            (F.col("id") + 50_000).alias("vec_id")
+        )).select("vec_id", "embedding")
+    )
+    capped = rhp_candidate_pairs(
+        blown, planes, max_bucket_size=10
+    ).filter(F.col("id_a") >= 50_000)
+    assert capped.count() == 0
+
+
+def test_rhp_validation(spark, embeddings):
+    from vector_indexer_spark.operators.similarity import (
+        rhp_candidate_pairs,
+        sample_hyperplanes,
+    )
+
+    with pytest.raises(ValueError, match="hyperplanes"):
+        sample_hyperplanes(embeddings.limit(3), 16)
+    planes = sample_hyperplanes(embeddings, 15)
+    with pytest.raises(ValueError, match="divisible"):
+        rhp_candidate_pairs(embeddings, planes, bands=4)

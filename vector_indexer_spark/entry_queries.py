@@ -812,6 +812,85 @@ _register(
 )
 
 
+# Random-hyperplane LSH fixture: planes = the 16 lowest-id embeddings
+# (data-derived, so the signatures are SQL-reproducible with no RNG).
+_DD_RHP = f"""
+  hyp AS (SELECT vec_id AS b, embedding AS hv
+          FROM embeddings WHERE vec_id < 16),
+  sig AS (
+    SELECT v.vec_id,
+           CAST(SUM(CASE WHEN {_DD_DOT.format(a="v.embedding", b="h.hv")} >= 0
+                    THEN (CAST(1 AS BIGINT) << h.b) ELSE 0 END) AS BIGINT)
+             AS sig
+    FROM embeddings v CROSS JOIN hyp h GROUP BY v.vec_id
+  )
+"""
+
+
+def _rhp_hyperplanes(spark, sf_dir):
+    from vector_indexer_spark.operators.similarity import sample_hyperplanes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb, sample_hyperplanes(emb, 16)
+
+
+def _sim_rhp_sig(spark, sf_dir):
+    """Charikar random-hyperplane signatures (similarity.py) under the
+    data-derived plane fixture — bit-exact across engines because each
+    bit is the sign of the bit-reproducible dot fold."""
+    from vector_indexer_spark.operators.similarity import rhp_signatures
+
+    emb, planes = _rhp_hyperplanes(spark, sf_dir)
+    return rhp_signatures(emb, planes)
+
+
+_register(
+    "sim_rhp_sig_fixed",
+    _sim_rhp_sig,
+    f"""
+    WITH {_DD_RHP}
+    SELECT vec_id, sig FROM sig
+    """,
+)
+
+
+def _sim_rhp_near_dup(spark, sf_dir):
+    """RHP-LSH blocking (4 bands x 4 bits) + exact cosine verify at
+    τ=0.3 — the training-free embedding near-dup path."""
+    from vector_indexer_spark.operators.similarity import cosine_near_dup_rhp
+
+    emb, planes = _rhp_hyperplanes(spark, sf_dir)
+    return cosine_near_dup_rhp(emb, planes, threshold=0.3)
+
+
+_register(
+    "sim_rhp_near_dup_fixed",
+    _sim_rhp_near_dup,
+    f"""
+    WITH {_DD_RHP},
+    bands AS (SELECT CAST(t.range AS BIGINT) AS band FROM range(0, 4) t),
+    banded AS (
+      SELECT s.vec_id, t.band, (s.sig >> (t.band * 4)) & 15 AS bval
+      FROM sig s CROSS JOIN bands t
+    ),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bval = r.bval AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT c.id_a, c.id_b,
+             {_DD_DOT.format(a="a.embedding", b="b.embedding")}
+               / ({_DD_NORM.format(a="a.embedding")}
+                  * {_DD_NORM.format(a="b.embedding")}) AS cosine
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.id_a
+      JOIN embeddings b ON b.vec_id = c.id_b
+    ) WHERE cosine >= 0.3
+    """,
+)
+
+
 def _media_byte_len(spark, sf_dir):
     """Multimodal plumbing: binary ingest + per-payload byte length."""
     from vector_indexer_spark.operators.multimodal import (

@@ -123,3 +123,188 @@ def search_cosine(
         "neighbor_id",
         (F.lit(1.0) - F.col("dist2") / F.lit(2.0)).alias("cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane (signed random projection) LSH for cosine — the
+# training-free complement to the IVF cosine path: Charikar (STOC 2002)
+# SimHash for real-valued vectors. P[sign bit agrees] = 1 − θ/π, so
+# near-duplicate pairs (θ→0) collide in some band with high probability
+# while the self-join only ever shuffles band-bucket keys, never n².
+# ---------------------------------------------------------------------------
+
+
+def sample_hyperplanes(
+    df: DataFrame,
+    n_bits: int = 16,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic data-derived hyperplanes: the ``n_bits`` lowest-id
+    vectors. For (near-)centered embedding spaces a data vector is a
+    usable random direction, and deriving it from the table keeps every
+    downstream signature SQL-reproducible (no RNG stream to replicate —
+    the same fixture idea as the fixed-centroid oracles). Callers with
+    uncentered data should pass mean-subtracted samples or their own
+    planes.
+    """
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_bits)
+        .collect()
+    )
+    if len(rows) < n_bits:
+        raise ValueError(
+            f"need {n_bits} rows to derive hyperplanes, got {len(rows)}"
+        )
+    return [list(r[1]) for r in rows]
+
+
+def rhp_sig_expr(vec, hyperplanes: list):
+    """BIGINT signature: bit b set iff ``dot(vec, H_b) >= 0``. The dots
+    are the engine's bit-reproducible fold, so the signature (and every
+    bucket derived from it) is exactly reproducible by the SQL oracle.
+    """
+    from vector_indexer_spark.functions.distance import dot_expr  # noqa: PLC0415
+
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    bits = []
+    for b, h in enumerate(hyperplanes):
+        hlit = F.array(*[F.lit(float(x)) for x in h])
+        bits.append(
+            F.when(dot_expr(vec, hlit) >= 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for c in bits[1:]:
+        out = out + c
+    return out
+
+
+def rhp_signatures(
+    df: DataFrame,
+    hyperplanes: list,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, sig)`` — scan-local codegen projection (n_bits folds
+    per row, no shuffle, no Python)."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        rhp_sig_expr(vec_col, hyperplanes).alias("sig"),
+    )
+
+
+def rhp_candidate_pairs(
+    df: DataFrame,
+    hyperplanes: list,
+    *,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """Banded signature self-join → distinct candidate ``(id_a, id_b)``
+    with ``id_a < id_b``.
+
+    Same scale posture as the MinHash LSH blocker (operators/dedup.py):
+    shuffle on band-bucket keys only, oversized buckets (degenerate
+    directions / mass-duplicated embeddings) dropped via a broadcast
+    anti-join so one hot bucket cannot go quadratic.
+    """
+    n_bits = len(hyperplanes)
+    if n_bits % bands:
+        raise ValueError("n_bits must be divisible by bands")
+    rows_per_band = n_bits // bands
+    mask = (1 << rows_per_band) - 1
+    sig = rhp_signatures(
+        df, hyperplanes, id_col=id_col, vec_col=vec_col
+    ).persist()
+    banded = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * rows_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bval"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "bb.band", "bb.bval")
+    if max_bucket_size is not None:
+        big = (
+            banded.groupBy("band", "bval")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bval")
+        )
+        banded = banded.join(
+            F.broadcast(big), ["band", "bval"], "left_anti"
+        )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bval") == F.col("r.bval"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("id_a"),
+            F.col("r.vec_id").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def cosine_near_dup_rhp(
+    df: DataFrame,
+    hyperplanes: list | None = None,
+    *,
+    threshold: float = 0.9,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """Embedding near-dup pairs via RHP blocking + exact cosine verify:
+    ``(id_a, id_b, cosine)`` with ``cosine >= threshold``. The exact
+    cosine runs only on LSH candidates — never all pairs."""
+    if hyperplanes is None:
+        hyperplanes = sample_hyperplanes(
+            df, id_col=id_col, vec_col=vec_col
+        )
+    pairs = rhp_candidate_pairs(
+        df,
+        hyperplanes,
+        bands=bands,
+        id_col=id_col,
+        vec_col=vec_col,
+        max_bucket_size=max_bucket_size,
+    )
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_expr("__va", "__vb").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
