@@ -126,3 +126,28 @@ class TestLcgGenerator:
         df = generate_vectors_lcg(spark, 300, 8, seed=11)
         idx = build_index(df, str(tmp_path / "idx"), seed=11)
         assert idx.n_vectors == 300
+
+
+def test_top_tokens_counts_and_rank(spark):
+    from vector_indexer_spark.operators.text_analysis import top_tokens
+
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the dog", "en"),
+        (2, "le chat", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.group, r.rank): (r.token, r.n_occurrences, r.n_docs)
+        for r in top_tokens(df, k=3).collect()
+    }
+    assert got[("en", 1)] == ("the", 3, 2)   # 2x doc0 + 1x doc1
+    assert got[("fr", 1)][0] in ("chat", "le")  # tie at n=1: token asc
+    assert got[("fr", 1)] == ("chat", 1, 1)
+    # global (ungrouped) mode
+    g = {r.rank: r.token for r in top_tokens(df, k=1, by_col=None).collect()}
+    assert g[1] == "the"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        top_tokens(df, k=0)

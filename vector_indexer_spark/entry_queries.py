@@ -812,6 +812,40 @@ _register(
 )
 
 
+def _text_top_tokens(spark, sf_dir):
+    """Per-language vocabulary top-20 (occurrence + doc frequency)."""
+    from vector_indexer_spark.operators.text_analysis import top_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_tokens(docs, k=20)
+
+
+_register(
+    "text_top_tokens",
+    _text_top_tokens,
+    f"""
+    WITH toks AS (
+      SELECT lang AS "group", doc_id,
+             unnest({_DD_TOKENS.format(c="text")}) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT "group", token,
+             count(*) AS n_occurrences,
+             count(DISTINCT doc_id) AS n_docs
+      FROM toks GROUP BY 1, 2
+    )
+    SELECT "group", CAST(rank AS INT) AS rank, token,
+           n_occurrences, n_docs
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY "group"
+                 ORDER BY n_occurrences DESC, token) AS rank
+      FROM counts)
+    WHERE rank <= 20
+    """,
+)
+
+
 # Random-hyperplane LSH fixture: planes = the 16 lowest-id embeddings
 # (data-derived, so the signatures are SQL-reproducible with no RNG).
 _DD_RHP = f"""

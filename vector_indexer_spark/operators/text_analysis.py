@@ -199,3 +199,57 @@ def duplicate_ngram_fraction(
         .otherwise(F.lit(0.0))
         .alias("shared_fraction"),
     )
+
+
+def top_tokens(
+    df: DataFrame,
+    k: int = 20,
+    *,
+    by_col: str | None = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus vocabulary: top-k tokens per group (default: per
+    language) with occurrence and document frequencies — the
+    vocabulary/IDF-side statistic of a training-data pipeline.
+
+    Returns ``(group, rank, token, n_occurrences, n_docs)``, rank by
+    ``(n_occurrences DESC, token)`` (deterministic ties).
+
+    Scale shape: explode to (group, token, doc) rows, one
+    map-side-combined aggregation to vocabulary-sized counts, then a
+    window over per-group vocabularies. The heavy shuffle carries
+    (group, token, doc_id) partial counts — bounded by corpus token
+    count, trivially partitionable; the window input is |vocab| rows.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    group = (
+        F.col(by_col).alias("group")
+        if by_col is not None
+        else F.lit("all").alias("group")
+    )
+    toks = df.select(
+        group,
+        F.col(id_col).alias("__doc"),
+        F.explode(tokens_expr(text_col)).alias("token"),
+    )
+    counts = toks.groupBy("group", "token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("__doc").alias("n_docs"),
+    )
+    w = Window.partitionBy("group").orderBy(
+        F.col("n_occurrences").desc(), "token"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "group", F.col("rank").cast("int").alias("rank"),
+            "token", "n_occurrences", "n_docs",
+        )
+    )
