@@ -151,3 +151,60 @@ def test_top_tokens_counts_and_rank(spark):
 
     with _pytest.raises(ValueError, match="positive"):
         top_tokens(df, k=0)
+
+
+def test_chunk_documents_multi_chunk_coverage(spark):
+    from vector_indexer_spark.operators.text_analysis import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(0, words), (1, "short doc"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=128, overlap=32).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 300 tokens, stride 96: ceil((300-32)/96) = 3 chunks
+    assert [r.chunk_idx for r in by_doc[0]] == [0, 1, 2]
+    assert [r.n_tokens for r in by_doc[0]] == [128, 128, 300 - 2 * 96]
+    # chunk i starts at token i*stride; overlap region repeats
+    c0, c1 = by_doc[0][0].chunk_text.split(), by_doc[0][1].chunk_text.split()
+    assert c1[0] == "w96" and c0[96:] == c1[:32]
+    # every token covered, in order
+    merged = c0 + c1[32:] + by_doc[0][2].chunk_text.split()[32:]
+    assert merged == words.split()
+    assert by_doc[1][0].n_tokens == 2  # short doc -> one partial chunk
+    assert 2 not in by_doc  # token-less doc yields no chunks
+
+
+def test_chunk_documents_validation(spark):
+    from vector_indexer_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_clean_corpus_stages(spark):
+    from vector_indexer_spark.operators.text_analysis import clean_corpus
+
+    good = (
+        "the cat and the dog went to the market and it was a good day "
+        "for everyone that came along with them in the morning"
+    )
+    rows = [
+        (0, good, "a"),
+        (1, good, "b"),              # exact dup of 0 -> dropped
+        (2, "der hund und die katze sind nicht mit der maus", "c"),  # de
+        (3, "zzz 123 456 789", "d"),  # low quality -> dropped
+        (4, good + " extra words here today", "e"),  # survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = sorted(r.doc_id for r in clean_corpus(df).collect())
+    assert kept == [0, 4]

@@ -846,6 +846,107 @@ _register(
 )
 
 
+def _text_chunks(spark, sf_dir):
+    """Fixed-token chunking with overlap (128/32) — the context-window
+    prep stage; scan-local explode, exactly SQL-reproducible."""
+    from vector_indexer_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, chunk_tokens=128, overlap=32)
+
+
+_register(
+    "text_chunks",
+    _text_chunks,
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DD_TOKENS.format(c="text")} AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             CAST(ceil(greatest(len(toks) - 32, 1) / 96.0) AS INT) AS num
+      FROM t WHERE len(toks) > 0
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             CAST(unnest(range(0, num)) AS INT) AS chunk_idx
+      FROM c
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx * 96 + 1,
+                               chunk_idx * 96 + 128)) AS BIGINT) AS n_tokens,
+           array_to_string(list_slice(toks, chunk_idx * 96 + 1,
+                                      chunk_idx * 96 + 128), ' ')
+             AS chunk_text
+    FROM e
+    """,
+)
+
+
+def _pipeline_clean_corpus(spark, sf_dir):
+    """The composite cleaning pipeline end to end: language filter →
+    quality/length filter → exact dedup keep-min. The oracle re-derives
+    every stage in SQL, so this locks the STAGE COMPOSITION, not just
+    each operator in isolation."""
+    from vector_indexer_spark.operators.text_analysis import clean_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return clean_corpus(docs).select("doc_id", "source")
+
+
+def _clean_corpus_sql() -> str:
+    from vector_indexer_spark.functions.text import LANG_MARKERS
+
+    counts = ",\n             ".join(
+        f"CAST(len(list_filter(toks, t -> t IN "
+        f"({', '.join(repr(w) for w in ws)}))) AS BIGINT) AS c_{lang}"
+        for lang, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = f"greatest({', '.join('c_' + la for la in langs)})"
+    case = "CASE "
+    for la in langs:
+        case += f"WHEN {best} > 0 AND c_{la} = {best} THEN '{la}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, source,
+             {_DD_TOKENS.format(c="text")} AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, source, toks,
+             {counts}
+      FROM t
+    ),
+    langed AS (
+      SELECT doc_id, text, source, toks FROM m
+      WHERE {case} = 'en'
+    ),
+    scored AS (
+      SELECT doc_id, text, source,
+        (least(CAST(len(toks) AS DOUBLE) / 64.0, 1.0)
+         + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE)
+         + least((CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks, t ->
+                         t IN {_STOP_EN_SQL})) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END) * 4.0, 1.0)) / 3.0 AS quality,
+        len(toks) AS n_tokens
+      FROM langed
+    )
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM scored WHERE quality >= 0.5 AND n_tokens >= 8)
+    WHERE rn = 1
+    """
+
+
+_register("pipeline_clean_corpus", _pipeline_clean_corpus, _clean_corpus_sql())
+
+
 # Random-hyperplane LSH fixture: planes = the 16 lowest-id embeddings
 # (data-derived, so the signatures are SQL-reproducible with no RNG).
 _DD_RHP = f"""

@@ -253,3 +253,86 @@ def top_tokens(
             "token", "n_occurrences", "n_docs",
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-token chunks with overlap — the
+    context-window prep stage of a training/RAG pipeline.
+
+    Chunk ``i`` covers tokens ``[i·stride, i·stride + chunk_tokens)``
+    with ``stride = chunk_tokens − overlap``; the chunk count is
+    ``ceil(max(n_tokens − overlap, 1) / stride)`` so every token lands
+    in some chunk and the final partial chunk is kept. Token-less
+    documents yield no rows.
+
+    Returns ``(doc_id, chunk_idx, n_tokens, chunk_text)``. Scan-local
+    (tokenize + slice inside codegen, explode of a per-row index
+    sequence) — no shuffle, no UDF; at 100 TB this is bounded by scan
+    bandwidth like the other text projections.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    stride = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+    num = F.ceil(
+        F.greatest(F.size("__toks") - overlap, F.lit(1))
+        / F.lit(float(stride))
+    ).cast("int")
+    chunked = toked.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), num - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
+def clean_corpus(
+    df: DataFrame,
+    *,
+    lang: str = "en",
+    min_quality: float = 0.5,
+    min_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The composite pre-training cleaning pipeline, end to end:
+    language filter (heuristic ID == ``lang``) → quality/length filter
+    → exact dedup (keep the min-id copy). Returns the surviving rows
+    with all input columns — the corpus a training run would consume.
+
+    One pass of scan-local predicates (language + quality never
+    shuffle) followed by the single content-hash shuffle of the dedup
+    stage — the filters run FIRST so the shuffle carries only
+    survivors.
+    """
+    from vector_indexer_spark.functions.text import lang_id_expr  # noqa: PLC0415
+    from vector_indexer_spark.operators.dedup import dedup_exact  # noqa: PLC0415
+
+    filtered = quality_filter(
+        df.filter(lang_id_expr(text_col) == lang),
+        text_col=text_col,
+        min_quality=min_quality,
+        min_tokens=min_tokens,
+    )
+    return dedup_exact(filtered, text_col=text_col, id_col=id_col)
