@@ -161,3 +161,78 @@ def test_model_roundtrip(tmp_path, model):
         with open(bad / "sq_model.json", "w") as fh:
             json.dump({"version": 99, "dmin": [], "dmax": []}, fh)
         SQModel.load(str(bad))
+
+
+# --- IVF-SQ: residual SQ8 over coarse clusters ---
+
+
+@pytest.fixture(scope="module")
+def ivfsq_parts(spark, vec_df):
+    import numpy as np
+
+    from vector_indexer_spark.operators.kmeans import assign_clusters
+    from vector_indexer_spark.operators.sq import ivfsq_encode, ivfsq_train
+
+    cent_rows = vec_df.orderBy("id").limit(16).collect()
+    cents_np = np.asarray([r["values"] for r in cent_rows], dtype=np.float64)
+    cents_df = spark.createDataFrame(
+        [(i, [float(x) for x in cents_np[i]]) for i in range(16)],
+        "centroid_id long, cvec array<float>",
+    )
+    assigned = assign_clusters(vec_df, cents_np)
+    model = ivfsq_train(assigned, cents_df)
+    codes = ivfsq_encode(assigned, cents_df, model).cache()
+    return cents_df, model, codes
+
+
+def test_ivfsq_full_probe_recall_near_exact(spark, vec_df, ivfsq_parts):
+    """With every cluster probed, IVF-SQ ~= plain SQ on residuals —
+    residual ranges are tighter than raw ranges, so recall vs exact is
+    at least as good as flat SQ8 (which is already ~1 here)."""
+    from vector_indexer_spark.operators.sq import ivfsq_search
+
+    cents_df, model, codes = ivfsq_parts
+    q = vec_df.limit(10).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    exact = knn_exact(vec_df, q, k=10)
+    got = ivfsq_search(codes, cents_df, model, q, k=10, n_probe=16)
+    assert calculate_recall(got, exact, 10) >= 0.9
+    top1 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in got.filter(F.col("rank") == 1).collect()
+    }
+    assert all(qid == nid for qid, nid in top1.items())
+
+
+def test_ivfsq_recall_monotone_in_nprobe(spark, vec_df, ivfsq_parts):
+    from vector_indexer_spark.operators.sq import ivfsq_search
+
+    cents_df, model, codes = ivfsq_parts
+    q = vec_df.limit(10).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    exact = knn_exact(vec_df, q, k=10)
+    rs = [
+        calculate_recall(
+            ivfsq_search(codes, cents_df, model, q, k=10, n_probe=p),
+            exact,
+            10,
+        )
+        for p in (1, 4, 16)
+    ]
+    assert rs[0] <= rs[1] <= rs[2]
+    assert rs[2] >= 0.9
+
+
+def test_ivfsq_validation(spark, vec_df, ivfsq_parts):
+    from vector_indexer_spark.operators.sq import ivfsq_search
+
+    cents_df, model, codes = ivfsq_parts
+    q = vec_df.limit(1).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    with pytest.raises(ValueError, match="positive"):
+        ivfsq_search(codes, cents_df, model, q, k=0, n_probe=4)
+    with pytest.raises(ValueError, match="positive"):
+        ivfsq_search(codes, cents_df, model, q, k=5, n_probe=0)

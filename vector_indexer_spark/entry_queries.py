@@ -2221,6 +2221,114 @@ _DD_SQ = """
 """
 
 
+def _ivfsq_search_fixed(spark, sf_dir):
+    """IVF-SQ end to end under pinned centroids: assignment → residual
+    SQ8 training (deterministic min/max aggregates — the whole pipeline
+    is SQL, unlike k-means-trained IVF-PQ) → encode → pruned
+    decode-and-score top-5 at n_probe=4. Runs the PRODUCTION operators
+    (operators/sq.py ivfsq_*); the oracle re-derives every stage."""
+    from vector_indexer_spark.operators.sq import (
+        ivfsq_encode,
+        ivfsq_search,
+        ivfsq_train,
+    )
+
+    emb, cents, _ = _fixed_centroid_frames(spark, sf_dir)
+    assigned = _ivf_assign(spark, sf_dir).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    kw = dict(
+        id_col="vec_id",
+        vec_col="embedding",
+        centroid_id_col="centroid_id",
+        centroid_vec_col="cvec",
+    )
+    model = ivfsq_train(assigned, cents, **kw)
+    codes = ivfsq_encode(assigned, cents, model, **kw)
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return ivfsq_search(codes, cents, model, q, k=5, n_probe=4).select(
+        "query_id", F.col("rank").cast("int").alias("rank"),
+        "neighbor_id", "adist2"
+    )
+
+
+_register(
+    "ivfsq_search_fixed",
+    _ivfsq_search_fixed,
+    f"""
+    WITH {_DD_ASSIGN},
+    members AS (SELECT vec_id, centroid_id AS cluster_id
+                FROM assigned WHERE rn = 1),
+    resid AS (
+      SELECT m.vec_id, m.cluster_id,
+             list_transform(range(1, len(v.embedding) + 1),
+               i -> CAST(v.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))
+               AS r
+      FROM members m
+      JOIN embeddings v ON v.vec_id = m.vec_id
+      JOIN cents c ON c.centroid_id = m.cluster_id
+    ),
+    rstats AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+        SELECT unnest(r) AS val, unnest(range(1, len(r) + 1)) AS pos
+        FROM resid)
+      GROUP BY pos
+    ),
+    rmodel AS (
+      SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+      FROM rstats
+    ),
+    enc AS (
+      SELECT s.vec_id, s.cluster_id,
+             list_transform(range(1, len(s.r) + 1), i ->
+               CASE WHEN m.mx[i] = m.mn[i] THEN 0
+                    ELSE CAST(least(255, greatest(0,
+                         CAST(floor((s.r[i] - m.mn[i])
+                              / ((m.mx[i] - m.mn[i]) / 255.0) + 0.5) AS INT)
+                         )) AS INT)
+               END) AS codes
+      FROM resid s CROSS JOIN rmodel m
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS query
+          FROM embeddings WHERE vec_id >= 490),
+    qprobe AS (
+      SELECT query_id, centroid_id AS cluster_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_DD_DIST2.format(a="c.cvec", b="q.query")}, c.centroid_id)
+                 AS pr
+        FROM q CROSS JOIN cents c
+      ) WHERE pr <= 4
+    ),
+    recon AS (
+      SELECT e.vec_id, e.cluster_id,
+             list_transform(range(1, len(e.codes) + 1), i ->
+               CAST(c.cvec[i] AS DOUBLE)
+               + (m.mn[i] + CAST(e.codes[i] AS DOUBLE)
+                          * ((m.mx[i] - m.mn[i]) / 255.0))) AS rvec
+      FROM enc e
+      JOIN cents c ON c.centroid_id = e.cluster_id
+      CROSS JOIN rmodel m
+    ),
+    scored AS (
+      SELECT p.query_id, r.vec_id AS neighbor_id,
+             {_DD_DIST2.format(a="q.query", b="r.rvec")} AS adist2
+      FROM qprobe p
+      JOIN recon r USING (cluster_id)
+      JOIN q ON q.query_id = p.query_id
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adist2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist2, neighbor_id) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+
+
 def _sq_codes(spark, sf_dir):
     """SQ8 train + encode over the whole embeddings table (the real
     operators.sq pipeline; the oracle re-derives the model in SQL).

@@ -222,3 +222,159 @@ def sq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adist2")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ: coarse cluster pruning + residual SQ8 codes.
+#
+# The compressed-IVF combination whose ENTIRE numeric pipeline stays in
+# whole-stage codegen: residuals, the per-dimension min/max training
+# aggregates, encode, reconstruction, and scoring are all Catalyst
+# expressions (contrast IVF-PQ, whose codebooks need k-means + Python
+# LUT kernels). Consequently, given a pinned centroid table the WHOLE
+# train → encode → pruned-search pipeline is SQL-reproducible and
+# oracle-checked end-to-end (``ivfsq_search_fixed``) — the strongest
+# correctness anchor any compressed index here can have.
+#
+# These are composable table-in/table-out stages; the persisted layout
+# story is identical to IVF-PQ (operators/pq.py: codes-only table,
+# partitionBy(shard), cluster-sorted — Hive pruning + row-group stats),
+# so it is not duplicated here.
+# ---------------------------------------------------------------------------
+
+
+def residuals(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    cluster_col: str = "cluster_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """``(id, cluster_id, res ARRAY<DOUBLE>)`` — per-vector residual
+    ``x − c(x)`` via a broadcast centroid join; scan-local otherwise."""
+    c = centroids.select(
+        F.col(centroid_id_col).alias(cluster_col),
+        F.col(centroid_vec_col).alias("__cvec"),
+    )
+    return assigned.join(F.broadcast(c), cluster_col).select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cluster_id"),
+        F.zip_with(
+            F.col(vec_col),
+            F.col("__cvec"),
+            lambda x, y: x.cast("double") - y.cast("double"),
+        ).alias("res"),
+    )
+
+
+def ivfsq_train(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    **res_kwargs,
+) -> SQModel:
+    """Residual SQ8 model: per-dimension min/max over ALL residuals —
+    deterministic distributed aggregates (2·d values), no sampling, no
+    RNG."""
+    return sq_train(
+        residuals(assigned, centroids, **res_kwargs), vec_col="res"
+    )
+
+
+def ivfsq_encode(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    model: SQModel,
+    **res_kwargs,
+) -> DataFrame:
+    """``(id, cluster_id, codes ARRAY<INT>)`` — the compressed corpus
+    (write it ``partitionBy(shard)`` cluster-sorted for the pruned
+    layout, exactly like the IVF-PQ codes table)."""
+    res = residuals(assigned, centroids, **res_kwargs)
+    return res.select(
+        "id", "cluster_id", encode_expr("res", model).alias("codes")
+    )
+
+
+def ivfsq_search(
+    codes_df: DataFrame,
+    centroids: DataFrame,
+    model: SQModel,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    *,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """Pruned decode-and-score search, fully JVM-side.
+
+    probe ranking (broadcast centroids × query batch) → candidate join
+    on ``cluster_id`` (at scale: partition-pruned scan of the probed
+    clusters, reading only the codes column) → reconstruction
+    ``c + (dmin + code·scale)`` and the bit-reproducible fold inside
+    codegen → window top-k. Returns
+    ``(query_id, rank, neighbor_id, adist2)``.
+    """
+    if k <= 0 or n_probe <= 0:
+        raise ValueError("k and n_probe must be positive")  # P3
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_col).alias("__q")
+    )
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("cluster_id"),
+        F.col(centroid_vec_col).alias("__cvec"),
+    )
+    # J3/W1: top-n_probe clusters per query
+    pscore = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cluster_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("__q"),
+                F.col("__cvec"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("cdist2"),
+    )
+    pw = Window.partitionBy("query_id").orderBy("cdist2", "cluster_id")
+    probes = (
+        pscore.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cluster_id")
+    )
+    # J4/P6: candidates from probed clusters only
+    cand = codes_df.join(F.broadcast(probes), "cluster_id").join(
+        F.broadcast(cents), "cluster_id"
+    )
+    recon = F.zip_with(
+        F.col("__cvec"),
+        reconstruct_expr("codes", model),
+        lambda c, r: c.cast("double") + r,
+    )
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with(
+                F.col("__q"),
+                recon,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("adist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adist2")
+    )
