@@ -236,3 +236,26 @@ def test_ivfsq_validation(spark, vec_df, ivfsq_parts):
         ivfsq_search(codes, cents_df, model, q, k=0, n_probe=4)
     with pytest.raises(ValueError, match="positive"):
         ivfsq_search(codes, cents_df, model, q, k=5, n_probe=0)
+
+
+def test_sq_search_arrow_native_bridge(spark, vec_df, model):
+    """The GEMM arrow path and the codegen fold path return the same
+    neighbors (dist values may differ in the last ULP — compare ids and
+    values to 1e-9, the knn-suite bridge contract)."""
+    q = vec_df.limit(8).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    codes = sq_encode(vec_df, model)
+    a = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adist2)
+        for r in sq_search(codes, model, q, k=10, method="arrow").collect()
+    )
+    n = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adist2)
+        for r in sq_search(codes, model, q, k=10, method="native").collect()
+    )
+    assert [t[:3] for t in a] == [t[:3] for t in n]
+    for (qa, ra, ia, da), (qn, rn, im, dn) in zip(a, n):
+        assert abs(da - dn) <= 1e-9 * max(1.0, abs(dn))
+    with pytest.raises(ValueError, match="unknown method"):
+        sq_search(codes, model, q, k=1, method="nope")

@@ -2373,7 +2373,7 @@ def _sq_search(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
     )
-    return sq_search(codes, model, q, k=10).select(
+    return sq_search(codes, model, q, k=10, method="native").select(
         "query_id", F.col("rank").cast("int").alias("rank"),
         "neighbor_id", "adist2"
     )

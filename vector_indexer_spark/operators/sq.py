@@ -184,17 +184,38 @@ def sq_search(
     *,
     query_id_col: str = "query_id",
     query_col: str = "query",
+    method: str = "arrow",
 ) -> DataFrame:
     """Top-k by asymmetric distance: exact query vs reconstructed
     candidates. Returns ``(query_id, rank, neighbor_id, adist2)``.
 
-    Plan: broadcast query batch × codes scan (only the ``codes``
-    column is read — column pruning), reconstruction + fold inside
-    whole-stage codegen, window top-k with the deterministic
-    ``(adist2, neighbor_id)`` tie-break (SURVEY §2.6).
+    Two physical strategies, same semantics (the knn_exact split):
+
+    - ``"arrow"`` (default): per-partition NumPy decode + GEMM top-k
+      against the broadcast query matrix — shuffles only
+      ``partitions × nq × k`` winners, the plan that survives a 100 TB
+      codes scan.
+    - ``"native"``: reconstruction + fold inside whole-stage codegen,
+      window over the full cross product — bit-reproducible; the
+      correctness oracle's path (a pytest bridges the two).
+
+    Either way only the ``codes`` column is read (column pruning); the
+    raw vector table is never touched.
     """
     if k <= 0:
         raise ValueError("k must be positive")  # P3
+    if method == "native":
+        return _sq_search_native(
+            codes_df, model, queries, k, query_id_col, query_col
+        )
+    if method != "arrow":
+        raise ValueError(f"unknown method {method!r}")
+    return _sq_search_arrow(
+        codes_df, model, queries, k, query_id_col, query_col
+    )
+
+
+def _sq_search_native(codes_df, model, queries, k, query_id_col, query_col):
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_col).alias("__q"),
@@ -219,6 +240,65 @@ def sq_search(
     w = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
     return (
         diffs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adist2")
+    )
+
+
+def _sq_search_arrow(codes_df, model, queries, k, query_id_col, query_col):
+    from collections.abc import Iterator  # noqa: PLC0415
+
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from vector_indexer_spark.functions.kernels import (  # noqa: PLC0415
+        chunked_topk,
+        stack_arrays,
+    )
+
+    spark = codes_df.sparkSession
+    qrows = queries.select(query_id_col, query_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, adist2 double"
+        )
+    qids = [r[0] for r in qrows]
+    qmat = stack_arrays([r[1] for r in qrows])
+    if qmat.shape[1] != model.dimension:
+        raise ValueError(
+            f"query dimension {qmat.shape[1]} != SQ dimension "
+            f"{model.dimension}"
+        )
+    dmin = np.asarray(model.dmin, dtype=np.float64)
+    scale = np.asarray(model.scale, dtype=np.float64)
+    bstate = spark.sparkContext.broadcast((qids, qmat, dmin, scale))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_, dmin_, scale_ = bstate.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(
+                [np.asarray(c, dtype=np.float64) for c in pdf["codes"]]
+            )
+            recon = dmin_ + codes * scale_  # (n, d) decode in one op
+            vids = pdf["id"].to_numpy()
+            dists, ids = chunked_topk(qmat_, recon, vids, k)
+            nq, kk = dists.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": [qid for qid in qids_ for _ in range(kk)],
+                    "neighbor_id": ids.reshape(-1),
+                    "adist2": dists.reshape(-1),
+                }
+            )
+
+    local = codes_df.select("id", "codes").mapInPandas(
+        local_topk, "query_id long, neighbor_id long, adist2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adist2")
     )
