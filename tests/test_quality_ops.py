@@ -208,3 +208,31 @@ def test_clean_corpus_stages(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     kept = sorted(r.doc_id for r in clean_corpus(df).collect())
     assert kept == [0, 4]
+
+
+def test_hash_embed_properties(spark):
+    from vector_indexer_spark.operators.text_analysis import hash_embed
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta gamma"),   # same text -> identical embedding
+        (2, "totally different words here"),
+        (3, ""),                   # empty -> zero vector (no NaN)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = {r.doc_id: r.embedding for r in hash_embed(df, 32).collect()}
+    assert emb[0] == emb[1]
+    assert emb[0] != emb[2]
+    assert all(len(v) == 32 for v in emb.values())
+    import math
+
+    n0 = math.sqrt(sum(v * v for v in emb[0]))
+    assert abs(n0 - 1.0) < 1e-12          # unit norm
+    assert all(v == 0.0 for v in emb[3])  # empty doc stays zero, no NaN
+    unnorm = {
+        r.doc_id: r.embedding
+        for r in hash_embed(df, 32, normalize=False).collect()
+    }
+    assert sum(unnorm[0]) == 3.0  # raw counts sum to token count
+    with pytest.raises(ValueError, match="positive"):
+        hash_embed(df, 0)

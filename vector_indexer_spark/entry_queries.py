@@ -947,6 +947,105 @@ def _clean_corpus_sql() -> str:
 _register("pipeline_clean_corpus", _pipeline_clean_corpus, _clean_corpus_sql())
 
 
+# Feature-hashing embedding: tokens → md5 buckets → L2-normalized
+# counts. Deterministic text→vector, so the documents → embeddings →
+# ANN loop closes inside the engine with every stage oracle-checked.
+_DD_HEMBED = f"""
+  ht AS (
+    SELECT doc_id,
+           list_transform({_DD_TOKENS.format(c="text")},
+             tk -> {_DD_HASH32.format(t="tk")} % 64) AS hs
+    FROM documents
+  ),
+  hc AS (
+    SELECT doc_id,
+           list_transform(range(0, 64), b ->
+             CAST(len(list_filter(hs, x -> x = b)) AS DOUBLE)) AS cnts
+    FROM ht
+  ),
+  hn AS (
+    SELECT doc_id, cnts,
+           sqrt(list_reduce(list_transform(cnts, v -> v * v),
+                            (acc, v) -> acc + v)) AS nrm
+    FROM hc
+  ),
+  hemb AS (
+    SELECT doc_id,
+           CASE WHEN nrm > 0
+                THEN list_transform(cnts, v -> v / nrm)
+                ELSE cnts END AS embedding
+    FROM hn
+  )
+"""
+
+
+def _text_hash_embed(spark, sf_dir):
+    """Feature-hashing embeddings, exploded to scalar rows for the
+    value hash."""
+    from vector_indexer_spark.operators.text_analysis import hash_embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        hash_embed(docs, 64)
+        .select("doc_id", F.posexplode("embedding").alias("pos0", "val"))
+        .select(
+            "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "val"
+        )
+    )
+
+
+_register(
+    "text_hash_embed",
+    _text_hash_embed,
+    f"""
+    WITH {_DD_HEMBED}
+    SELECT doc_id,
+           unnest(range(1, len(embedding) + 1)) AS pos,
+           unnest(embedding) AS val
+    FROM hemb
+    """,
+)
+
+
+def _pipeline_text_ann(spark, sf_dir):
+    """The loop closed: text → hashed embedding → exact kNN — a vector
+    query answered from raw documents with no external model, every
+    stage oracle-checked."""
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.text_analysis import hash_embed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = hash_embed(docs, 64)
+    q = emb.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return knn_exact(
+        emb, q, k=5, id_col="doc_id", vec_col="embedding", method="native"
+    )
+
+
+_register(
+    "pipeline_text_ann",
+    _pipeline_text_ann,
+    f"""
+    WITH {_DD_HEMBED},
+    q AS (SELECT doc_id AS query_id, embedding AS query
+          FROM hemb WHERE doc_id < 5),
+    scored AS (
+      SELECT q.query_id, v.doc_id AS neighbor_id,
+             {_DD_DIST2.format(a="q.query", b="v.embedding")} AS dist2
+      FROM hemb v CROSS JOIN q
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dist2, neighbor_id) AS INT) AS rank,
+           neighbor_id, dist2
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+
+
 # Random-hyperplane LSH fixture: planes = the 16 lowest-id embeddings
 # (data-derived, so the signatures are SQL-reproducible with no RNG).
 _DD_RHP = f"""

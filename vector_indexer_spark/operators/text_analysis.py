@@ -336,3 +336,70 @@ def clean_corpus(
         min_tokens=min_tokens,
     )
     return dedup_exact(filtered, text_col=text_col, id_col=id_col)
+
+
+def hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Deterministic feature-hashing text embedding (the classic
+    hashing trick): token → md5-based bucket in ``[0, dim)``, bucket
+    counts, L2-normalized — ``(doc_id, embedding ARRAY<DOUBLE>)``.
+
+    No model, no RNG: the one text→vector step that is exactly
+    SQL-reproducible, which closes the documents → embeddings → ANN
+    loop INSIDE the engine (see the ``pipeline_text_ann`` oracle query:
+    clean text, embed it, and answer vector queries, every stage
+    bit-checked). Real learned embeddings slot into the same column
+    contract via a Pandas-UDF stage (multimodal.py's decode pattern).
+
+    Scan-local codegen: one md5 per token (hoisted — the per-bucket
+    filters scan the small int array, not re-hash), then ``dim``
+    array-count expressions; the norm is hoisted into its own column so
+    the fold isn't re-evaluated per element (same CSE trap as
+    similarity.normalize_vectors).
+    """
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    from vector_indexer_spark.functions.text import (  # noqa: PLC0415
+        token_hash_expr,
+        tokens_expr,
+    )
+
+    hs = F.transform(
+        tokens_expr(text_col), lambda t: token_hash_expr(t) % dim
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.size(
+            F.filter(F.col("__hs"), lambda h: h == b)
+        ).cast("double"),
+    )
+    out = (
+        df.select(F.col(id_col).alias("doc_id"), hs.alias("__hs"))
+        .withColumn("__cnts", counts)
+        .drop("__hs")
+    )
+    if not normalize:
+        return out.select("doc_id", F.col("__cnts").alias("embedding"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("__cnts"), lambda v: v * v),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    out = out.withColumn("__nrm", nrm)
+    return out.select(
+        "doc_id",
+        F.when(
+            F.col("__nrm") > 0,
+            F.transform(F.col("__cnts"), lambda v: v / F.col("__nrm")),
+        )
+        .otherwise(F.col("__cnts"))
+        .alias("embedding"),
+    )
