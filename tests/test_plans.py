@@ -73,3 +73,62 @@ def test_column_pruning_reaches_scan(spark, embeddings):
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scans and "embedding" not in scans[0].split("]")[0]
     assert "vec_id" in scans[0].split("]")[0]
+
+
+def test_sessionize_single_shuffle(spark):
+    """Window(user) then groupBy(user, session): the aggregation's
+    distribution requirement is satisfied by the window's hash
+    partitioning on the key subset — ONE exchange total."""
+    from vector_indexer_spark.streaming.events import sessionize
+
+    ev = spark.createDataFrame(
+        [(0, 10**9, 1, "c", 1.0)],
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+    s = audit.plan_summary(sessionize(ev))
+    assert s["shuffles"] == 1
+
+
+def test_sq_search_reads_only_codes(spark, embeddings, tmp_path_factory):
+    """The compressed search scan must column-prune to (id, codes) —
+    reading anything else forfeits the 4x scan advantage."""
+    from vector_indexer_spark.operators.sq import sq_encode, sq_train
+
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    model = sq_train(vec)
+    path = str(tmp_path_factory.mktemp("sqplan") / "codes")
+    # persist codes alongside an extra fat column the scan must skip
+    sq_encode(vec, model).join(vec, "id").write.parquet(path)
+    codes_tbl = spark.read.parquet(path)
+    from vector_indexer_spark.operators.sq import sq_search
+
+    q = embeddings.limit(2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    plan = audit.executed_plan(sq_search(codes_tbl, model, q, k=3))
+    import re
+
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m, plan
+    assert "codes" in m.group(1) and "values" not in m.group(1)
+
+
+def test_hash_embed_scan_local(spark, documents):
+    from vector_indexer_spark.operators.text_analysis import hash_embed
+
+    s = audit.plan_summary(hash_embed(documents, 16))
+    assert s["shuffles"] == 0
+    assert not s["cartesian"]
+
+
+def test_rhp_signatures_scan_local(spark, embeddings):
+    from vector_indexer_spark.operators.similarity import (
+        rhp_signatures,
+        sample_hyperplanes,
+    )
+
+    planes = sample_hyperplanes(embeddings, 8)
+    s = audit.plan_summary(rhp_signatures(embeddings, planes))
+    assert s["shuffles"] == 0
