@@ -390,3 +390,57 @@ def test_rhp_validation(spark, embeddings):
     planes = sample_hyperplanes(embeddings, 15)
     with pytest.raises(ValueError, match="divisible"):
         rhp_candidate_pairs(embeddings, planes, bands=4)
+
+
+# --- decontamination ---
+
+
+def test_decontaminate_exact_normalized(spark):
+    from vector_indexer_spark.operators.dedup import decontaminate_exact
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "The Quick   Brown Fox", "a"),
+            (1, "an innocent document", "b"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    block = spark.createDataFrame(
+        [("the quick brown fox",)], "text string"
+    )
+    kept = sorted(
+        r.doc_id for r in decontaminate_exact(corpus, block).collect()
+    )
+    assert kept == [1]  # case/whitespace variant still caught
+    kept_raw = sorted(
+        r.doc_id
+        for r in decontaminate_exact(corpus, block, normalize=False).collect()
+    )
+    assert kept_raw == [0, 1]  # byte-exact tier misses the variant
+
+
+def test_decontaminate_ngram_collision_rule(spark):
+    from vector_indexer_spark.operators.dedup import decontaminate_ngram
+
+    eval_text = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [
+            # embeds an 8-gram of the eval text mid-document
+            (0, "prefix words then one two three four five six seven "
+                "eight and more", "a"),
+            # shares only a 7-token run -> survives the 8-gram rule
+            (1, "two three four five six seven eight unrelated tail", "b"),
+            (2, "completely disjoint content with many words in it", "c"),
+            # shorter than 8 tokens: no 8-grams, survives this tier
+            (3, "one two three", "d"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    block = spark.createDataFrame([(eval_text,)], "text string")
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate_ngram(corpus, block, n=8).collect()
+    )
+    assert kept == [1, 2, 3]
+    with pytest.raises(ValueError, match="n must be"):
+        decontaminate_ngram(corpus, block, n=0)

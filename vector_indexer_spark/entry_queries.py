@@ -947,6 +947,80 @@ def _clean_corpus_sql() -> str:
 _register("pipeline_clean_corpus", _pipeline_clean_corpus, _clean_corpus_sql())
 
 
+def _dd_shingle_hashes_k(toks: str, k: int) -> str:
+    """Generalized k-shingle hash macro (the k=3 _DD_SHINGLE_HASHES is
+    the minhash-specific instance)."""
+    return f"""
+  CASE WHEN len({toks}) >= {k} THEN
+    list_transform(
+      list_distinct(list_transform(range(1, len({toks}) - {k - 2}),
+        i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))),
+      s -> {_DD_HASH32.format(t="s")} % 2147483647)
+  ELSE CAST([] AS BIGINT[]) END
+"""
+
+
+def _decon_exact(spark, sf_dir):
+    """Decontamination, exact tier: docs 490+ are the 'eval set'; every
+    corpus row whose normalized text appears there is dropped."""
+    from vector_indexer_spark.operators.dedup import decontaminate_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    block = docs.filter(F.col("doc_id") >= 490).select("text")
+    return decontaminate_exact(docs, block).select("doc_id", "source")
+
+
+_register(
+    "decon_exact_kept",
+    _decon_exact,
+    """
+    WITH b AS (
+      SELECT DISTINCT sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS bh
+      FROM documents WHERE doc_id >= 490
+    )
+    SELECT doc_id, source FROM documents d
+    WHERE sha256(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')))
+          NOT IN (SELECT bh FROM b)
+    """,
+)
+
+
+def _decon_ngram(spark, sf_dir):
+    """Decontamination, 8-gram tier: any corpus doc sharing an 8-gram
+    with the eval set is dropped (the GPT-3-style collision rule)."""
+    from vector_indexer_spark.operators.dedup import decontaminate_ngram
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    block = docs.filter(F.col("doc_id") >= 490).select("text")
+    return decontaminate_ngram(docs, block, n=8).select("doc_id", "source")
+
+
+_register(
+    "decon_ngram_kept",
+    _decon_ngram,
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {_DD_TOKENS.format(c="text")} AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT unnest({_dd_shingle_hashes_k("toks", 8)}) AS g
+      FROM t WHERE doc_id >= 490
+    ),
+    hit AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, unnest({_dd_shingle_hashes_k("toks", 8)}) AS g
+        FROM t)
+      WHERE g IN (SELECT g FROM bg)
+    )
+    SELECT doc_id, source FROM t
+    WHERE doc_id NOT IN (SELECT doc_id FROM hit)
+    """,
+)
+
+
 # Feature-hashing embedding: tokens → md5 buckets → L2-normalized
 # counts. Deterministic text→vector, so the documents → embeddings →
 # ANN loop closes inside the engine with every stage oracle-checked.

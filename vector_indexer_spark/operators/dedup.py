@@ -575,3 +575,88 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination — remove training documents that leak evaluation data.
+# The standard pre-training hygiene step (exact + n-gram overlap tiers,
+# the public GPT-3/PaLM-style 8-gram collision rule).
+# ---------------------------------------------------------------------------
+
+
+def decontaminate_exact(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    *,
+    text_col: str = "text",
+    block_text_col: str = "text",
+    normalize: bool = True,
+) -> DataFrame:
+    """Drop corpus rows whose (normalized) text appears verbatim in the
+    blocklist — all corpus columns pass through.
+
+    Plan: anti-join on the content hash. The blocklist (an eval set —
+    thousands of rows, not billions) is broadcast, so the corpus never
+    shuffles; at 100 TB this is a scan + broadcast filter.
+    """
+    key = (
+        normalized_text_expr(F.col(text_col))
+        if normalize
+        else F.col(text_col)
+    )
+    bkey = (
+        normalized_text_expr(F.col(block_text_col))
+        if normalize
+        else F.col(block_text_col)
+    )
+    blocked = blocklist.select(F.sha2(bkey, 256).alias("__bh")).distinct()
+    return (
+        corpus.withColumn("__h", F.sha2(key, 256))
+        .join(F.broadcast(blocked), F.col("__h") == F.col("__bh"), "left_anti")
+        .drop("__h")
+    )
+
+
+def decontaminate_ngram(
+    corpus: DataFrame,
+    blocklist: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_text_col: str = "text",
+) -> DataFrame:
+    """Drop corpus rows sharing ANY word n-gram with the blocklist (the
+    8-gram eval-contamination rule). Returns the surviving rows, all
+    columns intact.
+
+    Plan: the blocklist's distinct n-gram hash set is built once
+    (eval-set-sized) and broadcast; each corpus doc is dropped iff its
+    shingle array intersects it — an anti-join on the exploded corpus
+    shingles restricted by the broadcast set, so the full corpus text
+    shuffles nowhere.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    bgrams = (
+        blocklist.select(
+            F.explode(
+                shingle_hashes_expr(block_text_col, n)
+            ).alias("__g")
+        )
+        .distinct()
+    )
+    hit = (
+        corpus.select(
+            F.col(id_col).alias("__cid"),
+            F.explode(shingle_hashes_expr(text_col, n)).alias("__g"),
+        )
+        .join(F.broadcast(bgrams), "__g")
+        .select("__cid")
+        .distinct()
+    )
+    return corpus.join(
+        F.broadcast(hit),
+        corpus[id_col] == hit["__cid"],
+        "left_anti",
+    )
