@@ -236,3 +236,37 @@ def test_hash_embed_properties(spark):
     assert sum(unnorm[0]) == 3.0  # raw counts sum to token count
     with pytest.raises(ValueError, match="positive"):
         hash_embed(df, 0)
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    from vector_indexer_spark.operators.splits import hash_split
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    a = hash_split(df)
+    counts = {r.split: r.cnt for r in
+              a.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    n = sum(counts.values())
+    assert n == 20_000
+    assert abs(counts["train"] / n - 0.9) < 0.02
+    assert abs(counts["val"] / n - 0.05) < 0.01
+    assert abs(counts["test"] / n - 0.05) < 0.01
+    # repartitioning must not change any assignment (the point of
+    # hashing over randomSplit)
+    b = {r.doc_id: r.split
+         for r in hash_split(df.repartition(13)).collect()}
+    assert all(b[r.doc_id] == r.split for r in a.collect())
+    # different seed -> different assignment (some rows move)
+    c = {r.doc_id: r.split for r in hash_split(df, seed=7).collect()}
+    assert any(c[d] != s for d, s in b.items())
+
+
+def test_hash_split_validation(spark):
+    from vector_indexer_spark.operators.splits import hash_split
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"a": 0.5, "b": 0.4})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(df, {})
+    with pytest.raises(ValueError, match="non-negative"):
+        hash_split(df, {"a": 1.5, "b": -0.5})

@@ -947,6 +947,31 @@ def _clean_corpus_sql() -> str:
 _register("pipeline_clean_corpus", _pipeline_clean_corpus, _clean_corpus_sql())
 
 
+def _split_assign(spark, sf_dir):
+    """Deterministic hash split (90/5/5, seed 42) over documents."""
+    from vector_indexer_spark.operators.splits import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(docs).select("doc_id", "split")
+
+
+_register(
+    "split_assign",
+    _split_assign,
+    """
+    SELECT doc_id,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('42:',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS b
+      FROM documents)
+    """,
+)
+
+
 def _dd_shingle_hashes_k(toks: str, k: int) -> str:
     """Generalized k-shingle hash macro (the k=3 _DD_SHINGLE_HASHES is
     the minhash-specific instance)."""
