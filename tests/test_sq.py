@@ -259,3 +259,55 @@ def test_sq_search_arrow_native_bridge(spark, vec_df, model):
         assert abs(da - dn) <= 1e-9 * max(1.0, abs(dn))
     with pytest.raises(ValueError, match="unknown method"):
         sq_search(codes, model, q, k=1, method="nope")
+
+
+def test_ivfsq_index_build_search_roundtrip(spark, vec_df, tmp_path_factory):
+    from vector_indexer_spark.operators.sq import (
+        build_ivfsq_index,
+        load_ivfsq_index,
+        search_ivfsq_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfsq") / "index")
+    idx = build_ivfsq_index(vec_df, path, nlist=8, seed=42)
+    # conservation: every vector encoded exactly once
+    codes = idx.codes(spark)
+    assert codes.count() == vec_df.count()
+    assert codes.select(F.count_distinct("id")).first()[0] == vec_df.count()
+    # layout: partitioned by shard, codes column int array of dim d
+    assert "shard_id" in codes.columns
+    r = codes.select(F.size("codes").alias("s")).first()
+    assert r["s"] == idx.dimension
+
+    again = load_ivfsq_index(spark, path)
+    assert again.nlist == idx.nlist and again.sq == idx.sq
+
+    q = vec_df.limit(10).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    exact = knn_exact(vec_df, q, k=10)
+    got = search_ivfsq_index(spark, again, q, k=10, n_probe=idx.nlist)
+    assert calculate_recall(got, exact, 10) >= 0.85
+    pruned = search_ivfsq_index(spark, again, q, k=10, n_probe=2)
+    assert pruned.count() > 0  # thin probes still answer
+
+    with pytest.raises(FileNotFoundError):
+        load_ivfsq_index(spark, str(tmp_path_factory.mktemp("x")))
+    with pytest.raises(ValueError, match="positive"):
+        search_ivfsq_index(spark, again, q, k=0)
+
+
+def test_ivfsq_index_scan_prunes(spark, vec_df, tmp_path_factory):
+    """The persisted codes scan must show Hive PartitionFilters on
+    shard_id and pushed filters on cluster_id."""
+    from vector_indexer_spark.operators.sq import build_ivfsq_index
+    from vector_indexer_spark.plans import audit
+
+    path = str(tmp_path_factory.mktemp("ivfsq_plan") / "index")
+    idx = build_ivfsq_index(vec_df, path, nlist=8, seed=1)
+    pruned = idx.codes(spark).where(
+        F.col("shard_id").isin([0]) & F.col("cluster_id").isin([0, 1])
+    )
+    s = audit.plan_summary(pruned)
+    assert any("shard_id" in f for f in s["partition_filters"])
+    assert any("cluster_id" in f for f in s["pushed_filters"])

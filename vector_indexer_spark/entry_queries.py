@@ -2527,6 +2527,32 @@ _register(
 )
 
 
+def _ivfsq_search_trained(spark, sf_dir):
+    """Production persisted IVF-SQ end-to-end (trained coarse
+    centroids — rows-only; the fixed-quantizer twin above is the exact
+    oracle)."""
+    import tempfile
+
+    from vector_indexer_spark.operators.sq import (
+        build_ivfsq_index,
+        search_ivfsq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    path = tempfile.mkdtemp(prefix="ivfsq_entry_") + "/index"
+    idx = build_ivfsq_index(vec, path, seed=42)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_ivfsq_index(spark, idx, q, k=10, n_probe=8)
+
+
+_register("ivfsq_search_trained", _ivfsq_search_trained)
+
+
 def _sq_codes(spark, sf_dir):
     """SQ8 train + encode over the whole embeddings table (the real
     operators.sq pipeline; the oracle re-derives the model in SQL).

@@ -458,3 +458,241 @@ def ivfsq_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adist2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-SQ index: the composable stages above wired into the
+# engine's standard on-disk contract (codes-only table partitioned by
+# shard, cluster-sorted; centroid table; JSON meta) — same layout and
+# pruning behavior as the flat and IVF-PQ indexes.
+# ---------------------------------------------------------------------------
+
+IVFSQ_FORMAT_VERSION = 1
+
+
+@dataclass
+class IvfSqIndex:
+    path: str
+    dimension: int
+    nlist: int
+    n_shards: int
+    seed: int
+    n_vectors: int
+    centroids: object  # (nlist, d) float64 ndarray
+    centroid_shards: object  # (nlist,) int64 ndarray
+    sq: SQModel  # residual quantizer
+
+    def codes(self, spark) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "codes"))
+
+    def centroids_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in self.centroids[i]])
+                for i in range(self.nlist)
+            ],
+            "centroid_id long, cvec array<float>",
+        )
+
+
+def build_ivfsq_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    nlist: int | None = None,
+    seed: int = 42,
+    mode: str = "full",
+    max_iters: int | None = None,
+) -> IvfSqIndex:
+    """Coarse k-means → dense relabel + sharding → residual SQ8 train
+    (distributed min/max over ALL residuals — no sampling) → codegen
+    encode → ``partitionBy(shard_id)`` cluster-sorted codes write.
+
+    The persisted table is ~d bytes per vector (uint8-ranged ints,
+    dictionary/RLE-packed by parquet) instead of 4d — and the
+    query-time scan Hive-prunes to probed shards exactly like the flat
+    index.
+    """
+    from vector_indexer_spark.config import (  # noqa: PLC0415
+        calculate_max_iterations,
+        suggest_nlist,
+    )
+    from vector_indexer_spark.operators.index_build import (  # noqa: PLC0415
+        dense_relabel_and_shards,
+    )
+    from vector_indexer_spark.operators.kmeans import (  # noqa: PLC0415
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    spark = df.sparkSession
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot build an index from an empty DataFrame")
+    dimension = len(df.select(vec_col).first()[0])
+    bad = df.filter(F.size(vec_col) != dimension).count()
+    if bad:
+        raise ValueError(f"{bad} records have dimension != {dimension}")
+
+    nlist = nlist or suggest_nlist(n)
+    max_iters = max_iters or calculate_max_iterations(n)
+    model = kmeans_fit(
+        df, nlist, vec_col=vec_col, max_iters=max_iters, seed=seed, mode=mode
+    )
+    assigned = assign_clusters(
+        df, model.centroids, vec_col=vec_col, out_col="__raw_cluster",
+        seed=seed,
+    ).cache()
+    counts = {
+        r["__raw_cluster"]: r["cnt"]
+        for r in assigned.groupBy("__raw_cluster")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    relabel, centroids, eff_nlist, n_sh, shard_of = dense_relabel_and_shards(
+        counts, model.centroids, seed
+    )
+    mapping = spark.createDataFrame(
+        [
+            (int(old), int(new), int(shard_of[new]))
+            for old, new in relabel.items()
+        ],
+        "__raw_cluster long, cluster_id long, shard_id long",
+    )
+    dense = assigned.join(F.broadcast(mapping), "__raw_cluster").select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__vec"),
+        "cluster_id",
+        "shard_id",
+    )
+    cents_df = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in centroids[i]], int(shard_of[i]))
+            for i in range(eff_nlist)
+        ],
+        "centroid_id long, cvec array<float>, shard_id long",
+    )
+    kw = dict(id_col="id", vec_col="__vec")
+    sqm = ivfsq_train(dense, cents_df, **kw)
+    codes = ivfsq_encode(dense, cents_df, sqm, **kw).join(
+        F.broadcast(mapping.select("cluster_id", "shard_id").distinct()),
+        "cluster_id",
+    )
+    (
+        codes.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(os.path.join(path, "codes"))
+    )
+    assigned.unpersist()
+    cents_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "centroids")
+    )
+    sqm.save(path)
+    meta = {
+        "version": IVFSQ_FORMAT_VERSION,
+        "kind": "ivfsq",
+        "dimension": dimension,
+        "nlist": eff_nlist,
+        "n_shards": n_sh,
+        "seed": seed,
+        "n_vectors": n,
+    }
+    with open(os.path.join(path, "ivfsq_meta.json"), "w") as fh:
+        json.dump(meta, fh, indent=2)
+    return IvfSqIndex(
+        path=path,
+        dimension=dimension,
+        nlist=eff_nlist,
+        n_shards=n_sh,
+        seed=seed,
+        n_vectors=n,
+        centroids=centroids,
+        centroid_shards=shard_of,
+        sq=sqm,
+    )
+
+
+def load_ivfsq_index(spark, path: str) -> IvfSqIndex:
+    import numpy as np  # noqa: PLC0415
+
+    meta_path = os.path.join(path, "ivfsq_meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(f"no IVF-SQ index at {path}")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if meta.get("version") != IVFSQ_FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported IVF-SQ version {meta.get('version')!r}"
+        )
+    rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    return IvfSqIndex(
+        path=path,
+        dimension=meta["dimension"],
+        nlist=meta["nlist"],
+        n_shards=meta["n_shards"],
+        seed=meta["seed"],
+        n_vectors=meta["n_vectors"],
+        centroids=np.asarray([r.cvec for r in rows], dtype=np.float64),
+        centroid_shards=np.asarray(
+            [r.shard_id for r in rows], dtype=np.int64
+        ),
+        sq=SQModel.load(path),
+    )
+
+
+def search_ivfsq_index(
+    spark,
+    index: IvfSqIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 20,
+    *,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Pruned search against the persisted index: probe ranking on the
+    driver-resident centroid matrix → literal shard/cluster predicates
+    (Hive partition pruning + row-group stats on the cluster-sorted
+    layout) → the JVM decode-and-score of :func:`ivfsq_search` over
+    only the scanned clusters."""
+    if k <= 0 or n_probe <= 0:
+        raise ValueError("k and n_probe must be positive")  # P3
+    from vector_indexer_spark.operators.search import (  # noqa: PLC0415
+        rank_probes,
+    )
+
+    probes = rank_probes(
+        queries,
+        index.centroids,
+        index.centroid_shards,
+        min(n_probe, index.nlist),
+        query_id_col=query_id_col,
+        query_col=query_col,
+    )
+    pc = probes.select("cluster_id", "shard_id").distinct().collect()
+    shard_ids = sorted({r.shard_id for r in pc})
+    cluster_ids = sorted({r.cluster_id for r in pc})
+    base = codes if codes is not None else index.codes(spark)
+    pruned = base.where(
+        F.col("shard_id").isin(shard_ids)
+        & F.col("cluster_id").isin(cluster_ids)
+    )
+    return ivfsq_search(
+        pruned,
+        index.centroids_df(spark),
+        index.sq,
+        queries,
+        k,
+        min(n_probe, index.nlist),
+        query_id_col=query_id_col,
+        query_col=query_col,
+    )
