@@ -24,6 +24,46 @@ def _ingest_plan_df(spark, docs):
     return ingest_records(rec, ts_col=None, now=0)
 
 
+def _sessionize_df(spark, sf_dir):
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import sessionize
+
+    return sessionize(read_events_ns(spark, f"{sf_dir}/events.parquet"))
+
+
+def _sq_search_df(spark, emb, vec):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.sq import (
+        sq_encode,
+        sq_search,
+        sq_train,
+    )
+
+    model = sq_train(vec)
+    codes = sq_encode(vec, model)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return sq_search(codes, model, q, k=5)
+
+
+def _decon_df(spark, docs):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.dedup import decontaminate_ngram
+
+    block = docs.filter(F.col("doc_id") >= 490).select("text")
+    return decontaminate_ngram(docs, block, n=8)
+
+
+def _embed_split_df(spark, docs):
+    from vector_indexer_spark.operators.splits import hash_split
+    from vector_indexer_spark.operators.text_analysis import hash_embed
+
+    return hash_split(hash_embed(docs, 64), id_col="doc_id")
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -91,6 +131,34 @@ def main():
             "join — no Exchange SinglePartition (the old global-window "
             "shape serialized the frame through one task).",
             _ingest_plan_df(spark, docs),
+        ),
+        (
+            "Gap sessionization",
+            "lag/cumsum window then (user, session) aggregation — ONE "
+            "exchange: the aggregation's distribution requirement is "
+            "satisfied by the window's hash partitioning on the key "
+            "subset.",
+            _sessionize_df(spark, sf_dir),
+        ),
+        (
+            "SQ8 compressed search (arrow path)",
+            "Codes-only scan (column pruning drops the raw vectors), "
+            "per-partition decode + GEMM top-k, winners-only shuffle "
+            "into the global rank.",
+            _sq_search_df(spark, emb, vec),
+        ),
+        (
+            "8-gram decontamination",
+            "Eval-set distinct shingles broadcast; corpus anti-joined on "
+            "exploded shingle hits — the 100 TB corpus text itself never "
+            "shuffles.",
+            _decon_df(spark, docs),
+        ),
+        (
+            "Hash-split + feature-hash embedding",
+            "Both pure scan-local projections: zero shuffles, codegen "
+            "end to end.",
+            _embed_split_df(spark, docs),
         ),
     ]
 
