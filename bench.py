@@ -209,6 +209,63 @@ def main() -> None:
             4,
         )
 
+        # Residual IVF-SQ at the same scale: the compressed tier that
+        # SURVIVES this distribution. Flat SQ8 is useless here (global
+        # per-dim ranges span all 256 cluster centers, so the cell size
+        # dwarfs within-cluster separations — measured recall@10 0.05);
+        # quantizing residuals x − c(x) shrinks the ranges to cluster
+        # noise. Reuses the flat index's centroids/assignments — only
+        # the encode pass and the pruned compressed search are new.
+        if os.environ.get("BENCH_SYNTH_SQ", "1") == "1":
+            from vector_indexer_spark.operators.sq import (
+                ivfsq_encode,
+                ivfsq_search,
+                ivfsq_train,
+            )
+
+            cents_df = spark.createDataFrame(
+                [
+                    (int(i), [float(x) for x in sidx.centroids[i]])
+                    for i in range(sidx.nlist)
+                ],
+                "centroid_id long, cvec array<float>",
+            )
+            kw = dict(id_col="id", vec_col="values")
+            t0 = time.perf_counter()
+            sqm = ivfsq_train(sidx_vec, cents_df, **kw)
+            scodes = ivfsq_encode(sidx_vec, cents_df, sqm, **kw)
+            scodes = scodes.coalesce(32).cache()
+            scodes.count()
+            extras["synth_ivfsq_encode_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            results[f"{slabel}_ivfsq_256q"] = timed(
+                lambda: ivfsq_search(
+                    scodes, cents_df, sqm, sq, k=10, n_probe=16
+                ).count(),
+                key=f"{slabel}_ivfsq_256q",
+            )
+            extras["synth_ivfsq_speedup_vs_exact"] = round(
+                MIN_TIMES.get(
+                    f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"]
+                )
+                / MIN_TIMES.get(
+                    f"{slabel}_ivfsq_256q", results[f"{slabel}_ivfsq_256q"]
+                ),
+                3,
+            )
+            extras["synth_ivfsq_recall_at_10_nprobe16"] = round(
+                calculate_recall(
+                    ivfsq_search(
+                        scodes, cents_df, sqm, sq, k=10, n_probe=16
+                    ),
+                    sexact,
+                    10,
+                ),
+                4,
+            )
+            scodes.unpersist()
+
         synth.unpersist()
         sidx_vec.unpersist()
 

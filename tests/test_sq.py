@@ -311,3 +311,32 @@ def test_ivfsq_index_scan_prunes(spark, vec_df, tmp_path_factory):
     s = audit.plan_summary(pruned)
     assert any("shard_id" in f for f in s["partition_filters"])
     assert any("cluster_id" in f for f in s["pushed_filters"])
+
+
+def test_ivfsq_search_arrow_native_bridge(spark, vec_df, ivfsq_parts):
+    """Arrow (masked GEMM) and native (codegen fold) IVF-SQ search
+    agree on neighbors; distances to 1e-9."""
+    from vector_indexer_spark.operators.sq import ivfsq_search
+
+    cents_df, model, codes = ivfsq_parts
+    q = vec_df.limit(8).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    a = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adist2)
+        for r in ivfsq_search(
+            codes, cents_df, model, q, k=7, n_probe=3, method="arrow"
+        ).collect()
+    )
+    n = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.adist2)
+        for r in ivfsq_search(
+            codes, cents_df, model, q, k=7, n_probe=3, method="native"
+        ).collect()
+    )
+    assert [t[:3] for t in a] == [t[:3] for t in n]
+    for (_, _, _, da), (_, _, _, dn) in zip(a, n):
+        assert abs(da - dn) <= 1e-9 * max(1.0, abs(dn))
+    with pytest.raises(ValueError, match="unknown method"):
+        ivfsq_search(codes, cents_df, model, q, k=1, n_probe=1,
+                     method="nope")

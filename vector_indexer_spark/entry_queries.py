@@ -2446,7 +2446,9 @@ def _ivfsq_search_fixed(spark, sf_dir):
     q = emb.filter(F.col("vec_id") >= 490).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
     )
-    return ivfsq_search(codes, cents, model, q, k=5, n_probe=4).select(
+    return ivfsq_search(
+        codes, cents, model, q, k=5, n_probe=4, method="native"
+    ).select(
         "query_id", F.col("rank").cast("int").alias("rank"),
         "neighbor_id", "adist2"
     )
