@@ -1248,6 +1248,44 @@ _register(
 )
 
 
+def _media_frames(spark, sf_dir):
+    """Frame sampling over media payloads — the mapInPandas plumbing
+    anchored by an exact oracle (the sampling rule is pure byte-length
+    arithmetic: one frame per KiB, capped at 8)."""
+    from vector_indexer_spark.operators.multimodal import (
+        sample_frames,
+        text_as_media,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_frames(text_as_media(docs))
+
+
+_register(
+    "media_frames",
+    _media_frames,
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS blen
+      FROM documents
+    ),
+    n AS (
+      SELECT media_id,
+             least(greatest(blen // 1024, 1), 8) AS nf
+      FROM m
+    ),
+    e AS (
+      SELECT media_id, CAST(unnest(range(0, nf)) AS INT) AS frame_idx
+      FROM n
+    )
+    SELECT media_id, frame_idx,
+           CAST(frame_idx AS BIGINT) * 1024 AS frame_offset
+    FROM e
+    """,
+)
+
+
 def _events_hourly(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table (the
     batch expression of the Structured Streaming rollup — see
