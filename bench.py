@@ -181,6 +181,10 @@ def main() -> None:
         sidx_vec = sidx.vectors(spark).coalesce(32).cache()
         sidx_vec.count()
 
+        # min_duration 30s: a single exact pass costs ~4-8s at n=1M, so
+        # the default 6s window yields ONE pair iteration and the
+        # "median"/min are a single noisy sample (observed 1.3x-18x
+        # speedup swings between runs); ~4+ iterations stabilize it.
         (
             results[f"{slabel}_exact_256q"],
             results[f"{slabel}_ivf_256q"],
@@ -191,6 +195,7 @@ def main() -> None:
             ).count(),
             f"{slabel}_exact_256q",
             f"{slabel}_ivf_256q",
+            min_duration=30.0,
         )
         extras["synth_ann_speedup"] = round(
             MIN_TIMES.get(f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"])
@@ -243,8 +248,14 @@ def main() -> None:
                 lambda: ivfsq_search(
                     scodes, cents_df, sqm, sq, k=10, n_probe=16
                 ).count(),
+                min_duration=12.0,
                 key=f"{slabel}_ivfsq_256q",
             )
+            # wins even against a cached corpus: the probe mask prunes
+            # the decode set to ~nprobe/nlist of rows and the codes
+            # column ships 4x fewer bytes through Arrow (measured 27x
+            # vs exact at n=1M, recall 0.987); the byte advantage only
+            # grows in the I/O-bound regime.
             extras["synth_ivfsq_speedup_vs_exact"] = round(
                 MIN_TIMES.get(
                     f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"]
