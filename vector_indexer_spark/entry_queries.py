@@ -1286,6 +1286,70 @@ _register(
 )
 
 
+def _corpus_by_source(spark, sf_dir):
+    """Per-source corpus rollup: doc counts, integer-scaled token
+    volume, language breadth, and duplicated-doc count — the dataset
+    card a pipeline publishes per ingest source. Int-scaled sums keep
+    the aggregation order-independent (bit-exact across engines)."""
+    from vector_indexer_spark.functions.text import token_count_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = (
+        docs.groupBy(F.sha2("text", 256).alias("__h"))
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > 1)
+    )
+    dup_docs = (
+        docs.select("doc_id", "source", F.sha2("text", 256).alias("__h"))
+        .join(dup.select("__h"), "__h")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_dup_docs"))
+    )
+    base = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_expr("text")).alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+    return base.join(dup_docs, "source", "left").select(
+        "source", "n_docs", "total_tokens", "n_langs",
+        "min_chars", "max_chars",
+        F.coalesce("n_dup_docs", F.lit(0)).alias("n_dup_docs"),
+    )
+
+
+_register(
+    "corpus_by_source",
+    _corpus_by_source,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, lang, n_chars, text,
+             CAST(len({_DD_TOKENS.format(c="text")}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    dup AS (
+      SELECT sha256(text) AS h FROM documents
+      GROUP BY 1 HAVING count(*) > 1
+    ),
+    dupsrc AS (
+      SELECT d.source, count(*) AS n_dup_docs
+      FROM documents d JOIN dup ON sha256(d.text) = dup.h
+      GROUP BY 1
+    )
+    SELECT t.source,
+           count(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           count(DISTINCT lang) AS n_langs,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars,
+           coalesce(any_value(dupsrc.n_dup_docs), 0) AS n_dup_docs
+    FROM toks t LEFT JOIN dupsrc ON dupsrc.source = t.source
+    GROUP BY 1
+    """,
+)
+
+
 def _events_hourly(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table (the
     batch expression of the Structured Streaming rollup — see
