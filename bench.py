@@ -238,6 +238,10 @@ def main() -> None:
             kw = dict(id_col="id", vec_col="values")
             t0 = time.perf_counter()
             sqm = ivfsq_train(sidx_vec, cents_df, **kw)
+            extras["synth_ivfsq_train_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
             scodes = ivfsq_encode(sidx_vec, cents_df, sqm, **kw)
             scodes = scodes.coalesce(32).cache()
             scodes.count()

@@ -340,3 +340,40 @@ def test_ivfsq_search_arrow_native_bridge(spark, vec_df, ivfsq_parts):
     with pytest.raises(ValueError, match="unknown method"):
         ivfsq_search(codes, cents_df, model, q, k=1, n_probe=1,
                      method="nope")
+
+
+def test_ivfsq_arrow_tiebreak_across_chunks(spark):
+    """Duplicate vectors spread across the 8192-candidate chunk
+    boundary: the per-batch merge must keep the LOWEST ids among
+    equal distances (the engine-wide tie rule), same as native."""
+    from vector_indexer_spark.operators.sq import (
+        ivfsq_encode,
+        ivfsq_search,
+        ivfsq_train,
+    )
+
+    n, d = 9000, 4
+    rows = [
+        (i, [float(i % 50), 0.0, 0.0, 0.0], 0) for i in range(n)
+    ]  # 180 exact copies of each of 50 distinct vectors, one cluster
+    df = spark.createDataFrame(
+        rows, "id long, values array<float>, cluster_id long"
+    ).coalesce(1)
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0])], "centroid_id long, cvec array<float>"
+    )
+    model = ivfsq_train(df, cents)
+    codes = ivfsq_encode(df, cents, model).coalesce(1)
+    q = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0])], "query_id long, query array<float>"
+    )
+    a = ivfsq_search(codes, cents, model, q, k=5, n_probe=1,
+                     method="arrow").collect()
+    nv = ivfsq_search(codes, cents, model, q, k=5, n_probe=1,
+                      method="native").collect()
+    ids_a = [r.neighbor_id for r in sorted(a, key=lambda r: r.rank)]
+    ids_n = [r.neighbor_id for r in sorted(nv, key=lambda r: r.rank)]
+    assert ids_a == ids_n
+    # nearest distinct value is 0 -> copies at ids 0,50,100,...; ties
+    # break to the LOWEST ids regardless of chunk position
+    assert ids_a == [0, 50, 100, 150, 200]

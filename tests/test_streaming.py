@@ -181,7 +181,8 @@ def test_sessionize_gap_semantics(spark):
 def test_sessionize_matches_native_session_window(spark):
     """The lag/cumsum formulation and Spark's session_window agree on
     (user, session_start, n_events) — including at the exact-gap
-    boundary, where both start a new session."""
+    boundary, where both MERGE (an event at prev + gap still joins the
+    session; only a strictly greater gap starts a new one)."""
     import random
 
     from vector_indexer_spark.streaming.events import (

@@ -111,11 +111,34 @@ def topk_per_row(
         ids = np.arange(m, dtype=np.int64)
     k = min(k, m)
     if k < m:
+        # distance-only argpartition would pick ARBITRARY members of a
+        # tie group that straddles the k boundary (the subsequent sort
+        # only orders what was already picked) — so partition first to
+        # prune, then include the whole boundary tie group and lexsort
+        # (distance, id) before the final cut. Duplicate-heavy corpora
+        # (the dedup workloads) hit boundary ties constantly.
         part = np.argpartition(d2, k - 1, axis=1)[:, :k]
-    else:
-        part = np.broadcast_to(np.arange(m), (n, m)).copy()
-    part_d = np.take_along_axis(d2, part, axis=1)
-    part_ids = ids[part]
+        part_d = np.take_along_axis(d2, part, axis=1)
+        thresh = part_d.max(axis=1, keepdims=True)
+        cand_mask = d2 <= thresh  # winners + every boundary-tied column
+        # pack variable-length candidate sets into a dense (n, width)
+        # block keyed by (distance, id); pad slots sort last
+        width = int(cand_mask.sum(axis=1).max())
+        pad_d = np.full((n, width), np.inf)
+        pad_i = np.full((n, width), np.iinfo(np.int64).max, dtype=np.int64)
+        rows, cols = np.nonzero(cand_mask)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(cand_mask.sum(axis=1), out=offsets[1:])
+        slot = np.arange(len(rows)) - offsets[rows]
+        pad_d[rows, slot] = d2[rows, cols]
+        pad_i[rows, slot] = ids[cols]
+        order = np.lexsort((pad_i, pad_d), axis=1)[:, :k]
+        return (
+            np.take_along_axis(pad_d, order, axis=1),
+            np.take_along_axis(pad_i, order, axis=1),
+        )
+    part_d = d2
+    part_ids = np.broadcast_to(ids, d2.shape)
     # stable lexsort: primary distance, secondary id — deterministic ties
     order = np.lexsort((part_ids, part_d), axis=1)
     return (

@@ -610,10 +610,13 @@ def decontaminate_exact(
         else F.col(block_text_col)
     )
     blocked = blocklist.select(F.sha2(bkey, 256).alias("__bh")).distinct()
+    tmp = "__h"
+    while tmp in corpus.columns:  # never clobber a caller's column
+        tmp += "_"
     return (
-        corpus.withColumn("__h", F.sha2(key, 256))
-        .join(F.broadcast(blocked), F.col("__h") == F.col("__bh"), "left_anti")
-        .drop("__h")
+        corpus.withColumn(tmp, F.sha2(key, 256))
+        .join(F.broadcast(blocked), F.col(tmp) == F.col("__bh"), "left_anti")
+        .drop(tmp)
     )
 
 
@@ -655,8 +658,13 @@ def decontaminate_ngram(
         .select("__cid")
         .distinct()
     )
+    # NO broadcast hint on `hit`: unlike the eval-set-sized shingle set,
+    # the contaminated-doc-id set scales with the corpus (boilerplate
+    # shared with the eval set can implicate a large fraction of
+    # documents) — let the planner pick broadcast vs shuffle from its
+    # size estimate.
     return corpus.join(
-        F.broadcast(hit),
+        hit,
         corpus[id_col] == hit["__cid"],
         "left_anti",
     )

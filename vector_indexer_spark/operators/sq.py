@@ -104,6 +104,9 @@ def sq_train(df: DataFrame, *, vec_col: str = "values") -> SQModel:
     if first is None:
         raise ValueError("cannot train scalar quantizer on empty input")
     d = first["d"]
+    bad = df.filter(F.size(vec_col) != d).count()  # P1 fail-fast
+    if bad:
+        raise ValueError(f"{bad} records have dimension != {d}")
     aggs = [
         F.min(F.element_at(F.col(vec_col), j + 1)).alias(f"mn{j}")
         for j in range(d)
@@ -216,6 +219,10 @@ def sq_search(
 
 
 def _sq_search_native(codes_df, model, queries, k, query_id_col, query_col):
+    from vector_indexer_spark.functions.distance import (  # noqa: PLC0415
+        dist2_expr,
+    )
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_col).alias("__q"),
@@ -224,23 +231,20 @@ def _sq_search_native(codes_df, model, queries, k, query_id_col, query_col):
         F.col("id").alias("neighbor_id"),
         reconstruct_expr("codes", model).alias("__r"),
     )
+    # wrong-length codes rows fold to NULL, which would sort FIRST in
+    # the ascending rank — map them to +inf and drop after ranking
+    # (the knn_exact native guard)
     diffs = recon.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("__q"),
-                F.col("__r"),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        F.coalesce(
+            dist2_expr("__q", "__r"), F.lit(float("inf"))
         ).alias("adist2"),
     )
     w = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
     return (
         diffs.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k) & (F.col("adist2") != float("inf")))
         .select("query_id", "rank", "neighbor_id", "adist2")
     )
 
@@ -447,6 +451,10 @@ def ivfsq_search(
         )
     if method != "native":
         raise ValueError(f"unknown method {method!r}")
+    from vector_indexer_spark.functions.distance import (  # noqa: PLC0415
+        dist2_expr,
+    )
+
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_col).alias("__q")
     )
@@ -458,16 +466,7 @@ def ivfsq_search(
     pscore = q.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "cluster_id",
-        F.aggregate(
-            F.zip_with(
-                F.col("__q"),
-                F.col("__cvec"),
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("cdist2"),
+        dist2_expr("__q", "__cvec").alias("cdist2"),
     )
     pw = Window.partitionBy("query_id").orderBy("cdist2", "cluster_id")
     probes = (
@@ -484,23 +483,19 @@ def ivfsq_search(
         reconstruct_expr("codes", model),
         lambda c, r: c.cast("double") + r,
     )
+    # NULL-fold guard as in _sq_search_native: corrupt codes rows sort
+    # last and are dropped after ranking
     scored = cand.join(F.broadcast(q), "query_id").select(
         "query_id",
         F.col("id").alias("neighbor_id"),
-        F.aggregate(
-            F.zip_with(
-                F.col("__q"),
-                recon,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        F.coalesce(
+            dist2_expr("__q", recon), F.lit(float("inf"))
         ).alias("adist2"),
     )
     w = Window.partitionBy("query_id").orderBy("adist2", "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") <= k) & (F.col("adist2") != float("inf")))
         .select("query_id", "rank", "neighbor_id", "adist2")
     )
 
@@ -824,8 +819,11 @@ def _ivfsq_search_arrow(
             alld = np.concatenate(parts_d, axis=1)
             alli = np.concatenate(parts_i, axis=1)
             # reduce chunk winners to per-batch top-k (pad slots carry
-            # inf and sort last; drop them after the global rank below)
-            ord_ = np.argsort(alld, axis=1, kind="stable")[:, :k]
+            # inf and sort last; drop them after the global rank below).
+            # (adist2, neighbor_id) lexsort — the engine-wide tie rule;
+            # a distance-only sort would let chunk position decide which
+            # of two equal-distance candidates survives the cut.
+            ord_ = np.lexsort((alli, alld), axis=1)[:, :k]
             dd = np.take_along_axis(alld, ord_, axis=1)
             ii = np.take_along_axis(alli, ord_, axis=1)
             kk = dd.shape[1]

@@ -60,6 +60,7 @@ def sessionize(
     ts_col: str = "ts",
     user_col: str = "user_id",
     id_col: str = "event_id",
+    value_col: str | None = "value",
     gap_ns: int = DEFAULT_SESSION_GAP_NS,
 ) -> DataFrame:
     """Gap-based sessionization over nanosecond-long event times.
@@ -90,18 +91,22 @@ def sessionize(
     run = Window.partitionBy(user_col).orderBy(ts_col, id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    aggs = [
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ]
+    if value_col is not None:  # tables without a value column: pass None
+        aggs.append(
+            F.sum(F.floor(F.col(value_col) * 1_000_000).cast("long")).alias(
+                "value_sum_micros"
+            )
+        )
     return (
         events.withColumn("__new", new_sess)
         .withColumn("session_id", F.sum("__new").over(run))
         .groupBy(F.col(user_col).alias("user_id"), "session_id")
-        .agg(
-            F.min(ts_col).alias("session_start"),
-            F.max(ts_col).alias("session_end"),
-            F.count("*").alias("n_events"),
-            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
-                "value_sum_micros"
-            ),
-        )
+        .agg(*aggs)
     )
 
 
