@@ -270,3 +270,30 @@ def test_hash_split_validation(spark):
         hash_split(df, {})
     with pytest.raises(ValueError, match="non-negative"):
         hash_split(df, {"a": 1.5, "b": -0.5})
+
+
+def test_split_leakage_detects_cross_split_dups(spark):
+    from vector_indexer_spark.operators.splits import hash_split, split_leakage
+
+    # duplicate every doc under a shifted id: the shifted copy hashes
+    # into a different split for some rows, which is exactly leakage
+    df = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), (F.col("id") % 500).cast("string")).alias(
+            "text"
+        ),
+    )
+    leaks = split_leakage(df).collect()
+    assert len(leaks) > 0
+    splits = {
+        r.doc_id: r.split for r in hash_split(df).collect()
+    }
+    for r in leaks:
+        assert all(splits[i] == "train" for i in r.train_ids)
+        assert all(splits[i] != "train" for i in r.eval_ids)
+    # a dup-free corpus has no leakage by construction
+    clean = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("text"),
+    )
+    assert split_leakage(clean).count() == 0

@@ -972,6 +972,60 @@ _register(
 )
 
 
+def _split_leakage(spark, sf_dir):
+    """Cross-split leakage audit over a corpus with guaranteed dups
+    (doubled fixture): duplicate content straddling the train/eval
+    boundary, scalarized for the value hash."""
+    from vector_indexer_spark.operators.splits import split_leakage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    combined = docs.select("doc_id", "text").union(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    leaks = split_leakage(combined)
+    return leaks.select(
+        "content_hash",
+        F.size("train_ids").cast("long").alias("n_train"),
+        F.size("eval_ids").cast("long").alias("n_eval"),
+        F.element_at("train_ids", 1).alias("min_train_id"),
+        F.element_at("eval_ids", 1).alias("min_eval_id"),
+    )
+
+
+_register(
+    "split_leakage",
+    _split_leakage,
+    """
+    WITH combined AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents
+    ),
+    labeled AS (
+      SELECT doc_id, sha256(text) AS content_hash,
+             CASE WHEN b < 9000 THEN 'train'
+                  WHEN b < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *,
+               CAST(concat('0x', substr(md5(concat('42:',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS b
+        FROM combined)
+    ),
+    g AS (
+      SELECT content_hash,
+             CAST(count(*) FILTER (split = 'train') AS BIGINT) AS n_train,
+             CAST(count(*) FILTER (split <> 'train') AS BIGINT) AS n_eval,
+             min(doc_id) FILTER (split = 'train') AS min_train_id,
+             min(doc_id) FILTER (split <> 'train') AS min_eval_id
+      FROM labeled GROUP BY 1
+    )
+    SELECT content_hash, n_train, n_eval, min_train_id, min_eval_id
+    FROM g WHERE n_train > 0 AND n_eval > 0
+    """,
+)
+
+
 def _dd_shingle_hashes_k(toks: str, k: int) -> str:
     """Generalized k-shingle hash macro (the k=3 _DD_SHINGLE_HASHES is
     the minhash-specific instance)."""

@@ -74,3 +74,46 @@ def hash_split(
     if weights is None:
         weights = {"train": 0.9, "val": 0.05, "test": 0.05}
     return df.withColumn(out_col, split_expr(id_col, weights, seed=seed))
+
+
+def split_leakage(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    train_split: str = "train",
+) -> DataFrame:
+    """Cross-split contamination audit: duplicate text content that
+    landed in BOTH the train split and some eval split — exactly the
+    leakage a hash split cannot prevent when the corpus itself contains
+    duplicates (dedup before splitting, or decontaminate after).
+
+    Returns one row per leaking content group:
+    ``(content_hash, train_ids, eval_ids)`` with the member ids sorted.
+    Plan: one content-hash aggregation (map-side combined) over
+    (hash, split) — the same single-shuffle shape as exact dedup.
+    """
+    labeled = hash_split(
+        df, weights, id_col=id_col, seed=seed, out_col="__split"
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.sha2(F.col(text_col), 256).alias("content_hash"),
+        "__split",
+    )
+    grouped = labeled.groupBy("content_hash").agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("__split") == train_split, F.col("__id"))
+            )
+        ).alias("train_ids"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("__split") != train_split, F.col("__id"))
+            )
+        ).alias("eval_ids"),
+    )
+    return grouped.filter(
+        (F.size("train_ids") > 0) & (F.size("eval_ids") > 0)
+    )
