@@ -329,3 +329,18 @@ def test_custom_column_index_is_searchable(spark, embeddings, tmp_path):
         spark, idx2, q, k=2, n_probe=idx2.nlist, include_vectors=True
     ).toPandas()
     assert "values" in out2.columns and len(out2) == 10
+
+
+def test_cluster_stats_hand_computed(spark):
+    from vector_indexer_spark.operators.index_build import cluster_stats
+
+    assigned = spark.createDataFrame(
+        [(i, i % 3) for i in range(9)] + [(100, 0)],
+        "vec_id long, cluster_id long",
+    )
+    row = cluster_stats(assigned).collect()[0]
+    # sizes: cluster 0 → 4, clusters 1/2 → 3
+    assert row.n_clusters == 3 and row.n_vectors == 10
+    assert row.min_size == 3 and row.max_size == 4
+    assert row.avg_size == pytest.approx(10 / 3)
+    assert row.imbalance == pytest.approx(4 / (10 / 3))

@@ -9,6 +9,9 @@ from pyspark.sql import functions as F
 
 from vector_indexer_spark.operators.text_analysis import (
     duplicate_ngram_fraction,
+    gopher_quality,
+    pii_stats,
+    redact_pii,
     repetition_stats,
 )
 from vector_indexer_spark.sources.files import generate_vectors_lcg
@@ -297,3 +300,84 @@ def test_split_leakage_detects_cross_split_dups(spark):
         F.col("id").cast("string").alias("text"),
     )
     assert split_leakage(clean).count() == 0
+
+
+class TestPii:
+    def test_detection_counts(self, spark):
+        rows = {
+            r.doc_id: r
+            for r in pii_stats(
+                _docs(
+                    spark,
+                    [
+                        "mail me at jo.doe+x@sub.example.org thanks",
+                        "server 192.168.0.1 and 10.0.0.255 up",
+                        "call +1 (415) 555-0199 now",
+                        "no personal data here",
+                        "a@b.io or c@d.co from 8.8.8.8 dial +44 20 7946 0958",
+                    ],
+                )
+            ).collect()
+        }
+        assert (rows[0].n_email, rows[0].n_ipv4, rows[0].n_phone) == (1, 0, 0)
+        assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (0, 2, 0)
+        assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 0, 1)
+        assert rows[3].has_pii == 0
+        assert (rows[4].n_email, rows[4].n_ipv4, rows[4].n_phone) == (2, 1, 1)
+        assert rows[4].has_pii == 1
+
+    def test_redaction_replaces_every_match(self, spark):
+        out = {
+            r.doc_id: r.text
+            for r in redact_pii(
+                _docs(
+                    spark,
+                    [
+                        "mail a@b.io and b@c.de",
+                        "ip 1.2.3.4 phone +1 555 0100 end",
+                    ],
+                )
+            ).collect()
+        }
+        assert out[0] == "mail <EMAIL> and <EMAIL>"
+        assert out[1] == "ip <IP> phone <PHONE> end"
+        # redacted output re-scanned → no remaining PII
+        redacted = redact_pii(_docs(spark, list(out.values())))
+        again = pii_stats(redacted.select("doc_id", "text"))
+        assert all(r.has_pii == 0 for r in again.collect())
+
+
+class TestGopherQuality:
+    def test_signals_hand_computed(self, spark):
+        rows = {
+            r.doc_id: r
+            for r in gopher_quality(
+                _docs(
+                    spark,
+                    [
+                        # 6 words, all alpha, mean len (3+5+3+2+3+4)/6
+                        "the quick fox is the best",
+                        "1 2 3 4 5 6 7 8",  # digits: alpha frac 0
+                        "x ### y ... z",  # symbol-heavy
+                    ],
+                ),
+                min_words=3,
+            ).collect()
+        }
+        r0 = rows[0]
+        assert r0.n_words == 6
+        assert r0.mean_word_len == pytest.approx(20 / 6)
+        assert r0.alpha_word_frac == 1.0
+        assert r0.symbol_word_ratio == 0.0
+        assert r0.stopword_hits == 3  # the, is, the
+        assert r0.passes == 1
+        assert rows[1].alpha_word_frac == 0.0 and rows[1].passes == 0
+        r2 = rows[2]
+        assert r2.n_words == 3  # x, y, z
+        assert r2.symbol_word_ratio == pytest.approx(4 / 3)
+        assert r2.passes == 0
+
+    def test_word_count_bounds(self, spark):
+        df = _docs(spark, ["the quick fox is here today", "the fox"])
+        out = {r.doc_id: r.passes for r in gopher_quality(df, min_words=5).collect()}
+        assert out[0] == 1 and out[1] == 0

@@ -3135,3 +3135,209 @@ def _ivfpq_search_trained(spark, sf_dir):
 
 
 _register("ivfpq_search_trained", _ivfpq_search_trained)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing — detection counts + redaction rewrite. The corpus
+# text is letter-only word soup, so the query deterministically
+# injects synthetic PII (derived from doc_id, identical construction
+# on both engines) to exercise every pattern.
+# --------------------------------------------------------------------------
+
+_DD_PII_TEXT = """
+  text
+  || CASE WHEN doc_id % 3 = 0
+          THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+          ELSE '' END
+  || CASE WHEN doc_id % 5 = 0
+          THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+          ELSE '' END
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' call +1 555 01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+          ELSE '' END
+"""
+
+
+def _pii_docs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact u"),
+                    did.cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 200).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" call +1 555 01"),
+                    F.lpad((did % 100).cast("string"), 2, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def _text_pii_stats(spark, sf_dir):
+    from vector_indexer_spark.operators.text_analysis import pii_stats
+
+    return pii_stats(_pii_docs(spark, sf_dir))
+
+
+def _pii_sql_patterns():
+    from vector_indexer_spark.functions.text import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return PII_EMAIL, PII_IPV4, PII_PHONE
+
+
+_PII_EMAIL_SQL, _PII_IPV4_SQL, _PII_PHONE_SQL = _pii_sql_patterns()
+
+_register(
+    "text_pii_stats",
+    _text_pii_stats,
+    f"""
+    WITH injected AS (
+      SELECT doc_id, {_DD_PII_TEXT} AS text FROM documents
+    ),
+    counts AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(text, '{_PII_IPV4_SQL}')) AS BIGINT) AS n_ipv4,
+        CAST(len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS BIGINT) AS n_phone
+      FROM injected
+    )
+    SELECT doc_id, n_email, n_ipv4, n_phone,
+           CAST(n_email + n_ipv4 + n_phone > 0 AS INT) AS has_pii
+    FROM counts
+    """,
+)
+
+
+def _text_pii_redacted(spark, sf_dir):
+    from vector_indexer_spark.operators.text_analysis import redact_pii
+
+    return redact_pii(_pii_docs(spark, sf_dir))
+
+
+_register(
+    "text_pii_redacted",
+    _text_pii_redacted,
+    f"""
+    WITH injected AS (
+      SELECT doc_id, {_DD_PII_TEXT} AS text FROM documents
+    )
+    SELECT doc_id,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+          '{_PII_IPV4_SQL}', '<IP>', 'g'),
+        '{_PII_PHONE_SQL}', '<PHONE>', 'g') AS text
+    FROM injected
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rules (word-count band, mean word length,
+# alpha-word fraction, symbol ratio, stopword hits → passes flag).
+# --------------------------------------------------------------------------
+
+
+def _text_gopher(spark, sf_dir):
+    from vector_indexer_spark.operators.text_analysis import gopher_quality
+
+    return gopher_quality(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_register(
+    "text_gopher_quality",
+    _text_gopher,
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_DD_TOKENS.format(c="text")} AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, toks,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+             AS BIGINT) AS len_sum,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+             AS BIGINT) AS alpha_words,
+        CAST(len(regexp_extract_all(text, '#'))
+             + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS BIGINT) AS symbols,
+        CAST(len(list_filter(toks, x -> x IN {_STOP_EN_SQL})) AS BIGINT)
+          AS stopword_hits
+      FROM t
+    ),
+    sig AS (
+      SELECT doc_id, n_words,
+        CASE WHEN n_words > 0
+             THEN CAST(len_sum AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN n_words > 0
+             THEN CAST(alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS alpha_word_frac,
+        CASE WHEN n_words > 0
+             THEN CAST(symbols AS DOUBLE) / CAST(n_words AS DOUBLE)
+             ELSE 0.0 END AS symbol_word_ratio,
+        stopword_hits
+      FROM m
+    )
+    SELECT *,
+      CAST(n_words >= 5 AND n_words <= 100000
+           AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+           AND alpha_word_frac >= 0.80
+           AND symbol_word_ratio <= 0.10
+           AND stopword_hits >= 2 AS INT) AS passes
+    FROM sig
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Index observability: cluster-size distribution / imbalance factor
+# over the fixed-centroid assignment (the IVF list-balance metric).
+# --------------------------------------------------------------------------
+
+
+def _ivf_cluster_stats(spark, sf_dir):
+    from vector_indexer_spark.operators.index_build import cluster_stats
+
+    return cluster_stats(_ivf_assign(spark, sf_dir))
+
+
+_register(
+    "ivf_cluster_stats_fixed",
+    _ivf_cluster_stats,
+    f"""
+    WITH {_DD_ASSIGN},
+    sizes AS (
+      SELECT centroid_id, count(*) AS n
+      FROM assigned WHERE rn = 1 GROUP BY 1
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_clusters,
+      CAST(sum(n) AS BIGINT) AS n_vectors,
+      CAST(min(n) AS BIGINT) AS min_size,
+      CAST(max(n) AS BIGINT) AS max_size,
+      CAST(sum(n) AS DOUBLE) / CAST(count(*) AS BIGINT) AS avg_size,
+      CAST(max(n) AS DOUBLE)
+        / (CAST(sum(n) AS DOUBLE) / CAST(count(*) AS BIGINT)) AS imbalance
+    FROM sizes
+    """,
+)

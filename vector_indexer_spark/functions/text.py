@@ -174,3 +174,41 @@ def fingerprint_expr(col: Column | str) -> Column:
         lambda acc, t: (acc * F.lit(31) + token_hash_expr(t) % F.lit(HASH_MOD))
         % F.lit(HASH_MOD),
     )
+
+
+# --------------------------------------------------------------------------
+# PII detection / redaction (training-data scrubbing stage).
+#
+# Patterns are deliberately RE2-compatible (no lookaround, no
+# backreferences) so the same literal pattern runs in Spark's Java
+# regex engine and in the DuckDB oracle. Word-boundary \b is supported
+# by both.
+# --------------------------------------------------------------------------
+
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+
+# Redaction order matters: emails first (an address can contain
+# digit runs a phone pattern would then mangle), then IPs (dotted
+# digits would otherwise partially match the phone pattern), then
+# phones. Detection counts use the same precedence on both engines.
+PII_PATTERNS = (
+    ("email", PII_EMAIL, "<EMAIL>"),
+    ("ipv4", PII_IPV4, "<IP>"),
+    ("phone", PII_PHONE, "<PHONE>"),
+)
+
+
+def pii_count_expr(col: Column | str, pattern: str) -> Column:
+    """Number of matches of one PII pattern (codegen, scan-local)."""
+    return F.regexp_count(_c(col), F.lit(pattern)).cast("long")
+
+
+def redact_pii_expr(col: Column | str) -> Column:
+    """Replace every PII match with its placeholder tag, applying the
+    patterns in ``PII_PATTERNS`` precedence order."""
+    out = _c(col)
+    for _, pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out

@@ -265,3 +265,26 @@ def load_index(spark: SparkSession, path: str) -> IvfIndex:
         id_col=meta.get("id_col", "id"),
         vec_col=meta.get("vec_col", "values"),
     )
+
+
+def cluster_stats(assigned: DataFrame, *, cluster_col: str = "cluster_id") -> DataFrame:
+    """Index observability: one-row summary of the cluster-size
+    distribution (count / total / min / max / mean / imbalance factor).
+
+    ``imbalance = max_size / avg_size`` is the standard IVF list-balance
+    metric (1.0 = perfectly balanced; the probe-time worst case scales
+    with it, because a probe that hits the fattest list does
+    ``imbalance×`` the average work). Two map-side-combined
+    aggregations over the assignment table — no wide shuffle beyond
+    the per-cluster counts, so it is as scalable as the build itself.
+    """
+    sizes = assigned.groupBy(cluster_col).agg(F.count("*").alias("n"))
+    avg_size = F.sum("n").cast("double") / F.count("*").cast("long")
+    return sizes.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.sum("n").cast("long").alias("n_vectors"),
+        F.min("n").cast("long").alias("min_size"),
+        F.max("n").cast("long").alias("max_size"),
+        avg_size.alias("avg_size"),
+        (F.max("n").cast("double") / avg_size).alias("imbalance"),
+    )

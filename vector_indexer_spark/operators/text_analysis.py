@@ -403,3 +403,113 @@ def hash_embed(
         .otherwise(F.col("__cnts"))
         .alias("embedding"),
     )
+
+
+def pii_stats(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII match counts (emails / IPv4 / phone numbers)
+    plus a ``has_pii`` flag — the detection half of the corpus
+    scrubbing stage.
+
+    Scan-local: three ``regexp_count`` codegen projections, zero
+    shuffle; at 100 TB this is bounded by scan bandwidth alone.
+    """
+    from vector_indexer_spark.functions.text import PII_PATTERNS, pii_count_expr
+
+    counts = {
+        f"n_{name}": pii_count_expr(text_col, pattern)
+        for name, pattern, _ in PII_PATTERNS
+    }
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[expr.alias(name) for name, expr in counts.items()],
+    )
+    total = sum((F.col(n) for n in counts), F.lit(0).cast("long"))
+    return out.withColumn("has_pii", (total > 0).cast("int"))
+
+
+def redact_pii(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Replace every detected PII span with a placeholder tag
+    (``<EMAIL>`` / ``<IP>`` / ``<PHONE>``) — the rewrite half of the
+    scrubbing stage. Scan-local ``regexp_replace`` chain, no shuffle."""
+    from vector_indexer_spark.functions.text import redact_pii_expr
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        redact_pii_expr(text_col).alias("text"),
+    )
+
+
+def gopher_quality(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_word_frac: float = 0.80,
+    max_symbol_word_ratio: float = 0.10,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021 §A1.1, as
+    popularized by RefinedWeb/Dolma cleaning pipelines): word count
+    bounds, mean word length band, fraction of words containing an
+    alphabetic character, symbol-to-word ratio (``#``/ellipsis), and a
+    minimum stopword-hit count. Emits the per-document signals plus a
+    ``passes`` flag so the caller can either filter or audit.
+
+    Every signal is an array/regex expression over the token array —
+    scan-local whole-stage codegen, zero shuffle, no UDF. Thresholds
+    are keyword arguments; the defaults follow the published rules
+    (word-count bounds relaxed for short test corpora).
+    """
+    from vector_indexer_spark.functions.text import (
+        stopword_count_expr,
+        tokens_expr,
+    )
+
+    toks = tokens_expr(text_col)
+    n_words = F.size(toks).cast("long")
+    # Sum of token lengths folded left over the token array: integer
+    # sum, so double division below is exact and engine-portable.
+    len_sum = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = F.when(n_words > 0, len_sum / n_words).otherwise(F.lit(0.0))
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("long")
+    alpha_frac = F.when(n_words > 0, alpha_words / n_words).otherwise(
+        F.lit(0.0)
+    )
+    symbols = (
+        F.regexp_count(F.col(text_col), F.lit(r"#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.|…"))
+    ).cast("long")
+    symbol_ratio = F.when(n_words > 0, symbols / n_words).otherwise(
+        F.lit(0.0)
+    )
+    stop_hits = stopword_count_expr(text_col)
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (stop_hits >= min_stopword_hits)
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_word_frac"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        stop_hits.alias("stopword_hits"),
+        passes.cast("int").alias("passes"),
+    )
