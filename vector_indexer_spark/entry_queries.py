@@ -3341,3 +3341,126 @@ _register(
     FROM sizes
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Binary quantization (1 bit/dim, Hamming search) — the smallest
+# compression tier. Fixed zero thresholds (the data is ~centered) make
+# the full encode→search pipeline SQL-expressible; trained thresholds
+# are the rows-only variant (distributed float means).
+# --------------------------------------------------------------------------
+
+_DD_BQ_CODES = """
+  codes AS (
+    SELECT vec_id,
+      list_transform(range(1, 3), w ->
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, 33), j ->
+              CAST(CASE WHEN embedding[(w-1)*32 + j] > 0.0
+                   THEN 1 ELSE 0 END AS BIGINT))),
+          (a, b) -> a * 2 + b)) AS codes
+    FROM embeddings
+  ),
+  bq_scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      CAST(list_sum(list_transform(range(1, 3),
+           w -> bit_count(xor(q.codes[w], c.codes[w])))) AS BIGINT) AS hamming
+    FROM codes q CROSS JOIN codes c
+    WHERE q.vec_id >= 490
+  ),
+  bq_ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY hamming, neighbor_id) AS rank
+    FROM bq_scored
+  )
+"""
+
+
+def _bq_frames(spark, sf_dir):
+    from vector_indexer_spark.operators.bq import BQModel, bq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = BQModel(thresholds=(0.0,) * 64)
+    codes = bq_encode(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("values")),
+        model,
+    )
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return emb, model, codes, q
+
+
+def _bq_hamming_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.bq import bq_search
+
+    _, model, codes, q = _bq_frames(spark, sf_dir)
+    return bq_search(codes, model, q, k=5)
+
+
+_register(
+    "bq_hamming_fixed",
+    _bq_hamming_fixed,
+    f"""
+    WITH {_DD_BQ_CODES}
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, hamming
+    FROM bq_ranked WHERE rank <= 5
+    """,
+)
+
+
+def _bq_refine_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.bq import bq_search_refined
+
+    emb, model, codes, q = _bq_frames(spark, sf_dir)
+    vec = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    return bq_search_refined(
+        codes, model, vec, q, k=5, shortlist=50
+    )
+
+
+_register(
+    "bq_refine_fixed",
+    _bq_refine_fixed,
+    f"""
+    WITH {_DD_BQ_CODES},
+    short AS (
+      SELECT query_id, neighbor_id FROM bq_ranked WHERE rank <= 50
+    ),
+    rescored AS (
+      SELECT s.query_id, s.neighbor_id,
+        {_DD_DIST2.format(a="v.embedding", b="q.embedding")} AS dist2
+      FROM short s
+      JOIN embeddings v ON v.vec_id = s.neighbor_id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    reranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist2, neighbor_id) AS rank
+      FROM rescored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+    FROM reranked WHERE rank <= 5
+    """,
+)
+
+
+def _bq_search_trained(spark, sf_dir):
+    from vector_indexer_spark.operators.bq import bq_encode, bq_search, bq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    model = bq_train(vec)
+    codes = bq_encode(vec, model)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return bq_search(codes, model, q, k=10, method="arrow")
+
+
+_register("bq_search_trained", _bq_search_trained)
