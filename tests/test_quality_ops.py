@@ -381,3 +381,83 @@ class TestGopherQuality:
         df = _docs(spark, ["the quick fox is here today", "the fox"])
         out = {r.doc_id: r.passes for r in gopher_quality(df, min_words=5).collect()}
         assert out[0] == 1 and out[1] == 0
+
+
+class TestSamplingAndMixture:
+    def _docs(self, spark, n=2000):
+        return spark.createDataFrame(
+            [(i, f"src{i % 4}") for i in range(n)],
+            "doc_id long, source string",
+        )
+
+    def test_sample_rate_and_determinism(self, spark):
+        from vector_indexer_spark.operators.splits import stratified_sample
+
+        df = self._docs(spark)
+        out = stratified_sample(
+            df, {}, default_rate=0.3, seed=7
+        )
+        n = out.count()
+        assert 0.25 * 2000 < n < 0.35 * 2000
+        # repartition-invariant: identical surviving ids
+        ids1 = {r.doc_id for r in out.collect()}
+        ids2 = {
+            r.doc_id
+            for r in stratified_sample(
+                df.repartition(13), {}, default_rate=0.3, seed=7
+            ).collect()
+        }
+        assert ids1 == ids2
+
+    def test_stratified_rates(self, spark):
+        from vector_indexer_spark.operators.splits import stratified_sample
+
+        df = self._docs(spark)
+        out = stratified_sample(
+            df, {"src0": 1.0, "src1": 0.0}, default_rate=0.5
+        )
+        by_src = {
+            r.source: r.n
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_src["src0"] == 500
+        assert "src1" not in by_src
+        assert 200 < by_src["src2"] < 300 and 200 < by_src["src3"] < 300
+
+    def test_mixture_fractional_epochs(self, spark):
+        from vector_indexer_spark.operators.splits import corpus_mixture
+
+        df = self._docs(spark)
+        out = corpus_mixture(df, {"src0": 2.5, "src1": 1.0}).cache()
+        n0 = out.filter("source = 'src0'").count()
+        # 500 docs * 2.5 epochs => ~1250, with hash noise
+        assert 1150 < n0 < 1350, n0
+        assert out.filter("source = 'src1'").count() == 500
+        assert out.filter("source = 'src2'").count() == 0
+        # copy ordinals are dense 0..n-1 per doc
+        per_doc = out.filter("source = 'src0'").groupBy("doc_id").agg(
+            F.count("*").alias("n"),
+            F.min("copy").alias("lo"),
+            F.max("copy").alias("hi"),
+        )
+        bad = per_doc.filter(
+            (F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1)
+        ).count()
+        assert bad == 0
+        # every src0 doc appears at least twice (floor of 2.5)
+        assert per_doc.filter("n < 2").count() == 0
+
+    def test_validation(self, spark):
+        from vector_indexer_spark.operators.splits import (
+            corpus_mixture,
+            sample_expr,
+            stratified_sample,
+        )
+
+        df = self._docs(spark, n=10)
+        with pytest.raises(ValueError):
+            stratified_sample(df, {"src0": 1.5})
+        with pytest.raises(ValueError):
+            corpus_mixture(df, {"src0": -1.0})
+        with pytest.raises(ValueError):
+            sample_expr("doc_id", 2.0)

@@ -3464,3 +3464,77 @@ def _bq_search_trained(spark, sf_dir):
 
 
 _register("bq_search_trained", _bq_search_trained)
+
+
+# --------------------------------------------------------------------------
+# Corpus sampling / mixture construction — deterministic hash-based
+# per-source downsampling and fractional-epoch upsampling.
+# --------------------------------------------------------------------------
+
+_DD_BUCKET7 = (
+    "CAST(concat('0x', substr(md5(concat('7:', CAST(doc_id AS VARCHAR))),"
+    " 1, 8)) AS BIGINT) % 10000"
+)
+
+
+def _sample_stratified(spark, sf_dir):
+    """src0 kept at 100%, src1 at 50%, src2 at 0%, others 25%."""
+    from vector_indexer_spark.operators.splits import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.0},
+        default_rate=0.25,
+    )
+    return out.select("doc_id", "source")
+
+
+_register(
+    "sample_stratified",
+    _sample_stratified,
+    f"""
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source, {_DD_BUCKET7} AS b FROM documents)
+    WHERE b < CASE source
+                WHEN 'src0' THEN 10000
+                WHEN 'src1' THEN 5000
+                WHEN 'src2' THEN 0
+                ELSE 2500 END
+    """,
+)
+
+
+def _corpus_mixture(spark, sf_dir):
+    """Fractional-epoch mixture: 2.5 epochs of src0, 1 of src1, 0.25
+    of src2, nothing else."""
+    from vector_indexer_spark.operators.splits import corpus_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = corpus_mixture(
+        docs, {"src0": 2.5, "src1": 1.0, "src2": 0.25}, default_weight=0.0
+    )
+    return out.select("doc_id", "source", F.col("copy").cast("int").alias("copy"))
+
+
+_register(
+    "corpus_mixture",
+    _corpus_mixture,
+    f"""
+    WITH w AS (
+      SELECT doc_id, source, {_DD_BUCKET7} AS b,
+        CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END AS whole,
+        CASE source WHEN 'src0' THEN 5000 WHEN 'src2' THEN 2500 ELSE 0 END AS fthr
+      FROM documents
+      WHERE source IN ('src0', 'src1', 'src2')
+    ),
+    n AS (
+      SELECT doc_id, source,
+             whole + CASE WHEN b < fthr THEN 1 ELSE 0 END AS n_copies
+      FROM w
+    )
+    SELECT doc_id, source, CAST(u.c AS INT) AS copy
+    FROM n, unnest(range(0, n.n_copies)) AS u(c)
+    WHERE n_copies > 0
+    """,
+)

@@ -117,3 +117,109 @@ def split_leakage(
     return grouped.filter(
         (F.size("train_ids") > 0) & (F.size("eval_ids") > 0)
     )
+
+
+def _bucket_expr(id_col: Column | str, seed: int) -> Column:
+    """The shared deterministic bucket: ``md5("{seed}:{id}") mod 10_000``."""
+    cid = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), cid.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % SPLIT_BUCKETS
+    )
+
+
+def sample_expr(
+    id_col: Column | str, rate: float, *, seed: int = 7
+) -> Column:
+    """Deterministic Bernoulli(rate) keep flag: a pure function of
+    ``(seed, id)``, so the sample is reproducible across runs, engines,
+    and repartitionings — unlike ``df.sample`` whose output depends on
+    partition layout. Use a different seed than the train/test split so
+    sampling and splitting are independent hash draws."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return _bucket_expr(id_col, seed) < int(round(rate * SPLIT_BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    *,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — the "downsample source X
+    to rate r" step of corpus construction. Rows whose stratum is not
+    in ``rates`` are kept at ``default_rate``. Scan-local (bucket
+    compare inside codegen, zero shuffle); all columns pass through.
+    """
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0, 1]")
+    thr = F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    for name, r in rates.items():
+        thr = F.when(
+            F.col(strat_col) == name, F.lit(int(round(r * SPLIT_BUCKETS)))
+        ).otherwise(thr)
+    return df.filter(_bucket_expr(id_col, seed) < thr)
+
+
+def corpus_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    *,
+    strat_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 7,
+    default_weight: float = 0.0,
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic mixture construction with fractional epochs: a
+    stratum with weight 2.5 emits every row twice plus a deterministic
+    half of the rows a third time (the "N epochs of source X" recipe of
+    LLM pre-training mixtures; weight ≤ 1 is plain downsampling).
+
+    Each surviving row gains a ``copy`` ordinal (0-based) so downstream
+    shuffling/packing can treat repeats as distinct examples.
+    ``copies = floor(w) + (bucket < frac(w)·10_000)`` with the same
+    portable (seed, id) bucket as splitting/sampling. The explode is
+    scan-local (sequence of at most ⌈w⌉ ints per row) — no shuffle.
+    """
+    for k, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0, got {w}")
+    if default_weight < 0:
+        raise ValueError("default_weight must be >= 0")
+
+    def parts(w: float):
+        whole = int(w)
+        frac_thr = int(round((w - whole) * SPLIT_BUCKETS))
+        return whole, frac_thr
+
+    dw, dthr = parts(default_weight)
+    whole = F.lit(dw)
+    fthr = F.lit(dthr)
+    for name, w in weights.items():
+        nw, nthr = parts(w)
+        cond = F.col(strat_col) == name
+        whole = F.when(cond, F.lit(nw)).otherwise(whole)
+        fthr = F.when(cond, F.lit(nthr)).otherwise(fthr)
+    n_copies = whole + (
+        _bucket_expr(id_col, seed) < fthr
+    ).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )
