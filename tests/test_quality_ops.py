@@ -461,3 +461,63 @@ class TestSamplingAndMixture:
             corpus_mixture(df, {"src0": -1.0})
         with pytest.raises(ValueError):
             sample_expr("doc_id", 2.0)
+
+
+class TestPackSequences:
+    def test_contiguity_and_offsets(self, spark):
+        from vector_indexer_spark.operators.text_analysis import pack_sequences
+
+        # 10 docs of 3 tokens each, one stream: budget 7 -> bins of
+        # cumulative offsets 0,3,6 | 9->bin1 ...
+        df = spark.createDataFrame(
+            [(i, "a b c") for i in range(10)], "doc_id long, text string"
+        )
+        rows = sorted(
+            pack_sequences(df, budget=7).collect(), key=lambda r: r.doc_id
+        )
+        before = 0
+        for r in rows:
+            assert r.n_tokens == 3
+            assert r.bin_id == before // 7
+            assert r.bin_offset == before % 7
+            before += 3
+        # bins are contiguous starting at 0
+        bins = sorted({r.bin_id for r in rows})
+        assert bins == list(range(bins[-1] + 1))
+
+    def test_streams_partition_and_determinism(self, spark):
+        from vector_indexer_spark.operators.text_analysis import pack_sequences
+
+        df = spark.createDataFrame(
+            [(i, "w " * (i % 5 + 1)) for i in range(200)],
+            "doc_id long, text string",
+        )
+        a = pack_sequences(df, budget=16, n_streams=4).collect()
+        b = pack_sequences(
+            df.repartition(11), budget=16, n_streams=4
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        streams = {r.stream for r in a}
+        assert streams <= set(range(4)) and len(streams) > 1
+        # within every stream, bin offsets restart consistently:
+        # doc order by id reproduces the cumsum
+        from collections import defaultdict
+
+        by_stream = defaultdict(list)
+        for r in a:
+            by_stream[r.stream].append(r)
+        for rs in by_stream.values():
+            rs.sort(key=lambda r: r.doc_id)
+            before = 0
+            for r in rs:
+                assert r.bin_id * 16 + r.bin_offset == before
+                before += r.n_tokens
+
+    def test_validation(self, spark):
+        from vector_indexer_spark.operators.text_analysis import pack_sequences
+
+        df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            pack_sequences(df, budget=0)
+        with pytest.raises(ValueError):
+            pack_sequences(df, n_streams=0)

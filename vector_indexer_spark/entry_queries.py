@@ -3538,3 +3538,44 @@ _register(
     WHERE n_copies > 0
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — documents → fixed token-budget training bins
+# (offset-quantized contiguous packing, 2 streams, stratified by
+# source).
+# --------------------------------------------------------------------------
+
+
+def _pack_sequences(spark, sf_dir):
+    from vector_indexer_spark.operators.text_analysis import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(
+        docs, budget=256, strat_col="source", n_streams=2
+    ).select("doc_id", "source", "stream", "n_tokens", "bin_id", "bin_offset")
+
+
+_register(
+    "text_pack_sequences",
+    _pack_sequences,
+    f"""
+    WITH base AS (
+      SELECT doc_id, source,
+        ({_DD_BUCKET7}) % 2 AS stream,
+        CAST(len({_DD_TOKENS.format(c="text")}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *,
+        CAST(sum(n_tokens) OVER (PARTITION BY stream, source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+             AS BIGINT) AS before
+      FROM base
+    )
+    SELECT doc_id, source, stream, n_tokens,
+           CAST(floor(before / 256.0) AS BIGINT) AS bin_id,
+           before % 256 AS bin_offset
+    FROM c
+    """,
+)

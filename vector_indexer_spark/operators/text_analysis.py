@@ -513,3 +513,69 @@ def gopher_quality(
         stop_hits.alias("stopword_hits"),
         passes.cast("int").alias("passes"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strat_col: str | None = None,
+    n_streams: int = 1,
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed token
+    budgets (training context windows) by contiguous cumulative token
+    count — the "sample packing" step that turns a cleaned corpus into
+    dense training examples.
+
+    Semantics (offset-quantized packing): within each packing stream,
+    documents are taken in ``id`` order and a document joins the bin
+    its *preceding* cumulative token count falls in —
+    ``bin_id = floor(tokens_before / budget)``. A document straddling a
+    boundary stays in the earlier bin (bins may overflow by one
+    document); split overlong documents with ``chunk_documents`` first
+    if hard budget caps are required. This formulation is a pure
+    window cumsum — deterministic, engine-portable, and free of the
+    sequential state a first-fit packer would need.
+
+    Scale: one shuffle on the stream key. A single stream means a
+    single sorted partition, so for large corpora raise ``n_streams``
+    — documents are hash-routed to ``n_streams`` independent packing
+    streams (deterministic (seed,id) bucket), keeping every stream
+    driver-independent and the sort bounded. ``strat_col`` (e.g.
+    source) additionally keeps streams pure per stratum.
+
+    Returns ``(doc_id[, strat], stream, n_tokens, bin_id, bin_offset)``
+    with ``bin_offset`` = token offset of the document inside its bin.
+    """
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.text import token_count_expr
+    from vector_indexer_spark.operators.splits import _bucket_expr
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if n_streams <= 0:
+        raise ValueError("n_streams must be positive")
+    stream = (_bucket_expr(id_col, 7) % n_streams).alias("stream")
+    cols = [F.col(id_col).alias("doc_id")]
+    part_keys = ["stream"]
+    if strat_col is not None:
+        cols.append(F.col(strat_col))
+        part_keys.append(strat_col)
+    base = df.select(
+        *cols, stream, token_count_expr(text_col).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy(*part_keys)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("__before")
+    out = base.select("*", before)
+    return out.select(
+        *[c for c in out.columns if c != "__before"],
+        F.floor(F.col("__before") / budget).cast("long").alias("bin_id"),
+        (F.col("__before") % budget).cast("long").alias("bin_offset"),
+    )
