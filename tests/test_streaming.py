@@ -245,3 +245,56 @@ def test_session_rollup_streaming(spark, tmp_path):
     assert got[(1, "2024-01-01 10:00:00")] == 2
     assert got[(1, "2024-01-01 11:00:00")] == 1
     assert got[(2, "2024-01-01 10:00:00")] == 1
+
+
+def test_sliding_rollup_batch_overlap_semantics(spark):
+    from vector_indexer_spark.streaming.events import sliding_rollup
+
+    rows = [("2024-01-01 10:20:00", "click", 1.0)]
+    ev = spark.createDataFrame(
+        rows, "ts_s string, event_type string, value double"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    got = sorted(
+        (str(r.window_start), r.n_events)
+        for r in sliding_rollup(ev).collect()
+    )
+    # one event at 10:20 lands in the 4 sliding 1h/15min windows
+    # starting 09:30, 09:45, 10:00, 10:15
+    assert got == [
+        ("2024-01-01 09:30:00", 1),
+        ("2024-01-01 09:45:00", 1),
+        ("2024-01-01 10:00:00", 1),
+        ("2024-01-01 10:15:00", 1),
+    ]
+
+
+def test_sliding_rollup_streaming(spark, tmp_path):
+    from vector_indexer_spark.streaming.events import start_sliding_rollup
+
+    rows = [
+        ("2024-01-01 10:05:00", "click", 1.5),
+        ("2024-01-01 10:20:00", "click", 2.0),
+    ]
+    src = str(tmp_path / "ev_slide")
+    df = spark.createDataFrame(rows, "ts_s string, event_type string, value double")
+    df.select(
+        F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, value double"
+    ).parquet(src)
+    q = start_sliding_rollup(
+        stream, str(tmp_path / "ckpt_slide"), queryName="t_slide",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r.window_start): r.n_events
+        for r in spark.sql("SELECT * FROM t_slide").collect()
+    }
+    # both events share windows 09:30..10:05? no: 10:05 windows start
+    # 09:15,09:30,09:45,10:00; 10:20 start 09:30,09:45,10:00,10:15
+    assert got["2024-01-01 09:15:00"] == 1
+    assert got["2024-01-01 09:30:00"] == 2
+    assert got["2024-01-01 10:00:00"] == 2
+    assert got["2024-01-01 10:15:00"] == 1

@@ -3579,3 +3579,50 @@ _register(
     FROM c
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Sliding-window rollup (1 h windows every 15 min) — the overlapping-
+# window streaming twin, locked against an unnest(range) expansion.
+# --------------------------------------------------------------------------
+
+
+def _events_sliding(spark, sf_dir):
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import sliding_rollup
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    ev = ev.select(
+        F.timestamp_seconds(F.expr("ts div 1000000000")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    out = sliding_rollup(ev)
+    return out.select(
+        F.unix_timestamp("window_start").alias("window_start"),
+        "event_type",
+        "n_events",
+        "value_sum_micros",
+    )
+
+
+_register(
+    "events_sliding_rollup",
+    _events_sliding,
+    """
+    WITH base AS (
+      SELECT epoch_ns(ts) // 1000000000 AS tsec, event_type, value
+      FROM events
+    ),
+    wins AS (
+      SELECT (tsec // 900) * 900 - u.i * 900 AS window_start,
+             event_type, value
+      FROM base, unnest(range(0, 4)) AS u(i)
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS value_sum_micros
+    FROM wins GROUP BY 1, 2
+    """,
+)

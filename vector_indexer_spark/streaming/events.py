@@ -199,3 +199,71 @@ def start_hourly_rollup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def sliding_rollup(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    window_size: str = "1 hour",
+    slide: str = "15 minutes",
+) -> DataFrame:
+    """Sliding-window counts/sums per event_type: every event lands in
+    ``window_size / slide`` overlapping windows (epoch-aligned, Spark's
+    native ``F.window`` slide semantics). Same one-definition/two-modes
+    contract as ``hourly_rollup``: streaming input gets bounded state
+    via the watermark; batch input runs identically with the watermark
+    as a no-op. State is (windows per event) × (open windows within the
+    watermark horizon) — bounded, and the per-window aggregates are
+    map-side combinable int sums.
+    """
+    withm = (
+        events.withWatermark(ts_col, watermark)
+        if events.isStreaming
+        else events
+    )
+    return (
+        withm.groupBy(
+            F.window(F.col(ts_col), window_size, slide).alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                "value_sum_micros"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum_micros",
+        )
+    )
+
+
+def start_sliding_rollup(
+    events_stream: DataFrame,
+    checkpoint_dir: str,
+    *,
+    queryName: str = "events_sliding_rollup",
+    window_size: str = "1 hour",
+    slide: str = "15 minutes",
+    trigger_available_now: bool = False,
+    output_mode: str = "complete",
+):
+    """Run the sliding rollup as a streaming query (memory sink for
+    tests; production would append to a table sink with the watermark
+    closing windows)."""
+    writer = (
+        sliding_rollup(events_stream, window_size=window_size, slide=slide)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
