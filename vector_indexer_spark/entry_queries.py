@@ -3626,3 +3626,77 @@ _register(
     FROM wins GROUP BY 1, 2
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# PCA — fixed-matrix projection oracle (dyadic literal components →
+# bit-exact folds on both engines) + trained rows-only variant
+# (distributed covariance → driver eigh is float-order dependent).
+# --------------------------------------------------------------------------
+
+_PCA_K, _PCA_D = 4, 64
+# dyadic literals (multiples of 1/16) — exact in both decimal parsers
+_PCA_FIXED_COMPONENTS = tuple(
+    tuple(((i * 7 + j * 13) % 9 - 4) / 16.0 for i in range(_PCA_D))
+    for j in range(_PCA_K)
+)
+
+
+def _pca_project_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.pca import PCAModel, pca_project
+
+    model = PCAModel(
+        mean=(0.0,) * _PCA_D,
+        components=_PCA_FIXED_COMPONENTS,
+        explained_variance=(0.0,) * _PCA_K,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    out = pca_project(vec, model)
+    # scalarize the array for the driver's value hash
+    return out.select(
+        "id",
+        *[
+            F.element_at("projection", j + 1).alias(f"p{j}")
+            for j in range(_PCA_K)
+        ],
+    )
+
+
+def _pca_fixed_sql():
+    comps = []
+    for j in range(_PCA_K):
+        lit = "[" + ", ".join(repr(x) for x in _PCA_FIXED_COMPONENTS[j]) + "]"
+        comps.append(
+            f"""list_reduce(list_prepend(0.0,
+              list_transform(range(1, {_PCA_D + 1}),
+                i -> (CAST(embedding[i] AS DOUBLE) - 0.0) * ({lit})[i])),
+              (a, b) -> a + b) AS p{j}"""
+        )
+    cols = ",\n      ".join(comps)
+    return f"""
+    SELECT vec_id AS id,
+      {cols}
+    FROM embeddings
+    """
+
+
+_register("pca_project_fixed", _pca_project_fixed, _pca_fixed_sql())
+
+
+def _pca_project_trained(spark, sf_dir):
+    from vector_indexer_spark.operators.pca import pca_project, pca_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    model = pca_train(vec, k=8)
+    return pca_project(
+        vec.filter(F.col("id") < 20), model, method="arrow"
+    ).select("id", F.size("projection").alias("k"))
+
+
+_register("pca_project_trained", _pca_project_trained)
