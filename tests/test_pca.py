@@ -108,3 +108,37 @@ class TestProject:
         model = pca_train(df, k=2)
         with pytest.raises(ValueError):
             pca_project(df, model, method="nope")
+
+
+def test_pca_then_ivf_pipeline(spark, tmp_path):
+    """The 'reduce then index' pipeline: PCA to 8 of 16 dims, build an
+    IVF index on the projections, search projected queries — ANN in the
+    reduced space must still recover most true full-space neighbors
+    (the anisotropic data keeps its energy in the top components)."""
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.search import search_index
+
+    X, df = _frames(spark, n=500, d=16)
+    model = pca_train(df, k=8)
+    proj = pca_project(df, model).select(
+        "id", F.col("projection").cast("array<float>").alias("values")
+    )
+    idx = build_index(proj, str(tmp_path / "pca_idx"), nlist=8, seed=42)
+    pq = pca_project(df.filter("id < 10"), model).select(
+        F.col("id").alias("query_id"),
+        F.col("projection").cast("array<float>").alias("query"),
+    )
+    got = search_index(spark, idx, pq, k=10, n_probe=8)
+    exact = knn_exact(
+        df,
+        df.filter("id < 10").select(
+            F.col("id").alias("query_id"), F.col("values").alias("query")
+        ),
+        k=10,
+    )
+    hits = got.select("query_id", "neighbor_id").intersect(
+        exact.select("query_id", "neighbor_id")
+    )
+    recall = hits.count() / exact.count()
+    assert recall >= 0.6, recall

@@ -3700,3 +3700,72 @@ def _pca_project_trained(spark, sf_dir):
 
 
 _register("pca_project_trained", _pca_project_trained)
+
+
+# --------------------------------------------------------------------------
+# Composite: PCA rotation → exact kNN in the reduced space (the
+# "reduce then index" pre-processing pipeline, Faiss PCAR pattern) —
+# fully SQL-expressible with the fixed dyadic matrix.
+# --------------------------------------------------------------------------
+
+
+def _pipeline_pca_knn(spark, sf_dir):
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.pca import PCAModel, pca_project
+
+    model = PCAModel(
+        mean=(0.0,) * _PCA_D,
+        components=_PCA_FIXED_COMPONENTS,
+        explained_variance=(0.0,) * _PCA_K,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    proj = pca_project(vec, model).select(
+        "id", F.col("projection").alias("values")
+    )
+    q = proj.filter(F.col("id") >= 490).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    # native: the codegen fold is the bit-reproducible oracle path (the
+    # arrow kernel's GEMM expansion leaves ~1e-17 residue on self-pairs)
+    return knn_exact(proj, q, k=5, method="native")
+
+
+def _pca_knn_sql():
+    comps = []
+    for j in range(_PCA_K):
+        lit = "[" + ", ".join(repr(x) for x in _PCA_FIXED_COMPONENTS[j]) + "]"
+        comps.append(
+            f"""list_reduce(list_prepend(0.0,
+              list_transform(range(1, {_PCA_D + 1}),
+                i -> (CAST(embedding[i] AS DOUBLE) - 0.0) * ({lit})[i])),
+              (a, b) -> a + b)"""
+        )
+    plist = "[" + ", ".join(comps) + "]"
+    dist = """
+      list_reduce(list_transform(range(1, 5),
+        i -> (q.p[i] - v.p[i]) * (q.p[i] - v.p[i])),
+        (acc, x) -> acc + x)
+    """
+    return f"""
+    WITH proj AS (
+      SELECT vec_id AS id, {plist} AS p FROM embeddings
+    ),
+    scored AS (
+      SELECT q.id AS query_id, v.id AS neighbor_id, {dist} AS dist2
+      FROM proj q CROSS JOIN proj v
+      WHERE q.id >= 490
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist2, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+    FROM ranked WHERE rank <= 5
+    """
+
+
+_register("pipeline_pca_knn", _pipeline_pca_knn, _pca_knn_sql())
