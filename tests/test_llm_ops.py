@@ -444,3 +444,41 @@ def test_decontaminate_ngram_collision_rule(spark):
     assert kept == [1, 2, 3]
     with pytest.raises(ValueError, match="n must be"):
         decontaminate_ngram(corpus, block, n=0)
+
+
+class TestEmbeddingOutliers:
+    def test_top_n_and_threshold_modes(self, spark):
+        import numpy as np
+
+        from vector_indexer_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(100, 8)).astype(np.float32) * 0.1
+        X[7] += 50.0  # gross outlier
+        X[13] += 30.0
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]]) for i in range(100)],
+            "vec_id long, embedding array<float>",
+        )
+        cents = [[0.0] * 8]
+        top = embedding_outliers(df, cents, top_n=2).collect()
+        assert [r.id for r in sorted(top, key=lambda r: r.outlier_rank)] == [7, 13]
+        thr = embedding_outliers(df, cents, threshold=100.0)
+        assert {r.id for r in thr.collect()} == {7, 13}
+
+    def test_validation(self, spark):
+        from vector_indexer_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        df = spark.createDataFrame(
+            [(0, [0.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError):
+            embedding_outliers(df, [[0.0]])
+        with pytest.raises(ValueError):
+            embedding_outliers(df, [[0.0]], top_n=1, threshold=1.0)
+        with pytest.raises(ValueError):
+            embedding_outliers(df, [[0.0]], top_n=0)

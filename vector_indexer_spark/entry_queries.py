@@ -3769,3 +3769,41 @@ def _pca_knn_sql():
 
 
 _register("pipeline_pca_knn", _pipeline_pca_knn, _pca_knn_sql())
+
+
+# --------------------------------------------------------------------------
+# Embedding outlier audit — worst distance-to-nearest-centroid rows
+# (fixed centroids → fully SQL-checkable).
+# --------------------------------------------------------------------------
+
+
+def _emb_outliers(spark, sf_dir):
+    from vector_indexer_spark.operators.similarity import embedding_outliers
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = (
+        emb.filter(F.col("vec_id") < _N_FIXED_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    )
+    c = [[float(x) for x in r.embedding] for r in cents]
+    return embedding_outliers(emb, c, top_n=20)
+
+
+_register(
+    "emb_outliers_fixed",
+    _emb_outliers,
+    f"""
+    WITH {_DD_ASSIGN},
+    nearest AS (
+      SELECT vec_id AS id, centroid_id AS cluster_id, dist2
+      FROM assigned WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY dist2 DESC, id) AS outlier_rank
+      FROM nearest
+    )
+    SELECT id, cluster_id, dist2, CAST(outlier_rank AS INT) AS outlier_rank
+    FROM ranked WHERE outlier_rank <= 20
+    """,
+)

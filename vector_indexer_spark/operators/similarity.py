@@ -308,3 +308,67 @@ def cosine_near_dup_rhp(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    centroids,
+    *,
+    top_n: int | None = None,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space outlier audit: score every vector by its squared
+    distance to the nearest centroid and flag the worst offenders —
+    mis-embedded rows, corrupt inputs, and off-manifold junk that
+    poisons both ANN recall and training batches.
+
+    Two modes (exactly one of ``top_n`` / ``threshold``):
+
+    - ``top_n``: the n globally worst rows, ranked ``(dist2 desc, id)``
+      — deterministic and oracle-checkable. The global rank sorts only
+      rows that survive a per-partition pre-rank... at audit sizes
+      (top_n ≪ n) Catalyst's TakeOrdered handles it without a full
+      sort of the corpus.
+    - ``threshold``: scan-scale filter ``dist2 > threshold`` (derive
+      the threshold from a quantile sketch in production) — no global
+      ordering, fully distributed.
+
+    ``centroids`` is a small (k, d) array-like — broadcast via literal
+    cross join; the assignment is the same J1 argmin the index build
+    uses. Returns ``(id, cluster_id, dist2[, outlier_rank])``.
+    """
+    import numpy as np
+
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    c = np.asarray(centroids, dtype=np.float64)
+    if (top_n is None) == (threshold is None):
+        raise ValueError("pass exactly one of top_n / threshold")
+    if top_n is not None and top_n <= 0:
+        raise ValueError("top_n must be positive")
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
+        "centroid_id long, cvec array<double>",
+    )
+    pairs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(cent)).select(
+        "id", "centroid_id", dist2_expr("cvec", "__v").alias("dist2")
+    )
+    w = Window.partitionBy("id").orderBy("dist2", "centroid_id")
+    nearest = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.col("centroid_id").alias("cluster_id"), "dist2")
+    )
+    if threshold is not None:
+        return nearest.filter(F.col("dist2") > threshold)
+    wg = Window.orderBy(F.col("dist2").desc(), "id")
+    return (
+        nearest.withColumn("outlier_rank", F.row_number().over(wg))
+        .filter(F.col("outlier_rank") <= top_n)
+        .select("id", "cluster_id", "dist2", "outlier_rank")
+    )
