@@ -132,3 +132,82 @@ def test_rhp_signatures_scan_local(spark, embeddings):
     planes = sample_hyperplanes(embeddings, 8)
     s = audit.plan_summary(rhp_signatures(embeddings, planes))
     assert s["shuffles"] == 0
+
+
+def test_pii_and_gopher_scan_local(spark, documents):
+    from vector_indexer_spark.operators.text_analysis import (
+        gopher_quality,
+        pii_stats,
+        redact_pii,
+    )
+
+    for op in (pii_stats, redact_pii, gopher_quality):
+        s = audit.plan_summary(op(documents))
+        assert s["shuffles"] == 0, op.__name__
+        assert not s["cartesian"]
+
+
+def test_sampling_and_mixture_scan_local(spark, documents):
+    from vector_indexer_spark.operators.splits import (
+        corpus_mixture,
+        stratified_sample,
+    )
+
+    s = audit.plan_summary(
+        stratified_sample(documents, {"src0": 0.5}, default_rate=0.1)
+    )
+    assert s["shuffles"] == 0
+    s = audit.plan_summary(corpus_mixture(documents, {"src0": 2.5}))
+    assert s["shuffles"] == 0  # explode is scan-local
+
+
+def test_pack_sequences_single_shuffle(spark, documents):
+    from vector_indexer_spark.operators.text_analysis import pack_sequences
+
+    s = audit.plan_summary(
+        pack_sequences(documents, budget=256, n_streams=4)
+    )
+    assert s["shuffles"] == 1  # one exchange on the stream key
+
+
+def test_bq_encode_scan_local_and_search_broadcasts(spark, embeddings):
+    from vector_indexer_spark.operators.bq import (
+        BQModel,
+        bq_encode,
+        bq_search,
+    )
+
+    model = BQModel(thresholds=(0.0,) * 64)
+    codes = bq_encode(
+        embeddings.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        ),
+        model,
+    )
+    s = audit.plan_summary(codes)
+    assert s["shuffles"] == 0
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    s = audit.plan_summary(bq_search(codes, model, q, k=5))
+    assert s["broadcasts"] >= 1
+    assert not s["cartesian"]
+
+
+def test_pca_project_scan_local(spark, embeddings):
+    from vector_indexer_spark.operators.pca import PCAModel, pca_project
+
+    model = PCAModel(
+        mean=(0.0,) * 64,
+        components=tuple(
+            tuple(0.125 if i == j else 0.0 for i in range(64))
+            for j in range(4)
+        ),
+        explained_variance=(0.0,) * 4,
+    )
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    for method in ("native", "arrow"):
+        s = audit.plan_summary(pca_project(vec, model, method=method))
+        assert s["shuffles"] == 0, method
