@@ -64,6 +64,42 @@ def _embed_split_df(spark, docs):
     return hash_split(hash_embed(docs, 64), id_col="doc_id")
 
 
+def _bq_search_df(spark, emb):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.bq import BQModel, bq_encode, bq_search
+
+    model = BQModel(thresholds=(0.0,) * 64)
+    codes = bq_encode(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("values")),
+        model,
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return bq_search(codes, model, q, k=5)
+
+
+def _mixture_df(spark, docs):
+    from vector_indexer_spark.operators.splits import corpus_mixture
+
+    return corpus_mixture(docs, {"src0": 2.5, "src1": 1.0})
+
+
+def _pca_df(spark, vec):
+    from vector_indexer_spark.operators.pca import PCAModel, pca_project
+
+    model = PCAModel(
+        mean=(0.0,) * 64,
+        components=tuple(
+            tuple(((i * 7 + j * 13) % 9 - 4) / 16.0 for i in range(64))
+            for j in range(4)
+        ),
+        explained_variance=(0.0,) * 4,
+    )
+    return pca_project(vec, model)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -159,6 +195,36 @@ def main():
             "Both pure scan-local projections: zero shuffles, codegen "
             "end to end.",
             _embed_split_df(spark, docs),
+        ),
+        (
+            "PII scrub + Gopher quality rules",
+            "regexp_count/regexp_replace chain and array-fold signals — "
+            "scan-local, zero shuffle, bounded by scan bandwidth.",
+            text_analysis.gopher_quality(text_analysis.redact_pii(docs)),
+        ),
+        (
+            "Binary-quantized Hamming search",
+            "Codes packed by a codegen fold; query codes broadcast; "
+            "bit_count(xor) scoring JVM-side; window top-k.",
+            _bq_search_df(spark, emb),
+        ),
+        (
+            "Sequence packing (4 streams)",
+            "Window cumsum over hash-routed packing streams — exactly "
+            "one exchange on the stream key.",
+            text_analysis.pack_sequences(docs, budget=256, n_streams=4),
+        ),
+        (
+            "Corpus mixture (fractional epochs)",
+            "Copy counts from the (seed,id) bucket; sequence explode is "
+            "scan-local — zero shuffle.",
+            _mixture_df(spark, docs),
+        ),
+        (
+            "PCA projection (native folds)",
+            "One deterministic fold per component over the scan — zero "
+            "shuffle, whole-stage codegen.",
+            _pca_df(spark, vec),
         ),
     ]
 
