@@ -1,10 +1,12 @@
 """Benchmark runner — headline queries at $SPARK_GRAFT_SF_DIR.
 
 Methodology mirrors the reference bench harness's ``eval_setting``
-(bench/faiss_bench_official/bench_all_ivf.py:283-363): warm up once,
-then repeat each query until ≥ ``MIN_DURATION`` seconds of measured
-time, report the median seconds per execution (competing ANN/exact
-pairs are measured interleaved; speedup ratios use per-run minima).
+(bench/faiss_bench_official/bench_all_ivf.py:283-363): adaptive
+warm-up (repeat until run-to-run improvement stabilizes, see
+``timed_pair``), then repeat each query until ≥ ``MIN_DURATION``
+seconds of measured time, report the median seconds per execution
+(competing ANN/exact pairs are measured interleaved; speedup ratios
+use per-run minima).
 
 Prints exactly ONE JSON line:
   {"metric": "total_query_sec", "value": N, "unit": "sec",
@@ -343,6 +345,12 @@ def main() -> None:
                 fn().count()
                 t_runs.append(time.perf_counter() - t0)
             sec = min(t_runs)
+            # NOTE: with exact (non-quantized) candidate scoring the
+            # true NN, when its cluster is probed, always ranks 1 —
+            # nothing in the candidate set can out-score it — so
+            # R@1 = R@10 = R@100 is the EXPECTED shape here (in the
+            # reference harness the three diverge only for quantized
+            # variants whose ADC scores reorder candidates).
             found_rank = {
                 q: int(r)
                 for q, n, r in zip(res.query_id, res.neighbor_id, res["rank"])
@@ -411,6 +419,23 @@ def main() -> None:
         lambda: events.groupBy(
             F.expr("ts div 3600000000000"), "event_type"
         ).count().count()
+    )
+    # corpus-cleaning scan: PII redaction + Gopher rules in one pass
+    results["text_quality_scan"] = timed(
+        lambda: text_analysis.gopher_quality(
+            text_analysis.redact_pii(docs)
+        ).agg(F.sum("passes")).collect()
+    )
+    # binary-quantized Hamming search over the packed-code table
+    from vector_indexer_spark.operators.bq import bq_encode, bq_search, bq_train
+
+    bq_model = bq_train(vec)
+    bq_codes = bq_encode(vec, bq_model).cache()
+    bq_codes.count()
+    results["bq_hamming_100q"] = timed(
+        lambda: bq_search(
+            bq_codes, bq_model, queries_df, k=10, method="arrow"
+        ).count()
     )
 
     # --- plan evidence: the search scan must actually prune ---

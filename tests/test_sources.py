@@ -103,3 +103,79 @@ def test_fvecs_end_to_end_build_and_search(spark, tmp_path):
     D, I = idx.search(loaded[:20], k=1, n_probe=idx.nlist)
     assert (I[:, 0] == np.arange(20)).all()  # self is its own top-1
     assert np.allclose(D[:, 0], 0.0, atol=1e-5)
+
+
+class TestTrainingShards:
+    def test_roundtrip_layout_and_manifest(self, spark, tmp_path):
+        from vector_indexer_spark.sinks import (
+            read_training_shards,
+            write_training_shards,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}", i % 7) for i in range(200)],
+            "doc_id long, text string, bin_id long",
+        )
+        path = str(tmp_path / "shards")
+        m = write_training_shards(
+            df, path, n_shards=4, sort_cols=("bin_id",)
+        )
+        assert m["rows"] == 200 and m["n_shards"] == 4
+        assert sum(m["shard_rows"].values()) == 200
+        back = read_training_shards(spark, path)
+        assert back.count() == 200
+        assert {r.doc_id for r in back.select("doc_id").collect()} == set(
+            range(200)
+        )
+        # selective read prunes to the requested partition dirs
+        one = read_training_shards(spark, path, shards=[0])
+        assert one.count() == m["shard_rows"]["0"]
+        from vector_indexer_spark.plans import audit
+
+        assert any(
+            "shard" in f for f in audit.plan_summary(one)["partition_filters"]
+        )
+
+    def test_routing_deterministic_and_spread(self, spark, tmp_path):
+        from vector_indexer_spark.sinks import (
+            read_training_shards,
+            write_training_shards,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "x") for i in range(500)], "doc_id long, text string"
+        )
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        m1 = write_training_shards(df.repartition(3), p1, n_shards=8)
+        m2 = write_training_shards(df.repartition(17), p2, n_shards=8)
+        assert m1["shard_rows"] == m2["shard_rows"]
+        a = {
+            (r.doc_id, r.shard)
+            for r in read_training_shards(spark, p1).collect()
+        }
+        b = {
+            (r.doc_id, r.shard)
+            for r in read_training_shards(spark, p2).collect()
+        }
+        assert a == b
+        # all shards populated, none grossly fat
+        assert set(m1["shard_rows"].values()) and min(
+            m1["shard_rows"].values()
+        ) > 0
+
+    def test_errors(self, spark, tmp_path):
+        from vector_indexer_spark.sinks import (
+            read_training_shards,
+            shard_expr,
+            write_training_shards,
+        )
+
+        with pytest.raises(ValueError):
+            shard_expr("doc_id", 0)
+        with pytest.raises(FileNotFoundError):
+            read_training_shards(spark, str(tmp_path / "nope"))
+        df = spark.createDataFrame([(0, "t")], "doc_id long, text string")
+        path = str(tmp_path / "dup")
+        write_training_shards(df, path, n_shards=1)
+        with pytest.raises(Exception):  # errorifexists write mode
+            write_training_shards(df, path, n_shards=1)

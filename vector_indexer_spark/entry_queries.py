@@ -3807,3 +3807,32 @@ _register(
     FROM ranked WHERE outlier_rank <= 20
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# Training-shard routing — the sink's deterministic shard assignment
+# (the write itself is pytest-verified; the routing function is the
+# oracle-checkable core).
+# --------------------------------------------------------------------------
+
+
+def _shard_routing(spark, sf_dir):
+    from vector_indexer_spark.sinks import shard_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", shard_expr("doc_id", 16).alias("shard")
+    )
+
+
+_register(
+    "sink_shard_routing",
+    _shard_routing,
+    """
+    SELECT doc_id,
+           (CAST(concat('0x', substr(md5(concat('11:',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000) % 16
+             AS shard
+    FROM documents
+    """,
+)
