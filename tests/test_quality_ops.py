@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from vector_indexer_spark.operators import text_analysis
 from vector_indexer_spark.operators.text_analysis import (
     duplicate_ngram_fraction,
     gopher_quality,
@@ -521,3 +522,93 @@ class TestPackSequences:
             pack_sequences(df, budget=0)
         with pytest.raises(ValueError):
             pack_sequences(df, n_streams=0)
+
+
+class TestBm25:
+    def _docs(self, spark):
+        return _docs(
+            spark,
+            [
+                "spark spark spark window",
+                "spark window hash",
+                "nothing relevant here",
+                "hash hash hash hash hash hash hash hash",
+            ],
+        )
+
+    def test_ranking_and_coverage(self, spark):
+        out = text_analysis.bm25_topk(
+            self._docs(spark), ["spark", "window", "hash"], k=10
+        ).collect()
+        by_id = {r.doc_id: r for r in out}
+        # doc 2 has no query term -> filtered out
+        assert set(by_id) == {0, 1, 3}
+        # ranks are 1..n by descending score
+        ranks = sorted((r.rank, r.doc_id) for r in out)
+        scores = [by_id[d].score for _, d in ranks]
+        assert scores == sorted(scores, reverse=True)
+        # doc 1 hits all three terms; with saturation it must beat
+        # doc 0 (two terms, repeated)
+        assert by_id[1].score > by_id[0].score
+
+    def test_tf_saturation(self, spark):
+        # k1 bounds the tf contribution: 8x 'hash' in a short doc
+        # must score less than (k1+1)x the single-occurrence idf
+        docs = _docs(spark, ["hash", "hash hash hash hash hash hash"])
+        out = {
+            r.doc_id: r.score
+            for r in text_analysis.bm25_topk(docs, ["hash"], k=10).collect()
+        }
+        assert out[1] < out[0] * 2.2
+
+    def test_validation(self, spark):
+        docs = self._docs(spark)
+        with pytest.raises(ValueError):
+            text_analysis.bm25_topk(docs, [], k=10)
+        with pytest.raises(ValueError):
+            text_analysis.bm25_topk(docs, ["a", "a"], k=10)
+        with pytest.raises(ValueError):
+            text_analysis.bm25_topk(docs, ["a"], k=0)
+
+
+class TestLengthQuantiles:
+    def test_hand_computed(self, spark):
+        df = spark.createDataFrame(
+            [("en", 10), ("en", 20), ("en", 30), ("en", 40), ("de", 5)],
+            "lang string, n_chars long",
+        )
+        rows = {
+            r.group: r
+            for r in text_analysis.length_quantiles(
+                df, probs=(0.5,)
+            ).collect()
+        }
+        # (n-1)*q interpolation: median of 10,20,30,40 = 25
+        assert rows["en"].p50 == 25.0 and rows["en"].n_docs == 4
+        assert rows["de"].p50 == 5.0
+
+    def test_validation(self, spark):
+        df = _docs(spark, ["x"])
+        with pytest.raises(ValueError):
+            text_analysis.length_quantiles(df, len_col="doc_id", probs=())
+
+
+class TestCapPerGroup:
+    def test_cap_and_preference(self, spark):
+        from vector_indexer_spark.operators.splits import cap_per_group
+
+        df = spark.createDataFrame(
+            [
+                (1, "a", 100),
+                (2, "a", 300),
+                (3, "a", 200),
+                (4, "b", 50),
+            ],
+            "doc_id long, source string, n_chars long",
+        )
+        out = cap_per_group(df, 2, by_col="source").collect()
+        kept = {(r.source, r.doc_id): r.group_rank for r in out}
+        # group a keeps its two longest docs, ranked by length desc
+        assert kept == {("a", 2): 1, ("a", 3): 2, ("b", 4): 1}
+        with pytest.raises(ValueError):
+            cap_per_group(df, 0)

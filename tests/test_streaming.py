@@ -298,3 +298,56 @@ def test_sliding_rollup_streaming(spark, tmp_path):
     assert got["2024-01-01 09:30:00"] == 2
     assert got["2024-01-01 10:00:00"] == 2
     assert got["2024-01-01 10:15:00"] == 1
+
+
+# ---------------------------------------------------------------------------
+# as-of join (carried-state window)
+# ---------------------------------------------------------------------------
+
+ASOF_DDL = "event_id long, user_id long, ts long, event_type string, value double"
+
+
+def test_asof_attaches_latest_prior_click(spark):
+    from vector_indexer_spark.streaming.events import asof_join_prior
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 100, "click", 1.0),
+            (2, 1, 200, "click", 2.0),
+            (3, 1, 300, "purchase", 9.0),   # -> click 2
+            (4, 1, 400, "purchase", 9.0),   # -> still click 2
+            (5, 2, 100, "purchase", 9.0),   # no prior click -> nulls
+            (6, 2, 150, "click", 3.0),
+            (7, 2, 150, "purchase", 9.0),   # tie on ts: click id 6 < 7 counts
+        ],
+        ASOF_DDL,
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join_prior(
+            ev, left_type="purchase", right_type="click"
+        ).collect()
+    }
+    assert set(out) == {3, 4, 5, 7}
+    assert out[3].prior_event_id == 2 and out[3].gap_ns == 100
+    assert out[4].prior_event_id == 2 and out[4].gap_ns == 200
+    assert out[5].prior_event_id is None and out[5].gap_ns is None
+    assert out[7].prior_event_id == 6 and out[7].gap_ns == 0
+    assert out[3].prior_value == 2.0
+
+
+def test_asof_never_attaches_following_or_other_user(spark):
+    from vector_indexer_spark.streaming.events import asof_join_prior
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 100, "purchase", 0.0),
+            (2, 1, 200, "click", 1.0),     # after the purchase
+            (3, 2, 50, "click", 1.0),      # other user
+        ],
+        ASOF_DDL,
+    )
+    rows = asof_join_prior(
+        ev, left_type="purchase", right_type="click"
+    ).collect()
+    assert len(rows) == 1 and rows[0].prior_event_id is None

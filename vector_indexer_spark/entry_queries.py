@@ -3836,3 +3836,254 @@ _register(
     FROM documents
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# as-of join — purchase→last-click attribution over the events timeline
+# (carried-state window formulation, streaming/events.py:asof_join_prior)
+# --------------------------------------------------------------------------
+
+
+def _events_asof(spark, sf_dir):
+    """For every purchase, the same user's most recent strictly-prior
+    click (id/ts/value) and the gap in nanoseconds — the as-of join
+    expressed as one carried-state window, not a range self-join."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import asof_join_prior
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    out = asof_join_prior(ev, left_type="purchase", right_type="click")
+    # no-prior-click rows carry NULLs (the operator's real contract);
+    # the gate compares them as sentinel -1s so nullable-int columns
+    # don't round-trip through pandas as NaN floats
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("prior_event_id", F.lit(-1).cast("long")).alias(
+            "prior_event_id"
+        ),
+        F.coalesce("prior_ts", F.lit(-1).cast("long")).alias("prior_ts"),
+        F.coalesce("prior_value", F.lit(-1.0)).alias("prior_value"),
+        F.coalesce("gap_ns", F.lit(-1).cast("long")).alias("gap_ns"),
+    )
+
+
+_register(
+    "events_asof_purchase_click",
+    _events_asof,
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type, value
+      FROM events
+    ),
+    carried AS (
+      SELECT event_id, user_id, tns, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS) OVER w AS prior_event_id,
+             last_value(CASE WHEN event_type = 'click' THEN tns END
+                        IGNORE NULLS) OVER w AS prior_ts,
+             last_value(CASE WHEN event_type = 'click' THEN value END
+                        IGNORE NULLS) OVER w AS prior_value
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, tns AS ts,
+           COALESCE(prior_event_id, -1) AS prior_event_id,
+           COALESCE(prior_ts, -1) AS prior_ts,
+           COALESCE(prior_value, -1.0) AS prior_value,
+           COALESCE(tns - prior_ts, -1) AS gap_ns
+    FROM carried WHERE event_type = 'purchase'
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical top-k — the keyword complement to vector search
+# (operators/text_analysis.py:bm25_topk)
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["spark", "window", "hash"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _text_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 for a fixed three-term query (scan-local term
+    frequencies, one broadcast stats row, TakeOrdered top-k). The
+    score is emitted micro-scaled (floor(score*1e6)): java Math.log
+    and DuckDB's libm ln differ in the last ulp, so the raw double is
+    not bit-comparable — rank is still computed on full precision."""
+    from vector_indexer_spark.operators.text_analysis import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bm25_topk(docs, _BM25_TERMS, k=10, k1=_BM25_K1, b=_BM25_B)
+    return out.select(
+        "doc_id",
+        F.floor(F.col("score") * 1_000_000).cast("long").alias(
+            "score_micros"
+        ),
+        "rank",
+    )
+
+
+def _bm25_sql():
+    toks = _DD_TOKENS.format(c="text")
+    tf_cols = ",\n             ".join(
+        f"CAST(len(list_filter(t, x -> x = '{term}')) AS DOUBLE) AS tf_{i}"
+        for i, term in enumerate(_BM25_TERMS)
+    )
+    df_cols = ",\n             ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1.0 ELSE 0.0 END) AS df_{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    # mirror the Spark expression tree exactly: same literals (via
+    # repr of the same Python floats), same association order
+    k1, b = _BM25_K1, _BM25_B
+    norm = f"{k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)"
+    contribs = [
+        f"ln((n_docs - df_{i} + 0.5) / (df_{i} + 0.5) + 1.0)"
+        f" * tf_{i} * {k1 + 1.0!r} / (tf_{i} + {norm})"
+        for i in range(len(_BM25_TERMS))
+    ]
+    score = " + ".join(contribs)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {toks} AS t FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl,
+             {tf_cols}
+      FROM toks
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+             {df_cols}
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT doc_id, {score} AS score
+      FROM per_doc CROSS JOIN stats
+    )
+    SELECT doc_id,
+           CAST(floor(score * 1000000) AS BIGINT) AS score_micros,
+           CAST(rank AS INT) AS rank FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored WHERE score > 0)
+    WHERE rank <= 10
+    """
+
+
+_register("text_bm25_topk", _text_bm25, _bm25_sql())
+
+
+# --------------------------------------------------------------------------
+# per-source document cap — domain balancing (operators/splits.py)
+# --------------------------------------------------------------------------
+
+
+def _corpus_source_cap(spark, sf_dir):
+    """Keep at most 15 docs per source, preferring long docs (ties by
+    doc_id) — the no-domain-dominates curation step."""
+    from vector_indexer_spark.operators.splits import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_group(docs, 15).select(
+        "doc_id", "source", "n_chars", "group_rank"
+    )
+
+
+_register(
+    "corpus_source_cap",
+    _corpus_source_cap,
+    """
+    SELECT doc_id, source, n_chars, CAST(group_rank AS INT) AS group_rank
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS group_rank
+      FROM documents)
+    WHERE group_rank <= 15
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# corpus length profile — exact interpolated quantiles per language
+# (operators/text_analysis.py:length_quantiles)
+# --------------------------------------------------------------------------
+
+
+def _text_length_quantiles(spark, sf_dir):
+    """Per-language n_chars quantiles (exact percentile, the profile a
+    pipeline reads before sizing chunking/packing budgets)."""
+    from vector_indexer_spark.operators.text_analysis import length_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_quantiles(docs)
+
+
+_register(
+    "text_length_quantiles",
+    _text_length_quantiles,
+    """
+    SELECT lang AS "group", count(*) AS n_docs,
+           quantile_cont(n_chars, 0.25) AS p25,
+           quantile_cont(n_chars, 0.5)  AS p50,
+           quantile_cont(n_chars, 0.75) AS p75,
+           quantile_cont(n_chars, 0.95) AS p95
+    FROM documents GROUP BY 1
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# SemDeDup — cluster-blocked semantic dedup with exemplar selection
+# (operators/similarity.py:semdedup; fixed centroids -> exact oracle)
+# --------------------------------------------------------------------------
+
+
+def _sim_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table with the 16 fixed centroids:
+    assign -> intra-cluster cosine pairs >= 0.3 -> drop every vector
+    with a lower-id near-dup; returns (vec_id, cluster_id, kept)."""
+    from vector_indexer_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = (
+        emb.filter(F.col("vec_id") < _N_FIXED_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    return semdedup(
+        emb, [list(r[0]) for r in cents], threshold=0.3
+    )
+
+
+_register(
+    "sim_semdedup_fixed",
+    _sim_semdedup,
+    f"""
+    WITH {_DD_ASSIGN},
+    members AS (
+      SELECT v.vec_id, v.embedding, a.centroid_id AS cluster_id
+      FROM assigned a JOIN embeddings v USING (vec_id)
+      WHERE a.rn = 1
+    ),
+    ndpairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM members a JOIN members b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      WHERE {_DD_DOT.format(a="a.embedding", b="b.embedding")}
+              / ({_DD_NORM.format(a="a.embedding")}
+                 * {_DD_NORM.format(a="b.embedding")}) >= 0.3
+    )
+    SELECT m.vec_id, m.cluster_id,
+           NOT EXISTS (SELECT 1 FROM ndpairs p WHERE p.id_b = m.vec_id)
+             AS kept
+    FROM members m
+    """,
+)

@@ -372,3 +372,77 @@ def embedding_outliers(
         .filter(F.col("outlier_rank") <= top_n)
         .select("id", "cluster_id", "dist2", "outlier_rank")
     )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids,
+    *,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping, within each
+    cluster, every vector that has a lower-id near-duplicate at
+    ``cosine >= threshold`` — one exemplar (the lowest id, the paper's
+    deterministic stand-in for its random choice) survives per
+    duplicate neighborhood.
+
+    ``centroids`` is a small (k, d) array-like (a k-means fit or any
+    fixed partitioning). Returns ``(vec_id, cluster_id, kept)`` for
+    every input row.
+
+    Scale shape: assignment is the same broadcast-argmin the index
+    build uses (no shuffle beyond the scan); candidate pairs are
+    generated strictly within a cluster — the SemDeDup design point:
+    k is chosen so clusters are small enough that intra-cluster
+    pairwise cosine is tractable while cross-cluster pairs (provably
+    far) are never materialized. The drop rule is a left-semi/anti
+    join on the pair list, map-side broadcastable when the pair list
+    is small.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    from vector_indexer_spark.functions.distance import dist2_expr  # noqa: PLC0415
+    from vector_indexer_spark.operators.dedup import embedding_near_dups  # noqa: PLC0415
+
+    c = np.asarray(centroids, dtype=np.float64)
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be a cosine in [-1, 1]")
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
+        "centroid_id long, cvec array<double>",
+    )
+    w = Window.partitionBy("id").orderBy("dist2", "centroid_id")
+    assigned = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "id", "centroid_id", dist2_expr("cvec", "__v").alias("dist2")
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.col("centroid_id").alias("cluster_id"))
+    )
+    members = df.select(
+        F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
+    ).join(assigned.withColumnRenamed("id", id_col), id_col)
+    pairs = embedding_near_dups(
+        members,
+        id_col=id_col,
+        vec_col=vec_col,
+        block_col="cluster_id",
+        threshold=threshold,
+    )
+    dropped = (
+        pairs.select(F.col("id_b").alias("id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return assigned.join(dropped, "id", "left").select(
+        F.col("id").alias("vec_id"),
+        "cluster_id",
+        F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
+    )

@@ -223,3 +223,38 @@ def corpus_mixture(
         .withColumn(copy_col, F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    cap: int,
+    *,
+    by_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group document cap: keep at most ``cap`` rows per group,
+    preferring high ``order_col`` (ties by ``id_col``) — the
+    domain-balancing step of web-corpus curation (no single site may
+    dominate the training mix).
+
+    Returns the input columns plus ``group_rank`` (1-based within the
+    group) for the kept rows.
+
+    Scale shape: one shuffle on ``by_col``; the rank is a per-group
+    window over that partitioning, and rows beyond ``cap`` are
+    filtered before anything downstream sees them. Groups are
+    domain-sized (≪ one task), so no group outgrows an executor; a
+    skewed mega-domain is exactly the thing the cap truncates.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if cap <= 0:
+        raise ValueError("cap must be positive")
+    key = F.col(order_col).desc() if descending else F.col(order_col)
+    w = Window.partitionBy(by_col).orderBy(key, id_col)
+    return (
+        df.withColumn("group_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("group_rank") <= cap)
+    )

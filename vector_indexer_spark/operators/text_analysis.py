@@ -579,3 +579,133 @@ def pack_sequences(
         F.floor(F.col("__before") / budget).cast("long").alias("bin_id"),
         (F.col("__before") % budget).cast("long").alias("bin_offset"),
     )
+
+
+def _eq_lit(term: str):
+    # one-arg lambda factory: a default-arg closure inside F.filter
+    # would arrive as a TWO-arg lambda, which F.filter calls with
+    # (element, index) — the index would silently replace the term
+    return lambda t: t == F.lit(term)
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 lexical top-k for a fixed bag-of-terms query — the keyword
+    complement to the engine's vector search (Robertson/Sparck Jones
+    Okapi BM25, the same scoring Lucene/Elasticsearch default to).
+
+    Returns ``(doc_id, score, rank)`` for the ``k`` best-scoring
+    documents with at least one query term, rank by ``(score DESC,
+    doc_id)``.
+
+    Scale shape: per-term term frequencies are *scan-local* —
+    ``size(filter(tokens, t -> t = term))`` per term, no posting-list
+    explode, no shuffle; corpus statistics (N, avgdl, per-term doc
+    frequencies) reduce to ONE map-side-combined aggregate row that is
+    broadcast back; the only ordered step is the global top-k, which
+    Catalyst executes as TakeOrdered (per-partition heap + driver
+    merge of k·partitions rows), never a full sort. The score itself
+    sums the per-term contributions in fixed literal order, so the
+    double-precision result is reproducible by the SQL oracle.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if len(set(terms)) != len(terms):
+        raise ValueError("terms must be distinct")
+
+    toks = tokens_expr(text_col)
+    per_doc = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(toks, _eq_lit(term)))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, term in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("double")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    # Okapi BM25 with the +1 floor (Lucene variant): idf never negative.
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contribs = []
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf_{i}")
+        contribs.append(idf * tf * F.lit(k1 + 1.0) / (tf + norm))
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .filter(F.col("score") > 0)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def length_quantiles(
+    df: DataFrame,
+    *,
+    by_col: str | None = "lang",
+    len_col: str = "n_chars",
+    probs: tuple = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """Exact linear-interpolated length quantiles per group — the
+    corpus length profile a curation pipeline reads before choosing
+    chunking and packing budgets.
+
+    Uses Spark's exact ``percentile`` (same ``(n−1)·q`` interpolation
+    rule as DuckDB ``quantile_cont``, so the oracle matches
+    bit-for-bit). Exact percentile shuffles each group's values to one
+    reducer — right for profile-sized groups (languages, sources); at
+    genuinely unbounded cardinality swap in ``percentile_approx``
+    (t-digest sketch, map-side combinable) and drop the oracle to a
+    tolerance check.
+
+    Returns ``(group, n_docs, p25, p50, p75, p95)``-style columns,
+    one row per group.
+    """
+    if not probs or any(not 0 <= p <= 1 for p in probs):
+        raise ValueError("probs must be fractions in [0, 1]")
+    group = (
+        F.col(by_col).alias("group")
+        if by_col is not None
+        else F.lit("all").alias("group")
+    )
+    aggs = [F.count("*").alias("n_docs")]
+    for p in probs:
+        aggs.append(
+            F.percentile(F.col(len_col), F.lit(p)).alias(
+                f"p{int(round(p * 100))}"
+            )
+        )
+    return df.select(group, F.col(len_col)).groupBy("group").agg(*aggs)

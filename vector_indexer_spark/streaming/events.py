@@ -110,6 +110,71 @@ def sessionize(
     )
 
 
+def asof_join_prior(
+    events: DataFrame,
+    *,
+    left_type: str,
+    right_type: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """As-of join within one event timeline: for every event of
+    ``left_type``, attach the same user's most recent *strictly prior*
+    event of ``right_type`` (purchase→last-click attribution shape).
+
+    Formulated as a single carried-state window rather than a
+    point-in-time self-join: ``last(..., ignorenulls)`` over the
+    user's time-ordered rows forwards the latest right-side event to
+    every subsequent row. One shuffle on ``user_col``, no range-join
+    candidate explosion, state per user is one row — the distributed
+    as-of shape that survives 100 TB (a naive ``l.ts >= r.ts`` join is
+    quadratic per user before its top-1 filter).
+
+    Ordering is ``(ts, id)``; a right-type event that ties a left-type
+    event on ``ts`` counts as prior iff its id is smaller —
+    deterministic in both engines. Returns ``(event_id, user_id, ts,
+    prior_event_id, prior_ts, prior_value, gap_ns)`` with nulls when
+    no prior right-type event exists; ``gap_ns`` assumes ``ts_col``
+    holds epoch nanoseconds (``read_events_ns``).
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_right = F.col(type_col) == right_type
+
+    def carried(col, name):
+        return F.last(F.when(is_right, F.col(col)), ignorenulls=True).over(
+            w
+        ).alias(name)
+
+    return (
+        events.select(
+            F.col(id_col).alias("event_id"),
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).alias("ts"),
+            F.col(type_col).alias("__type"),
+            carried(id_col, "prior_event_id"),
+            carried(ts_col, "prior_ts"),
+            carried(value_col, "prior_value"),
+        )
+        .filter(F.col("__type") == left_type)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "prior_event_id",
+            "prior_ts",
+            "prior_value",
+            (F.col("ts") - F.col("prior_ts")).alias("gap_ns"),
+        )
+    )
+
+
 def session_rollup(
     events: DataFrame,
     *,
