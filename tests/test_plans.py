@@ -211,3 +211,80 @@ def test_pca_project_scan_local(spark, embeddings):
     for method in ("native", "arrow"):
         s = audit.plan_summary(pca_project(vec, model, method=method))
         assert s["shuffles"] == 0, method
+
+
+def test_olap_pricing_summary_pushdown_single_shuffle(spark):
+    from vector_indexer_spark.operators.olap import pricing_summary
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    s = audit.plan_summary(pricing_summary(li))
+    # shipdate predicate reaches the parquet scan; the only exchange
+    # is the final 6-row aggregation (plus AQE's ordering exchange)
+    assert any("l_shipdate" in f for f in s["pushed_filters"])
+    assert s["shuffles"] <= 2
+    assert not s["cartesian"]
+
+
+def test_olap_q3_filters_pushed_and_no_cartesian(spark):
+    from vector_indexer_spark.operators.olap import shipping_priority
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    ords = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    s = audit.plan_summary(shipping_priority(cust, ords, li))
+    pushed = " ".join(s["pushed_filters"])
+    assert "o_orderdate" in pushed and "l_shipdate" in pushed
+    assert "c_mktsegment" in pushed
+    assert not s["cartesian"]
+
+
+def test_olap_q5_broadcasts_dims(spark):
+    from vector_indexer_spark.operators.olap import revenue_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    out = revenue_by_nation(
+        spark.read.parquet(f"{sf}/customer.parquet"),
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+        spark.read.parquet(f"{sf}/nation.parquet"),
+        spark.read.parquet(f"{sf}/region.parquet"),
+    )
+    s = audit.plan_summary(out)
+    # region->nation chain broadcasts; facts never nested-loop join
+    assert s["broadcasts"] >= 1
+    assert not s["cartesian"]
+    assert any("o_orderdate" in f for f in s["pushed_filters"])
+
+
+def test_bm25_single_stats_broadcast_no_big_shuffle(spark, documents):
+    from vector_indexer_spark.operators.text_analysis import bm25_topk
+
+    s = audit.plan_summary(bm25_topk(documents, ["spark", "hash"], k=5))
+    # per-doc tf/dl are scan-local; the only broadcast is the 1-row
+    # corpus stats; no shuffle carries doc-granular exploded tokens
+    assert s["broadcasts"] >= 1
+    assert not s["cartesian"] or s["broadcasts"] >= 1  # bnlj on 1-row side ok
+
+
+def test_asof_single_user_shuffle(spark):
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import asof_join_prior
+
+    ev = read_events_ns(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    )
+    s = audit.plan_summary(
+        asof_join_prior(ev, left_type="purchase", right_type="click")
+    )
+    # one hash-partition exchange on user_id feeds the carried-state
+    # window; no joins at all in the plan
+    assert s["shuffles"] == 1
+    assert not s["cartesian"]
+
+
+def test_cap_per_group_single_shuffle(spark, documents):
+    from vector_indexer_spark.operators.splits import cap_per_group
+
+    s = audit.plan_summary(cap_per_group(documents, 5))
+    assert s["shuffles"] == 1
+    assert not s["cartesian"]

@@ -4087,3 +4087,121 @@ _register(
     FROM members m
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# relational OLAP over the TPC-H-shaped tables (operators/olap.py) —
+# the classic analytics surface: date-pruned scans, broadcast dims,
+# one fact-fact shuffle, integer-cent map-side-combinable sums
+# --------------------------------------------------------------------------
+
+
+def _olap_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape over lineitem (shipdate-pruned scan, one
+    map-side-combined aggregation, integer-cent sums)."""
+    from vector_indexer_spark.operators.olap import pricing_summary
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return pricing_summary(li, cutoff_date="2000-01-01")
+
+
+_register(
+    "olap_pricing_summary",
+    _olap_pricing_summary,
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
+           SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+             AS sum_base_cents,
+           SUM(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100)
+                    AS BIGINT)) AS sum_disc_cents,
+           SUM(CAST(floor(((l_extendedprice * (1.0 - l_discount))
+                           * (1.0 + l_tax)) * 100) AS BIGINT))
+             AS sum_charge_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+    GROUP BY 1, 2
+    """,
+)
+
+
+def _olap_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 open BUILDING-segment orders by
+    discounted revenue (orders before / lineitems shipped after the
+    pivot date)."""
+    from vector_indexer_spark.operators.olap import shipping_priority
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ords = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = shipping_priority(
+        cust, ords, li, segment="BUILDING", date="1998-01-01", k=10
+    )
+    return out.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+        "o_orderpriority",
+        "revenue_cents",
+    )
+
+
+_register(
+    "olap_shipping_priority",
+    _olap_shipping_priority,
+    """
+    SELECT o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS o_orderdate_epoch,
+           o_orderpriority, revenue_cents
+    FROM (
+      SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+             SUM(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
+                            * 100) AS BIGINT)) AS revenue_cents
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3)
+    ORDER BY revenue_cents DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+
+
+def _olap_revenue_by_nation(spark, sf_dir):
+    """TPC-H Q5 shape: per-nation discounted revenue for one region
+    and a two-year order-date band (region→nation broadcast chain)."""
+    from vector_indexer_spark.operators.olap import revenue_by_nation
+
+    return revenue_by_nation(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+        region_name="ASIA",
+        date_from="1996-01-01",
+        date_to="1998-01-01",
+    )
+
+
+_register(
+    "olap_revenue_by_nation",
+    _olap_revenue_by_nation,
+    """
+    SELECT n.n_name,
+           SUM(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
+                          * 100) AS BIGINT)) AS revenue_cents
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+)

@@ -1,0 +1,160 @@
+"""Relational OLAP queries over the TPC-H-shaped tables.
+
+The classic analytics surface of the engine — pricing summary,
+shipping priority, and revenue-rollup shapes (TPC-H Q1/Q3/Q5
+patterns) expressed as declarative DataFrame plans so Catalyst owns
+the physical strategy:
+
+- **Dimension joins broadcast.** ``region``/``nation`` (and at real
+  scale any sub-threshold dim) join via an explicit
+  ``F.broadcast`` — no shuffle of the fact table on a dim key, ever.
+- **Facts filter before they join.** Date/segment predicates sit
+  directly on the scans, so Parquet row-group pruning and pushed
+  filters cut I/O before the first join (verify with
+  ``.explain``: PushedFilters on the lineitem/orders scans).
+- **Aggregates are map-side combinable.** Money is summed as
+  integer cents (``floor(price * 100)``) — partial sums combine
+  associatively with no float-order nondeterminism, which also makes
+  every query bit-reproducible by the SQL oracle.
+
+At 100 TB the fact-fact join (orders ⋈ lineitem) shuffles on
+``l_orderkey`` — the natural co-partition key; with both sides
+bucketed by orderkey it degrades to a zero-shuffle sort-merge join,
+and AQE handles skewed order keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _cents(col) -> F.Column:
+    """Money as integer cents — associative, order-independent sums."""
+    return F.floor(col * F.lit(100)).cast("long")
+
+
+def pricing_summary(
+    lineitem: DataFrame, *, cutoff_date: str = "2000-01-01"
+) -> DataFrame:
+    """TPC-H Q1 shape: per (returnflag, linestatus) totals over every
+    lineitem shipped on/before the cutoff.
+
+    One map-side-combined aggregation over a date-pruned scan; output
+    cardinality is |flags|×|statuses| (tiny). Sums are integer cents /
+    integer quantities so partials combine exactly.
+    """
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff_date))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.floor("l_quantity")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(_cents(disc)).alias("sum_disc_cents"),
+            F.sum(_cents(charge)).alias("sum_charge_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    segment: str = "BUILDING",
+    date: str = "1998-01-01",
+    k: int = 10,
+) -> DataFrame:
+    """TPC-H Q3 shape: the ``k`` highest-revenue open orders for one
+    market segment — orders placed before ``date`` with lineitems
+    shipped after it.
+
+    Plan shape: both fact scans filter on their date column *before*
+    joining (pushed to Parquet); the customer side reduces to a
+    filtered key list — small enough that AQE turns the join into a
+    broadcast at test scale, while at warehouse scale (where even the
+    segment slice of customer outgrows the broadcast budget) it stays
+    a key-partitioned shuffle join, so no explicit broadcast hint
+    here. The orders ⋈ lineitem hash join on ``orderkey`` is the one
+    fact-fact shuffle; partial revenue sums combine map-side. Top-k
+    is TakeOrdered, not a sort.
+    """
+    cust = customer.filter(F.col("c_mktsegment") == segment).select(
+        "c_custkey"
+    )
+    ords = orders.filter(F.col("o_orderdate") < F.lit(date)).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    items = lineitem.filter(F.col("l_shipdate") > F.lit(date)).select(
+        "l_orderkey",
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("rev_cents"),
+    )
+    return (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .join(items, ords.o_orderkey == items.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "o_orderkey")
+        .limit(k)
+    )
+
+
+def revenue_by_nation(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "ASIA",
+    date_from: str = "1996-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: discounted revenue per customer nation within
+    one region and order-date year band.
+
+    ``region`` filters ``nation`` (broadcast — dims are always tiny)
+    and the surviving nation keys broadcast into ``customer``; the
+    customer ⋈ orders join carries no hint (AQE broadcasts the slice
+    at test scale, shuffles it at warehouse scale), and the only
+    unavoidable fact-fact shuffle is orders ⋈ lineitem on orderkey.
+    Revenue sums are integer cents, map-side combinable; output is
+    ≤ |nations| rows.
+    """
+    nat = (
+        nation.join(
+            F.broadcast(
+                region.filter(F.col("r_name") == region_name).select(
+                    "r_regionkey"
+                )
+            ),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    cust = customer.join(
+        F.broadcast(nat), customer.c_nationkey == nat.n_nationkey
+    ).select("c_custkey", "n_name")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    items = lineitem.select(
+        "l_orderkey",
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("rev_cents"),
+    )
+    return (
+        ords.join(cust, ords.o_custkey == cust.c_custkey)
+        .join(items, ords.o_orderkey == items.l_orderkey)
+        .groupBy("n_name")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "n_name")
+    )
