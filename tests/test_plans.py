@@ -288,3 +288,38 @@ def test_cap_per_group_single_shuffle(spark, documents):
     s = audit.plan_summary(cap_per_group(documents, 5))
     assert s["shuffles"] == 1
     assert not s["cartesian"]
+
+
+def test_salted_counts_two_bounded_shuffles(spark, documents):
+    from vector_indexer_spark.operators.skew import salted_counts
+
+    s = audit.plan_summary(
+        salted_counts(documents, "source", salt_source_col="doc_id")
+    )
+    # stage1 (key, salt) + stage2 (key) — both map-side combined
+    assert s["shuffles"] == 2
+    assert not s["cartesian"]
+
+
+def test_late_orders_no_cartesian_semi_join(spark):
+    from vector_indexer_spark.operators.olap import late_order_counts
+
+    sf = "/root/testdata/sf0.001"
+    out = late_order_counts(
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    s = audit.plan_summary(out)
+    assert not s["cartesian"]
+
+
+def test_props_rollup_scan_local_parse(spark):
+    from vector_indexer_spark.streaming.events import props_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    s = audit.plan_summary(props_rollup(ev))
+    # from_json is a projection over the scan; one agg exchange
+    assert s["shuffles"] == 1
+    assert not s["cartesian"]

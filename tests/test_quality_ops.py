@@ -612,3 +612,100 @@ class TestCapPerGroup:
         assert kept == {("a", 2): 1, ("a", 3): 2, ("b", 4): 1}
         with pytest.raises(ValueError):
             cap_per_group(df, 0)
+
+
+class TestOlap:
+    def _facts(self, spark):
+        orders = spark.createDataFrame(
+            [
+                (1, 10, "1-URGENT", "1996-01-10"),
+                (2, 10, "5-LOW", "1996-02-10"),
+                (3, 11, "1-URGENT", "1996-03-10"),
+            ],
+            "o_orderkey long, o_custkey long, o_orderpriority string, d string",
+        ).select("*", F.col("d").cast("timestamp").alias("o_orderdate")).drop("d")
+        li = spark.createDataFrame(
+            [
+                # order 1: one late (40 days), one on-time line
+                (1, 100.0, 0.1, "1996-02-19"),
+                (1, 50.0, 0.0, "1996-01-15"),
+                # order 2: on-time only
+                (2, 10.0, 0.0, "1996-02-15"),
+                # order 3: two late lines -> still ONE late order
+                (3, 20.0, 0.5, "1996-05-01"),
+                (3, 30.0, 0.0, "1996-06-01"),
+            ],
+            "l_orderkey long, l_extendedprice double, l_discount double, d string",
+        ).select("*", F.col("d").cast("timestamp").alias("l_shipdate")).drop("d")
+        return orders, li
+
+    def test_late_order_counts_semi_semantics(self, spark):
+        from vector_indexer_spark.operators.olap import late_order_counts
+
+        orders, li = self._facts(spark)
+        out = {
+            r.o_orderpriority: r.n_late_orders
+            for r in late_order_counts(orders, li, grace_days=30).collect()
+        }
+        # order 3 has TWO late lines but counts once; order 2 never
+        assert out == {"1-URGENT": 2}
+
+    def test_revenue_rollup_subtotals(self, spark):
+        from vector_indexer_spark.operators.olap import revenue_rollup
+
+        orders, li = self._facts(spark)
+        rows = {
+            (r.yr, r.pri): r for r in revenue_rollup(orders, li).collect()
+        }
+        # leaf: urgent 1996 = 100*0.9 + 50 + 20*0.5 + 30 = 9000+5000+1000+3000 cents
+        leaf = rows[(1996, "1-URGENT")]
+        assert leaf.revenue_cents == 18000 and leaf.n_items == 4
+        assert leaf.yr_total == 0 and leaf.pri_total == 0
+        # year subtotal folds both priorities
+        sub = rows[(1996, "ALL")]
+        assert sub.revenue_cents == 19000 and sub.pri_total == 1
+        # grand total
+        grand = rows[(-1, "ALL")]
+        assert grand.revenue_cents == 19000 and grand.yr_total == 1
+
+
+class TestSaltedCounts:
+    def test_matches_direct_groupby_on_skewed_keys(self, spark):
+        from vector_indexer_spark.operators.skew import salted_counts
+
+        # one hot key (90%), several cold ones
+        df = spark.range(1000).select(
+            F.col("id").alias("row_id"),
+            F.when(F.col("id") < 900, "hot")
+            .otherwise(F.concat(F.lit("cold"), (F.col("id") % 7)))
+            .alias("k"),
+        )
+        got = {
+            r.key: r.n_rows
+            for r in salted_counts(
+                df, "k", n_salts=8, salt_source_col="row_id"
+            ).collect()
+        }
+        want = {
+            r.k: r["count"]
+            for r in df.groupBy("k").count().collect()
+        }
+        assert got == want
+
+    def test_salt_actually_fans_out(self, spark):
+        from vector_indexer_spark.operators.skew import salt_expr
+
+        df = spark.range(1000).select(
+            salt_expr("id", 8).alias("s")
+        )
+        n = df.select("s").distinct().count()
+        assert n == 8  # every salt bucket hit on 1000 rows
+
+    def test_validation(self, spark):
+        from vector_indexer_spark.operators.skew import salted_counts
+
+        df = spark.range(2).select(F.col("id"), F.lit("a").alias("k"))
+        with pytest.raises(ValueError):
+            salted_counts(df, "k", salt_source_col="k")
+        with pytest.raises(ValueError):
+            salted_counts(df, "k", n_salts=0, salt_source_col="id")

@@ -351,3 +351,23 @@ def test_asof_never_attaches_following_or_other_user(spark):
         ev, left_type="purchase", right_type="click"
     ).collect()
     assert len(rows) == 1 and rows[0].prior_event_id is None
+
+
+def test_props_rollup_typed_json_and_malformed(spark):
+    from vector_indexer_spark.streaming.events import props_rollup
+
+    ev = spark.createDataFrame(
+        [
+            (1, "click", '{"k": 10}'),
+            (2, "click", '{"k": 5}'),
+            (3, "click", "not json"),     # PERMISSIVE -> null k
+            (4, "view", '{"other": 1}'),  # missing k -> null
+        ],
+        "event_id long, event_type string, props string",
+    )
+    out = {r.event_type: r for r in props_rollup(ev).collect()}
+    assert out["click"].n_events == 3 and out["click"].n_with_k == 2
+    assert out["click"].sum_k == 15
+    assert out["click"].min_k == 5 and out["click"].max_k == 10
+    assert out["view"].n_with_k == 0 and out["view"].sum_k == 0
+    assert out["view"].min_k == -1

@@ -4205,3 +4205,110 @@ _register(
     GROUP BY 1
     """,
 )
+
+
+def _events_props_rollup(spark, sf_dir):
+    """Typed JSON payload extraction (from_json, JVM-side) + per-type
+    rollup of the props.k field."""
+    from vector_indexer_spark.streaming.events import props_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return props_rollup(ev)
+
+
+_register(
+    "events_props_rollup",
+    _events_props_rollup,
+    """
+    SELECT event_type, count(*) AS n_events,
+           count(k) AS n_with_k,
+           COALESCE(SUM(k), 0) AS sum_k,
+           COALESCE(MIN(k), -1) AS min_k,
+           COALESCE(MAX(k), -1) AS max_k
+    FROM (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    GROUP BY 1
+    """,
+)
+
+
+def _olap_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: left-semi EXISTS — orders with any lineitem
+    shipped >30 days after the order date, counted per priority."""
+    from vector_indexer_spark.operators.olap import late_order_counts
+
+    return late_order_counts(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        grace_days=30,
+    )
+
+
+_register(
+    "olap_late_orders",
+    _olap_late_orders,
+    """
+    SELECT o_orderpriority, count(*) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY 1
+    """,
+)
+
+
+def _olap_revenue_rollup(spark, sf_dir):
+    """ROLLUP(year, priority) revenue: leaf rows, yearly subtotals,
+    grand total in one grouping-sets aggregation pass."""
+    from vector_indexer_spark.operators.olap import revenue_rollup
+
+    return revenue_rollup(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+_register(
+    "olap_revenue_rollup",
+    _olap_revenue_rollup,
+    """
+    SELECT COALESCE(yr, -1) AS yr,
+           COALESCE(pri, 'ALL') AS pri,
+           CAST(GROUPING(yr) AS INT) AS yr_total,
+           CAST(GROUPING(pri) AS INT) AS pri_total,
+           SUM(rev_cents) AS revenue_cents,
+           count(*) AS n_items
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+             o.o_orderpriority AS pri,
+             CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    GROUP BY ROLLUP(yr, pri)
+    """,
+)
+
+
+def _skew_salted_counts(spark, sf_dir):
+    """Salted two-stage per-source counts — value-identical to the
+    direct groupBy (the oracle IS the direct formulation), with hot
+    keys spread over 16 reducers in stage 1."""
+    from vector_indexer_spark.operators.skew import salted_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return salted_counts(
+        docs, "source", n_salts=16, salt_source_col="doc_id"
+    ).withColumnRenamed("key", "source")
+
+
+_register(
+    "skew_salted_source_counts",
+    _skew_salted_counts,
+    """
+    SELECT source, count(*) AS n_rows FROM documents GROUP BY 1
+    """,
+)

@@ -158,3 +158,82 @@ def revenue_by_nation(
         .agg(F.sum("rev_cents").alias("revenue_cents"))
         .orderBy(F.col("revenue_cents").desc(), "n_name")
     )
+
+
+def late_order_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    grace_days: int = 30,
+) -> DataFrame:
+    """TPC-H Q4 shape: per order priority, how many orders have at
+    least one lineitem shipped more than ``grace_days`` after the
+    order date.
+
+    The EXISTS is a **left-semi join** — each order emits at most
+    once no matter how many late lineitems it has, and Spark stops
+    probing an order's hash bucket at the first match; a plain join +
+    distinct would shuffle every matching lineitem first. The join
+    key is the natural ``orderkey`` co-partition key; the date
+    comparison rides along as a residual condition on the semi join.
+    """
+    late = (
+        orders.join(
+            lineitem,
+            (lineitem.l_orderkey == orders.o_orderkey)
+            & (
+                lineitem.l_shipdate
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {int(grace_days)} DAYS")
+            ),
+            "left_semi",
+        )
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def revenue_rollup(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """Hierarchical revenue totals via ``ROLLUP (order year, order
+    priority)`` — per-(year, priority) revenue, per-year subtotals,
+    and the grand total in ONE aggregation pass (Spark expands the
+    grouping sets map-side; no self-union of three queries, no second
+    scan of the fact table).
+
+    NULL grouping slots are surfaced as ``-1`` / ``'ALL'`` sentinels
+    plus explicit ``GROUPING`` flags, so subtotal rows are
+    distinguishable from genuine NULL keys and the output is
+    hash-stable across engines.
+    """
+    joined = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("rev_cents"),
+    )
+    return (
+        joined.rollup("yr", "pri")
+        .agg(
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+            # grouping() is only legal inside the rollup's agg clause
+            F.grouping("yr").cast("int").alias("yr_total"),
+            F.grouping("pri").cast("int").alias("pri_total"),
+        )
+        .select(
+            F.coalesce("yr", F.lit(-1)).alias("yr"),
+            F.coalesce("pri", F.lit("ALL")).alias("pri"),
+            "yr_total",
+            "pri_total",
+            "revenue_cents",
+            "n_items",
+        )
+    )

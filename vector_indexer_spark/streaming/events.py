@@ -332,3 +332,35 @@ def start_sliding_rollup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def props_rollup(
+    events: DataFrame,
+    *,
+    props_col: str = "props",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Typed JSON extraction + rollup: parse the ``props`` JSON column
+    with a declared schema (``from_json`` — JVM-side, codegen; never a
+    Python json.loads UDF) and aggregate the ``k`` payload per event
+    type.
+
+    Returns ``(event_type, n_events, n_with_k, sum_k, min_k, max_k)``.
+    Scale shape: scan-local parse projection, one map-side-combined
+    aggregation to |event types| rows. Malformed JSON yields NULL
+    (counted out of ``n_with_k``) rather than failing the job —
+    from_json's PERMISSIVE default, the right posture for 100 TB of
+    dirty logs.
+    """
+    k = F.from_json(F.col(props_col), "k BIGINT")["k"]
+    return (
+        events.select(F.col(type_col).alias("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.coalesce(F.sum("k"), F.lit(0)).alias("sum_k"),
+            F.coalesce(F.min("k"), F.lit(-1)).alias("min_k"),
+            F.coalesce(F.max("k"), F.lit(-1)).alias("max_k"),
+        )
+    )
