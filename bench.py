@@ -438,6 +438,30 @@ def main() -> None:
         ).count()
     )
 
+    # relational OLAP over the TPC-H-shaped facts (date-pruned scans,
+    # broadcast dims, integer-cent map-side-combined sums)
+    from vector_indexer_spark.operators.olap import (
+        pricing_summary,
+        revenue_by_nation,
+    )
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
+    lineitem.count()
+    orders_t = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    results["olap_pricing_summary"] = timed(
+        lambda: pricing_summary(lineitem).count()
+    )
+    results["olap_q5_nation_revenue"] = timed(
+        lambda: revenue_by_nation(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            orders_t,
+            lineitem,
+            spark.read.parquet(f"{sf_dir}/nation.parquet"),
+            spark.read.parquet(f"{sf_dir}/region.parquet"),
+        ).count()
+    )
+    lineitem.unpersist()
+
     # --- plan evidence: the search scan must actually prune ---
     from pyspark.sql import functions as SF
 

@@ -100,6 +100,32 @@ def _pca_df(spark, vec):
     return pca_project(vec, model)
 
 
+def _olap_q5_df(spark, sf_dir):
+    from vector_indexer_spark.operators.olap import revenue_by_nation
+
+    return revenue_by_nation(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
+def _asof_df(spark, sf_dir):
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import asof_join_prior
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return asof_join_prior(ev, left_type="purchase", right_type="click")
+
+
+def _salted_df(spark, docs):
+    from vector_indexer_spark.operators.skew import salted_counts
+
+    return salted_counts(docs, "source", salt_source_col="doc_id")
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -225,6 +251,31 @@ def main():
             "One deterministic fold per component over the scan — zero "
             "shuffle, whole-stage codegen.",
             _pca_df(spark, vec),
+        ),
+        (
+            "OLAP Q5 revenue by nation",
+            "region→nation broadcast chain, date band pushed to the "
+            "orders scan, one fact-fact shuffle on orderkey, "
+            "integer-cent map-side-combined sums.",
+            _olap_q5_df(spark, sf_dir),
+        ),
+        (
+            "As-of join (purchase→last click)",
+            "Carried-state window: ONE exchange on user_id, no "
+            "range-join candidate explosion, no join operator at all.",
+            _asof_df(spark, sf_dir),
+        ),
+        (
+            "BM25 top-k",
+            "Scan-local per-term tf (no posting-list explode), 1-row "
+            "stats broadcast, TakeOrdered top-k.",
+            text_analysis.bm25_topk(docs, ["spark", "hash"], k=10),
+        ),
+        (
+            "Salted per-key counts",
+            "Two bounded exchanges: (key, salt) partials then key "
+            "combine — a hot key fans out over n_salts reducers.",
+            _salted_df(spark, docs),
         ),
     ]
 
