@@ -371,3 +371,89 @@ def test_props_rollup_typed_json_and_malformed(spark):
     assert out["click"].min_k == 5 and out["click"].max_k == 10
     assert out["view"].n_with_k == 0 and out["view"].sum_k == 0
     assert out["view"].min_k == -1
+
+
+def test_streaming_asof_carries_state_across_batches(spark, tmp_path):
+    # the carried right-type event must survive the micro-batch
+    # boundary through the state store, and intra-batch ordering must
+    # match the batch twin
+    from vector_indexer_spark.streaming.asof import streaming_asof_prior
+
+    src = str(tmp_path / "ev_in")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ckpt_asof")
+    big = 2_000_000_000_000_000_000  # ns epoch beyond 2^53: exactness check
+
+    def run(rows):
+        spark.createDataFrame(rows, EV_DDL).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EV_DDL).parquet(src)
+        q = (
+            streaming_asof_prior(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.event_id: r for r in spark.read.parquet(out).collect()
+        }
+
+    # batch 1: click then purchase (intra-batch), purchase with no click
+    got = run(
+        [
+            (1, big + 100, 1, "click", 2.5),
+            (2, big + 200, 1, "purchase", 9.0),
+            (3, big + 50, 2, "purchase", 9.0),
+        ]
+    )
+    assert got[2].prior_event_id == 1 and got[2].gap_ns == 100
+    assert got[2].prior_value == 2.5
+    assert got[3].prior_event_id is None
+
+    # batch 2: purchase only — must attach batch 1's click via state
+    got = run([(4, big + 900, 1, "purchase", 9.0)])
+    assert got[4].prior_event_id == 1 and got[4].gap_ns == 800
+
+
+def test_streaming_asof_matches_batch_twin_on_ordered_input(spark, tmp_path):
+    from vector_indexer_spark.streaming.asof import streaming_asof_prior
+    from vector_indexer_spark.streaming.events import asof_join_prior
+
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        for step in range(12):
+            eid += 1
+            etype = "click" if (step * 7 + user) % 3 else "purchase"
+            rows.append((eid, (step * 60 + user) * NS, user, etype, float(step)))
+
+    src = str(tmp_path / "ev2_in")
+    out = str(tmp_path / "ev2_out")
+    spark.createDataFrame(rows, EV_DDL).write.parquet(src)
+    stream = spark.readStream.schema(EV_DDL).parquet(src)
+    q = (
+        streaming_asof_prior(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: (r.prior_event_id, r.gap_ns)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = asof_join_prior(
+        spark.createDataFrame(rows, EV_DDL),
+        left_type="purchase",
+        right_type="click",
+    )
+    want = {
+        r.event_id: (r.prior_event_id, r.gap_ns) for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
