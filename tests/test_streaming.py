@@ -457,3 +457,67 @@ def test_streaming_asof_matches_batch_twin_on_ordered_input(spark, tmp_path):
         r.event_id: (r.prior_event_id, r.gap_ns) for r in batch.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_interval_join_band_semantics(spark):
+    from vector_indexer_spark.streaming.events import interval_join
+
+    H = 3_600_000_000_000
+    clicks = spark.createDataFrame([(1, 0, 1, "click", 0.0)], EV_DDL)
+    buys = spark.createDataFrame(
+        [
+            (2, 1, 1, "purchase", 0.0),        # +1ns: in
+            (3, H, 1, "purchase", 0.0),        # exactly +1h: in (closed end)
+            (4, H + 1, 1, "purchase", 0.0),    # beyond: out
+            (5, 0, 1, "purchase", 0.0),        # simultaneous: out (strict)
+            (6, 10, 2, "purchase", 0.0),       # other user: out
+        ],
+        EV_DDL,
+    )
+    got = {
+        r.right_id: r.delta_ns
+        for r in interval_join(clicks, buys).collect()
+    }
+    assert got == {2: 1, 3: H}
+
+
+def test_streaming_interval_join_bounded_state(spark, tmp_path):
+    from vector_indexer_spark.streaming.events import streaming_interval_join
+
+    ddl = "event_id long, user_id long, sec long"
+    src_l = str(tmp_path / "clicks")
+    src_r = str(tmp_path / "buys")
+    out = str(tmp_path / "paired")
+    spark.createDataFrame(
+        [(1, 1, 100), (2, 2, 100)], ddl
+    ).write.parquet(src_l)
+    spark.createDataFrame(
+        [(10, 1, 100 + 1800), (11, 1, 100 + 7200), (12, 2, 150)], ddl
+    ).write.parquet(src_r)
+
+    def ts(df):
+        return df.select(
+            "event_id", "user_id",
+            F.timestamp_seconds(F.col("sec")).alias("ts"),
+        )
+
+    joined = streaming_interval_join(
+        ts(spark.readStream.schema(ddl).parquet(src_l)),
+        ts(spark.readStream.schema(ddl).parquet(src_r)),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.left_id, r.right_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    # click 1 pairs with the 30-min purchase, not the 2h one;
+    # user 2 pairs within the window
+    assert got == {(1, 10), (2, 12)}

@@ -4312,3 +4312,35 @@ _register(
     SELECT source, count(*) AS n_rows FROM documents GROUP BY 1
     """,
 )
+
+
+def _events_interval_join(spark, sf_dir):
+    """Interval join: every (click, purchase) pair of the same user
+    with the purchase inside the hour after the click."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import interval_join
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click")
+    buys = ev.filter(F.col("event_type") == "purchase")
+    return interval_join(clicks, buys)
+
+
+_register(
+    "events_interval_join",
+    _events_interval_join,
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type
+      FROM events
+    )
+    SELECT l.user_id,
+           l.event_id AS left_id, l.tns AS left_ts,
+           r.event_id AS right_id, r.tns AS right_ts,
+           r.tns - l.tns AS delta_ns
+    FROM e l JOIN e r
+      ON l.user_id = r.user_id
+     AND r.tns > l.tns AND r.tns <= l.tns + 3600000000000
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)

@@ -364,3 +364,98 @@ def props_rollup(
             F.coalesce(F.max("k"), F.lit(-1)).alias("max_k"),
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    window_ns: int = 3_600_000_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Interval (time-range) join: pair each left event with every
+    right event of the same user in ``(l.ts, l.ts + window_ns]`` —
+    the click→conversion-window shape.
+
+    An equi-join on ``user_col`` with the time band as a residual
+    condition: the shuffle key is the user, so candidate pairs are
+    bounded per user (never a time-only range join, which would be a
+    near-cartesian band join at corpus scale). Returns
+    ``(user_id, left_id, left_ts, right_id, right_ts, delta_ns)``.
+
+    The same definition runs as a stream-stream join: with watermarks
+    on both inputs Spark bounds the join state to the window span —
+    see :func:`streaming_interval_join`.
+    """
+    lt = left.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("left_id"),
+        F.col(ts_col).alias("left_ts"),
+    )
+    rt = right.select(
+        F.col(user_col).alias("__r_user"),
+        F.col(id_col).alias("right_id"),
+        F.col(ts_col).alias("right_ts"),
+    )
+    return (
+        lt.join(
+            rt,
+            (F.col("user_id") == F.col("__r_user"))
+            & (F.col("right_ts") > F.col("left_ts"))
+            & (F.col("right_ts") <= F.col("left_ts") + F.lit(window_ns)),
+        )
+        .select(
+            "user_id",
+            "left_id",
+            "left_ts",
+            "right_id",
+            "right_ts",
+            (F.col("right_ts") - F.col("left_ts")).alias("delta_ns"),
+        )
+    )
+
+
+def streaming_interval_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stream-stream interval join with bounded state: both sides are
+    watermarked and the join condition carries the time band, so Spark
+    evicts buffered rows once they fall behind the watermark + window
+    horizon (unbounded-state stream joins are rejected by the planner
+    in append mode). ``ts_col`` must be a TIMESTAMP column here —
+    nanosecond-long holders cast with ``timestamp_seconds(ts div 1e9)``.
+    """
+    lt = left_stream.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("left_id"),
+        F.col(ts_col).alias("left_ts"),
+    ).withWatermark("left_ts", watermark)
+    rt = right_stream.select(
+        F.col(user_col).alias("__r_user"),
+        F.col(id_col).alias("right_id"),
+        F.col(ts_col).alias("right_ts"),
+    ).withWatermark("right_ts", watermark)
+    return lt.join(
+        rt,
+        (F.col("user_id") == F.col("__r_user"))
+        & (F.col("right_ts") > F.col("left_ts"))
+        & (
+            F.col("right_ts")
+            <= F.col("left_ts") + F.expr(f"INTERVAL {window}")
+        ),
+    ).select(
+        "user_id",
+        "left_id",
+        "left_ts",
+        "right_id",
+        "right_ts",
+    )
