@@ -344,3 +344,60 @@ def test_cluster_stats_hand_computed(spark):
     assert row.min_size == 3 and row.max_size == 4
     assert row.avg_size == pytest.approx(10 / 3)
     assert row.imbalance == pytest.approx(4 / (10 / 3))
+
+
+def test_compact_index_restores_layout(spark, embeddings, tmp_path):
+    from vector_indexer_spark.operators.index_build import (
+        build_index,
+        compact_index,
+    )
+    from vector_indexer_spark.operators.search import search_index
+    from vector_indexer_spark.streaming.ingest import assign_and_shard
+
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.col("vec_id").alias("external_id"),
+        F.col("embedding").alias("values"),
+        F.lit(0).cast("long").alias("ts"),
+    )
+    idx = build_index(vec, str(tmp_path / "cidx"), nlist=8, seed=42)
+
+    # simulate 3 micro-batch appends (the small-files accumulation)
+    for lo in (20_000, 20_100, 20_200):
+        batch = embeddings.filter(F.col("vec_id") < 100).select(
+            (F.col("vec_id") + lo).alias("id"),
+            (F.col("vec_id") + lo).alias("external_id"),
+            F.col("embedding").alias("values"),
+            F.lit(0).cast("long").alias("ts"),
+        )
+        (
+            assign_and_shard(batch, idx)
+            .repartition("shard_id")
+            .write.mode("append")
+            .partitionBy("shard_id")
+            .parquet(idx.vectors_path)
+        )
+
+    q = embeddings.limit(5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    before = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in search_index(spark, idx, q, k=5, n_probe=8).collect()
+    }
+    stats = compact_index(spark, idx)
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == idx.vectors(spark).count()
+    after = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in search_index(spark, idx, q, k=5, n_probe=8).collect()
+    }
+    assert after == before
+    # pruning still works on the compacted layout
+    from vector_indexer_spark.plans import audit
+
+    pruned = idx.vectors(spark).where(
+        F.col("shard_id").isin([0]) & F.col("cluster_id").isin([0, 1])
+    )
+    assert audit.has_partition_filter(pruned, "shard_id")
+    assert audit.has_pushed_filter(pruned, "cluster_id")

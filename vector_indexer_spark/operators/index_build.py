@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import dataclass
 
 import numpy as np
@@ -288,3 +289,62 @@ def cluster_stats(assigned: DataFrame, *, cluster_col: str = "cluster_id") -> Da
         avg_size.alias("avg_size"),
         (F.max("n").cast("double") / avg_size).alias("imbalance"),
     )
+
+
+def _parquet_file_count(root: str) -> int:
+    n = 0
+    for _, _, files in os.walk(root):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_index(spark: SparkSession, index: IvfIndex) -> dict:
+    """Compact the index's vector table: rewrite each shard partition
+    as few large cluster-sorted files instead of the many small ones
+    incremental ingest accumulates (one file per shard per
+    micro-batch).
+
+    Why this is a first-class maintenance op at scale: the small-files
+    problem degrades everything downstream — scan task count grows
+    with file count (scheduler pressure), per-file open/footer costs
+    dominate tiny reads, and cluster-id row-group pruning weakens
+    because each appended file carries its own near-full cluster range
+    of row groups. Compaction restores the as-built layout: one
+    shuffle on ``shard_id``, rows re-sorted by ``(shard, cluster)`` so
+    parquet row-group stats prune again, written partition-parallel.
+
+    Safety: the rewrite lands in a staging directory and is swapped in
+    only after a row-count parity check — the live table is never
+    overwritten in place (Spark cannot safely overwrite a path it is
+    reading). Returns ``{rows, files_before, files_after}``.
+    """
+    src = index.vectors_path
+    staging = src + "__compacting"
+    backup = src + "__precompact"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    vec = spark.read.parquet(src)
+    n_before = vec.count()
+    files_before = _parquet_file_count(src)
+    (
+        vec.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(staging)
+    )
+    n_after = spark.read.parquet(staging).count()
+    if n_after != n_before:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"compaction row-count mismatch: {n_before} -> {n_after}; "
+            "staging discarded, live table untouched"
+        )
+    os.rename(src, backup)
+    os.rename(staging, src)
+    shutil.rmtree(backup)
+    return {
+        "rows": n_before,
+        "files_before": files_before,
+        "files_after": _parquet_file_count(src),
+    }
