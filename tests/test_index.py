@@ -401,3 +401,30 @@ def test_compact_index_restores_layout(spark, embeddings, tmp_path):
     )
     assert audit.has_partition_filter(pruned, "shard_id")
     assert audit.has_pushed_filter(pruned, "cluster_id")
+
+
+def test_delete_vectors_removes_from_search(spark, embeddings, tmp_path):
+    from vector_indexer_spark.operators.index_build import (
+        build_index,
+        delete_vectors,
+    )
+    from vector_indexer_spark.operators.search import search_index
+
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    idx = build_index(vec, str(tmp_path / "didx"), nlist=8, seed=42)
+    # self-queries: vec 7 finds itself at rank 1 before deletion
+    q = embeddings.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    top1 = search_index(spark, idx, q, k=1, n_probe=8).collect()[0]
+    assert top1.neighbor_id == 7
+    stats = delete_vectors(spark, idx, [7, 9])
+    assert stats["n_deleted"] == 2
+    hits = {
+        r.neighbor_id
+        for r in search_index(spark, idx, q, k=10, n_probe=8).collect()
+    }
+    assert 7 not in hits and 9 not in hits
+    assert idx.vectors(spark).count() == stats["rows_after"]

@@ -323,3 +323,26 @@ def test_props_rollup_scan_local_parse(spark):
     # from_json is a projection over the scan; one agg exchange
     assert s["shuffles"] == 1
     assert not s["cartesian"]
+
+
+def test_fact_fact_join_degrades_to_sort_merge_without_broadcast(spark):
+    # at warehouse scale neither fact side broadcasts: with the
+    # broadcast threshold off, orders ⋈ lineitem must plan as a
+    # key-partitioned SortMergeJoin on orderkey — the co-partition
+    # strategy the olap docstrings promise — never a nested loop
+    from vector_indexer_spark.operators.olap import shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = shipping_priority(
+            spark.read.parquet(f"{sf}/customer.parquet"),
+            spark.read.parquet(f"{sf}/orders.parquet"),
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -348,3 +348,51 @@ def compact_index(spark: SparkSession, index: IvfIndex) -> dict:
         "files_before": files_before,
         "files_after": _parquet_file_count(src),
     }
+
+
+def delete_vectors(
+    spark: SparkSession, index: IvfIndex, ids: DataFrame | list
+) -> dict:
+    """Delete vectors by id: anti-join rewrite of the vector table
+    through the same staged-swap protocol as :func:`compact_index`
+    (parquet is immutable — deletion is a rewrite; at warehouse scale
+    a format with deletion vectors (Delta/Iceberg) makes this a
+    metadata op, and this function is the compaction-style fallback).
+
+    ``ids`` is a one-column DataFrame or a small list. The delete set
+    broadcasts (anti-joins are build-side-small by construction here);
+    untouched rows keep their shard/cluster assignment, so pruning
+    layout survives. Returns ``{rows_before, rows_after, n_deleted}``.
+    """
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame(
+            [(int(i),) for i in ids], f"{index.id_col} long"
+        )
+    ids = ids.select(F.col(ids.columns[0]).alias(index.id_col))
+    src = index.vectors_path
+    staging = src + "__deleting"
+    backup = src + "__predelete"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    vec = spark.read.parquet(src)
+    n_before = vec.count()
+    kept = vec.join(F.broadcast(ids), index.id_col, "left_anti")
+    (
+        kept.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(staging)
+    )
+    n_after = spark.read.parquet(staging).count()
+    if n_after > n_before:
+        shutil.rmtree(staging)
+        raise RuntimeError("delete rewrite grew the table; aborted")
+    os.rename(src, backup)
+    os.rename(staging, src)
+    shutil.rmtree(backup)
+    return {
+        "rows_before": n_before,
+        "rows_after": n_after,
+        "n_deleted": n_before - n_after,
+    }
