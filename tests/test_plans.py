@@ -346,3 +346,45 @@ def test_fact_fact_join_degrades_to_sort_merge_without_broadcast(spark):
         assert "CartesianProduct" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_fact_join_has_no_shuffle(spark, tmp_path):
+    # the bucketing claim made in olap.py's module docstring, proven:
+    # both facts bucketed by orderkey -> SortMergeJoin with ZERO
+    # Exchange operators (co-located join, the 100 TB fact-fact shape)
+    import uuid
+
+    from vector_indexer_spark.plans import audit
+
+    sf = "/root/testdata/sf0.001"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    suffix = uuid.uuid4().hex[:8]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        (
+            spark.read.parquet(f"{sf}/orders.parquet")
+            .write.bucketBy(4, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable(f"orders_b_{suffix}")
+        )
+        (
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+            .write.bucketBy(4, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable(f"lineitem_b_{suffix}")
+        )
+        o = spark.table(f"orders_b_{suffix}")
+        li = spark.table(f"lineitem_b_{suffix}")
+        joined = o.join(li, o.o_orderkey == li.l_orderkey).select(
+            "o_orderkey", "l_extendedprice"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert audit.shuffle_count(joined) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
