@@ -6,6 +6,7 @@ import struct
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from vector_indexer_spark.sources.files import (
     generate_vectors,
@@ -179,3 +180,26 @@ class TestTrainingShards:
         write_training_shards(df, path, n_shards=1)
         with pytest.raises(Exception):  # errorifexists write mode
             write_training_shards(df, path, n_shards=1)
+
+
+def test_read_documents_jsonl_corrupt_handling(spark, tmp_path):
+    from vector_indexer_spark.sources.files import read_documents_jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "alpha", "lang": "en", "source": "a", "n_chars": 5}\n'
+        "this line is not json\n"
+        '{"doc_id": 2, "text": "beta", "lang": "de", "source": "b", "n_chars": 4}\n'
+    )
+    clean = read_documents_jsonl(spark, str(p))
+    rows = {r.doc_id: r.text for r in clean.collect()}
+    assert rows == {1: "alpha", 2: "beta"}
+    assert "_corrupt_record" not in clean.columns
+
+    audited = read_documents_jsonl(spark, str(p), keep_corrupt=True).cache()
+    try:
+        corrupt = audited.filter(F.col("_corrupt_record").isNotNull())
+        assert corrupt.count() == 1
+        assert "not json" in corrupt.collect()[0]._corrupt_record
+    finally:
+        audited.unpersist()

@@ -270,3 +270,45 @@ def generate_vectors_lcg(
         values.alias("values"),
         F.lit(0).cast("long").alias("ts"),
     )
+
+
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: str = DOCUMENTS_JSONL_SCHEMA,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Schema-enforced JSONL document source — the wire format most
+    raw text corpora arrive in before they become parquet.
+
+    PERMISSIVE mode with an explicit ``_corrupt_record`` column: a
+    malformed line yields a row whose typed columns are null and whose
+    raw text lands in the corrupt column, so one bad line never kills
+    a 100 TB ingestion job. With ``keep_corrupt=False`` (default) the
+    corrupt rows are filtered out and the column dropped — callers
+    auditing dirty feeds pass ``True`` and count them (note Spark
+    refuses a query that references ONLY the corrupt column of a raw
+    JSON scan — cache or persist the frame before filtering on it).
+
+    The declared schema is load-bearing twice over: it skips Spark's
+    schema-inference pre-pass (a full extra read of the input), and it
+    makes column pruning reach the JSON parser (Jackson parses only
+    the projected fields).
+    """
+    df = (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    if keep_corrupt:
+        return df
+    return df.filter(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
