@@ -1,0 +1,168 @@
+"""Property-based tests (hypothesis): randomized inputs, pure-Python
+reference models. These catch the edge cases hand-picked fixtures
+miss — ts collisions, empty groups, all-one-type streams, window
+boundaries landing exactly on an event.
+
+Example counts are kept small (each example is a Spark job); the
+generators bias toward collisions (tiny key/time domains) so the
+interesting cases appear within few examples.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+EV_DDL = "event_id long, ts long, user_id long, event_type string, value double"
+
+# tiny domains → dense collisions in user, time, and type
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),                 # user_id
+        st.integers(0, 20),                # ts (small → ties guaranteed)
+        st.sampled_from(["click", "purchase", "view"]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _rows(raw):
+    # unique, deterministic event ids; value derived from the id
+    return [
+        (eid, ts, user, etype, float(eid) / 4.0)
+        for eid, (user, ts, etype) in enumerate(raw)
+    ]
+
+
+@pytest.fixture(scope="module")
+def sparkm(spark):
+    return spark
+
+
+class TestAsofProperty:
+    @_settings
+    @given(raw=events_strategy)
+    def test_matches_reference_model(self, sparkm, raw):
+        from vector_indexer_spark.streaming.events import asof_join_prior
+
+        rows = _rows(raw)
+        df = sparkm.createDataFrame(
+            [(e, t, u, y, v) for (e, t, u, y, v) in rows], EV_DDL
+        ) if rows else sparkm.createDataFrame([], EV_DDL)
+        got = {
+            r.event_id: (r.prior_event_id, r.gap_ns)
+            for r in asof_join_prior(
+                df, left_type="purchase", right_type="click"
+            ).collect()
+        }
+        # reference: per user, walk (ts, id)-sorted rows carrying the
+        # latest click
+        want = {}
+        by_user: dict = {}
+        for eid, ts, user, etype, _v in sorted(
+            rows, key=lambda r: (r[2], r[1], r[0])
+        ):
+            carried = by_user.get(user)
+            if etype == "purchase":
+                want[eid] = (
+                    (carried[0], ts - carried[1])
+                    if carried
+                    else (None, None)
+                )
+            if etype == "click":
+                by_user[user] = (eid, ts)
+        assert got == want
+
+
+class TestIntervalJoinProperty:
+    @_settings
+    @given(raw=events_strategy, window=st.integers(1, 10))
+    def test_matches_nested_loop_reference(self, sparkm, raw, window):
+        from vector_indexer_spark.streaming.events import interval_join
+
+        rows = _rows(raw)
+        df = sparkm.createDataFrame(
+            [(e, t, u, y, v) for (e, t, u, y, v) in rows], EV_DDL
+        ) if rows else sparkm.createDataFrame([], EV_DDL)
+        clicks = df.filter(F.col("event_type") == "click")
+        buys = df.filter(F.col("event_type") == "purchase")
+        got = {
+            (r.left_id, r.right_id)
+            for r in interval_join(clicks, buys, window_ns=window).collect()
+        }
+        want = {
+            (lc[0], rb[0])
+            for lc in rows
+            if lc[3] == "click"
+            for rb in rows
+            if rb[3] == "purchase"
+            and rb[2] == lc[2]
+            and lc[1] < rb[1] <= lc[1] + window
+        }
+        assert got == want
+
+
+class TestSaltedCountsProperty:
+    @_settings
+    @given(
+        keys=st.lists(st.sampled_from("abc"), min_size=0, max_size=30),
+        n_salts=st.integers(1, 8),
+    )
+    def test_matches_counter(self, sparkm, keys, n_salts):
+        from vector_indexer_spark.operators.skew import salted_counts
+
+        rows = [(i, k) for i, k in enumerate(keys)]
+        df = sparkm.createDataFrame(
+            rows, "row_id long, k string"
+        ) if rows else sparkm.createDataFrame([], "row_id long, k string")
+        got = {
+            r.key: r.n_rows
+            for r in salted_counts(
+                df, "k", n_salts=n_salts, salt_source_col="row_id"
+            ).collect()
+        }
+        assert got == dict(Counter(keys))
+
+
+class TestCapPerGroupProperty:
+    @_settings
+    @given(
+        rows=st.lists(
+            st.tuples(st.sampled_from("xy"), st.integers(0, 5)),
+            min_size=0,
+            max_size=20,
+        ),
+        cap=st.integers(1, 4),
+    )
+    def test_matches_sorted_truncation(self, sparkm, rows, cap):
+        from vector_indexer_spark.operators.splits import cap_per_group
+
+        data = [(i, src, n) for i, (src, n) in enumerate(rows)]
+        df = sparkm.createDataFrame(
+            data, "doc_id long, source string, n_chars long"
+        ) if data else sparkm.createDataFrame(
+            [], "doc_id long, source string, n_chars long"
+        )
+        got = {
+            (r.source, r.doc_id): r.group_rank
+            for r in cap_per_group(df, cap, by_col="source").collect()
+        }
+        want = {}
+        by_src: dict = {}
+        for i, src, n in data:
+            by_src.setdefault(src, []).append((-n, i))
+        for src, members in by_src.items():
+            for rank, (_negn, i) in enumerate(sorted(members)[:cap], 1):
+                want[(src, i)] = rank
+        assert got == want
