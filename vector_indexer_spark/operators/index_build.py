@@ -298,6 +298,38 @@ def _parquet_file_count(root: str) -> int:
     return n
 
 
+def _staged_rewrite(
+    spark: SparkSession, src: str, df: DataFrame, op: str, validate
+) -> tuple[int, int]:
+    """Shared table-rewrite protocol for maintenance ops: write the
+    rewritten table to a staging dir in the as-built layout, run
+    ``validate(n_before, n_after)`` (raise to abort with the live
+    table untouched — Spark cannot safely overwrite a path it reads),
+    then swap atomically. Returns ``(n_before, n_after)``.
+    """
+    staging, backup = f"{src}__{op}__staging", f"{src}__{op}__backup"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    n_before = spark.read.parquet(src).count()
+    (
+        df.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(staging)
+    )
+    n_after = spark.read.parquet(staging).count()
+    try:
+        validate(n_before, n_after)
+    except Exception:
+        shutil.rmtree(staging)
+        raise
+    os.rename(src, backup)
+    os.rename(staging, src)
+    shutil.rmtree(backup)
+    return n_before, n_after
+
+
 def compact_index(spark: SparkSession, index: IvfIndex) -> dict:
     """Compact the index's vector table: rewrite each shard partition
     as few large cluster-sorted files instead of the many small ones
@@ -319,30 +351,18 @@ def compact_index(spark: SparkSession, index: IvfIndex) -> dict:
     reading). Returns ``{rows, files_before, files_after}``.
     """
     src = index.vectors_path
-    staging = src + "__compacting"
-    backup = src + "__precompact"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-    vec = spark.read.parquet(src)
-    n_before = vec.count()
     files_before = _parquet_file_count(src)
-    (
-        vec.repartition("shard_id")
-        .sortWithinPartitions("shard_id", "cluster_id")
-        .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(staging)
+
+    def _same_rows(n_before, n_after):
+        if n_after != n_before:
+            raise RuntimeError(
+                f"compaction row-count mismatch: {n_before} -> {n_after};"
+                " staging discarded, live table untouched"
+            )
+
+    n_before, _ = _staged_rewrite(
+        spark, src, spark.read.parquet(src), "compact", _same_rows
     )
-    n_after = spark.read.parquet(staging).count()
-    if n_after != n_before:
-        shutil.rmtree(staging)
-        raise RuntimeError(
-            f"compaction row-count mismatch: {n_before} -> {n_after}; "
-            "staging discarded, live table untouched"
-        )
-    os.rename(src, backup)
-    os.rename(staging, src)
-    shutil.rmtree(backup)
     return {
         "rows": n_before,
         "files_before": files_before,
@@ -370,27 +390,17 @@ def delete_vectors(
         )
     ids = ids.select(F.col(ids.columns[0]).alias(index.id_col))
     src = index.vectors_path
-    staging = src + "__deleting"
-    backup = src + "__predelete"
-    if os.path.exists(staging):
-        shutil.rmtree(staging)
-    vec = spark.read.parquet(src)
-    n_before = vec.count()
-    kept = vec.join(F.broadcast(ids), index.id_col, "left_anti")
-    (
-        kept.repartition("shard_id")
-        .sortWithinPartitions("shard_id", "cluster_id")
-        .write.mode("overwrite")
-        .partitionBy("shard_id")
-        .parquet(staging)
+    kept = spark.read.parquet(src).join(
+        F.broadcast(ids), index.id_col, "left_anti"
     )
-    n_after = spark.read.parquet(staging).count()
-    if n_after > n_before:
-        shutil.rmtree(staging)
-        raise RuntimeError("delete rewrite grew the table; aborted")
-    os.rename(src, backup)
-    os.rename(staging, src)
-    shutil.rmtree(backup)
+
+    def _not_grown(n_before, n_after):
+        if n_after > n_before:
+            raise RuntimeError("delete rewrite grew the table; aborted")
+
+    n_before, n_after = _staged_rewrite(
+        spark, src, kept, "delete", _not_grown
+    )
     return {
         "rows_before": n_before,
         "rows_after": n_after,

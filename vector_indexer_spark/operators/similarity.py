@@ -310,6 +310,41 @@ def cosine_near_dup_rhp(
     )
 
 
+def _nearest_centroid(
+    df: DataFrame, centroids, *, id_col: str, vec_col: str
+) -> DataFrame:
+    """``(id, cluster_id, dist2)`` via the codegen J1 argmin: literal
+    centroid cross join + fold dist2 + (dist2, centroid_id) window.
+
+    Deliberately NOT :func:`kmeans.assign_clusters` (the NumPy/Arrow
+    kernel): this expression tree is what the DuckDB oracles replay
+    bit-for-bit, ties and all — the audit/dedup operators built on it
+    stay SQL-checkable. The kernel path is for the index build's bulk
+    assignment, where no oracle replays the floats.
+    """
+    import numpy as np  # noqa: PLC0415
+
+    from vector_indexer_spark.functions.distance import dist2_expr  # noqa: PLC0415
+
+    c = np.asarray(centroids, dtype=np.float64)
+    spark = df.sparkSession
+    cent = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
+        "centroid_id long, cvec array<double>",
+    )
+    pairs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
+    ).crossJoin(F.broadcast(cent)).select(
+        "id", "centroid_id", dist2_expr("cvec", "__v").alias("dist2")
+    )
+    w = Window.partitionBy("id").orderBy("dist2", "centroid_id")
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("id", F.col("centroid_id").alias("cluster_id"), "dist2")
+    )
+
+
 def embedding_outliers(
     df: DataFrame,
     centroids,
@@ -339,30 +374,12 @@ def embedding_outliers(
     cross join; the assignment is the same J1 argmin the index build
     uses. Returns ``(id, cluster_id, dist2[, outlier_rank])``.
     """
-    import numpy as np
-
-    from vector_indexer_spark.functions.distance import dist2_expr
-
-    c = np.asarray(centroids, dtype=np.float64)
     if (top_n is None) == (threshold is None):
         raise ValueError("pass exactly one of top_n / threshold")
     if top_n is not None and top_n <= 0:
         raise ValueError("top_n must be positive")
-    spark = df.sparkSession
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
-        "centroid_id long, cvec array<double>",
-    )
-    pairs = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("__v")
-    ).crossJoin(F.broadcast(cent)).select(
-        "id", "centroid_id", dist2_expr("cvec", "__v").alias("dist2")
-    )
-    w = Window.partitionBy("id").orderBy("dist2", "centroid_id")
-    nearest = (
-        pairs.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", F.col("centroid_id").alias("cluster_id"), "dist2")
+    nearest = _nearest_centroid(
+        df, centroids, id_col=id_col, vec_col=vec_col
     )
     if threshold is not None:
         return nearest.filter(F.col("dist2") > threshold)
@@ -402,30 +419,13 @@ def semdedup(
     join on the pair list, map-side broadcastable when the pair list
     is small.
     """
-    import numpy as np  # noqa: PLC0415
-
-    from vector_indexer_spark.functions.distance import dist2_expr  # noqa: PLC0415
     from vector_indexer_spark.operators.dedup import embedding_near_dups  # noqa: PLC0415
 
-    c = np.asarray(centroids, dtype=np.float64)
     if not -1.0 <= threshold <= 1.0:
         raise ValueError("threshold must be a cosine in [-1, 1]")
-    spark = df.sparkSession
-    cent = spark.createDataFrame(
-        [(int(i), [float(x) for x in row]) for i, row in enumerate(c)],
-        "centroid_id long, cvec array<double>",
-    )
-    w = Window.partitionBy("id").orderBy("dist2", "centroid_id")
-    assigned = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__v"))
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "id", "centroid_id", dist2_expr("cvec", "__v").alias("dist2")
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("id", F.col("centroid_id").alias("cluster_id"))
-    )
+    assigned = _nearest_centroid(
+        df, centroids, id_col=id_col, vec_col=vec_col
+    ).drop("dist2")
     members = df.select(
         F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col)
     ).join(assigned.withColumnRenamed("id", id_col), id_col)

@@ -627,12 +627,17 @@ def bm25_topk(
     if len(set(terms)) != len(terms):
         raise ValueError("terms must be distinct")
 
-    toks = tokens_expr(text_col)
+    # hoist the tokenization into a column first: Catalyst does not
+    # CSE across higher-order-function boundaries (same pitfall as
+    # similarity.normalize_vectors), so referencing tokens_expr in
+    # every tf projection would re-split the text T+1 times per row
     per_doc = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(toks).cast("double").alias("dl"),
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__toks")
+    ).select(
+        "doc_id",
+        F.size("__toks").cast("double").alias("dl"),
         *[
-            F.size(F.filter(toks, _eq_lit(term)))
+            F.size(F.filter("__toks", _eq_lit(term)))
             .cast("double")
             .alias(f"tf_{i}")
             for i, term in enumerate(terms)
