@@ -428,3 +428,78 @@ def test_delete_vectors_removes_from_search(spark, embeddings, tmp_path):
     }
     assert 7 not in hits and 9 not in hits
     assert idx.vectors(spark).count() == stats["rows_after"]
+
+
+def test_filtered_search_matches_filtered_brute_force(
+    spark, embeddings, tmp_path
+):
+    # attribute-filtered ANN: filter_expr rides the pruned scan, and
+    # with full probing the result equals brute-force kNN over ONLY
+    # the matching rows — both paths
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.search import search_index
+
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("values"),
+        F.col("label"),
+    )
+    idx = build_index(vec, str(tmp_path / "fidx"), nlist=8, seed=42)
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_exact(
+            embeddings.filter(F.col("label") % 2 == 0),
+            q,
+            k=5,
+            id_col="vec_id",
+            vec_col="embedding",
+        ).collect()
+    }
+    for method in ("arrow", "native"):
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in search_index(
+                spark,
+                idx,
+                q,
+                k=5,
+                n_probe=8,
+                method=method,
+                filter_expr="label % 2 = 0",
+            ).collect()
+        }
+        assert got == want, method
+    # every returned neighbor satisfies the predicate even with
+    # partial probing
+    part = search_index(
+        spark, idx, q, k=5, n_probe=2, filter_expr=F.col("label") % 2 == 0
+    )
+    labels = dict(
+        embeddings.select("vec_id", "label").collect()
+    )
+    assert all(labels[r.neighbor_id] % 2 == 0 for r in part.collect())
+
+
+def test_filtered_search_predicate_pushes_down(spark, embeddings, tmp_path):
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.operators.search import _pruned_scan
+    from vector_indexer_spark.plans import audit
+
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("values"),
+        F.col("label"),
+    )
+    idx = build_index(vec, str(tmp_path / "pidx"), nlist=8, seed=42)
+    pruned = _pruned_scan(
+        spark, idx, None, [0], [0, 1], F.col("label") == 3
+    )
+    s = audit.plan_summary(pruned)
+    # the attribute predicate reaches the parquet scan beside the
+    # cluster predicate
+    assert any("label" in f for f in s["pushed_filters"])
+    assert s["shuffles"] == 0

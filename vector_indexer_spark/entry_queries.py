@@ -4344,3 +4344,83 @@ _register(
     WHERE l.event_type = 'click' AND r.event_type = 'purchase'
     """,
 )
+
+
+def _ivf_search_filtered(spark, sf_dir):
+    """Attribute-filtered ANN (fixed centroids): identical probe/scan
+    shape to ivf_search_fixed, but candidates are PRE-filtered to
+    ``label % 2 = 0`` before scoring — top-5 among matching rows (the
+    pre-filter semantics search_index(filter_expr=...) implements;
+    test_index.py checks the real engine path against filtered brute
+    force)."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    emb, _, _ = _fixed_centroid_frames(spark, sf_dir)
+    assigned = _ivf_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    probes = _ivf_probe_rank(spark, sf_dir).select(
+        "query_id", F.col("centroid_id").alias("cluster_id")
+    )
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    keep = emb.filter(F.col("label") % 2 == 0).select("vec_id")
+    cand = (
+        assigned.join(keep, "vec_id")
+        .join(probes, "cluster_id")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(q), "query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist2_expr("query", "embedding").alias("dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", "dist2")
+    )
+
+
+_register(
+    "ivf_search_filtered_fixed",
+    _ivf_search_filtered,
+    f"""
+    WITH {_DD_ASSIGN},
+    members AS (SELECT vec_id, centroid_id AS cluster_id
+                FROM assigned WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS query
+          FROM embeddings WHERE vec_id >= 490),
+    qprobe AS (
+      SELECT query_id, centroid_id AS cluster_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_DD_DIST2.format(a="c.cvec", b="q.query")}, c.centroid_id)
+                 AS pr
+        FROM q CROSS JOIN cents c
+      ) WHERE pr <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, m.vec_id
+      FROM qprobe p
+      JOIN members m USING (cluster_id)
+      JOIN embeddings e ON e.vec_id = m.vec_id AND e.label % 2 = 0
+    ),
+    scored AS (
+      SELECT c.query_id, c.vec_id AS neighbor_id,
+             {_DD_DIST2.format(a="q.query", b="v.embedding")} AS dist2
+      FROM cand c
+      JOIN embeddings v ON v.vec_id = c.vec_id
+      JOIN q ON q.query_id = c.query_id
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dist2, neighbor_id) AS INT) AS rank,
+           neighbor_id, dist2
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)

@@ -113,11 +113,21 @@ def search_index(
     include_vectors: bool = False,
     method: str = "arrow",
     vectors: DataFrame | None = None,
+    filter_expr=None,
 ) -> DataFrame:
     """K9 — batched ANN search. Returns
     ``(query_id, rank, neighbor_id, dist2[, values])`` ascending per
     query; may return < k rows per query when the probed clusters hold
     fewer than k vectors (reference behavior, SURVEY §7 trap 5).
+
+    ``filter_expr`` (Column or SQL string) pre-filters candidates on
+    attribute columns persisted with the vectors (pass-through build
+    columns, e.g. a label) — attribute-filtered ANN, evaluated on the
+    pruned scan BEFORE scoring, so simple predicates push down to
+    parquet next to the cluster predicates and filtered-out rows are
+    never scored (pre-filter semantics: the top-k among matching rows;
+    a post-filter would silently return < k even when k matches
+    exist). May return < k rows when fewer candidates match.
 
     ``vectors`` optionally overrides the index's vector table scan
     (e.g. an already-cached DataFrame for repeated search batches); it
@@ -139,13 +149,17 @@ def search_index(
     k = min(k, MAX_K)
     n_probe = min(n_probe, MAX_N_PROBE)
 
+    if filter_expr is not None and isinstance(filter_expr, str):
+        filter_expr = F.expr(filter_expr)
     if method == "native":
         out = _search_native(
-            spark, index, queries, k, n_probe, query_id_col, query_col, vectors
+            spark, index, queries, k, n_probe, query_id_col, query_col,
+            vectors, filter_expr,
         )
     elif method == "arrow":
         out = _search_arrow(
-            spark, index, queries, k, n_probe, query_id_col, query_col, vectors
+            spark, index, queries, k, n_probe, query_id_col, query_col,
+            vectors, filter_expr,
         )
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -161,7 +175,9 @@ def search_index(
     return out
 
 
-def _pruned_scan(spark, index, vectors, shard_ids, cluster_ids):
+def _pruned_scan(
+    spark, index, vectors, shard_ids, cluster_ids, filter_expr=None
+):
     """S8/P6 — literal partition predicates → Hive partition pruning.
 
     Output is normalized to ``(id, values, cluster_id, shard_id)``
@@ -173,6 +189,8 @@ def _pruned_scan(spark, index, vectors, shard_ids, cluster_ids):
         F.col("shard_id").isin([int(s) for s in shard_ids])
         & F.col("cluster_id").isin([int(c) for c in cluster_ids])
     )
+    if filter_expr is not None:
+        pruned = pruned.filter(filter_expr)
     return pruned.select(
         F.col(index.id_col).alias("id"),
         F.col(index.vec_col).alias("values"),
@@ -182,7 +200,8 @@ def _pruned_scan(spark, index, vectors, shard_ids, cluster_ids):
 
 
 def _search_native(
-    spark, index, queries, k, n_probe, query_id_col, query_col, vectors
+    spark, index, queries, k, n_probe, query_id_col, query_col, vectors,
+    filter_expr=None,
 ):
     """Fully-relational pipeline (distributed probe ranking): the
     bit-reproducible / oracle-checkable path, and the scale path for
@@ -212,12 +231,14 @@ def _search_native(
         vectors,
         sorted({r.shard_id for r in probe_keys}),
         sorted({r.cluster_id for r in probe_keys}),
+        filter_expr,
     )
     return _score_native(pruned, probes, queries, k, query_id_col, query_col)
 
 
 def _search_arrow(
-    spark, index, queries, k, n_probe, query_id_col, query_col, vectors
+    spark, index, queries, k, n_probe, query_id_col, query_col, vectors,
+    filter_expr=None,
 ):
     """Two-action pipeline: collect queries → driver probe ranking →
     one pruned scan+score+rank job."""
@@ -243,7 +264,7 @@ def _search_arrow(
         # (same semantics, no driver-sized state)
         return _search_native(
             spark, index, queries, k, n_probe, query_id_col, query_col,
-            vectors,
+            vectors, filter_expr,
         )
     shard_ids = np.unique(index.centroid_shards[cluster_ids])
     # (nq, n_probed_clusters) membership mask over the compacted
@@ -252,7 +273,9 @@ def _search_arrow(
     probe_mask = np.zeros((len(qids), len(cluster_ids)), dtype=bool)
     for qi in range(len(qids)):
         probe_mask[qi, [pos[int(c)] for c in probe_ids[qi]]] = True
-    pruned = _pruned_scan(spark, index, vectors, shard_ids, cluster_ids)
+    pruned = _pruned_scan(
+        spark, index, vectors, shard_ids, cluster_ids, filter_expr
+    )
     return _score_arrow_scan(
         spark, pruned, qids, qmat, cluster_ids, probe_mask, k
     )
