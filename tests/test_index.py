@@ -503,3 +503,29 @@ def test_filtered_search_predicate_pushes_down(spark, embeddings, tmp_path):
     # cluster predicate
     assert any("label" in f for f in s["pushed_filters"])
     assert s["shuffles"] == 0
+
+
+def test_filtered_range_search(spark, embeddings, tmp_path):
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.operators.search import range_search
+
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("values"),
+        F.col("label"),
+    )
+    idx = build_index(vec, str(tmp_path / "ridx"), nlist=8, seed=42)
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    full = range_search(spark, idx, q, radius2=50.0, n_probe=8)
+    filt = range_search(
+        spark, idx, q, radius2=50.0, n_probe=8, filter_expr="label = 1"
+    )
+    labels = dict(embeddings.select("vec_id", "label").collect())
+    got_full = {(r.query_id, r.neighbor_id) for r in full.collect()}
+    got_filt = {(r.query_id, r.neighbor_id) for r in filt.collect()}
+    # filtered = full restricted to matching labels
+    assert got_filt == {
+        (q_, n) for (q_, n) in got_full if labels[n] == 1
+    }

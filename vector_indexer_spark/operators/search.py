@@ -393,6 +393,7 @@ def range_search(
     query_id_col: str = "query_id",
     query_col: str = "query",
     vectors: DataFrame | None = None,
+    filter_expr=None,
 ) -> DataFrame:
     """All neighbors within squared distance ``radius2`` (extension —
     the near-duplicate query shape: "everything closer than τ", not
@@ -402,12 +403,16 @@ def range_search(
     attempted.
 
     Approximate like any IVF query: only probed clusters are scanned
-    (``n_probe >= nlist`` makes it exact).
+    (``n_probe >= nlist`` makes it exact). ``filter_expr`` pre-filters
+    candidates on persisted attribute columns, same contract as
+    :func:`search_index`.
     """
     if radius2 < 0:
         raise ValueError("radius2 must be non-negative")
     if n_probe <= 0:
         raise ValueError("n_probe must be positive")
+    if filter_expr is not None and isinstance(filter_expr, str):
+        filter_expr = F.expr(filter_expr)
 
     # persist: probes feeds the key collect AND the scoring join (same
     # double-consumption pattern as _search_native)
@@ -426,6 +431,7 @@ def range_search(
         vectors,
         sorted({r.shard_id for r in probe_keys}),
         sorted({r.cluster_id for r in probe_keys}),
+        filter_expr,
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_col).alias("__q")
