@@ -538,3 +538,34 @@ class TestSemDeDup:
         )
         with pytest.raises(ValueError):
             semdedup(emb, [[1.0, 0.0]], threshold=2.0)
+
+
+class TestRrfFuse:
+    def test_hand_computed_fusion(self, spark):
+        from vector_indexer_spark.operators.similarity import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "doc_id long, rank int"
+        )
+        b = spark.createDataFrame(
+            [(12, 1), (13, 2)], "doc_id long, rank int"
+        )
+        out = {r.id: (r.score, r.rank) for r in rrf_fuse(a, b, k=10).collect()}
+        # doc 12 appears in both lists -> highest fused score
+        s12 = 1.0 / 63 + 1.0 / 61
+        assert abs(out[12][0] - s12) < 1e-12 and out[12][1] == 1
+        # single-list docs score by their one term
+        assert abs(out[10][0] - 1.0 / 61) < 1e-12
+        assert abs(out[13][0] - 1.0 / 62) < 1e-12
+        assert set(out) == {10, 11, 12, 13}
+        # 10 (rank 1, list a) beats 13 (rank 2, list b)
+        assert out[10][1] < out[13][1]
+
+    def test_validation(self, spark):
+        from vector_indexer_spark.operators.similarity import rrf_fuse
+
+        df = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+        with pytest.raises(ValueError):
+            rrf_fuse(df, df, k=0)
+        with pytest.raises(ValueError):
+            rrf_fuse(df, df, k0=0.0)

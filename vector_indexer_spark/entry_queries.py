@@ -3928,7 +3928,10 @@ def _text_bm25(spark, sf_dir):
     )
 
 
-def _bm25_sql():
+def _bm25_ctes():
+    """The BM25 scoring pipeline as reusable CTEs ending in
+    ``bm25_ranked(doc_id, score, rank)`` — shared by the standalone
+    top-k oracle and the hybrid-RRF oracle."""
     toks = _DD_TOKENS.format(c="text")
     tf_cols = ",\n             ".join(
         f"CAST(len(list_filter(t, x -> x = '{term}')) AS DOUBLE) AS tf_{i}"
@@ -3949,7 +3952,7 @@ def _bm25_sql():
     ]
     score = " + ".join(contribs)
     return f"""
-    WITH toks AS (
+    toks AS (
       SELECT doc_id, {toks} AS t FROM documents
     ),
     per_doc AS (
@@ -3962,16 +3965,24 @@ def _bm25_sql():
              {df_cols}
       FROM per_doc
     ),
-    scored AS (
+    bm25_scored AS (
       SELECT doc_id, {score} AS score
       FROM per_doc CROSS JOIN stats
-    )
-    SELECT doc_id,
-           CAST(floor(score * 1000000) AS BIGINT) AS score_micros,
-           CAST(rank AS INT) AS rank FROM (
+    ),
+    bm25_ranked AS (
       SELECT doc_id, score,
              row_number() OVER (ORDER BY score DESC, doc_id) AS rank
-      FROM scored WHERE score > 0)
+      FROM bm25_scored WHERE score > 0
+    )"""
+
+
+def _bm25_sql():
+    return f"""
+    WITH {_bm25_ctes()}
+    SELECT doc_id,
+           CAST(floor(score * 1000000) AS BIGINT) AS score_micros,
+           CAST(rank AS INT) AS rank
+    FROM bm25_ranked
     WHERE rank <= 10
     """
 
@@ -4422,5 +4433,73 @@ _register(
            neighbor_id, dist2
     FROM scored
     QUALIFY rank <= 5
+    """,
+)
+
+
+def _hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: RRF fusion of the BM25 keyword list (fixed
+    three-term query, top-20) with the semantic neighbor list of doc 0
+    in hash-embedding space (top-20) — "documents like doc 0, boosted
+    by keyword relevance". Every stage reuses an already-oracled
+    operator; the fusion is rank-based so the incomparable score
+    scales never need calibration."""
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.similarity import rrf_fuse
+    from vector_indexer_spark.operators.text_analysis import (
+        bm25_topk,
+        hash_embed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lex = bm25_topk(docs, _BM25_TERMS, k=20, k1=_BM25_K1, b=_BM25_B)
+    emb = hash_embed(docs, 64)
+    q = emb.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    sem = knn_exact(
+        emb, q, k=20, id_col="doc_id", vec_col="embedding", method="native"
+    ).select(F.col("neighbor_id").alias("doc_id"), "rank")
+    fused = rrf_fuse(lex, sem, k=10)
+    return fused.select(
+        F.col("id").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000_000).cast("long").alias(
+            "score_nanos"
+        ),
+        "rank",
+    )
+
+
+_register(
+    "hybrid_rrf_topk",
+    _hybrid_rrf,
+    f"""
+    WITH {_bm25_ctes()},
+    {_DD_HEMBED},
+    q AS (SELECT embedding AS query FROM hemb WHERE doc_id = 0),
+    sem_ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY dist2, doc_id) AS rank
+      FROM (
+        SELECT v.doc_id,
+               {_DD_DIST2.format(a="q.query", b="v.embedding")} AS dist2
+        FROM hemb v CROSS JOIN q)
+    ),
+    fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             COALESCE(1.0 / (60.0 + a.rank), 0.0)
+               + COALESCE(1.0 / (60.0 + b.rank), 0.0) AS score
+      FROM (SELECT doc_id, rank FROM bm25_ranked WHERE rank <= 20) a
+      FULL OUTER JOIN
+           (SELECT doc_id, rank FROM sem_ranked WHERE rank <= 20) b
+        USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(floor(score * 1000000000) AS BIGINT) AS score_nanos,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM fused)
+    WHERE rank <= 10
     """,
 )

@@ -446,3 +446,48 @@ def semdedup(
         "cluster_id",
         F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept"),
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    *,
+    k0: float = 60.0,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) of two
+    ranked lists — the standard hybrid-retrieval combiner (lexical
+    BM25 ⊕ vector ANN): ``score(d) = Σ 1/(k0 + rank_i(d))`` over the
+    lists that contain ``d``; ``k0=60`` is the paper's constant.
+
+    Rank-based, so the two lists' incomparable score scales (BM25
+    points vs cosine) never need calibration. Returns ``(id, score,
+    rank)``, ties broken by id.
+
+    Scale shape: a full-outer join of two top-N lists (N rows each —
+    list-sized, not corpus-sized) and a TakeOrdered final rank; the
+    expensive retrieval stages run INSIDE their own operators, fusion
+    touches only their outputs.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if k0 <= 0:
+        raise ValueError("k0 must be positive")
+    sa = ranked_a.select(
+        F.col(id_col).alias("id"), F.col(rank_col).alias("__ra")
+    )
+    sb = ranked_b.select(
+        F.col(id_col).alias("id"), F.col(rank_col).alias("__rb")
+    )
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(k0) + F.col("__ra")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("__rb")), F.lit(0.0))
+    w = Window.orderBy(F.col("score").desc(), "id")
+    return (
+        sa.join(sb, "id", "full_outer")
+        .select("id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
