@@ -203,3 +203,47 @@ def test_read_documents_jsonl_corrupt_handling(spark, tmp_path):
         assert "not json" in corrupt.collect()[0]._corrupt_record
     finally:
         audited.unpersist()
+
+
+class TestShardIntegrity:
+    def test_verify_clean_and_detect_corruption(self, spark, tmp_path):
+        import glob
+        import os
+
+        from vector_indexer_spark.sinks import (
+            verify_training_shards,
+            write_training_shards,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(300)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "shards")
+        m = write_training_shards(df, path, n_shards=4)
+        assert m["content_cols"] == ["doc_id", "text"]
+        assert verify_training_shards(spark, path)["ok"]
+
+        # corrupt one shard: drop a parquet file entirely
+        victim = sorted(
+            glob.glob(f"{path}/data/shard=*/*.parquet")
+        )[0]
+        shard = int(victim.split("shard=")[1].split("/")[0])
+        os.remove(victim)
+        res = verify_training_shards(spark, path)
+        assert not res["ok"] and shard in res["mismatched_shards"]
+
+    def test_content_digest_partition_invariant(self, spark, tmp_path):
+        from vector_indexer_spark.sinks import write_training_shards
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(400)], "doc_id long, text string"
+        )
+        m1 = write_training_shards(
+            df.repartition(2), str(tmp_path / "x"), n_shards=8
+        )
+        m2 = write_training_shards(
+            df.repartition(23), str(tmp_path / "y"), n_shards=8
+        )
+        # order-independent digests: identical regardless of layout
+        assert m1["shard_content_sums"] == m2["shard_content_sums"]

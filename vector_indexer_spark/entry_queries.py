@@ -4503,3 +4503,39 @@ _register(
     WHERE rank <= 10
     """,
 )
+
+
+def _sink_shard_manifest(spark, sf_dir):
+    """Shard-sink integrity digests computed relationally: per-shard
+    row count + order-independent content sum over (doc_id, text) —
+    the exact aggregation write_training_shards records and
+    verify_training_shards rechecks."""
+    from vector_indexer_spark.sinks import content_hash_expr, shard_expr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("shard", shard_expr("doc_id", 16))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(content_hash_expr(("doc_id", "text"))).alias(
+                "content_sum"
+            ),
+        )
+    )
+
+
+_register(
+    "sink_shard_manifest",
+    _sink_shard_manifest,
+    """
+    SELECT (CAST(concat('0x', substr(md5(concat('11:',
+              CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000) % 16
+             AS shard,
+           count(*) AS n_docs,
+           SUM(CAST(concat('0x', substr(md5(concat('23:',
+              concat_ws(chr(31), CAST(doc_id AS VARCHAR), text))), 1, 8))
+              AS BIGINT)) AS content_sum
+    FROM documents GROUP BY 1
+    """,
+)

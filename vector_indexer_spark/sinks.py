@@ -31,6 +31,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SHARD_FORMAT_VERSION = 1
+CONTENT_HASH_SEED = 23
+
+
+def content_hash_expr(cols, *, seed: int = CONTENT_HASH_SEED):
+    """Per-row 32-bit content hash over ``cols`` (unit-separator-joined
+    string forms). Summed per shard it yields an ORDER-INDEPENDENT
+    integer digest: integer addition commutes, so any partitioning /
+    task order produces the same sum — the property a distributed
+    integrity check needs (a rolling/order-sensitive hash would not
+    survive repartitioning).
+    """
+    payload = F.concat_ws(
+        "\u001f", *[F.col(c).cast("string") for c in cols]
+    )
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), payload)), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
 
 
 def shard_expr(id_col, n_shards: int, *, seed: int = 11):
@@ -52,13 +76,20 @@ def write_training_shards(
     id_col: str = "doc_id",
     sort_cols: tuple = (),
     seed: int = 11,
+    content_cols: tuple | None = None,
 ) -> dict:
     """Write the corpus as ``path/data/shard=S/`` parquet partitions
     plus ``path/manifest.json``; returns the manifest dict.
 
     Rows are routed by ``shard_expr`` and sorted within each shard by
     ``sort_cols + (id_col,)`` — fully deterministic output layout.
+    ``content_cols`` (default: all input columns) selects the columns
+    folded into each shard's order-independent content digest,
+    recorded in the manifest and recheckable with
+    :func:`verify_training_shards`.
     """
+    if content_cols is None:
+        content_cols = tuple(df.columns)
     routed = df.withColumn("shard", shard_expr(id_col, n_shards, seed=seed))
     (
         routed.repartition(n_shards, "shard")
@@ -67,9 +98,14 @@ def write_training_shards(
         .mode("errorifexists")
         .parquet(os.path.join(path, "data"))
     )
-    counts = {
-        int(r["shard"]): int(r["n"])
-        for r in routed.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    stats = {
+        int(r["shard"]): (int(r["n"]), int(r["csum"]))
+        for r in routed.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(content_hash_expr(content_cols)).alias("csum"),
+        )
+        .collect()
     }
     manifest = {
         "version": SHARD_FORMAT_VERSION,
@@ -77,8 +113,14 @@ def write_training_shards(
         "seed": seed,
         "id_col": id_col,
         "sort_cols": list(sort_cols),
-        "rows": sum(counts.values()),
-        "shard_rows": {str(s): counts.get(s, 0) for s in range(n_shards)},
+        "content_cols": list(content_cols),
+        "rows": sum(n for n, _ in stats.values()),
+        "shard_rows": {
+            str(s): stats.get(s, (0, 0))[0] for s in range(n_shards)
+        },
+        "shard_content_sums": {
+            str(s): stats.get(s, (0, 0))[1] for s in range(n_shards)
+        },
     }
     with open(os.path.join(path, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
@@ -104,3 +146,37 @@ def read_training_shards(
     if shards is not None:
         out = out.where(F.col("shard").isin([int(s) for s in shards]))
     return out
+
+
+def verify_training_shards(spark: SparkSession, path: str) -> dict:
+    """Integrity check: recompute per-shard row counts and content
+    digests from the data files and diff them against the manifest —
+    catches truncated writes, lost partitions, and silent row
+    corruption in the columns the digest covers. Returns
+    ``{"ok": bool, "mismatched_shards": [...]}``; one distributed
+    aggregation, no driver-side row data.
+    """
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    data = spark.read.parquet(os.path.join(path, "data"))
+    stats = {
+        int(r["shard"]): (int(r["n"]), int(r["csum"]))
+        for r in data.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                content_hash_expr(manifest["content_cols"])
+            ).alias("csum"),
+        )
+        .collect()
+    }
+    bad = []
+    for s in range(manifest["n_shards"]):
+        n, csum = stats.get(s, (0, 0))
+        if (
+            n != manifest["shard_rows"][str(s)]
+            or csum != manifest["shard_content_sums"][str(s)]
+        ):
+            bad.append(s)
+    return {"ok": not bad, "mismatched_shards": bad}
