@@ -569,3 +569,43 @@ class TestRrfFuse:
             rrf_fuse(df, df, k=0)
         with pytest.raises(ValueError):
             rrf_fuse(df, df, k0=0.0)
+
+
+class TestMaxSim:
+    def test_best_chunk_wins(self, spark):
+        from vector_indexer_spark.operators.similarity import maxsim_topk
+
+        # doc 1: one orthogonal + one aligned chunk -> max picks aligned;
+        # doc 2: only orthogonal chunks -> scores 0
+        cemb = spark.createDataFrame(
+            [
+                (1, [0.0, 1.0]),
+                (1, [1.0, 0.0]),
+                (2, [0.0, 1.0]),
+                (2, [0.0, -1.0]),
+            ],
+            "doc_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "query_id long, query array<double>"
+        )
+        out = {
+            r.doc_id: (r.rank, r.score)
+            for r in maxsim_topk(cemb, q, k=10, metric="dot").collect()
+        }
+        assert out[1] == (1, 1.0)
+        assert out[2][0] == 2 and out[2][1] == 0.0
+
+    def test_validation(self, spark):
+        from vector_indexer_spark.operators.similarity import maxsim_topk
+
+        df = spark.createDataFrame(
+            [(1, [1.0])], "doc_id long, embedding array<double>"
+        )
+        q = spark.createDataFrame(
+            [(0, [1.0])], "query_id long, query array<double>"
+        )
+        with pytest.raises(ValueError):
+            maxsim_topk(df, q, k=0)
+        with pytest.raises(ValueError):
+            maxsim_topk(df, q, metric="euclid")

@@ -4539,3 +4539,105 @@ _register(
     FROM documents GROUP BY 1
     """,
 )
+
+
+_DD_CHUNK_HEMBED = f"""
+  cht AS (
+    SELECT doc_id * 1024 + chunk_idx AS chunk_uid, doc_id,
+           list_transform({_DD_TOKENS.format(c="chunk_text")},
+             tk -> {_DD_HASH32.format(t="tk")} % 64) AS hs
+    FROM chunks
+  ),
+  chc AS (
+    SELECT chunk_uid, doc_id,
+           list_transform(range(0, 64), b ->
+             CAST(len(list_filter(hs, x -> x = b)) AS DOUBLE)) AS cnts
+    FROM cht
+  ),
+  chn AS (
+    SELECT chunk_uid, doc_id, cnts,
+           sqrt(list_reduce(list_transform(cnts, v -> v * v),
+                            (acc, v) -> acc + v)) AS nrm
+    FROM chc
+  ),
+  chemb AS (
+    SELECT chunk_uid, doc_id,
+           CASE WHEN nrm > 0
+                THEN list_transform(cnts, v -> v / nrm)
+                ELSE cnts END AS embedding
+    FROM chn
+  )
+"""
+
+
+def _pipeline_chunk_maxsim(spark, sf_dir):
+    """Late-interaction pipeline end to end: chunk (64/16 tokens) →
+    hash-embed each chunk → MaxSim against doc 0's whole-doc embedding
+    → top-10 documents by best-matching chunk. metric="dot" because
+    hash_embed output is already L2-normalized."""
+    from vector_indexer_spark.operators.similarity import maxsim_topk
+    from vector_indexer_spark.operators.text_analysis import (
+        chunk_documents,
+        hash_embed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).withColumn(
+        "chunk_uid", F.col("doc_id") * 1024 + F.col("chunk_idx")
+    )
+    # hash_embed normalizes its id column's NAME to doc_id — here it
+    # carries the chunk uid; recover the parent doc by the 1024 base
+    cemb = hash_embed(
+        chunks, 64, text_col="chunk_text", id_col="chunk_uid"
+    ).select(
+        (F.col("doc_id") / 1024).cast("long").alias("doc_id"), "embedding"
+    )
+    q = hash_embed(docs.filter(F.col("doc_id") == 0), 64).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return maxsim_topk(cemb, q, k=10, metric="dot")
+
+
+_register(
+    "pipeline_chunk_maxsim",
+    _pipeline_chunk_maxsim,
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DD_TOKENS.format(c="text")} AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             CAST(ceil(greatest(len(toks) - 16, 1) / 48.0) AS INT) AS num
+      FROM t WHERE len(toks) > 0
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             CAST(unnest(range(0, num)) AS INT) AS chunk_idx
+      FROM c
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(list_slice(toks, chunk_idx * 48 + 1,
+                                        chunk_idx * 48 + 64), ' ')
+               AS chunk_text
+      FROM e
+    ),
+    {_DD_CHUNK_HEMBED},
+    {_DD_HEMBED},
+    q AS (SELECT doc_id AS query_id, embedding AS query
+          FROM hemb WHERE doc_id = 0),
+    per_doc AS (
+      SELECT q.query_id, ce.doc_id,
+             MAX({_DD_DOT.format(a="q.query", b="ce.embedding")}) AS score
+      FROM chemb ce CROSS JOIN q
+      GROUP BY 1, 2
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score
+    FROM (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                  ORDER BY score DESC, doc_id) AS rank
+      FROM per_doc)
+    WHERE rank <= 10
+    """,
+)

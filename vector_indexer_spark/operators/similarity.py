@@ -491,3 +491,61 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def maxsim_topk(
+    chunk_emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim shape at chunk
+    granularity): a document's score for a query is the similarity of
+    its BEST-matching chunk — long documents are found by their one
+    relevant passage instead of being diluted by whole-doc pooling.
+
+    ``chunk_emb`` holds one embedding per chunk with its parent
+    ``doc_col``. ``metric``: ``"cosine"`` or ``"dot"`` (use dot when
+    the embeddings are already L2-normalized — skips re-deriving
+    norms ≈ 1). Returns ``(query_id, rank, doc_id, score)``.
+
+    Scale shape: chunk scoring is scan-local against the broadcast
+    query batch; the max-per-(query, doc) is a map-side-combinable MAX
+    aggregation (one shuffle, keys = query × matched docs); final
+    top-k is a window over doc-level rows.
+    """
+    from vector_indexer_spark.functions.distance import dot_expr  # noqa: PLC0415
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unknown metric {metric!r}")
+    sim = (
+        cosine_expr("__q", F.col(vec_col))
+        if metric == "cosine"
+        else dot_expr("__q", F.col(vec_col))
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_col).alias("__q")
+    )
+    per_doc = (
+        chunk_emb.crossJoin(F.broadcast(q))
+        .select(
+            "query_id", F.col(doc_col).alias("doc_id"), sim.alias("__sim")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("__sim").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
