@@ -709,3 +709,50 @@ class TestSaltedCounts:
             salted_counts(df, "k", salt_source_col="k")
         with pytest.raises(ValueError):
             salted_counts(df, "k", n_salts=0, salt_source_col="id")
+
+
+class TestBm25Batch:
+    def test_matches_single_query_ranking(self, spark):
+        # the batched inverted-index formulation must rank identically
+        # to the scan-local single-query operator (scores differ only
+        # by the nano quantization)
+        docs = _docs(
+            spark,
+            [
+                "spark spark window",
+                "spark window hash table",
+                "unrelated words here",
+                "hash table hash table",
+                "window",
+            ],
+        )
+        single = text_analysis.bm25_topk(docs, ["spark", "window"], k=10)
+        qs = spark.createDataFrame(
+            [(7, ["spark", "window"])], "query_id long, terms array<string>"
+        )
+        batch = text_analysis.bm25_topk_batch(docs, qs, k=10)
+        s_rank = [(r.rank, r.doc_id) for r in single.collect()]
+        b_rank = [
+            (r.rank, r.doc_id) for r in batch.collect() if r.query_id == 7
+        ]
+        assert sorted(b_rank) == sorted(s_rank)
+
+    def test_queries_isolated(self, spark):
+        docs = _docs(spark, ["alpha beta", "gamma delta"])
+        qs = spark.createDataFrame(
+            [(0, ["alpha"]), (1, ["gamma"])],
+            "query_id long, terms array<string>",
+        )
+        out = {
+            (r.query_id, r.doc_id)
+            for r in text_analysis.bm25_topk_batch(docs, qs, k=5).collect()
+        }
+        assert out == {(0, 0), (1, 1)}
+
+    def test_validation(self, spark):
+        docs = _docs(spark, ["x"])
+        qs = spark.createDataFrame(
+            [(0, ["x"])], "query_id long, terms array<string>"
+        )
+        with pytest.raises(ValueError):
+            text_analysis.bm25_topk_batch(docs, qs, k=0)

@@ -4641,3 +4641,82 @@ _register(
     WHERE rank <= 10
     """,
 )
+
+
+_BM25_BATCH = [
+    (0, ["spark", "window"]),
+    (1, ["hash", "table"]),
+    (2, ["customer"]),
+]
+
+
+def _text_bm25_batch(spark, sf_dir):
+    """Batched BM25 (inverted-index formulation): three keyword
+    queries scored in one plan, postings pruned by a broadcast
+    semi-join on the union of query terms, per-term contributions
+    floored to integer nanos so the aggregation order cannot perturb
+    the score."""
+    from vector_indexer_spark.operators.text_analysis import bm25_topk_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = spark.createDataFrame(
+        _BM25_BATCH, "query_id long, terms array<string>"
+    )
+    return bm25_topk_batch(docs, qs, k=10, k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_batch_sql():
+    toks = _DD_TOKENS.format(c="text")
+    qrows = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_BATCH for t in terms
+    )
+    k1, b = _BM25_K1, _BM25_B
+    norm = f"{k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)"
+    term_score = (
+        f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+        f" * tf * {k1 + 1.0!r} / (tf + {norm})"
+    )
+    return f"""
+    WITH qterms AS (
+      SELECT DISTINCT * FROM (VALUES {qrows}) t(query_id, term)
+    ),
+    vocab AS (SELECT DISTINCT term FROM qterms),
+    toks AS (SELECT doc_id, {toks} AS t FROM documents),
+    dl AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+    ),
+    postings AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+      JOIN vocab USING (term)
+      GROUP BY 1, 2
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM postings GROUP BY 1
+    ),
+    contrib AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(floor(({term_score}) * 1000000000) AS BIGINT) AS nanos
+      FROM postings p
+      JOIN qterms q USING (term)
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT query_id, doc_id, SUM(nanos) AS score_nanos
+      FROM contrib GROUP BY 1, 2
+      HAVING SUM(nanos) > 0
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_nanos
+    FROM (
+      SELECT query_id, doc_id, score_nanos,
+             row_number() OVER (PARTITION BY query_id
+                  ORDER BY score_nanos DESC, doc_id) AS rank
+      FROM scored)
+    WHERE rank <= 10
+    """
+
+
+_register("text_bm25_batch", _text_bm25_batch, _bm25_batch_sql())

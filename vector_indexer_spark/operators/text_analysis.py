@@ -714,3 +714,105 @@ def length_quantiles(
             )
         )
     return df.select(group, F.col(len_col)).groupBy("group").agg(*aggs)
+
+
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Batched BM25 — the inverted-index formulation: many keyword
+    queries scored in ONE plan. ``queries`` is ``(query_id,
+    terms ARRAY<STRING>)``. Returns ``(query_id, rank, doc_id,
+    score_nanos)``.
+
+    Scale shape (this is the posting-list pruning that makes corpus-
+    scale lexical search work): the corpus explodes to (doc, token)
+    counts, then a BROADCAST SEMI-JOIN against the distinct query
+    terms discards every token no query mentions — the shuffle carries
+    only matching postings, not the corpus vocabulary. Document
+    lengths and per-term document frequencies are corpus statistics
+    computed in the same plan; per-(query, doc, term) contributions
+    then sum per (query, doc).
+
+    Determinism: each term's contribution is floored to integer nanos
+    BEFORE the sum — integer addition commutes, so the score is
+    reproducible under any aggregation order (a raw double sum over a
+    shuffled term set is not). The ranking therefore scores sums of
+    per-term floors; the per-term quantization error is < 1e-9 per
+    term — irrelevant to ranking, essential to bit-stable results.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("__toks")
+    )
+    dl = toks.select(
+        "doc_id", F.size("__toks").cast("double").alias("dl")
+    )
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(terms_col).alias("term"),
+    ).distinct()
+    vocab = qterms.select("term").distinct()
+    postings = (
+        toks.select("doc_id", F.explode("__toks").alias("term"))
+        .join(F.broadcast(vocab), "term")  # posting-list pruning
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count("*").cast("double").alias("df")
+    )
+    contrib = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    term_score = (
+        idf * F.col("tf") * F.lit(k1 + 1.0) / (F.col("tf") + norm)
+    )
+    scored = (
+        contrib.select(
+            "query_id",
+            "doc_id",
+            F.floor(term_score * F.lit(1_000_000_000))
+            .cast("long")
+            .alias("__nanos"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__nanos").alias("score_nanos"))
+        .filter(F.col("score_nanos") > 0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_nanos").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_nanos")
+    )
