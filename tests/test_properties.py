@@ -10,6 +10,7 @@ interesting cases appear within few examples.
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 
 import pytest
@@ -30,8 +31,10 @@ events_strategy = st.lists(
     max_size=25,
 )
 
+# PROP_EXAMPLES=100 runs a deep sweep (each example is a Spark job,
+# so CI keeps the default small)
 _settings = settings(
-    max_examples=12,
+    max_examples=int(os.environ.get("PROP_EXAMPLES", "12")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
