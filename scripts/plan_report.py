@@ -126,6 +126,52 @@ def _salted_df(spark, docs):
     return salted_counts(docs, "source", salt_source_col="doc_id")
 
 
+def _bm25_batch_df(spark, docs):
+    from vector_indexer_spark.operators.text_analysis import bm25_topk_batch
+
+    qs = spark.createDataFrame(
+        [(0, ["spark", "window"]), (1, ["hash"])],
+        "query_id long, terms array<string>",
+    )
+    return bm25_topk_batch(docs, qs, k=10)
+
+
+def _interval_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import interval_join
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return interval_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+
+
+def _maxsim_df(spark, docs):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.similarity import maxsim_topk
+    from vector_indexer_spark.operators.text_analysis import (
+        chunk_documents,
+        hash_embed,
+    )
+
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).withColumn(
+        "chunk_uid", F.col("doc_id") * 1024 + F.col("chunk_idx")
+    )
+    cemb = hash_embed(
+        chunks, 64, text_col="chunk_text", id_col="chunk_uid"
+    ).select(
+        (F.col("doc_id") / 1024).cast("long").alias("doc_id"), "embedding"
+    )
+    q = hash_embed(docs.limit(1), 64).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return maxsim_topk(cemb, q, k=10, metric="dot")
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -276,6 +322,25 @@ def main():
             "Two bounded exchanges: (key, salt) partials then key "
             "combine — a hot key fans out over n_salts reducers.",
             _salted_df(spark, docs),
+        ),
+        (
+            "Batched BM25 (inverted index)",
+            "Corpus postings semi-joined against the broadcast query "
+            "vocabulary — the shuffle carries matching postings only; "
+            "integer-nano contributions make the sums order-free.",
+            _bm25_batch_df(spark, docs),
+        ),
+        (
+            "Interval join (click→purchase window)",
+            "Equi-join on user with the time band as residual — "
+            "candidates bounded per user, never a time-band cartesian.",
+            _interval_df(spark, sf_dir),
+        ),
+        (
+            "Chunk MaxSim (late interaction)",
+            "Scan-local chunk scoring vs broadcast queries, then one "
+            "map-side-combinable MAX per (query, doc).",
+            _maxsim_df(spark, docs),
         ),
     ]
 

@@ -247,3 +247,18 @@ class TestShardIntegrity:
         )
         # order-independent digests: identical regardless of layout
         assert m1["shard_content_sums"] == m2["shard_content_sums"]
+
+
+def test_sql_interface_views(spark):
+    from vector_indexer_spark.sql import register_corpus_views, sql
+
+    register_corpus_views(
+        spark, "/root/testdata/sf0.001", tables=("nation", "region")
+    )
+    out = sql(
+        spark,
+        "SELECT r.r_name, count(*) AS n FROM nation n "
+        "JOIN region r ON r.r_regionkey = n.n_regionkey GROUP BY 1",
+    )
+    rows = {r.r_name: r.n for r in out.collect()}
+    assert sum(rows.values()) == 25 and len(rows) == 5

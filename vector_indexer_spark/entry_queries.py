@@ -4720,3 +4720,29 @@ def _bm25_batch_sql():
 
 
 _register("text_bm25_batch", _text_bm25_batch, _bm25_batch_sql())
+
+
+_SQL_IFACE_QUERY = """
+    SELECT n.n_name,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
+    FROM nation n
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+"""
+
+
+def _sql_interface(spark, sf_dir):
+    """The SQL surface end to end: register the corpus as views, run a
+    dialect-portable SQL string through spark.sql — the SAME string is
+    the DuckDB oracle, so this locks Spark-SQL dialect parity, not
+    just result parity."""
+    from vector_indexer_spark.sql import register_corpus_views, sql
+
+    register_corpus_views(spark, sf_dir, tables=("nation", "customer", "orders"))
+    return sql(spark, _SQL_IFACE_QUERY)
+
+
+_register("sql_interface_revenue", _sql_interface, _SQL_IFACE_QUERY)
