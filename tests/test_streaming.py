@@ -521,3 +521,33 @@ def test_streaming_interval_join_bounded_state(spark, tmp_path):
     # click 1 pairs with the 30-min purchase, not the 2h one;
     # user 2 pairs within the window
     assert got == {(1, 10), (2, 12)}
+
+
+def test_rolling_anomalies_flags_spike(spark):
+    from vector_indexer_spark.streaming.events import rolling_anomalies
+
+    # 30 calm hours at value 10, then one 100x spike
+    H = 3_600_000_000_000
+    rows = []
+    for h in range(31):
+        v = 1000.0 if h == 30 else 10.0
+        rows.append((h, h * H, 1, "click", v))
+    ev = spark.createDataFrame(rows, EV_DDL)
+    out = {
+        r.hour_start // H: r.is_anomaly
+        for r in rolling_anomalies(ev).collect()
+    }
+    # the trailing window is full from hour 24 on
+    assert out[30] is True
+    assert all(not out[h] for h in out if h != 30)
+    # calm-only series: zero variance and zero deviation -> not anomalous
+    calm = spark.createDataFrame(rows[:30], EV_DDL)
+    assert all(not r.is_anomaly for r in rolling_anomalies(calm).collect())
+
+
+def test_rolling_anomalies_validation(spark):
+    from vector_indexer_spark.streaming.events import rolling_anomalies
+
+    ev = spark.createDataFrame([], EV_DDL)
+    with pytest.raises(ValueError):
+        rolling_anomalies(ev, window_buckets=1)

@@ -4746,3 +4746,45 @@ def _sql_interface(spark, sf_dir):
 
 
 _register("sql_interface_revenue", _sql_interface, _SQL_IFACE_QUERY)
+
+
+def _events_anomalies(spark, sf_dir):
+    """Integer-exact windowed anomaly flags over the hourly event
+    series: |x − mean| > 3σ tested as n·(n·x − S)² > 9·(n·S2 − S²) —
+    no float mean/variance anywhere, so the flags hash-match."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import rolling_anomalies
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return rolling_anomalies(ev)
+
+
+_register(
+    "events_rolling_anomalies",
+    _events_anomalies,
+    """
+    WITH hourly AS (
+      SELECT epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS hour_start,
+             event_type,
+             SUM(CAST(floor(value * 1000000) AS BIGINT)) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT hour_start, event_type, x,
+             count(x) OVER w AS n,
+             SUM(CAST(x AS HUGEINT)) OVER w AS s,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER w AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT hour_start, event_type, x AS value_sum_micros,
+           CAST(n AS BIGINT) AS n_window,
+           (CAST(n AS HUGEINT)
+              * (CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - s)
+              * (CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - s))
+             > (9 * CAST(n AS HUGEINT)
+                  * (CAST(n AS HUGEINT) * s2 - s * s)) AS is_anomaly
+    FROM win WHERE n = 24
+    """,
+)

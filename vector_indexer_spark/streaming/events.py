@@ -459,3 +459,74 @@ def streaming_interval_join(
         "right_id",
         "right_ts",
     )
+
+
+def rolling_anomalies(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window_buckets: int = 24,
+    z2_threshold: int = 9,
+) -> DataFrame:
+    """Windowed anomaly detection over the hourly event-volume series,
+    in EXACT integer arithmetic: an hour is anomalous when its
+    micro-scaled value sum deviates from the trailing
+    ``window_buckets``-hour mean by more than ``sqrt(z2_threshold)``
+    standard deviations.
+
+    The z-test is evaluated without ever forming a float mean or
+    variance — with ``S = Σx`` and ``S2 = Σx²`` over the trailing
+    window (current bucket excluded), ``|x − S/n| > z·σ`` is
+    equivalent to ``n·(n·x − S)² > z²·(n·S2 − S²)`` — all integer
+    terms, so the flag (and every intermediate) is bit-reproducible
+    by the SQL oracle: no float-summation-order hazard, which a
+    ``stddev`` window aggregate cannot guarantee across engines.
+
+    Scale shape: one map-side-combined hourly aggregation, then a
+    per-event-type ordered window (|buckets| rows per type — tiny).
+    Returns ``(hour_start, event_type, value_sum_micros, n_window,
+    is_anomaly)`` for buckets with a full trailing window.
+    """
+    if window_buckets < 2:
+        raise ValueError("window_buckets must be >= 2")
+    hourly = (
+        events.groupBy(
+            (F.col(ts_col) - (F.col(ts_col) % 3_600_000_000_000)).alias(
+                "hour_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1_000_000).cast("long")).alias(
+                "x"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-window_buckets, -1)
+    )
+    # the cubic terms exceed int64 at realistic hourly sums — carry
+    # them in decimal(38,0) (exact, matches DuckDB HUGEINT); only
+    # long/bool columns are emitted
+    dec = "decimal(38,0)"
+    n = F.count("x").over(w)
+    nd = n.cast(dec)
+    xd = F.col("x").cast(dec)
+    s = F.sum("x").over(w).cast(dec)
+    s2 = F.sum(
+        F.col("x").cast(dec) * F.col("x").cast(dec)
+    ).over(w)
+    lhs = nd * (nd * xd - s) * (nd * xd - s)
+    rhs = F.lit(z2_threshold).cast(dec) * nd * (nd * s2 - s * s)
+    return (
+        hourly.select(
+            "hour_start",
+            "event_type",
+            F.col("x").alias("value_sum_micros"),
+            n.alias("n_window"),
+            (lhs > rhs).alias("is_anomaly"),
+        )
+        .filter(F.col("n_window") == window_buckets)
+    )
