@@ -551,3 +551,53 @@ def test_rolling_anomalies_validation(spark):
     ev = spark.createDataFrame([], EV_DDL)
     with pytest.raises(ValueError):
         rolling_anomalies(ev, window_buckets=1)
+
+
+def test_funnel_greedy_subsequence(spark):
+    from vector_indexer_spark.streaming.events import funnel_counts
+
+    rows = [
+        # user 1: full funnel with interleaved noise
+        (1, 10 * NS, 1, "click", 0.0),
+        (2, 20 * NS, 1, "error", 0.0),
+        (3, 30 * NS, 1, "view", 0.0),
+        (4, 40 * NS, 1, "purchase", 0.0),
+        # user 2: view BEFORE click -> depth stops at click
+        (5, 10 * NS, 2, "view", 0.0),
+        (6, 20 * NS, 2, "click", 0.0),
+        # user 3: never clicks
+        (7, 10 * NS, 3, "purchase", 0.0),
+    ]
+    ev = spark.createDataFrame(rows, EV_DDL)
+    out = {
+        r.step_idx: r.n_users
+        for r in funnel_counts(ev, ["click", "view", "purchase"]).collect()
+    }
+    assert out == {0: 2, 1: 1, 2: 1}
+    with pytest.raises(ValueError):
+        funnel_counts(ev, [])
+
+
+def test_retention_cohorts_offsets(spark):
+    from vector_indexer_spark.streaming.events import retention_cohorts
+
+    W = 7 * 24 * 3600
+    rows = [
+        # user 1: weeks 0, 1, 3; user 2: week 0 only; user 3: week 1
+        (1, 1 * NS, 1, "click", 0.0),
+        (2, (W + 5) * NS, 1, "click", 0.0),
+        (3, (3 * W + 5) * NS, 1, "click", 0.0),
+        (4, 2 * NS, 2, "click", 0.0),
+        (5, (W + 9) * NS, 3, "click", 0.0),
+    ]
+    ev = spark.createDataFrame(rows, EV_DDL)
+    out = {
+        (r.cohort_bucket // (W * NS), r.bucket_offset): r.n_users
+        for r in retention_cohorts(ev).collect()
+    }
+    assert out == {
+        (0, 0): 2,  # users 1, 2 start week 0
+        (0, 1): 1,  # user 1 back in week 1
+        (0, 3): 1,  # user 1 back in week 3
+        (1, 0): 1,  # user 3 starts week 1
+    }

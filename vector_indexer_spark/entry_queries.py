@@ -4788,3 +4788,81 @@ _register(
     FROM win WHERE n = 24
     """,
 )
+
+
+_FUNNEL_STEPS = ["click", "view", "purchase"]
+
+
+def _events_funnel(spark, sf_dir):
+    """Funnel analysis: users progressing through click → view →
+    purchase in order (greedy earliest-match subsequence over each
+    user's timeline)."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import funnel_counts
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return funnel_counts(ev, _FUNNEL_STEPS)
+
+
+_register(
+    "events_funnel",
+    _events_funnel,
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_ns(ts), event_id) AS rn
+      FROM events
+    ),
+    u1 AS (SELECT user_id, MIN(rn) AS r1 FROM ordered
+           WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY 1),
+    u2 AS (SELECT o.user_id, MIN(o.rn) AS r2
+           FROM ordered o JOIN u1 USING (user_id)
+           WHERE o.event_type = '{_FUNNEL_STEPS[1]}' AND o.rn > u1.r1
+           GROUP BY 1),
+    u3 AS (SELECT o.user_id, MIN(o.rn) AS r3
+           FROM ordered o JOIN u2 USING (user_id)
+           WHERE o.event_type = '{_FUNNEL_STEPS[2]}' AND o.rn > u2.r2
+           GROUP BY 1)
+    SELECT CAST(0 AS INT) AS step_idx, '{_FUNNEL_STEPS[0]}' AS step,
+           (SELECT count(*) FROM u1) AS n_users
+    UNION ALL
+    SELECT CAST(1 AS INT), '{_FUNNEL_STEPS[1]}',
+           (SELECT count(*) FROM u2)
+    UNION ALL
+    SELECT CAST(2 AS INT), '{_FUNNEL_STEPS[2]}',
+           (SELECT count(*) FROM u3)
+    """,
+)
+
+
+_COHORT_BUCKET_NS = 7 * 24 * 3_600_000_000_000
+
+
+def _events_retention(spark, sf_dir):
+    """Weekly retention cohorts: users bucketed by first-activity
+    week, counted in every later week they were active."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import retention_cohorts
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev)
+
+
+_register(
+    "events_retention_cohorts",
+    _events_retention,
+    f"""
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             epoch_ns(ts) - epoch_ns(ts) % {_COHORT_BUCKET_NS} AS b
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(b) AS c FROM active GROUP BY 1)
+    SELECT c AS cohort_bucket,
+           (b - c) // {_COHORT_BUCKET_NS} AS bucket_offset,
+           count(*) AS n_users
+    FROM active JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)

@@ -530,3 +530,118 @@ def rolling_anomalies(
         )
         .filter(F.col("n_window") == window_buckets)
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel analysis: how many users progressed through each prefix
+    of ``steps`` *in order* (subsequence match over the user's
+    time-ordered timeline — other events may interleave).
+
+    Returns one row per funnel depth: ``(step_idx, step, n_users)``
+    where ``n_users`` counts users whose timeline contains
+    ``steps[0..step_idx]`` as a subsequence (monotonically
+    non-increasing with depth).
+
+    Scale shape: one shuffle on the user key; each user's ordered
+    type sequence folds through a small greedy automaton expressed as
+    ``aggregate`` over ``collect_list`` (codegen, no UDF) — state is
+    one int per user. Per-user event counts bound task memory the
+    same way sessionization's do.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    per_user = (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts_col).alias("ts"),
+                        F.col(id_col).alias("id"),
+                        F.col(type_col).alias("t"),
+                    )
+                )
+            ).alias("__tl")
+        )
+    )
+    steps_lit = F.array(*[F.lit(s) for s in steps])
+    # greedy subsequence automaton: depth advances when the next
+    # needed step appears
+    depth = F.aggregate(
+        "__tl",
+        F.lit(0),
+        lambda acc, e: F.when(
+            (acc < F.lit(len(steps)))
+            & (e["t"] == F.element_at(steps_lit, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    depths = per_user.select(depth.alias("__depth"))
+    out = depths.groupBy().agg(
+        *[
+            F.sum((F.col("__depth") >= i + 1).cast("long")).alias(
+                f"__n_{i}"
+            )
+            for i in range(len(steps))
+        ]
+    )
+    rows = out.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.coalesce(F.col(f"__n_{i}"), F.lit(0)).alias(
+                            "n_users"
+                        ),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.step_idx", "r.step", "r.n_users")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    bucket_ns: int = 7 * 24 * 3_600_000_000_000,
+) -> DataFrame:
+    """Retention matrix: users grouped by first-activity bucket
+    (cohort week by default), counted in each later bucket they were
+    active — the classic cohort-retention analytics query.
+
+    Returns ``(cohort_bucket, bucket_offset, n_users)``; offset 0 is
+    the cohort itself, so its count is the cohort size.
+
+    Scale shape: first-activity via one MIN aggregation on the user
+    key; activity buckets dedup per (user, bucket) map-side; the final
+    matrix is |cohorts| × |offsets| — tiny. All integer arithmetic.
+    """
+    bucket = (F.col(ts_col) - F.col(ts_col) % bucket_ns).alias("__b")
+    active = events.select(
+        F.col(user_col).alias("user_id"), bucket
+    ).distinct()
+    first = active.groupBy("user_id").agg(F.min("__b").alias("__cohort"))
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("__cohort").alias("cohort_bucket"),
+            ((F.col("__b") - F.col("__cohort")) / bucket_ns)
+            .cast("long")
+            .alias("bucket_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
