@@ -601,3 +601,21 @@ def test_retention_cohorts_offsets(spark):
         (0, 3): 1,  # user 1 back in week 3
         (1, 0): 1,  # user 3 starts week 1
     }
+
+
+def test_transition_counts_pairs(spark):
+    from vector_indexer_spark.streaming.events import transition_counts
+
+    rows = [
+        (1, 10 * NS, 1, "click", 0.0),
+        (2, 20 * NS, 1, "view", 0.0),
+        (3, 30 * NS, 1, "click", 0.0),
+        (4, 10 * NS, 2, "click", 0.0),   # user boundary: no cross-pair
+        (5, 20 * NS, 2, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(rows, EV_DDL)
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in transition_counts(ev).collect()
+    }
+    assert got == {("click", "view"): 2, ("view", "click"): 1}

@@ -4866,3 +4866,29 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+def _events_transitions(spark, sf_dir):
+    """Event-type transition matrix (first-order path analysis)."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import transition_counts
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return transition_counts(ev)
+
+
+_register(
+    "events_transitions",
+    _events_transitions,
+    """
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                  ORDER BY epoch_ns(ts), event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, count(*) AS n_transitions
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)

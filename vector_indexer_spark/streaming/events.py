@@ -645,3 +645,31 @@ def retention_cohorts(
         )
         .agg(F.count("*").alias("n_users"))
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Path analysis: the event-type transition matrix — for every
+    consecutive pair in a user's time-ordered timeline, count
+    ``(from_type, to_type)`` occurrences (the input to Sankey/flow
+    charts and first-order Markov behavior models).
+
+    One shuffle on the user key (the ``lead`` window), then a
+    map-side-combined count over ≤ |types|² keys. Integer output —
+    exact across engines. Normalize to probabilities downstream if
+    needed (that division is where float variance would creep in).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_transitions")
+    )
