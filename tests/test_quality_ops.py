@@ -756,3 +756,38 @@ class TestBm25Batch:
         )
         with pytest.raises(ValueError):
             text_analysis.bm25_topk_batch(docs, qs, k=0)
+
+
+class TestUnigramSurprisal:
+    def test_rare_tokens_score_higher(self, spark):
+        # corpus: 'common' appears 9x, 'rare' once; the rare-token doc
+        # must out-score a same-length common-token doc
+        docs = _docs(
+            spark,
+            ["common common common", "common common common",
+             "common common common", "rare"],
+        )
+        out = {
+            r.doc_id: (r.n_tokens, r.surprisal_micros)
+            for r in text_analysis.unigram_surprisal(docs).collect()
+        }
+        # per-token: -ln(9/10) for common, -ln(1/10) for rare
+        assert out[3][1] > out[0][1] // 3  # one rare > one common
+        assert out[0] == out[1] == out[2]
+        # empty-token doc handling
+        empty = _docs(spark, ["...", "words here"])
+        res = {
+            r.doc_id: r.n_tokens
+            for r in text_analysis.unigram_surprisal(empty).collect()
+        }
+        assert res[0] == 0
+
+    def test_total_matches_hand_computation(self, spark):
+        import math
+
+        docs = _docs(spark, ["a a b"])
+        r = text_analysis.unigram_surprisal(docs).collect()[0]
+        want = 2 * math.floor(-math.log(2 / 3) * 1e6) + math.floor(
+            -math.log(1 / 3) * 1e6
+        )
+        assert (r.n_tokens, r.surprisal_micros) == (3, want)

@@ -4892,3 +4892,41 @@ _register(
     GROUP BY 1, 2
     """,
 )
+
+
+def _text_surprisal(spark, sf_dir):
+    """Self-trained unigram-LM surprisal per document (perplexity-
+    filter signal); per-token micros floored before the sum for an
+    order-independent, engine-exact score."""
+    from vector_indexer_spark.operators.text_analysis import unigram_surprisal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_surprisal(docs)
+
+
+_register(
+    "text_unigram_surprisal",
+    _text_surprisal,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DD_TOKENS.format(c="text")}) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+    per_tok AS (
+      SELECT t.doc_id,
+             CAST(floor(-ln(CAST(v.cnt AS DOUBLE) / tot.total) * 1000000)
+                  AS BIGINT) AS u
+      FROM toks t JOIN vocab v USING (token) CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_tokens, SUM(u) AS surprisal_micros
+      FROM per_tok GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           COALESCE(p.surprisal_micros, 0) AS surprisal_micros
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)

@@ -816,3 +816,54 @@ def bm25_topk_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score_nanos")
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-model quality signal without an external model: train
+    a unigram LM on the corpus itself and score every document by its
+    total token surprisal ``Σ −ln p(token)`` (the CCNet/perplexity-
+    filter idea, first-order version — documents full of corpus-
+    atypical tokens score high; boilerplate scores low).
+
+    Returns ``(doc_id, n_tokens, surprisal_micros)`` where each
+    token's surprisal is floored to integer MICROS before summation —
+    per-token quantization ≤ 1e-6 nat (irrelevant to any filtering
+    threshold) buys an order-independent integer sum that both
+    engines reproduce bit-for-bit; a raw double sum over a shuffled
+    token stream would not. Divide by ``n_tokens`` downstream for the
+    mean.
+
+    Scale shape: vocabulary counts are one map-side-combined shuffle;
+    the token→probability join keys on the token (vocabulary-sized
+    build side), and the per-doc sum combines map-side. Nothing is
+    all-pairs; the corpus text rides the explode exactly once.
+    """
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(text_col)).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = toks.join(vocab, "token").crossJoin(F.broadcast(total))
+    surprisal = -F.log(F.col("cnt").cast("double") / F.col("total"))
+    per_tok = scored.select(
+        "doc_id",
+        F.floor(surprisal * F.lit(1_000_000)).cast("long").alias("__u"),
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("__u").alias("surprisal_micros"),
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("surprisal_micros", F.lit(0)).alias("surprisal_micros"),
+    )
