@@ -791,3 +791,37 @@ class TestUnigramSurprisal:
             -math.log(1 / 3) * 1e6
         )
         assert (r.n_tokens, r.surprisal_micros) == (3, want)
+
+
+class TestCollocations:
+    def test_hand_computed_pmi_ordering(self, spark):
+        import math
+
+        docs = _docs(
+            spark,
+            ["new york " * 6 + "the end", "the start the end the fin",
+             "new york again the"],
+        )
+        out = text_analysis.collocations(docs, k=5, min_count=2).collect()
+        got = {(r.tok_a, r.tok_b): (r.rank, r.n_pairs, r.pmi_micros) for r in out}
+        # corpus: 24 unigrams; kept pairs (>=2): (new,york)=7,
+        # (york,new)=5, (the,end)=2; n_bigrams=14
+        def pmi(np_, na, nb):
+            return math.floor(
+                math.log((np_ / 14) / ((na / 24) * (nb / 24))) * 1e6
+            )
+
+        assert got[("new", "york")][1:] == (7, pmi(7, 7, 7))
+        assert got[("the", "end")][1:] == (2, pmi(2, 5, 2))
+        assert got[("york", "new")][1:] == (5, pmi(5, 7, 7))
+        # PMI favors exclusivity: (the,end) > (new,york) > (york,new)
+        assert [p for p, _ in sorted(got.items(), key=lambda kv: kv[1][0])] == [
+            ("the", "end"), ("new", "york"), ("york", "new"),
+        ]
+
+    def test_validation(self, spark):
+        docs = _docs(spark, ["a b"])
+        with pytest.raises(ValueError):
+            text_analysis.collocations(docs, k=0)
+        with pytest.raises(ValueError):
+            text_analysis.collocations(docs, min_count=0)

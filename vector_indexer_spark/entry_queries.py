@@ -4930,3 +4930,57 @@ _register(
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
 )
+
+
+def _text_collocations(spark, sf_dir):
+    """Top-20 adjacent-pair collocations by integer-micro PMI."""
+    from vector_indexer_spark.operators.text_analysis import collocations
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return collocations(docs, k=20, min_count=5)
+
+
+_register(
+    "text_collocations",
+    _text_collocations,
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DD_TOKENS.format(c="text")}) AS tok,
+             generate_subscripts({_DD_TOKENS.format(c="text")}, 1) AS pos
+      FROM documents
+    ),
+    bi AS (
+      SELECT tok AS tok_a,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok_b
+      FROM tok
+    ),
+    pairs AS (
+      SELECT tok_a, tok_b, count(*) AS n_pairs
+      FROM bi WHERE tok_b IS NOT NULL
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    ),
+    uni AS (SELECT tok AS t, count(*) AS n_tok FROM tok GROUP BY 1),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tok) AS n_unigrams,
+             (SELECT CAST(SUM(n_pairs) AS DOUBLE) FROM pairs) AS n_bigrams
+    ),
+    scored AS (
+      SELECT p.tok_a, p.tok_b, p.n_pairs,
+             CAST(floor(ln(
+               (CAST(p.n_pairs AS DOUBLE) / tot.n_bigrams)
+               / ((CAST(ua.n_tok AS DOUBLE) / tot.n_unigrams)
+                  * (CAST(ub.n_tok AS DOUBLE) / tot.n_unigrams))
+             ) * 1000000) AS BIGINT) AS pmi_micros
+      FROM pairs p
+      JOIN uni ua ON ua.t = p.tok_a
+      JOIN uni ub ON ub.t = p.tok_b
+      CROSS JOIN tot
+    )
+    SELECT CAST(rank AS INT) AS rank, tok_a, tok_b, n_pairs, pmi_micros
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi_micros DESC,
+                                   tok_a, tok_b) AS rank
+      FROM scored)
+    WHERE rank <= 20
+    """,
+)

@@ -867,3 +867,84 @@ def unigram_surprisal(
         F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         F.coalesce("surprisal_micros", F.lit(0)).alias("surprisal_micros"),
     )
+
+
+def collocations(
+    df: DataFrame,
+    k: int = 20,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus collocations: the ``k`` adjacent word pairs with the
+    highest pointwise mutual information ``PMI = ln(p(ab)/(p(a)p(b)))``
+    among pairs seen ≥ ``min_count`` times — the classic multiword-
+    expression detector (Church & Hanks 1990).
+
+    Returns ``(rank, tok_a, tok_b, n_pairs, pmi_micros)``, rank by
+    ``(pmi_micros DESC, tok_a, tok_b)``; the PMI is floored to
+    integer micros so ranking and values are engine-exact.
+
+    Scale shape: bigrams shingle scan-locally (posexplode + lead, the
+    MinHash pattern); pair and unigram counts are map-side-combined
+    shuffles on vocabulary-sized keys; the ``min_count`` cut prunes
+    the tail before the PMI projection; top-k is TakeOrdered.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        tok.select(
+            F.col("tok").alias("tok_a"),
+            F.lead("tok").over(w).alias("tok_b"),
+        )
+        .filter(F.col("tok_b").isNotNull())
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count)
+    )
+    uni = tok.groupBy(F.col("tok").alias("t")).agg(
+        F.count("*").alias("n_tok")
+    )
+    totals = tok.agg(
+        F.count("*").cast("double").alias("n_unigrams")
+    ).crossJoin(
+        pairs.agg(F.sum("n_pairs").cast("double").alias("n_bigrams"))
+    )
+    joined = (
+        pairs.join(uni.withColumnRenamed("t", "tok_a"), "tok_a")
+        .withColumnRenamed("n_tok", "na")
+        .join(uni.withColumnRenamed("t", "tok_b"), "tok_b")
+        .withColumnRenamed("n_tok", "nb")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("n_pairs").cast("double") / F.col("n_bigrams"))
+        / (
+            (F.col("na").cast("double") / F.col("n_unigrams"))
+            * (F.col("nb").cast("double") / F.col("n_unigrams"))
+        )
+    )
+    scored = joined.select(
+        "tok_a",
+        "tok_b",
+        "n_pairs",
+        F.floor(pmi * F.lit(1_000_000)).cast("long").alias("pmi_micros"),
+    )
+    wr = Window.orderBy(F.col("pmi_micros").desc(), "tok_a", "tok_b")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "tok_a", "tok_b", "n_pairs", "pmi_micros")
+    )
