@@ -825,3 +825,22 @@ class TestCollocations:
             text_analysis.collocations(docs, k=0)
         with pytest.raises(ValueError):
             text_analysis.collocations(docs, min_count=0)
+
+
+class TestKeywordSnippets:
+    def test_window_and_case(self, spark):
+        docs = _docs(
+            spark,
+            ["AAAA Spark BBBB", "no match here", "spark at start"],
+        )
+        out = {
+            r.doc_id: (r.match_pos, r.snippet)
+            for r in text_analysis.keyword_snippets(
+                docs, "SPARK", width=3
+            ).collect()
+        }
+        assert set(out) == {0, 2}
+        assert out[0] == (6, "aa spark bb")   # ±3 chars around pos 6
+        assert out[2] == (1, "spark at st")   # clamped at string start
+        with pytest.raises(ValueError):
+            text_analysis.keyword_snippets(docs, "")

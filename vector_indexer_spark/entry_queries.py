@@ -4984,3 +4984,28 @@ _register(
     WHERE rank <= 20
     """,
 )
+
+
+def _text_snippets(spark, sf_dir):
+    """Snippets (±24 chars) around the first 'spark' hit — the
+    highlighting stage after lexical/hybrid ranking."""
+    from vector_indexer_spark.operators.text_analysis import keyword_snippets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return keyword_snippets(docs, "spark", width=24)
+
+
+_register(
+    "text_keyword_snippets",
+    _text_snippets,
+    """
+    SELECT doc_id,
+           CAST(strpos(lower(text), 'spark') AS BIGINT) AS match_pos,
+           substr(lower(text),
+                  CAST(greatest(strpos(lower(text), 'spark') - 24, 1)
+                       AS BIGINT),
+                  53) AS snippet
+    FROM documents
+    WHERE strpos(lower(text), 'spark') > 0
+    """,
+)

@@ -948,3 +948,38 @@ def collocations(
         .filter(F.col("rank") <= k)
         .select("rank", "tok_a", "tok_b", "n_pairs", "pmi_micros")
     )
+
+
+def keyword_snippets(
+    df: DataFrame,
+    term: str,
+    *,
+    width: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search-result snippets: for documents containing ``term``
+    (case-insensitive), a ±``width``-char window around the first
+    occurrence — the highlighting stage after BM25/hybrid ranking.
+
+    Scan-local ``position``/``substring`` codegen over the matched
+    rows only (the containment filter pushes into the scan); zero
+    shuffle, no UDF. Returns ``(doc_id, match_pos, snippet)`` with
+    1-based ``match_pos``.
+    """
+    if not term:
+        raise ValueError("term must be non-empty")
+    if width < 0:
+        raise ValueError("width must be non-negative")
+    low = F.lower(F.col(text_col))
+    pos = F.locate(term.lower(), low)
+    start = F.greatest(pos - F.lit(width), F.lit(1))
+    length = F.lit(len(term) + 2 * width)
+    return (
+        df.filter(pos > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            pos.cast("long").alias("match_pos"),
+            F.substring(low, start, length).alias("snippet"),
+        )
+    )
