@@ -388,3 +388,14 @@ def test_bucketed_fact_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
+
+
+def test_q6_predicates_all_pushed(spark):
+    from vector_indexer_spark.entry_queries import QUERIES
+
+    out = QUERIES["olap_forecast_revenue"](spark, "/root/testdata/sf0.001")
+    s = audit.plan_summary(out)
+    pushed = " ".join(s["pushed_filters"])
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, c
+    assert s["shuffles"] <= 1 and not s["cartesian"]

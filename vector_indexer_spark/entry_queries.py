@@ -5009,3 +5009,90 @@ _register(
     WHERE strpos(lower(text), 'spark') > 0
     """,
 )
+
+
+def _olap_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: revenue delta from a discount band — a pure
+    predicate scan (three pushed filters, one map-side-combined sum,
+    no join at all)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.coalesce(
+                F.sum(
+                    F.floor(
+                        (F.col("l_extendedprice") * F.col("l_discount"))
+                        * F.lit(100)
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("revenue_delta_cents"),
+        )
+    )
+
+
+_register(
+    "olap_forecast_revenue",
+    _olap_forecast_revenue,
+    """
+    SELECT count(*) AS n_items,
+           COALESCE(SUM(CAST(floor((l_extendedprice * l_discount) * 100)
+                             AS BIGINT)), 0) AS revenue_delta_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+
+
+def _emb_outliers_p99(spark, sf_dir):
+    """Quantile-derived outlier threshold: flag vectors whose nearest-
+    centroid dist2 exceeds the corpus p99 — the production mode of the
+    outlier audit (no hand-picked threshold), fully in-plan."""
+    from vector_indexer_spark.operators.similarity import _nearest_centroid
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = (
+        emb.filter(F.col("vec_id") < _N_FIXED_CENTROIDS)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    nearest = _nearest_centroid(
+        emb, [list(r[0]) for r in cents], id_col="vec_id", vec_col="embedding"
+    )
+    thr = nearest.agg(F.percentile("dist2", F.lit(0.99)).alias("__p99"))
+    return (
+        nearest.crossJoin(F.broadcast(thr))
+        .filter(F.col("dist2") > F.col("__p99"))
+        .select(
+            F.col("id").alias("vec_id"), "cluster_id", "dist2"
+        )
+    )
+
+
+_register(
+    "emb_outliers_p99",
+    _emb_outliers_p99,
+    f"""
+    WITH {_DD_ASSIGN},
+    nearest AS (
+      SELECT vec_id, centroid_id AS cluster_id, dist2
+      FROM assigned WHERE rn = 1
+    ),
+    thr AS (SELECT quantile_cont(dist2, 0.99) AS p99 FROM nearest)
+    SELECT vec_id, cluster_id, dist2
+    FROM nearest CROSS JOIN thr
+    WHERE dist2 > thr.p99
+    """,
+)

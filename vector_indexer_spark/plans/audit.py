@@ -25,13 +25,27 @@ def explain_formatted(df: DataFrame) -> str:
     )
 
 
+def _scan_clauses(df: DataFrame, field: str) -> list[str]:
+    """Contents of every ``field: [...]`` clause in the plan's scans.
+
+    ``executedPlan.toString`` elides long scan fields mid-list (no
+    closing bracket — the regex then finds nothing), so fall back to
+    the formatted explain, which prints each scan field in full.
+    """
+    pat = rf"{field}: \[([^\]]*)\]"
+    found = re.findall(pat, executed_plan(df))
+    if not found:
+        found = re.findall(pat, explain_formatted(df))
+    return found
+
+
 def partition_filters(df: DataFrame) -> list[str]:
     """Contents of every PartitionFilters clause in the plan's scans."""
-    return re.findall(r"PartitionFilters: \[([^\]]*)\]", executed_plan(df))
+    return _scan_clauses(df, "PartitionFilters")
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", executed_plan(df))
+    return _scan_clauses(df, "PushedFilters")
 
 
 def has_partition_filter(df: DataFrame, col: str) -> bool:
