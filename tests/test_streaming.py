@@ -619,3 +619,31 @@ def test_transition_counts_pairs(spark):
         for r in transition_counts(ev).collect()
     }
     assert got == {("click", "view"): 2, ("view", "click"): 1}
+
+
+def test_active_users_dau_wau(spark):
+    from vector_indexer_spark.streaming.events import active_users
+
+    D = 24 * 3600
+    rows = [
+        # day 0: users 1, 2; day 1: user 1; day 8: user 3 (outside
+        # 7-day window of day 0/1)
+        (1, 1 * NS, 1, "click", 0.0),
+        (2, 2 * NS, 2, "click", 0.0),
+        (3, 3 * NS, 1, "click", 0.0),   # same day dup: DAU counts once
+        (4, (D + 5) * NS, 1, "click", 0.0),
+        (5, (8 * D + 5) * NS, 3, "click", 0.0),
+    ]
+    ev = spark.createDataFrame(rows, EV_DDL)
+    out = {
+        r.day_bucket // (D * NS): (r.dau, r.wau)
+        for r in active_users(ev).collect()
+    }
+    # day 0: dau 2 (users 1,2), wau 2
+    # day 1: dau 1, wau 2 (users 1,2 still inside the trailing week)
+    # day 8: dau 1, wau 1 — window [day 2, day 8] holds only user 3
+    assert out[0] == (2, 2)
+    assert out[1] == (1, 2)
+    assert out[8] == (1, 1)
+    with pytest.raises(ValueError):
+        active_users(ev, window_days=0)

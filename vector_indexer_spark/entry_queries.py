@@ -5096,3 +5096,39 @@ _register(
     WHERE dist2 > thr.p99
     """,
 )
+
+
+def _events_active_users(spark, sf_dir):
+    """DAU + trailing-7-day WAU per active day."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import active_users
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return active_users(ev)
+
+
+_register(
+    "events_active_users",
+    _events_active_users,
+    """
+    WITH pairs AS (
+      SELECT DISTINCT user_id,
+             epoch_ns(ts) - epoch_ns(ts) % 86400000000000 AS day_bucket
+      FROM events
+    ),
+    dau AS (
+      SELECT day_bucket, count(*) AS dau FROM pairs GROUP BY 1
+    ),
+    fanned AS (
+      SELECT user_id,
+             day_bucket + 86400000000000 * CAST(o AS BIGINT) AS day_bucket
+      FROM pairs, range(0, 7) r(o)
+    ),
+    wau AS (
+      SELECT day_bucket, count(DISTINCT user_id) AS wau
+      FROM fanned GROUP BY 1
+    )
+    SELECT d.day_bucket, d.dau, w.wau
+    FROM dau d JOIN wau w USING (day_bucket)
+    """,
+)

@@ -673,3 +673,53 @@ def transition_counts(
     return pairs.groupBy("from_type", "to_type").agg(
         F.count("*").alias("n_transitions")
     )
+
+
+def active_users(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    day_ns: int = 24 * 3_600_000_000_000,
+    window_days: int = 7,
+) -> DataFrame:
+    """Activity metrics per day: DAU (distinct users that day) and
+    trailing WAU (distinct users over the last ``window_days`` days) —
+    the engagement/stickiness pair (DAU/WAU ratio downstream).
+
+    Distinct-over-sliding-window doesn't decompose into window
+    aggregates, so the WAU is computed by fanning each (user, day)
+    activity pair out to the ``window_days`` day-buckets it keeps the
+    user "active" in — a bounded explode (×7) of the deduplicated
+    per-day pairs, NOT of raw events — then one distinct count per
+    bucket. All integer arithmetic. Days with no activity in the data
+    simply don't appear (no zero-fill).
+    """
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+    day = (F.col(ts_col) - F.col(ts_col) % day_ns).alias("day_bucket")
+    pairs = events.select(
+        F.col(user_col).alias("user_id"), day
+    ).distinct()
+    dau = pairs.groupBy("day_bucket").agg(
+        F.count("*").alias("dau")
+    )
+    fanned = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day_bucket"),
+                F.col("day_bucket") + F.lit((window_days - 1) * day_ns),
+                F.lit(day_ns),
+            )
+        ).alias("day_bucket"),
+    )
+    wau = (
+        fanned.groupBy("day_bucket")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    # only days that actually had activity (fanned extends past the
+    # data's horizon); inner join restricts to real days
+    return dau.join(wau, "day_bucket").select(
+        "day_bucket", "dau", "wau"
+    )
