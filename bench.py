@@ -42,8 +42,9 @@ def timed_pair(fn_a, fn_b, key_a, key_b, min_duration: float = 6.0):
     table runs up to 20x slower than steady state (JIT of the Arrow
     IPC path + GC of the materialized cache — measured 95s → 51s →
     17s → 4.6s on the same query), so a fixed warm-up count records
-    still-warming values. Repeat until both sides are within 30% of
-    their previous run (cap 8 pairs), then measure."""
+    still-warming values. Repeat until both sides hold within 30% of
+    their previous run for two consecutive pairs (cap 10 pairs), then
+    measure."""
     prev_a = prev_b = float("inf")
     stable_streak = 0
     for _ in range(10):

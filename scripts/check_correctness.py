@@ -11,6 +11,7 @@ Usage: python scripts/check_correctness.py [sf_dir] [key ...]
 from __future__ import annotations
 
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -40,17 +41,24 @@ def main():
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = []
+    timings = {}
+    t_all = time.perf_counter()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
             continue
+        timings[name] = time.perf_counter() - t0
         if name not in oracles:
-            print(f"ROWS-ONLY {name}: {len(got)} rows (no oracle declared)")
+            print(
+                f"ROWS-ONLY {name}: {len(got)} rows (no oracle declared)"
+                f" [{timings[name]:.2f}s]"
+            )
             continue
         try:
             exp = con.execute(oracles[name]).df()
@@ -59,11 +67,17 @@ def main():
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             continue
         ok, msg = compare(got, exp)
-        print(("PASS" if ok else "FAIL") + f" {name}: {msg}")
+        print(
+            ("PASS" if ok else "FAIL")
+            + f" {name}: {msg} [{timings[name]:.2f}s]"
+        )
         if not ok:
             failures.append(name)
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} green")
+    total = time.perf_counter() - t_all
+    slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print(f"\nslowest: " + ", ".join(f"{n}={t:.1f}s" for n, t in slow))
+    print(f"{len(qs) - len(failures)}/{len(qs)} green in {total:.1f}s")
     sys.exit(1 if failures else 0)
 
 

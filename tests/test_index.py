@@ -529,3 +529,50 @@ def test_filtered_range_search(spark, embeddings, tmp_path):
     assert got_filt == {
         (q_, n) for (q_, n) in got_full if labels[n] == 1
     }
+
+
+def test_staged_rewrite_recovers_from_interrupted_swap(spark, tmp_path):
+    """A crash in the rename window must not strand or block the table.
+
+    Two failure states a previous interrupted run can leave behind:
+    (a) stale __backup alongside a live table — os.rename(src, backup)
+        would raise on the non-empty dir target; the stale backup must
+        be discarded;
+    (b) __backup with NO live table (crash between the two renames) —
+        the data is stranded in backup and must be restored first.
+    """
+    import os
+
+    from vector_indexer_spark.operators.index_build import _staged_rewrite
+
+    def make_table(path):
+        spark.createDataFrame(
+            [(i, i % 2, i % 4) for i in range(40)],
+            "id long, shard_id int, cluster_id int",
+        ).write.mode("overwrite").partitionBy("shard_id").parquet(path)
+
+    src = str(tmp_path / "tbl")
+    make_table(src)
+    df = spark.read.parquet(src)
+
+    # (a) stale backup + live table
+    make_table(f"{src}__op__backup")
+    n_before, n_after = _staged_rewrite(
+        spark, src, df, "op", lambda b, a: None
+    )
+    assert (n_before, n_after) == (40, 40)
+    assert not os.path.exists(f"{src}__op__backup")
+
+    # (b) backup only, live table missing (mid-swap crash)
+    os.rename(src, f"{src}__op__backup")
+    assert not os.path.exists(src)
+    df2 = spark.createDataFrame(
+        [(i, i % 2, i % 4) for i in range(30)],
+        "id long, shard_id int, cluster_id int",
+    )
+    n_before, n_after = _staged_rewrite(
+        spark, src, df2, "op", lambda b, a: None
+    )
+    assert (n_before, n_after) == (40, 30)  # restored table seen as before-state
+    assert spark.read.parquet(src).count() == 30
+    assert not os.path.exists(f"{src}__op__backup")

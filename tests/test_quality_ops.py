@@ -840,7 +840,8 @@ class TestKeywordSnippets:
             ).collect()
         }
         assert set(out) == {0, 2}
-        assert out[0] == (6, "aa spark bb")   # ±3 chars around pos 6
+        # snippet keeps ORIGINAL casing; position found case-insensitively
+        assert out[0] == (6, "AA Spark BB")   # ±3 chars around pos 6
         assert out[2] == (1, "spark at st")   # clamped at string start
         with pytest.raises(ValueError):
             text_analysis.keyword_snippets(docs, "")

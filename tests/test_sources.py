@@ -192,6 +192,9 @@ def test_read_documents_jsonl_corrupt_handling(spark, tmp_path):
         '{"doc_id": 2, "text": "beta", "lang": "de", "source": "b", "n_chars": 4}\n'
     )
     clean = read_documents_jsonl(spark, str(p))
+    # the most basic use — an immediate count() with no other column
+    # referenced — must not trip QUERY_ONLY_CORRUPT_RECORD_COLUMN
+    assert clean.count() == 2
     rows = {r.doc_id: r.text for r in clean.collect()}
     assert rows == {1: "alpha", 2: "beta"}
     assert "_corrupt_record" not in clean.columns
@@ -262,3 +265,20 @@ def test_sql_interface_views(spark):
     )
     rows = {r.r_name: r.n for r in out.collect()}
     assert sum(rows.values()) == 25 and len(rows) == 5
+
+
+def test_content_hash_encodes_nulls_distinctly(spark):
+    """(NULL, 'x') and ('x', NULL) must hash differently — concat_ws
+    alone would skip the NULL and make a null-shift corruption
+    invisible to verify_training_shards."""
+    from vector_indexer_spark.sinks import content_hash_expr
+
+    df = spark.createDataFrame(
+        [(None, "x"), ("x", None), ("", "x"), (None, None)],
+        "a string, b string",
+    )
+    hashes = [
+        r.h
+        for r in df.select(content_hash_expr(("a", "b")).alias("h")).collect()
+    ]
+    assert len(set(hashes)) == 4

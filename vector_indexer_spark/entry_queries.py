@@ -1999,7 +1999,8 @@ _register(
            CAST(len(list_filter(regexp_split_to_array(lower(text),
                 '[^a-z0-9]+'), t -> t <> '')) AS BIGINT) AS n_words,
            CAST(len(regexp_extract_all(lower(text),
-                '[a-z]{1,4}|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+                '[a-z]{1,4}|[0-9]|[^a-z0-9 \\t\\n\\x0B\\f\\r]'))
+                AS BIGINT) AS n_bpe_tokens
     FROM documents
     """,
 )
@@ -4534,7 +4535,11 @@ _register(
              AS shard,
            count(*) AS n_docs,
            SUM(CAST(concat('0x', substr(md5(concat('23:',
-              concat_ws(chr(31), CAST(doc_id AS VARCHAR), text))), 1, 8))
+              concat_ws(chr(31),
+                concat(CASE WHEN doc_id IS NULL THEN '1' ELSE '0' END,
+                       coalesce(CAST(doc_id AS VARCHAR), '')),
+                concat(CASE WHEN text IS NULL THEN '1' ELSE '0' END,
+                       coalesce(text, ''))))), 1, 8))
               AS BIGINT)) AS content_sum
     FROM documents GROUP BY 1
     """,
@@ -5001,7 +5006,7 @@ _register(
     """
     SELECT doc_id,
            CAST(strpos(lower(text), 'spark') AS BIGINT) AS match_pos,
-           substr(lower(text),
+           substr(text,
                   CAST(greatest(strpos(lower(text), 'spark') - 24, 1)
                        AS BIGINT),
                   53) AS snippet

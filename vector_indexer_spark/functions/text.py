@@ -53,7 +53,7 @@ def token_count_expr(col: Column | str) -> Column:
     return F.size(tokens_expr(col)).cast("long")
 
 
-BPE_ISH_PATTERN = "[a-z]{1,4}|[0-9]|[^a-z0-9\\s]"
+BPE_ISH_PATTERN = "[a-z]{1,4}|[0-9]|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
 
 
 def bpe_token_count_expr(col: Column | str) -> Column:
@@ -62,6 +62,11 @@ def bpe_token_count_expr(col: Column | str) -> Column:
     the regex approximation of byte-pair tokenizer output volume
     (restricted to RE2-compatible constructs so the DuckDB oracle can
     mirror it; real learned BPE merges would be a Pandas-UDF stage).
+
+    Whitespace is an EXPLICIT char class, not ``\\s``: Java regex
+    (Spark) counts \\x0B as whitespace, RE2 (DuckDB) does not, so
+    ``\\s`` would make counts diverge on texts containing a vertical
+    tab. The explicit class pins identical semantics in both engines.
     """
     return F.size(
         F.regexp_extract_all(F.lower(_c(col)), F.lit(BPE_ISH_PATTERN), F.lit(0))

@@ -548,6 +548,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     block_col: str | None = "label",
     threshold: float = 0.9,
+    max_block_size: int | None = 100_000,
 ) -> DataFrame:
     """Cosine near-duplicate pairs within a blocking key.
 
@@ -555,12 +556,38 @@ def embedding_near_dups(
     :func:`~vector_indexer_spark.operators.kmeans.assign_clusters`, a
     label, an LSH bucket, …). With ``None`` it degrades to all-pairs —
     only for tiny test tables, never at scale.
+
+    **Oversized blocks are salted into sub-blocks** (``max_block_size``,
+    default 100k): a block of size s > cap is split into ceil(s/cap)
+    deterministic hash sub-blocks and pairs are generated only within
+    a sub-block. Without this, one skewed block (a dead-centroid
+    attractor cluster, a boilerplate label) is a quadratic bomb — the
+    same failure mode :func:`lsh_candidate_pairs` caps with
+    ``max_bucket_size``. The trade is recall inside the pathological
+    block only (cross-sub-block pairs are not compared); normal-sized
+    blocks are untouched. ``None`` disables (tests only).
     """
     sel = df.select(
         F.col(id_col).alias("vid"),
         F.col(vec_col).alias("vec"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
     )
+    if max_block_size is not None:
+        if max_block_size <= 0:
+            raise ValueError("max_block_size must be positive")
+        wb = Window.partitionBy("blk")
+        n_sub = F.ceil(
+            F.count("*").over(wb) / F.lit(float(max_block_size))
+        ).cast("long")
+        sub = F.when(
+            n_sub > 1, F.pmod(F.xxhash64(F.col("vid")), n_sub)
+        ).otherwise(F.lit(0))
+        sel = sel.withColumn(
+            "blk",
+            F.concat_ws(
+                "#", F.col("blk").cast("string"), sub.cast("string")
+            ),
+        )
     a, b = sel.alias("a"), sel.alias("b")
     return (
         a.join(

@@ -310,6 +310,16 @@ def _staged_rewrite(
     staging, backup = f"{src}__{op}__staging", f"{src}__{op}__backup"
     if os.path.exists(staging):
         shutil.rmtree(staging)
+    if os.path.exists(backup):
+        if not os.path.exists(src):
+            # a previous run crashed between the two renames: the live
+            # table is stranded in the backup dir — restore it
+            os.rename(backup, src)
+        else:
+            # stale backup from an interrupted earlier run; the live
+            # table exists, so the backup is dead weight blocking the
+            # os.rename(src, backup) below (non-empty dir target)
+            shutil.rmtree(backup)
     n_before = spark.read.parquet(src).count()
     (
         df.repartition("shard_id")

@@ -398,6 +398,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_cluster_size: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping, within each
@@ -418,6 +419,13 @@ def semdedup(
     far) are never materialized. The drop rule is a left-semi/anti
     join on the pair list, map-side broadcastable when the pair list
     is small.
+
+    ``max_cluster_size`` guards the design point against skew: a
+    cluster that blows past the cap (dead-centroid attractor,
+    boilerplate embeddings) is hash-salted into bounded sub-blocks
+    before the pair join — same quadratic-bomb defense as LSH's
+    ``max_bucket_size``, at the cost of recall only inside the
+    pathological cluster.
     """
     from vector_indexer_spark.operators.dedup import embedding_near_dups  # noqa: PLC0415
 
@@ -435,6 +443,7 @@ def semdedup(
         vec_col=vec_col,
         block_col="cluster_id",
         threshold=threshold,
+        max_block_size=max_cluster_size,
     )
     dropped = (
         pairs.select(F.col("id_b").alias("id"))

@@ -357,10 +357,19 @@ def hash_embed(
     bit-checked). Real learned embeddings slot into the same column
     contract via a Pandas-UDF stage (multimodal.py's decode pattern).
 
-    Scan-local codegen: one md5 per token (hoisted — the per-bucket
-    filters scan the small int array, not re-hash), then ``dim``
-    array-count expressions; the norm is hoisted into its own column so
-    the fold isn't re-evaluated per element (same CSE trap as
+    Bucket counting is an explode + ``dim`` conditional-sum
+    aggregation: one md5 per token, then JVM whole-stage-codegen
+    ``SUM(IF(h = b, 1, 0))`` columns with map-side partial
+    aggregation, so the shuffle carries docs × dim aggregated counts,
+    never raw tokens. (The obvious scan-local alternative — ``dim``
+    ``filter``/``size`` passes over the token-hash array — is an
+    interpreted higher-order function in Spark, O(dim·T) per row with
+    lambda-eval overhead: measured 100+ s vs ~2 s on the sf0.01 sweep.)
+    Zero-token documents (dropped by the explode) are restored by a
+    left join of the doc_id spine against the aggregated counts, with
+    an all-zero vector filled in.
+    The norm is hoisted into its own column so the fold isn't
+    re-evaluated per element (same CSE trap as
     similarity.normalize_vectors).
     """
     if dim <= 0:
@@ -373,16 +382,24 @@ def hash_embed(
     hs = F.transform(
         tokens_expr(text_col), lambda t: token_hash_expr(t) % dim
     )
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda b: F.size(
-            F.filter(F.col("__hs"), lambda h: h == b)
-        ).cast("double"),
+    ex = df.select(F.col(id_col).alias("doc_id"), hs.alias("__hs")).select(
+        "doc_id", F.explode("__hs").alias("__h")
     )
+    cnts = ex.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.sum(
+                    F.when(F.col("__h") == b, F.lit(1)).otherwise(F.lit(0))
+                ).cast("double")
+                for b in range(dim)
+            ]
+        ).alias("__cnts")
+    )
+    zeros = F.array(*[F.lit(0.0)] * dim)
     out = (
-        df.select(F.col(id_col).alias("doc_id"), hs.alias("__hs"))
-        .withColumn("__cnts", counts)
-        .drop("__hs")
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(cnts, "doc_id", "left")
+        .withColumn("__cnts", F.coalesce(F.col("__cnts"), zeros))
     )
     if not normalize:
         return out.select("doc_id", F.col("__cnts").alias("embedding"))
@@ -966,6 +983,14 @@ def keyword_snippets(
     rows only (the containment filter pushes into the scan); zero
     shuffle, no UDF. Returns ``(doc_id, match_pos, snippet)`` with
     1-based ``match_pos``.
+
+    The match position is found on a lowercased copy (for the
+    case-insensitive search) but the snippet is cut from the ORIGINAL
+    text, preserving user-facing casing. Positions on the two strings
+    align for ASCII; for the rare Unicode code points where
+    ``lower()`` changes string length (e.g. İ → i̇) the window can be
+    off by the accumulated length delta — acceptable for highlighting,
+    documented here rather than paying a per-row normalization pass.
     """
     if not term:
         raise ValueError("term must be non-empty")
@@ -980,6 +1005,6 @@ def keyword_snippets(
         .select(
             F.col(id_col).alias("doc_id"),
             pos.cast("long").alias("match_pos"),
-            F.substring(low, start, length).alias("snippet"),
+            F.substring(F.col(text_col), start, length).alias("snippet"),
         )
     )

@@ -41,10 +41,21 @@ def content_hash_expr(cols, *, seed: int = CONTENT_HASH_SEED):
     task order produces the same sum — the property a distributed
     integrity check needs (a rolling/order-sensitive hash would not
     survive repartitioning).
+
+    NULLs are encoded distinctly per column (a 0/1 null flag prefixed
+    to each value) — plain ``concat_ws`` silently *skips* null
+    columns, so ``(NULL, 'x')`` and ``('x', NULL)`` would hash
+    identically and corruption that nulls one column while shifting
+    its value into a neighbor would be invisible to the verifier.
     """
-    payload = F.concat_ws(
-        "\u001f", *[F.col(c).cast("string") for c in cols]
-    )
+    encoded = [
+        F.concat(
+            F.when(F.col(c).isNull(), F.lit("1")).otherwise(F.lit("0")),
+            F.coalesce(F.col(c).cast("string"), F.lit("")),
+        )
+        for c in cols
+    ]
+    payload = F.concat_ws("\u001f", *encoded)
     return (
         F.conv(
             F.substring(

@@ -287,28 +287,36 @@ def read_documents_jsonl(
     """Schema-enforced JSONL document source — the wire format most
     raw text corpora arrive in before they become parquet.
 
-    PERMISSIVE mode with an explicit ``_corrupt_record`` column: a
-    malformed line yields a row whose typed columns are null and whose
-    raw text lands in the corrupt column, so one bad line never kills
-    a 100 TB ingestion job. With ``keep_corrupt=False`` (default) the
-    corrupt rows are filtered out and the column dropped — callers
-    auditing dirty feeds pass ``True`` and count them (note Spark
-    refuses a query that references ONLY the corrupt column of a raw
-    JSON scan — cache or persist the frame before filtering on it).
+    ``keep_corrupt=False`` (default) reads with ``DROPMALFORMED``:
+    a malformed line is silently skipped at the parser, so one bad
+    line never kills a 100 TB ingestion job — and, crucially, the
+    returned frame carries no ``_corrupt_record`` column, so *any*
+    downstream query works (Spark refuses a query that references
+    only the corrupt column of a raw JSON scan —
+    ``QUERY_ONLY_CORRUPT_RECORD_COLUMN`` — which a post-hoc
+    ``filter(corrupt IS NULL)`` + ``count()`` would trip).
+
+    ``keep_corrupt=True`` reads PERMISSIVE with an explicit
+    ``_corrupt_record`` column: malformed lines become rows whose
+    typed columns are null and whose raw text lands in the corrupt
+    column, for callers auditing dirty feeds. Those callers must
+    cache/persist before filtering on only that column (same Spark
+    restriction).
 
     The declared schema is load-bearing twice over: it skips Spark's
     schema-inference pre-pass (a full extra read of the input), and it
     makes column pruning reach the JSON parser (Jackson parses only
     the projected fields).
     """
-    df = (
-        spark.read.schema(schema + ", _corrupt_record string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
-    )
     if keep_corrupt:
-        return df
-    return df.filter(F.col("_corrupt_record").isNull()).drop(
-        "_corrupt_record"
+        return (
+            spark.read.schema(schema + ", _corrupt_record string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(path)
+        )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .json(path)
     )
