@@ -129,3 +129,76 @@ def test_chunked_topk_matches_unchunked(monkeypatch):
     d_chunk, i_chunk = K.chunked_topk(qmat, vmat, vids, 9)
     np.testing.assert_array_equal(i_full, i_chunk)
     np.testing.assert_allclose(d_full, d_chunk)
+
+
+class TestHierarchicalProbeRanking:
+    """topk_per_row_hierarchical — the large-nlist probe-ranking path."""
+
+    def _fixture(self, n_clusters=64, d=8, seed=11):
+        from vector_indexer_spark.operators.kmeans import (
+            build_centroid_hierarchy,
+        )
+
+        rng = np.random.default_rng(seed)
+        cents = rng.normal(size=(n_clusters, d)) * 10.0
+        meta, labels = build_centroid_hierarchy(cents, seed=3)
+        nq = min(16, n_clusters)
+        q = cents[:nq] + rng.normal(size=(nq, d), scale=0.01)
+        return q, cents, meta, labels
+
+    def test_exact_when_all_metas_shortlisted(self):
+        from vector_indexer_spark.functions.kernels import (
+            topk_per_row_hierarchical,
+        )
+
+        q, cents, meta, labels = self._fixture()
+        flat_d, flat_i = topk_per_row(pairwise_dist2(q, cents), 5)
+        hd, hi = topk_per_row_hierarchical(
+            q, cents, meta, labels, 5, top_meta=meta.shape[0]
+        )
+        np.testing.assert_array_equal(hi, flat_i)
+        np.testing.assert_allclose(hd, flat_d)
+
+    def test_recall_parity_on_clustered_queries(self):
+        # queries sit on top of centroids: the true nearest probes are
+        # all inside the nearest meta clusters, so the pruned ranking
+        # must recover the flat top-n_probe exactly
+        from vector_indexer_spark.functions.kernels import (
+            topk_per_row_hierarchical,
+        )
+
+        q, cents, meta, labels = self._fixture()
+        flat_d, flat_i = topk_per_row(pairwise_dist2(q, cents), 3)
+        hd, hi = topk_per_row_hierarchical(q, cents, meta, labels, 3)
+        # rank-1 probe (the query's own centroid) always agrees
+        np.testing.assert_array_equal(hi[:, 0], flat_i[:, 0])
+        # overall probe recall >= 0.9 on this well-separated fixture
+        recall = np.mean([
+            len(set(hi[r]) & set(flat_i[r])) / 3 for r in range(len(q))
+        ])
+        assert recall >= 0.9
+
+    def test_insufficient_members_falls_back_exact(self):
+        from vector_indexer_spark.functions.kernels import (
+            topk_per_row_hierarchical,
+        )
+
+        q, cents, meta, labels = self._fixture(n_clusters=8)
+        # ask for more probes than any shortlist can hold -> exact path
+        flat_d, flat_i = topk_per_row(pairwise_dist2(q, cents), 8)
+        hd, hi = topk_per_row_hierarchical(
+            q, cents, meta, labels, 8, top_meta=1
+        )
+        np.testing.assert_array_equal(hi, flat_i)
+        np.testing.assert_allclose(hd, flat_d)
+
+    def test_k_clamped_to_nlist(self):
+        from vector_indexer_spark.functions.kernels import (
+            topk_per_row_hierarchical,
+        )
+
+        q, cents, meta, labels = self._fixture(n_clusters=8)
+        hd, hi = topk_per_row_hierarchical(q, cents, meta, labels, 50)
+        assert hi.shape == (len(q), 8)
+        flat_d, flat_i = topk_per_row(pairwise_dist2(q, cents), 8)
+        np.testing.assert_array_equal(hi, flat_i)

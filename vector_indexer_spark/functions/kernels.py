@@ -147,6 +147,89 @@ def topk_per_row(
     )
 
 
+def topk_per_row_hierarchical(
+    points: np.ndarray,
+    centroids: np.ndarray,
+    meta_centroids: np.ndarray,
+    meta_labels: np.ndarray,
+    k: int,
+    *,
+    top_meta: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Two-stage pruned top-k centroids per point — the probe-ranking
+    twin of :func:`assign_nearest_hierarchical` (J2): rank the ~√nlist
+    meta-centroids, shortlist the nearest ``top_meta`` metas, then take
+    the exact (distance, id)-tie-broken top-``k`` among only their
+    member centroids.
+
+    Why it exists: flat probe ranking is O(nq·nlist·d) against a
+    driver/broadcast-resident (nlist, d) matrix — fine to ~100k lists,
+    but at 100 TB sizing (nlist≈1.3M, d=768) that matrix alone is
+    ~8 GB. Hierarchical ranking touches O(√nlist + top_meta·√nlist)
+    centroid rows per query instead.
+
+    ``top_meta`` defaults to enough metas that the expected member
+    count covers k with slack (k/avg_members + 2, min 3 — the
+    reference keeps 3 for assignment, src/kmeans.rs:445-581).
+    Queries whose shortlisted metas hold fewer than k member centroids
+    fall back to exact ranking — approximation never silently returns
+    short probe lists.
+
+    Returns (dists (n,k'), ids (n,k')), k' = min(k, nlist), ascending,
+    same contract as :func:`topk_per_row`.
+    """
+    n = points.shape[0]
+    nlist = centroids.shape[0]
+    k = min(k, nlist)
+    meta_k = meta_centroids.shape[0]
+    # member lists per meta via one stable sort of the label array
+    order = np.argsort(meta_labels, kind="stable")
+    sorted_labels = meta_labels[order]
+    starts = np.searchsorted(sorted_labels, np.arange(meta_k))
+    ends = np.searchsorted(sorted_labels, np.arange(meta_k), side="right")
+    avg_members = max(1, nlist // meta_k)
+    if top_meta is None:
+        top_meta = max(3, int(np.ceil(k / avg_members)) + 2)
+    top_meta = min(top_meta, meta_k)
+
+    meta_d2 = pairwise_dist2(points, meta_centroids)
+    _, top_ids = topk_per_row(meta_d2, top_meta)
+
+    per_q_ids: list = [[] for _ in range(n)]
+    per_q_d: list = [[] for _ in range(n)]
+    for m in np.unique(top_ids):
+        members = order[starts[m] : ends[m]]
+        if members.size == 0:
+            continue
+        pts_idx = np.flatnonzero((top_ids == m).any(axis=1))
+        d2 = pairwise_dist2(points[pts_idx], centroids[members])
+        for r, qi in enumerate(pts_idx):
+            per_q_ids[qi].append(members)
+            per_q_d[qi].append(d2[r])
+
+    out_d = np.empty((n, k), dtype=np.float64)
+    out_i = np.empty((n, k), dtype=np.int64)
+    fallback = []
+    for qi in range(n):
+        if not per_q_ids[qi]:
+            fallback.append(qi)
+            continue
+        ids = np.concatenate(per_q_ids[qi])
+        if ids.size < k:
+            fallback.append(qi)
+            continue
+        d = np.concatenate(per_q_d[qi])
+        sel = np.lexsort((ids, d))[:k]  # same tie-break as topk_per_row
+        out_d[qi] = d[sel]
+        out_i[qi] = ids[sel]
+    if fallback:
+        fb = np.asarray(fallback)
+        fd, fi = topk_per_row(pairwise_dist2(points[fb], centroids), k)
+        out_d[fb] = fd
+        out_i[fb] = fi
+    return out_d, out_i
+
+
 def stack_arrays(series) -> np.ndarray:
     """pandas Series of list/np.ndarray -> contiguous (n,d) float64."""
     return np.asarray([np.asarray(v, dtype=np.float64) for v in series])

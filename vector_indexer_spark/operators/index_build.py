@@ -62,8 +62,11 @@ class IvfIndex:
     n_shards: int
     seed: int
     n_vectors: int
-    centroids: np.ndarray  # (nlist, d) float64, dense ids 0..nlist-1
-    centroid_shards: np.ndarray  # (nlist,) int64 centroid→shard map
+    # (nlist, d) float64, dense ids 0..nlist-1; None for a lazy handle
+    # (load_index(lazy_centroids=True)) — search then ranks probes
+    # relationally against the centroid table instead
+    centroids: np.ndarray | None
+    centroid_shards: np.ndarray | None  # (nlist,) int64 centroid→shard map
     id_col: str = "id"  # column names in the persisted vector table
     vec_col: str = "values"
 
@@ -84,6 +87,28 @@ class IvfIndex:
 
     def centroids_df(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.centroids_path)
+
+    def probe_hierarchy(self) -> tuple[np.ndarray, np.ndarray]:
+        """(meta_centroids, meta_labels) over the centroid matrix, for
+        hierarchical probe ranking at large nlist (K7 reused for
+        search). Built lazily from the persisted centroids with the
+        index's own seed — deterministic per index — and cached on the
+        handle so repeated search batches pay it once."""
+        if self.centroids is None:
+            raise ValueError(
+                "probe_hierarchy needs the centroid matrix; this handle "
+                "was loaded with lazy_centroids=True (relational probe "
+                "ranking does not use a hierarchy)"
+            )
+        if not hasattr(self, "_probe_hierarchy"):
+            from vector_indexer_spark.operators.kmeans import (  # noqa: PLC0415
+                build_centroid_hierarchy,
+            )
+
+            self._probe_hierarchy = build_centroid_hierarchy(
+                self.centroids, self.seed
+            )
+        return self._probe_hierarchy
 
 
 def dense_relabel_and_shards(
@@ -236,8 +261,21 @@ def build_index(
     )
 
 
-def load_index(spark: SparkSession, path: str) -> IvfIndex:
-    """S6/S11 — reopen a persisted index from its directory."""
+def load_index(
+    spark: SparkSession, path: str, *, lazy_centroids: bool = False
+) -> IvfIndex:
+    """S6/S11 — reopen a persisted index from its directory.
+
+    ``lazy_centroids=True`` skips collecting the centroid matrix to
+    the driver entirely (``index.centroids is None``): the handle can
+    still search — ``search_index`` routes such handles through the
+    fully-relational probe ranking (search.rank_probes_relational),
+    which scans the centroid *table* instead. This is the open-a-
+    100TB-index-from-a-laptop-driver mode: at nlist≈1.3M, d=768 the
+    matrix is ~8 GB and has no business on the driver. Operators that
+    genuinely need the matrix (streaming ingest assignment, PQ/SQ
+    search, arrow kNN-style scoring) require an eager load.
+    """
     meta_path = os.path.join(path, "meta.json")
     if not os.path.exists(meta_path):
         raise FileNotFoundError(
@@ -247,13 +285,16 @@ def load_index(spark: SparkSession, path: str) -> IvfIndex:
         meta = json.load(f)
     if meta.get("version") != FORMAT_VERSION:
         raise ValueError(f"unsupported index version {meta.get('version')!r}")
-    cent = (
-        spark.read.parquet(os.path.join(path, "centroids"))
-        .orderBy("centroid_id")
-        .collect()
-    )
-    centroids = np.array([r["vector"] for r in cent], dtype=np.float64)
-    shards = np.array([r["shard_id"] for r in cent], dtype=np.int64)
+    if lazy_centroids:
+        centroids = shards = None
+    else:
+        cent = (
+            spark.read.parquet(os.path.join(path, "centroids"))
+            .orderBy("centroid_id")
+            .collect()
+        )
+        centroids = np.array([r["vector"] for r in cent], dtype=np.float64)
+        shards = np.array([r["shard_id"] for r in cent], dtype=np.int64)
     return IvfIndex(
         path=path,
         dimension=meta["dimension"],

@@ -9,7 +9,15 @@ Spark-first re-expression, one job for a whole *batch* of queries:
 
 1. **Probe ranking** (J3/W1): the centroid matrix is driver-resident
    (≤ 4√n·d floats — 12 MB at n=1M,d=768) and broadcast; each Arrow
-   batch of queries gets a vectorized top-``n_probe`` (NumPy argpartition).
+   batch of queries gets a vectorized top-``n_probe`` (NumPy
+   argpartition). Above ``_HIER_PROBE_NLIST`` centroids the ranking
+   goes two-stage (J2 reused: shortlist √nlist meta-centroids, exact
+   top-n_probe among members) so per-query compute stays
+   O(top_meta·√nlist·d) instead of O(nlist·d) at 100 TB sizing
+   (nlist≈1.3M). The matrix itself still broadcasts once per batch —
+   ~8 GB float64 at that ceiling, within (at) Spark's torrent
+   broadcast capacity; a fully-distributed centroid-join ranking is
+   the next step beyond that.
 2. **Pruned scan** (J4/P6/S8): probed cluster ids are always
    collectible (bounded by nlist), so the vector scan gets literal
    ``shard_id IN (...) AND cluster_id IN (...)`` predicates —
@@ -43,6 +51,7 @@ from vector_indexer_spark.functions.kernels import (
     pairwise_dist2,
     stack_arrays,
     topk_per_row,
+    topk_per_row_hierarchical,
 )
 from vector_indexer_spark.operators.index_build import IvfIndex
 
@@ -50,10 +59,29 @@ from vector_indexer_spark.operators.index_build import IvfIndex
 # back to a distributed window rank instead of a driver merge.
 _DRIVER_MERGE_LIMIT = 50_000_000
 
+# Above this many centroids, probe ranking goes hierarchical: rank
+# ~sqrt(nlist) meta-centroids, then exact top-n_probe among only the
+# shortlisted metas' members (kernels.topk_per_row_hierarchical).
+# Flat ranking is O(nq*nlist*d) against a driver/broadcast-resident
+# matrix — at 100 TB sizing (nlist≈1.3M, d=768) that matrix is ~8 GB,
+# at the broadcast ceiling; hierarchical ranking touches
+# O(top_meta*sqrt(nlist)) rows per query and needs only the same
+# matrix partitioned by meta label. The hierarchy itself is
+# sqrt(nlist) extra centroids — negligible.
+_HIER_PROBE_NLIST = 65_536
+
 # The arrow path broadcasts a dense (nq × probed-clusters) bool mask;
 # past this many mask bytes (256 MB ≈ nq=100k × 2.5k clusters) the
 # batch routes to the fully-distributed native path instead.
 _ARROW_DENSE_MASK_LIMIT = 256 * 1024 * 1024
+
+# Past this many centroid-matrix bytes (nlist·d·8), the native path
+# stops broadcasting the matrix and ranks probes RELATIONALLY — a
+# knn_exact over the persisted centroid table with the query batch
+# broadcast — so neither the driver nor any executor ever holds the
+# full matrix. 1 GiB default: comfortably inside torrent-broadcast
+# range below it, memory-safe scan above it.
+_CENTROID_BROADCAST_LIMIT = 1 << 30
 
 
 def rank_probes(
@@ -64,25 +92,45 @@ def rank_probes(
     *,
     query_id_col: str = "query_id",
     query_col: str = "query",
+    hierarchy: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """J3/W1 — per-query top-``n_probe`` centroids.
 
     Returns ``(query_id, probe_rank, cluster_id, shard_id, centroid_dist2)``
     with probe_rank 1-based ascending and (dist, id) tie-break.
+
+    ``hierarchy`` = (meta_centroids, meta_labels): when given, ranking
+    is two-stage (shortlist metas, exact top-n_probe among members) —
+    the large-nlist path; callers pass ``index.probe_hierarchy()``
+    above ``_HIER_PROBE_NLIST``.
     """
     spark = queries.sparkSession
     bc = spark.sparkContext.broadcast(
-        (np.asarray(centroids, dtype=np.float64), np.asarray(centroid_shards))
+        (
+            np.asarray(centroids, dtype=np.float64),
+            np.asarray(centroid_shards),
+            None
+            if hierarchy is None
+            else (
+                np.asarray(hierarchy[0], dtype=np.float64),
+                np.asarray(hierarchy[1]),
+            ),
+        )
     )
 
     def _rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents, shards = bc.value
+        cents, shards, hier = bc.value
         for pdf in batches:
             if pdf.empty:
                 continue
             q = stack_arrays(pdf[query_col])
-            d2 = pairwise_dist2(q, cents)
-            dists, ids = topk_per_row(d2, n_probe)
+            if hier is not None:
+                dists, ids = topk_per_row_hierarchical(
+                    q, cents, hier[0], hier[1], n_probe
+                )
+            else:
+                d2 = pairwise_dist2(q, cents)
+                dists, ids = topk_per_row(d2, n_probe)
             nq, p = ids.shape
             yield pd.DataFrame(
                 {
@@ -98,6 +146,59 @@ def rank_probes(
         _rank,
         "query_id long, probe_rank int, cluster_id long, shard_id long,"
         " centroid_dist2 double",
+    )
+
+
+def rank_probes_relational(
+    spark: SparkSession,
+    index: IvfIndex,
+    queries: DataFrame,
+    n_probe: int,
+    *,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """J3/W1 with NO centroid matrix anywhere: probe ranking as an
+    exact kNN over the persisted centroid TABLE (query batch
+    broadcast, per-partition top-n_probe map-side combine — knn.py's
+    scale plan). Same output contract as :func:`rank_probes`.
+
+    This is the memory-ceiling escape hatch: at nlist≈1.3M, d=768
+    (100 TB sizing) the matrix is ~8 GB — too fat to broadcast per
+    batch and to pin on the driver. Here the centroid table is just
+    another distributed scan; compute stays O(nq·nlist·d) but spread
+    across the cluster. (The hierarchical broadcast path above prunes
+    compute instead; this one removes the memory bound. They compose
+    in principle — shortlist metas relationally first — once a
+    workload needs both at once.)
+
+    Distance-tie caveat: the table stores float32 vectors, the
+    freshly-trained in-memory matrix is float64 — a near-tie can order
+    differently between this path and :func:`rank_probes` on an index
+    that was built (not loaded) in this session.
+    """
+    from vector_indexer_spark.operators.knn import knn_exact  # noqa: PLC0415
+
+    cents = index.centroids_df(spark)
+    ranked = knn_exact(
+        cents,
+        queries,
+        k=n_probe,
+        id_col="centroid_id",
+        vec_col="vector",
+        query_id_col=query_id_col,
+        query_col=query_col,
+    )
+    shard_map = cents.select(
+        F.col("centroid_id").alias("neighbor_id"), "shard_id"
+    )
+    # nlist (id, shard) pairs — bounded small even at nlist=1.3M
+    return ranked.join(F.broadcast(shard_map), "neighbor_id").select(
+        "query_id",
+        F.col("rank").alias("probe_rank"),
+        F.col("neighbor_id").alias("cluster_id"),
+        "shard_id",
+        F.col("dist2").alias("centroid_dist2"),
     )
 
 
@@ -216,14 +317,26 @@ def _search_native(
     # unpersist (the consumer's action runs later); Spark's
     # ContextCleaner unpersists the blocks once the caller drops the
     # returned plan, and the cache is small (nq × n_probe rows).
-    probes = rank_probes(
-        queries,
-        index.centroids,
-        index.centroid_shards,
-        n_probe,
-        query_id_col=query_id_col,
-        query_col=query_col,
-    ).persist()
+    matrix_bytes = index.nlist * index.dimension * 8
+    if index.centroids is None or matrix_bytes > _CENTROID_BROADCAST_LIMIT:
+        probes = rank_probes_relational(
+            spark, index, queries, n_probe,
+            query_id_col=query_id_col, query_col=query_col,
+        ).persist()
+    else:
+        probes = rank_probes(
+            queries,
+            index.centroids,
+            index.centroid_shards,
+            n_probe,
+            query_id_col=query_id_col,
+            query_col=query_col,
+            hierarchy=(
+                index.probe_hierarchy()
+                if index.nlist >= _HIER_PROBE_NLIST
+                else None
+            ),
+        ).persist()
     probe_keys = probes.select("shard_id", "cluster_id").distinct().collect()
     pruned = _pruned_scan(
         spark,
@@ -242,6 +355,14 @@ def _search_arrow(
 ):
     """Two-action pipeline: collect queries → driver probe ranking →
     one pruned scan+score+rank job."""
+    if index.centroids is None:
+        # lazily-loaded handle (load_index(lazy_centroids=True)): no
+        # driver matrix exists — the relational native path is the
+        # only one that can rank probes
+        return _search_native(
+            spark, index, queries, k, n_probe, query_id_col, query_col,
+            vectors, filter_expr,
+        )
     qrows = queries.select(query_id_col, query_col).collect()
     if not qrows:
         return spark.createDataFrame(
@@ -254,9 +375,16 @@ def _search_arrow(
 
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = stack_arrays([r[1] for r in qrows])
-    # J3/W1 on the driver: (nq, nlist) distances, top-n_probe each
-    d2 = pairwise_dist2(qmat, index.centroids)
-    _, probe_ids = topk_per_row(d2, n_probe)
+    # J3/W1 on the driver: top-n_probe per query — flat (nq, nlist)
+    # distances below _HIER_PROBE_NLIST, two-stage meta shortlist above
+    if index.nlist >= _HIER_PROBE_NLIST:
+        meta_c, meta_l = index.probe_hierarchy()
+        _, probe_ids = topk_per_row_hierarchical(
+            qmat, index.centroids, meta_c, meta_l, n_probe
+        )
+    else:
+        d2 = pairwise_dist2(qmat, index.centroids)
+        _, probe_ids = topk_per_row(d2, n_probe)
     cluster_ids = np.unique(probe_ids)  # sorted
     if len(qids) * len(cluster_ids) > _ARROW_DENSE_MASK_LIMIT:
         # the dense bool mask alone would exceed the broadcast budget —
