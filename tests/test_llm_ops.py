@@ -167,10 +167,92 @@ def test_multimodal_extract_deterministic(spark, docs):
     assert all(len(f) == multimodal.FEATURE_DIM for f in a.features)
 
 
-def test_multimodal_real_decoder_stubbed(spark, docs):
-    media = multimodal.text_as_media(docs.limit(2))
-    with pytest.raises(Exception, match="NotImplemented|real media decode"):
-        multimodal.extract_features(media, decoder="real").collect()
+class TestRealHeaderDecode:
+    """decoder='real' — pure-Python header parsing, no media libs."""
+
+    @staticmethod
+    def _png(width, height, color_type=2):
+        import struct as st
+
+        ihdr = (
+            st.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + st.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+        )
+
+    @staticmethod
+    def _jpeg(width, height, channels=3):
+        import struct as st
+
+        sof = st.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels)
+        return (
+            b"\xff\xd8"                             # SOI
+            + b"\xff\xe0" + st.pack(">H", 4) + b"\0\0"  # APP0 filler
+            + b"\xff\xc0" + sof + b"\0" * (3 * channels)
+            + b"\xff\xd9"
+        )
+
+    @staticmethod
+    def _wav(data_bytes, byte_rate=16000):
+        import struct as st
+
+        fmt = st.pack("<HHIIHH", 1, 1, 8000, byte_rate, 2, 16)
+        return (
+            b"RIFF" + st.pack("<I", 36 + data_bytes) + b"WAVE"
+            + b"fmt " + st.pack("<I", 16) + fmt
+            + b"data" + st.pack("<I", data_bytes) + b"\x00" * data_bytes
+        )
+
+    def test_image_dims_from_headers(self, spark):
+        rows = [
+            (0, "image", self._png(320, 200), "t"),
+            (1, "image", self._jpeg(64, 48), "t"),
+            (2, "image", b"GIF89a" + (17).to_bytes(2, "little")
+             + (23).to_bytes(2, "little") + b"\x00" * 6, "t"),
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, modality string, content binary, source string"
+        )
+        out = {
+            r.media_id: (r.width, r.height)
+            for r in multimodal.extract_features(
+                media, decoder="real"
+            ).collect()
+        }
+        assert out == {0: (320, 200), 1: (64, 48), 2: (17, 23)}
+
+    def test_wav_duration_and_histogram_features(self, spark):
+        media = spark.createDataFrame(
+            [(0, "audio", self._wav(32000, byte_rate=16000), "t")],
+            "media_id long, modality string, content binary, source string",
+        )
+        row = multimodal.extract_features(media, decoder="real").collect()[0]
+        assert row.duration_ms == 2000
+        f = np.asarray(row.features)
+        assert abs(float(f.sum()) - 1.0) < 1e-6  # L1-normalized histogram
+
+    def test_text_payloads_decode_real(self, spark, docs):
+        media = multimodal.text_as_media(docs.limit(5))
+        out = multimodal.extract_features(media, decoder="real").toPandas()
+        assert len(out) == 5 and (out.byte_len > 0).all()
+
+    def test_video_still_plugin_point(self, spark):
+        media = spark.createDataFrame(
+            [(0, "video", b"\x00" * 64, "t")],
+            "media_id long, modality string, content binary, source string",
+        )
+        with pytest.raises(Exception, match="NotImplemented|ffmpeg"):
+            multimodal.extract_features(media, decoder="real").collect()
+
+    def test_malformed_image_raises(self, spark):
+        media = spark.createDataFrame(
+            [(0, "image", b"not an image at all", "t")],
+            "media_id long, modality string, content binary, source string",
+        )
+        with pytest.raises(Exception, match="unsupported image format"):
+            multimodal.extract_features(media, decoder="real").collect()
 
 
 def test_sample_frames(spark, docs):
@@ -538,6 +620,43 @@ class TestSemDeDup:
         )
         with pytest.raises(ValueError):
             semdedup(emb, [[1.0, 0.0]], threshold=2.0)
+
+    def test_giant_cluster_capped_to_bounded_pairs(self, spark):
+        """One skewed cluster must not go quadratic: with
+        max_cluster_size=10, a 200-member near-identical cluster is
+        salted into ~20 sub-blocks, so the pair join stays bounded
+        (~20 x C(10,2)) instead of C(200,2), while dedup inside each
+        sub-block still fires — mirrors LSH's max_bucket_size test."""
+        from vector_indexer_spark.operators.dedup import embedding_near_dups
+        from vector_indexer_spark.operators.similarity import semdedup
+
+        n = 200
+        emb = spark.createDataFrame(
+            [(i, [1.0, i * 1e-6]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        uncapped = embedding_near_dups(
+            emb, block_col=None, threshold=0.99, max_block_size=None
+        )
+        assert uncapped.count() == n * (n - 1) // 2
+
+        capped = embedding_near_dups(
+            emb, block_col=None, threshold=0.99, max_block_size=10
+        ).toPandas()
+        # every pair still a true near-dup, but candidate volume is
+        # bounded by sub-block size: strictly fewer than quadratic,
+        # and no sub-block contributes more than C(cap_actual, 2)
+        # where the salt spreads ~10 per sub-block
+        assert 0 < len(capped) < n * (n - 1) // 2
+        assert len(capped) <= 20 * (15 * 14 // 2)  # slack for hash skew
+
+        out = semdedup(
+            emb, [[1.0, 0.0]], threshold=0.99, max_cluster_size=10
+        ).toPandas()
+        assert len(out) == n
+        # at least one exemplar survives per sub-block; most rows drop
+        kept = int(out.kept.sum())
+        assert 1 <= kept <= 40  # ~20 sub-blocks, exemplar(s) each
 
 
 class TestRrfFuse:

@@ -1556,6 +1556,66 @@ def _media_features(spark, sf_dir):
 _register("media_features", _media_features)
 
 
+def _media_image_dims(spark, sf_dir):
+    """Real image decode locked by oracle: PNG payloads are constructed
+    with doc_id-derived dimensions, the ``decoder="real"`` header
+    parser (multimodal._parse_png) recovers width/height from the
+    bytes, and the oracle recomputes the same dimensions by formula —
+    a genuine round-trip check on the parser, not an echo."""
+    import struct
+
+    import pandas as pd  # noqa: PLC0415
+
+    from vector_indexer_spark.operators.multimodal import extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def _mk(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                w, h = 16 + int(did) % 101, 16 + (int(did) * 7) % 101
+                ihdr = struct.pack(">II", w, h) + bytes([8, 2, 0, 0, 0])
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "image",
+                    "content": payloads,
+                    "source": "synthetic",
+                }
+            )
+
+    media = docs.mapInPandas(
+        _mk,
+        "media_id long, modality string, content binary, source string",
+    )
+    return extract_features(media, decoder="real").select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "byte_len",
+    )
+
+
+_register(
+    "media_image_dims",
+    _media_image_dims,
+    """
+    SELECT doc_id AS media_id,
+           CAST(16 + doc_id % 101 AS BIGINT) AS width,
+           CAST(16 + (doc_id * 7) % 101 AS BIGINT) AS height,
+           CAST(33 AS BIGINT) AS byte_len
+    FROM documents
+    """,
+)
+
+
 def _synthetic_gen(spark, sf_dir):
     """S4 — seeded synthetic vector generation (deterministic for a
     fixed partitioning; RNG is NumPy-specific → rows-only)."""
@@ -2686,10 +2746,14 @@ _register(
 )
 
 
+_IVFSQ_CACHE: dict = {}
+
+
 def _ivfsq_search_trained(spark, sf_dir):
     """Production persisted IVF-SQ end-to-end (trained coarse
     centroids — rows-only; the fixed-quantizer twin above is the exact
-    oracle)."""
+    oracle). The built index is cached per sf_dir so a full
+    ``queries()`` sweep trains it once, not once per invocation."""
     import tempfile
 
     from vector_indexer_spark.operators.sq import (
@@ -2698,11 +2762,13 @@ def _ivfsq_search_trained(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    vec = emb.select(
-        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
-    )
-    path = tempfile.mkdtemp(prefix="ivfsq_entry_") + "/index"
-    idx = build_ivfsq_index(vec, path, seed=42)
+    if sf_dir not in _IVFSQ_CACHE:
+        vec = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        path = tempfile.mkdtemp(prefix="ivfsq_entry_") + "/index"
+        _IVFSQ_CACHE[sf_dir] = build_ivfsq_index(vec, path, seed=42)
+    idx = _IVFSQ_CACHE[sf_dir]
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
     )
@@ -3114,8 +3180,12 @@ _register(
 )
 
 
+_IVFPQ_CACHE: dict = {}
+
+
 def _ivfpq_search_trained(spark, sf_dir):
-    """Production IVF-PQ pipeline end-to-end (rows-only: trained)."""
+    """Production IVF-PQ pipeline end-to-end (rows-only: trained).
+    Index cached per sf_dir — one training per sweep."""
     import tempfile
 
     from vector_indexer_spark.operators.pq import (
@@ -3124,11 +3194,15 @@ def _ivfpq_search_trained(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    vec = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("values"))
-    path = tempfile.mkdtemp(prefix="ivfpq_trained_") + "/index"
-    idx = build_ivfpq_index(
-        vec, path, nlist=16, m=4, ksub=16, seed=42, mode="full"
-    )
+    if sf_dir not in _IVFPQ_CACHE:
+        vec = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        path = tempfile.mkdtemp(prefix="ivfpq_trained_") + "/index"
+        _IVFPQ_CACHE[sf_dir] = build_ivfpq_index(
+            vec, path, nlist=16, m=4, ksub=16, seed=42, mode="full"
+        )
+    idx = _IVFPQ_CACHE[sf_dir]
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
     )
@@ -3870,10 +3944,7 @@ def _events_asof(spark, sf_dir):
     )
 
 
-_register(
-    "events_asof_purchase_click",
-    _events_asof,
-    """
+_ASOF_ORACLE_SQL = """
     WITH e AS (
       SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type, value
       FROM events
@@ -3896,8 +3967,61 @@ _register(
            COALESCE(prior_value, -1.0) AS prior_value,
            COALESCE(tns - prior_ts, -1) AS gap_ns
     FROM carried WHERE event_type = 'purchase'
-    """,
-)
+    """
+
+_register("events_asof_purchase_click", _events_asof, _ASOF_ORACLE_SQL)
+
+
+def _streaming_asof_oracle(spark, sf_dir):
+    """The STATEFUL STREAMING as-of twin run as a real streaming query
+    (applyInPandasWithState, availableNow trigger) over the same sf
+    events, checked against the same SQL oracle as the batch operator:
+    the whole table arrives in one micro-batch, where the streaming
+    contract (intra-batch ordering == batch semantics,
+    streaming/asof.py) makes the two paths bit-equivalent — the
+    composed batch-equivalence check VERDICT r3 #9 asked for."""
+    import tempfile
+
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.asof import streaming_asof_prior
+
+    work = tempfile.mkdtemp(prefix="stream_asof_entry_")
+    src, out, ckpt = f"{work}/in", f"{work}/out", f"{work}/ckpt"
+    # normalize ts to int64 ns and land as ONE file so availableNow
+    # forms a single micro-batch (cross-batch attachment is as-of
+    # arrival, deliberately weaker than the batch reconciliation)
+    read_events_ns(spark, f"{sf_dir}/events.parquet").coalesce(
+        1
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts long, user_id long, event_type string,"
+        " value double"
+    ).parquet(src)
+    q = (
+        streaming_asof_prior(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.read.parquet(out)
+    return res.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("prior_event_id", F.lit(-1).cast("long")).alias(
+            "prior_event_id"
+        ),
+        F.coalesce("prior_ts", F.lit(-1).cast("long")).alias("prior_ts"),
+        F.coalesce("prior_value", F.lit(-1.0)).alias("prior_value"),
+        F.coalesce("gap_ns", F.lit(-1).cast("long")).alias("gap_ns"),
+    )
+
+
+_register("streaming_asof_oracle", _streaming_asof_oracle, _ASOF_ORACLE_SQL)
 
 
 # --------------------------------------------------------------------------

@@ -1,14 +1,14 @@
 """Multimodal (binary-column) plumbing for the training-data pipeline.
 
 Treats image/audio/video payloads as opaque ``BINARY`` columns with
-typed metadata, processed in Arrow batches via ``mapInPandas`` — the
-schema, partitioning, UDF signatures, and batch shapes are real and
-tested; the actual media *decode* is STUBBED (this container ships no
-image/audio libraries): ``decoder="real"`` raises
-``NotImplementedError`` at the exact call site where PIL/librosa/ffmpeg
-would plug in, and ``decoder="fake"`` derives deterministic
-pseudo-features from the bytes so the distributed plumbing is
-end-to-end verifiable.
+typed metadata, processed in Arrow batches via ``mapInPandas``.
+``decoder="real"`` is a genuine pure-Python header decoder: PNG IHDR /
+JPEG SOF / GIF logical-screen width+height for images, WAV RIFF
+duration for audio, plus deterministic byte-histogram features — no
+PIL/librosa needed. Only video demux (which genuinely requires
+ffmpeg, absent in this container) remains a ``NotImplementedError``
+plug-in point. ``decoder="fake"`` keeps the fully-synthetic blake2b
+path for plumbing tests on arbitrary payloads.
 
 At 100 TB: binary payloads dominate row size, so the operators
 repartition by byte volume ahead of feature extraction
@@ -67,12 +67,123 @@ def _fake_decode(content: bytes, modality: str) -> dict:
     }
 
 
-def _real_decode(content: bytes, modality: str) -> dict:
-    raise NotImplementedError(
-        "real media decode requires PIL/librosa/ffmpeg, which are not "
-        "available in this environment; plug the decoder in here and "
-        "keep the surrounding mapInPandas plumbing unchanged"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> sample channels (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _parse_png(b: bytes) -> tuple[int, int, int]:
+    """Width/height/channels from the mandatory first IHDR chunk —
+    big-endian u32 pair at bytes 16/20, color type at 25."""
+    if len(b) < 29 or b[12:16] != b"IHDR":
+        raise ValueError("malformed PNG: missing IHDR")
+    w = int.from_bytes(b[16:20], "big")
+    h = int.from_bytes(b[20:24], "big")
+    channels = _PNG_CHANNELS.get(b[25])
+    if channels is None or w <= 0 or h <= 0:
+        raise ValueError("malformed PNG: bad IHDR fields")
+    return w, h, channels
+
+
+def _parse_jpeg(b: bytes) -> tuple[int, int, int]:
+    """Scan JFIF segment markers for a start-of-frame (SOF0-SOF3):
+    its payload carries height/width as big-endian u16 and the
+    component (channel) count."""
+    i = 2  # past SOI
+    while i + 9 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("malformed JPEG: lost marker sync")
+        marker = b[i + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xC3:  # SOF0..SOF3 (baseline/progressive)
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return w, h, b[i + 9]
+        i += 2 + seg_len
+    raise ValueError("malformed JPEG: no SOF marker")
+
+
+def _parse_gif(b: bytes) -> tuple[int, int, int]:
+    """Logical-screen width/height: little-endian u16 at bytes 6/8."""
+    if len(b) < 10:
+        raise ValueError("malformed GIF: truncated header")
+    return (
+        int.from_bytes(b[6:8], "little"),
+        int.from_bytes(b[8:10], "little"),
+        3,
     )
+
+
+def _parse_wav_duration_ms(b: bytes) -> int:
+    """RIFF/WAVE chunk walk: byte rate from ``fmt ``, payload size
+    from ``data`` → duration in ms."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("malformed WAV: not RIFF/WAVE")
+    byte_rate = data_size = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 16 + 4 <= len(b):
+            byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+        elif cid == b"data":
+            data_size = csize
+        i += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if not byte_rate or data_size is None:
+        raise ValueError("malformed WAV: missing fmt /data chunk")
+    return data_size * 1000 // byte_rate
+
+
+def _byte_histogram_features(content: bytes) -> np.ndarray:
+    """L1-normalized ``FEATURE_DIM``-bin histogram over the payload's
+    byte values (binned by the top 3 bits) — a real, deterministic,
+    content-derived feature vector needing no media library; a learned
+    embedding slots into the same ARRAY<FLOAT> contract."""
+    if not content:
+        return np.zeros(FEATURE_DIM, dtype=np.float32)
+    arr = np.frombuffer(content, dtype=np.uint8)
+    counts = np.bincount(arr >> 5, minlength=FEATURE_DIM).astype(np.float64)
+    return (counts / counts.sum()).astype(np.float32)
+
+
+def _real_decode(content: bytes, modality: str) -> dict:
+    """Pure-Python header decode — no PIL/librosa/ffmpeg needed.
+
+    Images: true width/height (+channel count folded into features[7]
+    is NOT done — channels validate the parse only) from PNG IHDR /
+    JPEG SOF / GIF logical screen. Audio: true duration from the WAV
+    RIFF header. Video: genuine container demux needs ffmpeg — that
+    single modality remains the documented plug-in point. Features are
+    a real byte-histogram (deterministic, content-derived).
+    """
+    width = height = duration_ms = None
+    if modality == "image":
+        if content[:8] == _PNG_SIG:
+            width, height, _ = _parse_png(content)
+        elif content[:2] == b"\xff\xd8":
+            width, height, _ = _parse_jpeg(content)
+        elif content[:6] in (b"GIF87a", b"GIF89a"):
+            width, height, _ = _parse_gif(content)
+        else:
+            raise ValueError("unsupported image format (PNG/JPEG/GIF)")
+    elif modality == "audio":
+        duration_ms = _parse_wav_duration_ms(content)
+    elif modality == "video":
+        raise NotImplementedError(
+            "video demux requires ffmpeg, not available in this "
+            "environment; plug the decoder in here and keep the "
+            "surrounding mapInPandas plumbing unchanged"
+        )
+    return {
+        "byte_len": len(content),
+        "width": width,
+        "height": height,
+        "duration_ms": duration_ms,
+        "features": _byte_histogram_features(content),
+    }
 
 
 def extract_features(
