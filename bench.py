@@ -140,11 +140,136 @@ def main() -> None:
     results: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # The synthetic scale section runs FIRST: a young JVM measures both
-    # plans at true cost. Session aging (listener/AQE/broadcast state
-    # accumulated over many jobs) penalizes multi-job pipelines like
-    # the IVF search far more than single-job scans — measured 2x drift
-    # by the end of a full bench session.
+    # --- index build (measured once — it is a minutes-scale pipeline) ---
+    t0 = time.perf_counter()
+    path = tempfile.mkdtemp(prefix="bench_ivf_") + "/index"
+    idx = build_index(vec, path, seed=42)
+    extras["build_sec"] = round(time.perf_counter() - t0, 3)
+    extras["nlist"] = idx.nlist
+
+    # hot index table: repeated search batches hit a cached scan, the
+    # same footing as the cached table the exact path scans. Coalesce
+    # first: the partitioned layout yields one sliver per cluster dir
+    # at this sf, and per-task overhead would dominate the measurement
+    # (at real scale task count is byte-driven via maxPartitionBytes).
+    idx_vec = idx.vectors(spark).coalesce(8).cache()
+    idx_vec.count()
+
+    # --- headline queries (ANN comparison interleaved) ---
+    results["knn_exact_100q"], results["ivf_search_100q"] = timed_pair(
+        lambda: knn_exact(
+            vec, queries_df, k=10, id_col="id", vec_col="values"
+        ).count(),
+        lambda: search_index(
+            spark, idx, queries_df, k=10, n_probe=8, vectors=idx_vec
+        ).count(),
+        "knn_exact_100q",
+        "ivf_search_100q",
+    )
+    results["dedup_exact"] = timed(
+        lambda: dedup.exact_dup_groups(docs).count()
+    )
+    results["dedup_minhash_lsh"] = timed(
+        lambda: dedup.lsh_candidate_pairs(docs).count()
+    )
+    results["dedup_simhash"] = timed(lambda: dedup.simhash(docs).count())
+    results["text_stats"] = timed(
+        lambda: text_analysis.text_stats(docs).agg(F.sum("n_tokens")).collect()
+    )
+    results["events_hourly"] = timed(
+        lambda: events.groupBy(
+            F.expr("ts div 3600000000000"), "event_type"
+        ).count().count()
+    )
+    # corpus-cleaning scan: PII redaction + Gopher rules in one pass
+    results["text_quality_scan"] = timed(
+        lambda: text_analysis.gopher_quality(
+            text_analysis.redact_pii(docs)
+        ).agg(F.sum("passes")).collect()
+    )
+    # binary-quantized Hamming search over the packed-code table
+    from vector_indexer_spark.operators.bq import bq_encode, bq_search, bq_train
+
+    bq_model = bq_train(vec)
+    bq_codes = bq_encode(vec, bq_model).cache()
+    bq_codes.count()
+    results["bq_hamming_100q"] = timed(
+        lambda: bq_search(
+            bq_codes, bq_model, queries_df, k=10, method="arrow"
+        ).count()
+    )
+
+    # relational OLAP over the TPC-H-shaped facts (date-pruned scans,
+    # broadcast dims, integer-cent map-side-combined sums)
+    from vector_indexer_spark.operators.olap import (
+        pricing_summary,
+        revenue_by_nation,
+    )
+
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
+    lineitem.count()
+    orders_t = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    results["olap_pricing_summary"] = timed(
+        lambda: pricing_summary(lineitem).count()
+    )
+    results["olap_q5_nation_revenue"] = timed(
+        lambda: revenue_by_nation(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            orders_t,
+            lineitem,
+            spark.read.parquet(f"{sf_dir}/nation.parquet"),
+            spark.read.parquet(f"{sf_dir}/region.parquet"),
+        ).count()
+    )
+    lineitem.unpersist()
+
+    # --- plan evidence: the search scan must actually prune ---
+    from pyspark.sql import functions as SF
+
+    from vector_indexer_spark.plans import audit
+
+    probe_scan = idx.vectors(spark).where(
+        SF.col("shard_id").isin([0]) & SF.col("cluster_id").isin([0, 1])
+    )
+    extras["scan_partition_pruned"] = audit.has_partition_filter(
+        probe_scan, "shard_id"
+    )
+    extras["scan_cluster_pushdown"] = audit.has_pushed_filter(
+        probe_scan, "cluster_id"
+    )
+
+    # --- derived perf gates ---
+    exact = knn_exact(vec, queries_df, k=10, id_col="id", vec_col="values")
+    # ratio of per-run minima: on a noisy shared VM the median embeds
+    # whatever GC/steal spikes landed in its window; minima converge to
+    # the true cost of each plan
+    extras["ann_speedup_vs_exact"] = round(
+        MIN_TIMES.get("knn_exact_100q", results["knn_exact_100q"])
+        / MIN_TIMES.get("ivf_search_100q", results["ivf_search_100q"]),
+        3,
+    )
+    extras["recall_at_10_nprobe8"] = round(
+        calculate_recall(
+            search_index(
+                spark, idx, queries_df, k=10, n_probe=8, vectors=idx_vec
+            ),
+            exact,
+            10,
+        ),
+        4,
+    )
+
+    # The 1M synthetic scale section runs AFTER the sf0.1 headline
+    # queries: round-3 ran it first and every like-for-like sf0.1
+    # query measured 1.5-2.6x slower than round 2 purely from the
+    # heap/GC state the 1M suite leaves behind (round-4 triage:
+    # BENCH_SYNTH=0 BENCH_SWEEP=0 isolation restored every number to
+    # at-or-below the round-2 level — knn_exact 0.69->0.37,
+    # dedup_minhash_lsh 4.58->1.12, dedup_simhash 2.02->0.76,
+    # text_stats 1.04->0.32 — with zero plan changes; see BASELINE.md).
+    # The synth section itself is aging-robust: its exact-vs-IVF
+    # comparison uses interleaved min-of-pair, so section order only
+    # affects the absolute seconds, not the speedup ratio it reports.
     # --- synthetic scale section (reference bench shape: d=128
     # synthetic, docker-compose.bench.yml:28-30; we default to n=1M —
     # the scale where nlist≈4k pruning physically pays; the sf tables
@@ -379,125 +504,47 @@ def main() -> None:
         swq.unpersist()
         widx_vec.unpersist()
 
-
-    # --- index build (measured once — it is a minutes-scale pipeline) ---
-    t0 = time.perf_counter()
-    path = tempfile.mkdtemp(prefix="bench_ivf_") + "/index"
-    idx = build_index(vec, path, seed=42)
-    extras["build_sec"] = round(time.perf_counter() - t0, 3)
-    extras["nlist"] = idx.nlist
-
-    # hot index table: repeated search batches hit a cached scan, the
-    # same footing as the cached table the exact path scans. Coalesce
-    # first: the partitioned layout yields one sliver per cluster dir
-    # at this sf, and per-task overhead would dominate the measurement
-    # (at real scale task count is byte-driven via maxPartitionBytes).
-    idx_vec = idx.vectors(spark).coalesce(8).cache()
-    idx_vec.count()
-
-    # --- headline queries (ANN comparison interleaved) ---
-    results["knn_exact_100q"], results["ivf_search_100q"] = timed_pair(
-        lambda: knn_exact(
-            vec, queries_df, k=10, id_col="id", vec_col="values"
-        ).count(),
-        lambda: search_index(
-            spark, idx, queries_df, k=10, n_probe=8, vectors=idx_vec
-        ).count(),
-        "knn_exact_100q",
-        "ivf_search_100q",
-    )
-    results["dedup_exact"] = timed(
-        lambda: dedup.exact_dup_groups(docs).count()
-    )
-    results["dedup_minhash_lsh"] = timed(
-        lambda: dedup.lsh_candidate_pairs(docs).count()
-    )
-    results["dedup_simhash"] = timed(lambda: dedup.simhash(docs).count())
-    results["text_stats"] = timed(
-        lambda: text_analysis.text_stats(docs).agg(F.sum("n_tokens")).collect()
-    )
-    results["events_hourly"] = timed(
-        lambda: events.groupBy(
-            F.expr("ts div 3600000000000"), "event_type"
-        ).count().count()
-    )
-    # corpus-cleaning scan: PII redaction + Gopher rules in one pass
-    results["text_quality_scan"] = timed(
-        lambda: text_analysis.gopher_quality(
-            text_analysis.redact_pii(docs)
-        ).agg(F.sum("passes")).collect()
-    )
-    # binary-quantized Hamming search over the packed-code table
-    from vector_indexer_spark.operators.bq import bq_encode, bq_search, bq_train
-
-    bq_model = bq_train(vec)
-    bq_codes = bq_encode(vec, bq_model).cache()
-    bq_codes.count()
-    results["bq_hamming_100q"] = timed(
-        lambda: bq_search(
-            bq_codes, bq_model, queries_df, k=10, method="arrow"
-        ).count()
-    )
-
-    # relational OLAP over the TPC-H-shaped facts (date-pruned scans,
-    # broadcast dims, integer-cent map-side-combined sums)
-    from vector_indexer_spark.operators.olap import (
-        pricing_summary,
-        revenue_by_nation,
-    )
-
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
-    lineitem.count()
-    orders_t = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    results["olap_pricing_summary"] = timed(
-        lambda: pricing_summary(lineitem).count()
-    )
-    results["olap_q5_nation_revenue"] = timed(
-        lambda: revenue_by_nation(
-            spark.read.parquet(f"{sf_dir}/customer.parquet"),
-            orders_t,
-            lineitem,
-            spark.read.parquet(f"{sf_dir}/nation.parquet"),
-            spark.read.parquet(f"{sf_dir}/region.parquet"),
-        ).count()
-    )
-    lineitem.unpersist()
-
-    # --- plan evidence: the search scan must actually prune ---
-    from pyspark.sql import functions as SF
-
-    from vector_indexer_spark.plans import audit
-
-    probe_scan = idx.vectors(spark).where(
-        SF.col("shard_id").isin([0]) & SF.col("cluster_id").isin([0, 1])
-    )
-    extras["scan_partition_pruned"] = audit.has_partition_filter(
-        probe_scan, "shard_id"
-    )
-    extras["scan_cluster_pushdown"] = audit.has_pushed_filter(
-        probe_scan, "cluster_id"
-    )
-
-    # --- derived perf gates ---
-    exact = knn_exact(vec, queries_df, k=10, id_col="id", vec_col="values")
-    # ratio of per-run minima: on a noisy shared VM the median embeds
-    # whatever GC/steal spikes landed in its window; minima converge to
-    # the true cost of each plan
-    extras["ann_speedup_vs_exact"] = round(
-        MIN_TIMES.get("knn_exact_100q", results["knn_exact_100q"])
-        / MIN_TIMES.get("ivf_search_100q", results["ivf_search_100q"]),
-        3,
-    )
-    extras["recall_at_10_nprobe8"] = round(
-        calculate_recall(
-            search_index(
-                spark, idx, queries_df, k=10, n_probe=8, vectors=idx_vec
-            ),
-            exact,
-            10,
-        ),
-        4,
-    )
+    # --- dedup at 1M docs: the LSH bucket-cap scale claim measured,
+    # not argued (the sf0.1 corpus is only ~10k docs). Deterministic
+    # scan-local synthetic corpus: ~30-token docs from a 5k-word
+    # vocabulary; every id % 100 == 1 doc is a near-dup of its
+    # predecessor (same token stream + one extra token), so the
+    # banded-LSH path has real work to find at every scale.
+    if os.environ.get("BENCH_DEDUP1M", "1") == "1":
+        n_docs = int(os.environ.get("BENCH_DEDUP_N", "1000000"))
+        base = spark.range(n_docs).withColumn(
+            "src_id",
+            F.when(
+                (F.col("id") % 100 == 1) & (F.col("id") > 0),
+                F.col("id") - 1,
+            ).otherwise(F.col("id")),
+        )
+        words = [
+            F.concat(
+                F.lit("w"),
+                F.pmod(
+                    F.xxhash64(F.col("src_id") * F.lit(31) + F.lit(i)),
+                    F.lit(5000),
+                ).cast("string"),
+            )
+            for i in range(30)
+        ]
+        docs1m = base.select(
+            F.col("id").alias("doc_id"),
+            F.when(
+                F.col("src_id") == F.col("id"),
+                F.concat_ws(" ", *words),
+            )
+            .otherwise(F.concat_ws(" ", *words, F.lit("extra")))
+            .alias("text"),
+        ).persist()
+        docs1m.count()
+        t0 = time.perf_counter()
+        n_pairs = dedup.lsh_candidate_pairs(docs1m).count()
+        extras["dedup1M_sec"] = round(time.perf_counter() - t0, 3)
+        extras["dedup1M_n_docs"] = n_docs
+        extras["dedup1M_pairs"] = int(n_pairs)
+        docs1m.unpersist()
 
     results = {k: round(v, 4) for k, v in results.items()}
     print(

@@ -115,11 +115,17 @@ def test_sq_search_reads_only_codes(spark, embeddings, tmp_path_factory):
     assert "codes" in m.group(1) and "values" not in m.group(1)
 
 
-def test_hash_embed_scan_local(spark, documents):
+def test_hash_embed_bounded_shuffles(spark, documents):
+    # hash_embed is explode + codegen conditional-sum aggregation:
+    # the scan-local HOF formulation was interpreted (O(dim*T) lambda
+    # evals per row, 100s+ at sf0.01). The price is bounded shuffles —
+    # the doc_id agg (map-side combined, docs x dim volume) plus the
+    # zero-doc-restoring spine join — never a cartesian, and never
+    # raw-token shuffle volume.
     from vector_indexer_spark.operators.text_analysis import hash_embed
 
     s = audit.plan_summary(hash_embed(documents, 16))
-    assert s["shuffles"] == 0
+    assert 1 <= s["shuffles"] <= 3
     assert not s["cartesian"]
 
 
@@ -399,3 +405,33 @@ def test_q6_predicates_all_pushed(spark):
     for c in ("l_shipdate", "l_discount", "l_quantity"):
         assert c in pushed, c
     assert s["shuffles"] <= 1 and not s["cartesian"]
+
+
+def test_global_topk_windows_rewrite_to_take_ordered(spark, documents, embeddings):
+    """Every global-window top-k (rank <= k over an unpartitioned
+    Window) must be optimizer-rewritten to TakeOrderedAndProject — a
+    distributed partial top-k — so the single-partition exchange never
+    carries corpus-scale rows. This pins the Spark 4.x rewrite the
+    operators rely on: if a future change (extra projection between
+    the filter and the window, a non-row_number rank) breaks the
+    rewrite, these assertions catch it before 100 TB does."""
+    from vector_indexer_spark.operators.similarity import embedding_outliers
+    from vector_indexer_spark.operators.text_analysis import (
+        bm25_topk,
+        collocations,
+    )
+
+    cases = {
+        "bm25_topk": bm25_topk(documents, ["spark", "hash"], k=5),
+        "collocations": collocations(documents, k=10),
+        "embedding_outliers": embedding_outliers(
+            embeddings, [[0.0] * 64], top_n=7, id_col="vec_id",
+            vec_col="embedding",
+        ),
+    }
+    for name, df in cases.items():
+        plan = audit.executed_plan(df)
+        assert "TakeOrderedAndProject" in plan, (
+            f"{name}: global top-k not rewritten; the window would "
+            f"move all scored rows to one partition\n{plan[:1500]}"
+        )

@@ -106,6 +106,67 @@ def test_fvecs_end_to_end_build_and_search(spark, tmp_path):
     assert np.allclose(D[:, 0], 0.0, atol=1e-5)
 
 
+def test_fvecs_ivecs_sift_shape_recall(spark, tmp_path):
+    """The reference's SIFT1M evaluation shape end-to-end
+    (bench_all_ivf.py:88-156): base .fvecs + query .fvecs + ground
+    truth .ivecs files on disk -> build an index from the base file ->
+    search the queries -> recall@k against the .ivecs ground truth.
+    Full-probe search must recover the true neighbors exactly; a
+    pruned probe must still clear the 0.6 recall floor on clustered
+    data."""
+    from vector_indexer_spark.api import build
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(16, 10)) * 25.0
+    base = (
+        centers[np.arange(600) % 16]
+        + rng.normal(size=(600, 10), scale=0.2)
+    ).astype(np.float32)
+    queries = (
+        centers[np.arange(40) % 16]
+        + rng.normal(size=(40, 10), scale=0.2)
+    ).astype(np.float32)
+
+    # exact ground truth, (dist, id)-tie-broken like the engine
+    d2 = (
+        (queries[:, None, :].astype(np.float64)
+         - base[None, :, :].astype(np.float64)) ** 2
+    ).sum(axis=-1)
+    k = 5
+    gt = np.lexsort((np.arange(600)[None, :].repeat(40, 0), d2), axis=1)[
+        :, :k
+    ].astype(np.int32)
+
+    bp = str(tmp_path / "base.fvecs")
+    qp = str(tmp_path / "query.fvecs")
+    gp = str(tmp_path / "gt.ivecs")
+    _write_fvecs(bp, base)
+    _write_fvecs(qp, queries)
+    with open(gp, "wb") as f:
+        for row in gt:
+            f.write(struct.pack("<i", k))
+            f.write(row.tobytes())
+
+    xb = read_fvecs(bp)
+    xq = read_fvecs(qp)
+    gt_read = read_ivecs(gp)
+    np.testing.assert_array_equal(gt_read, gt)
+
+    idx = build(xb, str(tmp_path / "sift_idx"), spark=spark, seed=9)
+    D, I = idx.search(xq, k=k, n_probe=idx.nlist)  # full probe = exact
+    recall_full = np.mean(
+        [len(set(I[q]) & set(gt_read[q])) / k for q in range(len(xq))]
+    )
+    assert recall_full == 1.0
+    np.testing.assert_array_equal(I, gt_read.astype(I.dtype))
+
+    D2, I2 = idx.search(xq, k=k, n_probe=max(1, idx.nlist // 4))
+    recall_pruned = np.mean(
+        [len(set(I2[q]) & set(gt_read[q])) / k for q in range(len(xq))]
+    )
+    assert recall_pruned >= 0.6  # BASELINE.md recall floor
+
+
 class TestTrainingShards:
     def test_roundtrip_layout_and_manifest(self, spark, tmp_path):
         from vector_indexer_spark.sinks import (
