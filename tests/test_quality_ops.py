@@ -845,3 +845,34 @@ class TestKeywordSnippets:
         assert out[2] == (1, "spark at st")   # clamped at string start
         with pytest.raises(ValueError):
             text_analysis.keyword_snippets(docs, "")
+
+
+class TestTopNgramConcentration:
+    def test_hand_computed(self, spark):
+        from vector_indexer_spark.operators import text_analysis
+
+        docs = spark.createDataFrame(
+            [
+                # "buy now" x3 among 6 bigrams; token chars = 3+3+3+3+3+3+4 = no:
+                # tokens: buy now buy now buy now cheap -> 3*6 + 5 = 23 chars
+                (0, "buy now buy now buy now cheap"),
+                (1, "all distinct words here"),
+                (2, "one"),          # < 2 tokens: no bigram
+                (3, ""),             # empty
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: r
+            for r in text_analysis.top_ngram_concentration(docs, n=2).collect()
+        }
+        assert out[0].top_ngram == "buy now" and out[0].top_count == 3
+        # char_frac = 3 * len("buynow") / 23
+        assert out[0].char_frac == pytest.approx(3 * 6 / 23)
+        # all-distinct doc: every bigram count 1, tie -> smallest gram
+        assert out[1].top_count == 1
+        assert out[1].top_ngram == "all distinct"
+        assert out[2].top_count == 0 and out[2].char_frac == 0.0
+        assert out[3].top_ngram == "" and out[3].char_frac == 0.0
+        with pytest.raises(ValueError):
+            text_analysis.top_ngram_concentration(docs, n=0)

@@ -2935,6 +2935,58 @@ _register(
 )
 
 
+def _text_top_ngram(spark, sf_dir):
+    """The most frequent bigram's character concentration per doc —
+    Gopher's top-n-gram repetition rule (ties to the lexicographically
+    smallest gram on both engines)."""
+    from vector_indexer_spark.operators.text_analysis import (
+        top_ngram_concentration,
+    )
+
+    return top_ngram_concentration(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n=2
+    )
+
+
+_register(
+    "text_top_ngram",
+    _text_top_ngram,
+    f"""
+    WITH t AS (SELECT doc_id, {_DD_TOKENS.format(c="text")} AS w
+               FROM documents),
+    totals AS (
+      SELECT doc_id,
+             CAST(list_reduce(
+               list_prepend(0, list_transform(w, x -> len(x))),
+               (a, b) -> a + b) AS BIGINT) AS total_chars
+      FROM t),
+    g AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(w) >= 2
+             THEN list_transform(range(1, len(w)),
+                                 i -> w[i] || ' ' || w[i+1])
+             ELSE []::VARCHAR[] END) AS gram
+      FROM t),
+    cnts AS (
+      SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    lead AS (
+      SELECT doc_id, gram AS top_ngram, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, gram) AS rn
+      FROM cnts)
+    SELECT t2.doc_id,
+           COALESCE(l.top_ngram, '') AS top_ngram,
+           CAST(COALESCE(l.cnt, 0) AS BIGINT) AS top_count,
+           CASE WHEN l.cnt IS NOT NULL AND t2.total_chars > 0
+                THEN CAST(l.cnt * (len(l.top_ngram) - 1) AS DOUBLE)
+                     / CAST(t2.total_chars AS DOUBLE)
+                ELSE 0.0 END AS char_frac
+    FROM totals t2 LEFT JOIN (SELECT * FROM lead WHERE rn = 1) l
+      USING (doc_id)
+    """,
+)
+
+
 def _text_dup_ngrams(spark, sf_dir):
     """Cross-doc duplicate-trigram share (boilerplate signal)."""
     from vector_indexer_spark.operators.text_analysis import (

@@ -1008,3 +1008,84 @@ def keyword_snippets(
             F.substring(F.col(text_col), start, length).alias("snippet"),
         )
     )
+
+
+def top_ngram_concentration(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """The remaining Gopher repetition rule (Rae et al. 2021 §A1.1):
+    the fraction of a document's token characters covered by its single
+    most frequent word n-gram — catches one dominating phrase
+    (keyword stuffing, generation loops) that the distinct-ratio signal
+    in :func:`repetition_stats` dilutes when the rest of the document
+    is varied. Gopher bounds the 2-gram fraction at 0.20.
+
+    Returns ``(doc_id, top_ngram, top_count, char_frac)`` where
+    ``char_frac = top_count · len_chars(top_ngram_tokens) /
+    total_token_chars`` (integer arithmetic up to one final double
+    division — engine-exact). Ties break to the lexicographically
+    smallest n-gram; documents with < n tokens get ('', 0, 0.0).
+
+    Scale shape: scan-side shingling (posexplode + window lead, the
+    MinHash pattern), one map-side-combined count keyed by
+    ``(doc_id, gram)``, a per-doc leader via WindowGroupLimit-eligible
+    row_number, and a join back to the scan-local char totals — no
+    driver state, no UDF.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    toks = tokens_expr(text_col)
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+    )
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    lead_w = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram")
+    )
+    top = (
+        grams.withColumn("__rn", F.row_number().over(lead_w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_ngram"), "cnt")
+    )
+    return totals.join(top, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("top_ngram", F.lit("")).alias("top_ngram"),
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("top_count"),
+        F.when(
+            F.col("cnt").isNotNull() & (F.col("total_chars") > 0),
+            (
+                F.col("cnt")
+                # chars of the gram's tokens = len(gram) - (n-1) spaces
+                * (F.length("top_ngram") - F.lit(n - 1))
+            ).cast("double")
+            / F.col("total_chars").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("char_frac"),
+    )
