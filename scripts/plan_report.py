@@ -64,6 +64,12 @@ def _embed_split_df(spark, docs):
     return hash_split(hash_embed(docs, 64), id_col="doc_id")
 
 
+def _relational_probes_df(spark, idx, q):
+    from vector_indexer_spark.operators.search import rank_probes_relational
+
+    return rank_probes_relational(spark, idx, q, 4)
+
+
 def _bq_search_df(spark, emb):
     from pyspark.sql import functions as F
 
@@ -264,9 +270,25 @@ def main():
         ),
         (
             "Hash-split + feature-hash embedding",
-            "Both pure scan-local projections: zero shuffles, codegen "
-            "end to end.",
+            "hash_embed is explode + codegen conditional-sum aggregation "
+            "(map-side combine, docs x dim shuffle volume) plus the "
+            "zero-doc spine join; the split bucket is a scan-local "
+            "projection on top.",
             _embed_split_df(spark, docs),
+        ),
+        (
+            "Relational probe ranking (no centroid matrix)",
+            "Probe ranking as knn_exact over the persisted centroid "
+            "TABLE: query batch broadcast, per-partition top-n_probe "
+            "map-side combine, nlist-bounded shard-map broadcast join — "
+            "no full matrix on the driver or any executor.",
+            _relational_probes_df(spark, idx, q),
+        ),
+        (
+            "Top n-gram concentration (Gopher repetition rule)",
+            "Scan-side shingling, one map-side-combined (doc, gram) "
+            "count, per-doc leader, join to scan-local char totals.",
+            text_analysis.top_ngram_concentration(docs),
         ),
         (
             "PII scrub + Gopher quality rules",
