@@ -454,3 +454,26 @@ def test_refine_validation(spark, vec_df, model):
         refine_topk(codes.select(F.col("id").alias("query_id"),
                                  F.col("id").alias("neighbor_id")),
                     vec_df, q, k=0)
+
+
+def test_ivfpq_hierarchical_probe_ranking_envelope(
+    spark, vec_df, ivfpq, monkeypatch
+):
+    """Forced-on hierarchical probe ranking (large-nlist path) keeps
+    the PQ search inside a small recall envelope of flat ranking and
+    identical at full probe (every meta shortlisted covers all)."""
+    import vector_indexer_spark.operators.search as S
+    from vector_indexer_spark.operators.pq import search_ivfpq
+
+    queries = vec_df.filter(F.col("id") < 5).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    flat = search_ivfpq(
+        spark, ivfpq, queries, k=5, n_probe=ivfpq.nlist
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    monkeypatch.setattr(S, "_HIER_PROBE_NLIST", 1)
+    hier = search_ivfpq(
+        spark, ivfpq, queries, k=5, n_probe=ivfpq.nlist
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # full probe: shortlist covers everything -> identical results
+    assert list(hier.neighbor_id) == list(flat.neighbor_id)

@@ -377,3 +377,27 @@ def test_ivfsq_arrow_tiebreak_across_chunks(spark):
     # nearest distinct value is 0 -> copies at ids 0,50,100,...; ties
     # break to the LOWEST ids regardless of chunk position
     assert ids_a == [0, 50, 100, 150, 200]
+
+
+def test_ivfsq_hierarchical_probe_ranking_full_probe_identical(
+    spark, vec_df, tmp_path_factory, monkeypatch
+):
+    import vector_indexer_spark.operators.search as S
+    from vector_indexer_spark.operators.sq import (
+        build_ivfsq_index,
+        search_ivfsq_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfsq_hier") / "index")
+    idx = build_ivfsq_index(vec_df, path, nlist=8, seed=42)
+    q = vec_df.limit(5).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    flat = search_ivfsq_index(
+        spark, idx, q, k=5, n_probe=idx.nlist
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    monkeypatch.setattr(S, "_HIER_PROBE_NLIST", 1)
+    hier = search_ivfsq_index(
+        spark, idx, q, k=5, n_probe=idx.nlist
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(hier.neighbor_id) == list(flat.neighbor_id)

@@ -688,10 +688,21 @@ def search_ivfpq(
     from vector_indexer_spark.functions.kernels import (
         pairwise_dist2,
         topk_per_row as _topk,
+        topk_per_row_hierarchical,
+    )
+    from vector_indexer_spark.operators.search import (
+        _HIER_PROBE_NLIST,
+        probe_hierarchy_for,
     )
 
-    d2c = pairwise_dist2(qmat, index.centroids)
-    _, probe_ids = _topk(d2c, min(n_probe, index.nlist))
+    if index.nlist >= _HIER_PROBE_NLIST:
+        meta_c, meta_l = probe_hierarchy_for(index)
+        _, probe_ids = topk_per_row_hierarchical(
+            qmat, index.centroids, meta_c, meta_l, min(n_probe, index.nlist)
+        )
+    else:
+        d2c = pairwise_dist2(qmat, index.centroids)
+        _, probe_ids = _topk(d2c, min(n_probe, index.nlist))
     cluster_ids = np.unique(probe_ids)
     shard_ids = np.unique(index.centroid_shards[cluster_ids])
     pos = {int(c): i for i, c in enumerate(cluster_ids)}

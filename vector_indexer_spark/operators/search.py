@@ -149,6 +149,25 @@ def rank_probes(
     )
 
 
+def probe_hierarchy_for(index) -> tuple[np.ndarray, np.ndarray]:
+    """(meta_centroids, meta_labels) for ANY index handle carrying
+    ``centroids`` + ``seed`` — the flat IvfIndex has its own cached
+    :meth:`IvfIndex.probe_hierarchy`; the PQ/SQ index handles share
+    this helper (cached on the handle) so their probe ranking gets the
+    same large-nlist pruning."""
+    if hasattr(index, "probe_hierarchy"):
+        return index.probe_hierarchy()
+    if not hasattr(index, "_probe_hierarchy"):
+        from vector_indexer_spark.operators.kmeans import (  # noqa: PLC0415
+            build_centroid_hierarchy,
+        )
+
+        index._probe_hierarchy = build_centroid_hierarchy(
+            np.asarray(index.centroids, dtype=np.float64), index.seed
+        )
+    return index._probe_hierarchy
+
+
 def rank_probes_relational(
     spark: SparkSession,
     index: IvfIndex,

@@ -707,6 +707,8 @@ def search_ivfsq_index(
     if k <= 0 or n_probe <= 0:
         raise ValueError("k and n_probe must be positive")  # P3
     from vector_indexer_spark.operators.search import (  # noqa: PLC0415
+        _HIER_PROBE_NLIST,
+        probe_hierarchy_for,
         rank_probes,
     )
 
@@ -717,6 +719,11 @@ def search_ivfsq_index(
         min(n_probe, index.nlist),
         query_id_col=query_id_col,
         query_col=query_col,
+        hierarchy=(
+            probe_hierarchy_for(index)
+            if index.nlist >= _HIER_PROBE_NLIST
+            else None
+        ),
     )
     pc = probes.select("cluster_id", "shard_id").distinct().collect()
     shard_ids = sorted({r.shard_id for r in pc})
