@@ -5313,3 +5313,65 @@ _register(
     FROM dau d JOIN wau w USING (day_bucket)
     """,
 )
+
+
+_ADD_IDX_CACHE: dict = {}
+
+
+def _ivf_add_search_fixed(spark, sf_dir):
+    """Incremental ingest proven end-to-end: build over vec_id < 400,
+    add_vectors the rest, then search at FULL probe — exact by
+    construction, so the result must bit-match brute-force kNN over
+    the whole table no matter where training put the centroids. This
+    is the add-path twin of knn_exact_top10: a wrong cluster/shard
+    route for any added row would drop it from the pruned scan and
+    break the hash. Index cached per sf_dir (one build+add per
+    sweep)."""
+    import tempfile
+
+    from vector_indexer_spark.operators.index_build import (
+        add_vectors,
+        build_index,
+    )
+    from vector_indexer_spark.operators.search import search_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _ADD_IDX_CACHE:
+        base = emb.filter(F.col("vec_id") < 400).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        rest = emb.filter(F.col("vec_id") >= 400).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        path = tempfile.mkdtemp(prefix="ivf_add_entry_") + "/index"
+        idx = build_index(base, path, nlist=16, seed=42)
+        add_vectors(spark, idx, rest)
+        _ADD_IDX_CACHE[sf_dir] = idx
+    idx = _ADD_IDX_CACHE[sf_dir]
+    q = emb.filter(F.col("vec_id").isin(1, 250, 450)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_index(
+        spark, idx, q, k=5, n_probe=idx.nlist, method="native"
+    )
+
+
+_register(
+    "ivf_add_search_fixed",
+    _ivf_add_search_fixed,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query
+               FROM embeddings WHERE vec_id IN (1, 250, 450)),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_KNN_DIST2_SQL} AS dist2
+      FROM embeddings v CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist2, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+    FROM ranked WHERE rank <= 5
+    """,
+)

@@ -457,3 +457,98 @@ def delete_vectors(
         "rows_after": n_after,
         "n_deleted": n_before - n_after,
     }
+
+
+def add_vectors(
+    spark: SparkSession,
+    index: IvfIndex,
+    df: DataFrame,
+    *,
+    check_duplicate_ids: bool = True,
+) -> dict:
+    """Incremental ingest into a built index (Faiss ``IndexIVF.add``
+    semantics — the reference is build-once, src/ivf_index.rs; this is
+    the maintenance op a long-lived 100 TB index needs): assign the new
+    batch to the EXISTING centroids (no retraining — recall drifts only
+    as the data distribution does; rebuild via :func:`build_index` when
+    it matters), route each row to its cluster's shard, and append
+    shard-partitioned, cluster-sorted files to the live vector table.
+
+    Assignment reuses :func:`assign_clusters` (J1 exact / J2
+    hierarchical above the same threshold as build, same seed), so an
+    added row lands in exactly the cluster a from-scratch build with
+    these centroids would put it in — search pruning stays correct by
+    construction, which ``ivf_add_search_fixed`` proves against a
+    whole-table SQL oracle.
+
+    At scale: the append is one shuffle of the NEW batch only
+    (repartition on shard_id); the live table is never read or
+    rewritten. Each micro-batch appends ~n_shards small files —
+    :func:`compact_index` is the companion op that restores the
+    as-built file layout. ``check_duplicate_ids`` adds an id-column
+    anti-join against the existing table (column-pruned scan); at
+    warehouse scale turn it off and enforce uniqueness upstream.
+
+    Returns ``{n_added, n_vectors, files_after}``.
+    """
+    if index.centroids is None:
+        raise ValueError(
+            "add_vectors needs the centroid matrix; reload the index "
+            "without lazy_centroids"
+        )
+    id_col, vec_col = index.id_col, index.vec_col
+    # schema alignment first: the batch must carry exactly the
+    # persisted payload columns (parquet append with a divergent
+    # schema would silently fork the table schema)
+    live_cols = [
+        f.name
+        for f in spark.read.parquet(index.vectors_path).schema.fields
+        if f.name not in ("cluster_id", "shard_id")
+    ]
+    missing = set(live_cols) - set(df.columns)
+    if missing:
+        raise ValueError(f"batch is missing index columns: {sorted(missing)}")
+    n_new = df.count()
+    if n_new == 0:
+        raise ValueError("cannot add an empty DataFrame")
+    # P1 — dimension validation, same contract as build_index
+    bad = df.filter(F.size(vec_col) != index.dimension).count()
+    if bad:
+        raise ValueError(
+            f"{bad} records have dimension != {index.dimension}"
+            " (dim validation, P1)"
+        )
+    if df.select(id_col).distinct().count() != n_new:
+        raise ValueError("duplicate ids within the batch")
+    if check_duplicate_ids:
+        existing = spark.read.parquet(index.vectors_path).select(id_col)
+        n_dup = df.select(id_col).join(existing, id_col, "semi").count()
+        if n_dup:
+            raise ValueError(
+                f"{n_dup} ids already present in the index"
+            )
+
+    from vector_indexer_spark.streaming.ingest import (  # noqa: PLC0415
+        assign_and_shard,  # circular: ingest imports IvfIndex from here
+    )
+
+    (
+        assign_and_shard(df.select(*live_cols), index)
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cluster_id")
+        .write.mode("append")
+        .partitionBy("shard_id")
+        .parquet(index.vectors_path)
+    )
+
+    with open(index.meta_path) as f:
+        meta = json.load(f)
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
+    with open(index.meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    index.n_vectors = meta["n_vectors"]
+    return {
+        "n_added": n_new,
+        "n_vectors": index.n_vectors,
+        "files_after": _parquet_file_count(index.vectors_path),
+    }
