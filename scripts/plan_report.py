@@ -201,7 +201,24 @@ def main():
         F.col("shard_id").isin([0, 1]) & F.col("cluster_id").isin([0, 1, 2, 3])
     )
 
+    from vector_indexer_spark.streaming.ingest import assign_and_shard
+
+    add_batch = emb.filter(F.col("vec_id") >= 490).select(
+        (F.col("vec_id") + 10_000).alias("id"),
+        F.col("embedding").alias("values"),
+    )
+
     sections = [
+        (
+            "Incremental add (assign-and-shard append body)",
+            "The frame add_vectors appends: Arrow-batched centroid argmin "
+            "over the NEW batch only, broadcast cluster→shard map, one "
+            "shuffle on shard_id. The live table is never read or "
+            "rewritten; compact_index later restores the file layout.",
+            assign_and_shard(add_batch, idx)
+            .repartition("shard_id")
+            .sortWithinPartitions("shard_id", "cluster_id"),
+        ),
         (
             "Exact kNN (native path)",
             "Query batch broadcast against the vector scan; fold-left dist2 "
