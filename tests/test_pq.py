@@ -477,3 +477,68 @@ def test_ivfpq_hierarchical_probe_ranking_envelope(
     ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     # full probe: shortlist covers everything -> identical results
     assert list(hier.neighbor_id) == list(flat.neighbor_id)
+
+
+def test_ivfpq_add_vectors_roundtrip(spark, embeddings, tmp_path):
+    """Incremental IVF-PQ add: appended codes are bit-identical to what
+    a direct frozen-quantizer encode of the same rows produces, counts
+    and meta stay conserved, and post-add search returns added ids for
+    their own query vectors at full probe."""
+    import json
+    import os
+
+    import numpy as np
+
+    from vector_indexer_spark.functions.kernels import stack_arrays
+    from vector_indexer_spark.operators.kmeans import assign_clusters
+    from vector_indexer_spark.operators.pq import (
+        _encode_batch,
+        add_vectors_ivfpq,
+        build_ivfpq_index,
+        search_ivfpq,
+    )
+
+    base = embeddings.filter(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    rest = embeddings.filter(F.col("vec_id") >= 400).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    idx = build_ivfpq_index(
+        base, str(tmp_path / "pqadd"), nlist=8, m=4, ksub=16, seed=42
+    )
+    stats = add_vectors_ivfpq(spark, idx, rest)
+    assert stats == {"n_added": 100, "n_vectors": 500}
+    assert json.load(open(os.path.join(idx.path, "ivfpq_meta.json")))[
+        "n_vectors"
+    ] == 500
+    codes_tbl = idx.codes(spark)
+    assert codes_tbl.count() == 500
+
+    # appended codes == direct frozen encode of the same rows
+    added = codes_tbl.filter(F.col("id") >= 400).orderBy("id").collect()
+    src = rest.orderBy("id").collect()
+    x = stack_arrays([r.values for r in src])
+    cl = assign_clusters(
+        rest, idx.centroids, vec_col="values", out_col="cl", seed=idx.seed
+    ).orderBy("id").select("cl").toPandas()["cl"].to_numpy()
+    want_codes = _encode_batch(x - idx.centroids[cl], idx.pq.codebooks)
+    got_codes = np.asarray([r.codes for r in added])
+    assert (np.asarray([r.cluster_id for r in added]) == cl).all()
+    assert (got_codes == want_codes).all()
+    # shard routing follows the frozen centroid→shard map
+    assert all(
+        r.shard_id == idx.centroid_shards[r.cluster_id] for r in added
+    )
+
+    # duplicate add rejected
+    with pytest.raises(ValueError, match="already present"):
+        add_vectors_ivfpq(spark, idx, rest)
+
+    # post-add search sees the new rows (self-queries, full probe)
+    q = embeddings.filter(F.col("vec_id").isin(450, 470)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    out = search_ivfpq(spark, idx, q, k=5, n_probe=idx.nlist).toPandas()
+    for qid in (450, 470):
+        assert qid in set(out[out.query_id == qid].neighbor_id)

@@ -401,3 +401,64 @@ def test_ivfsq_hierarchical_probe_ranking_full_probe_identical(
         spark, idx, q, k=5, n_probe=idx.nlist
     ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert list(hier.neighbor_id) == list(flat.neighbor_id)
+
+
+def test_ivfsq_add_vectors_roundtrip(spark, embeddings, tmp_path):
+    """Incremental IVF-SQ add: appended codes equal a direct frozen
+    encode, meta count bumps, and the added rows are searchable."""
+    import json
+    import os
+
+    import numpy as np
+
+    from vector_indexer_spark.operators.kmeans import assign_clusters
+    from vector_indexer_spark.operators.sq import (
+        add_vectors_ivfsq,
+        build_ivfsq_index,
+        ivfsq_encode,
+        search_ivfsq_index,
+    )
+
+    base = embeddings.filter(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    rest = embeddings.filter(F.col("vec_id") >= 400).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    idx = build_ivfsq_index(base, str(tmp_path / "sqadd"), nlist=8, seed=42)
+    stats = add_vectors_ivfsq(spark, idx, rest)
+    assert stats == {"n_added": 100, "n_vectors": 500}
+    assert json.load(open(os.path.join(idx.path, "ivfsq_meta.json")))[
+        "n_vectors"
+    ] == 500
+    codes_tbl = idx.codes(spark)
+    assert codes_tbl.count() == 500
+
+    assigned = assign_clusters(
+        rest, idx.centroids, vec_col="values", out_col="cluster_id",
+        seed=idx.seed,
+    ).select("id", F.col("values").alias("__vec"), "cluster_id")
+    want = {
+        r.id: (r.cluster_id, tuple(r.codes))
+        for r in ivfsq_encode(
+            assigned, idx.centroids_df(spark), idx.sq,
+            id_col="id", vec_col="__vec",
+        ).collect()
+    }
+    got = {
+        r.id: (r.cluster_id, tuple(r.codes))
+        for r in codes_tbl.filter(F.col("id") >= 400).collect()
+    }
+    assert got == want
+
+    with pytest.raises(ValueError, match="already present"):
+        add_vectors_ivfsq(spark, idx, rest)
+
+    q = embeddings.filter(F.col("vec_id").isin(420, 499)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    out = search_ivfsq_index(
+        spark, idx, q, k=5, n_probe=idx.nlist
+    ).toPandas()
+    for qid in (420, 499):
+        assert qid in set(out[out.query_id == qid].neighbor_id)

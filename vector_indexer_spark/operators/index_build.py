@@ -459,6 +459,43 @@ def delete_vectors(
     }
 
 
+def validate_add_batch(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dimension: int,
+    existing_ids: DataFrame | None,
+) -> int:
+    """Shared add-batch contract for every index tier (flat / IVF-PQ /
+    IVF-SQ): non-empty, P1 dimension check, unique ids within the
+    batch, and (when ``existing_ids`` is given) no collision with ids
+    already in the index — that last check is a column-pruned scan of
+    the live table; at warehouse scale pass ``None`` and enforce
+    uniqueness upstream. Returns the batch row count."""
+    n_new = df.count()
+    if n_new == 0:
+        raise ValueError("cannot add an empty DataFrame")
+    bad = df.filter(F.size(vec_col) != dimension).count()
+    if bad:
+        raise ValueError(
+            f"{bad} records have dimension != {dimension}"
+            " (dim validation, P1)"
+        )
+    if df.select(id_col).distinct().count() != n_new:
+        raise ValueError("duplicate ids within the batch")
+    if existing_ids is not None:
+        keyed = df.select(F.col(id_col).alias("__add_id"))
+        n_dup = keyed.join(
+            existing_ids.select(F.col(existing_ids.columns[0]).alias("__add_id")),
+            "__add_id",
+            "semi",
+        ).count()
+        if n_dup:
+            raise ValueError(f"{n_dup} ids already present in the index")
+    return n_new
+
+
 def add_vectors(
     spark: SparkSession,
     index: IvfIndex,
@@ -508,25 +545,17 @@ def add_vectors(
     missing = set(live_cols) - set(df.columns)
     if missing:
         raise ValueError(f"batch is missing index columns: {sorted(missing)}")
-    n_new = df.count()
-    if n_new == 0:
-        raise ValueError("cannot add an empty DataFrame")
-    # P1 — dimension validation, same contract as build_index
-    bad = df.filter(F.size(vec_col) != index.dimension).count()
-    if bad:
-        raise ValueError(
-            f"{bad} records have dimension != {index.dimension}"
-            " (dim validation, P1)"
-        )
-    if df.select(id_col).distinct().count() != n_new:
-        raise ValueError("duplicate ids within the batch")
-    if check_duplicate_ids:
-        existing = spark.read.parquet(index.vectors_path).select(id_col)
-        n_dup = df.select(id_col).join(existing, id_col, "semi").count()
-        if n_dup:
-            raise ValueError(
-                f"{n_dup} ids already present in the index"
-            )
+    n_new = validate_add_batch(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        dimension=index.dimension,
+        existing_ids=(
+            spark.read.parquet(index.vectors_path).select(id_col)
+            if check_duplicate_ids
+            else None
+        ),
+    )
 
     from vector_indexer_spark.streaming.ingest import (  # noqa: PLC0415
         assign_and_shard,  # circular: ingest imports IvfIndex from here

@@ -780,3 +780,97 @@ def search_ivfpq(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_dist2")
     )
+
+
+def add_vectors_ivfpq(
+    spark: SparkSession,
+    index: IvfPqIndex,
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    check_duplicate_ids: bool = True,
+) -> dict:
+    """Incremental ingest for the compressed tier (Faiss
+    ``IndexIVFPQ.add``): assign the new batch to the FROZEN coarse
+    centroids, residual-encode with the FROZEN codebooks, and append
+    shard-partitioned code files — the quantizers are never retrained,
+    so recall on added data drifts only as its distribution drifts
+    from the training sample (re-``build_ivfpq_index`` when it does).
+
+    One shuffle of the new batch only; the live codes table is never
+    read (beyond the optional duplicate-id scan) or rewritten.
+    :func:`~vector_indexer_spark.operators.index_build.compact_index`
+    does not apply here (different table name) — re-append rarely and
+    large, or compact by rewriting ``codes`` the same staged way.
+    Returns ``{n_added, n_vectors}``.
+    """
+    from vector_indexer_spark.operators.index_build import (  # noqa: PLC0415
+        validate_add_batch,
+    )
+    from vector_indexer_spark.operators.kmeans import (  # noqa: PLC0415
+        assign_clusters,
+    )
+
+    n_new = validate_add_batch(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        dimension=index.dimension,
+        existing_ids=(
+            index.codes(spark).select("id") if check_duplicate_ids else None
+        ),
+    )
+    assigned = assign_clusters(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")),
+        index.centroids,
+        vec_col="__vec",
+        out_col="cluster_id",
+        seed=index.seed,
+    )
+    shard_map = spark.createDataFrame(
+        [(int(c), int(s)) for c, s in enumerate(index.centroid_shards)],
+        "cluster_id long, shard_id long",
+    )
+    bstate = spark.sparkContext.broadcast(
+        (index.centroids, index.pq.codebooks)
+    )
+
+    def _encode_res(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents_, cb_ = bstate.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = stack_arrays(pdf["__vec"])
+            cl = pdf["cluster_id"].to_numpy()
+            codes = _encode_batch(x - cents_[cl], cb_)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "codes": list(codes),
+                    "cluster_id": cl,
+                    "shard_id": pdf["shard_id"].to_numpy(),
+                }
+            )
+
+    (
+        assigned.join(F.broadcast(shard_map), "cluster_id")
+        .select("id", "__vec", "cluster_id", "shard_id")
+        .mapInPandas(
+            _encode_res,
+            "id long, codes array<int>, cluster_id long, shard_id long",
+        )
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cluster_id")
+        .write.mode("append")
+        .partitionBy("shard_id")
+        .parquet(index.codes_path())
+    )
+    meta_path = os.path.join(index.path, "ivfpq_meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    index.n_vectors = meta["n_vectors"]
+    return {"n_added": n_new, "n_vectors": index.n_vectors}

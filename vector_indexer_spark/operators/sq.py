@@ -852,3 +852,71 @@ def _ivfsq_search_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adist2")
     )
+
+
+def add_vectors_ivfsq(
+    spark,
+    index: IvfSqIndex,
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    check_duplicate_ids: bool = True,
+) -> dict:
+    """Incremental ingest for the IVF-SQ tier (Faiss
+    ``IndexIVFScalarQuantizer.add``): assign the new batch to the
+    FROZEN coarse centroids, encode residuals with the FROZEN
+    quantizer (values outside the trained [dmin, dmax] clamp to the
+    0/255 edge codes — standard frozen-quantizer behavior; rebuild
+    when the data distribution drifts), append shard-partitioned code
+    files, bump the meta count. One shuffle of the new batch only.
+    Returns ``{n_added, n_vectors}``.
+    """
+    from vector_indexer_spark.operators.index_build import (  # noqa: PLC0415
+        validate_add_batch,
+    )
+    from vector_indexer_spark.operators.kmeans import (  # noqa: PLC0415
+        assign_clusters,
+    )
+
+    n_new = validate_add_batch(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        dimension=index.dimension,
+        existing_ids=(
+            index.codes(spark).select("id") if check_duplicate_ids else None
+        ),
+    )
+    assigned = assign_clusters(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("__vec")),
+        index.centroids,
+        vec_col="__vec",
+        out_col="cluster_id",
+        seed=index.seed,
+    )
+    shard_map = spark.createDataFrame(
+        [(int(c), int(s)) for c, s in enumerate(index.centroid_shards)],
+        "cluster_id long, shard_id long",
+    )
+    codes = ivfsq_encode(
+        assigned, index.centroids_df(spark), index.sq,
+        id_col="id", vec_col="__vec",
+    )
+    (
+        codes.join(F.broadcast(shard_map), "cluster_id")
+        .select("id", "cluster_id", "codes", "shard_id")
+        .repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cluster_id")
+        .write.mode("append")
+        .partitionBy("shard_id")
+        .parquet(os.path.join(index.path, "codes"))
+    )
+    meta_path = os.path.join(index.path, "ivfsq_meta.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["n_vectors"] = int(meta["n_vectors"]) + n_new
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh, indent=2)
+    index.n_vectors = meta["n_vectors"]
+    return {"n_added": n_new, "n_vectors": index.n_vectors}
