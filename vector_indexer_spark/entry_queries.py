@@ -5375,3 +5375,63 @@ _register(
     FROM ranked WHERE rank <= 5
     """,
 )
+
+
+_DEL_IDX_CACHE: dict = {}
+
+
+def _ivf_delete_search_fixed(spark, sf_dir):
+    """Vector deletion proven end-to-end: build over the whole table,
+    delete_vectors ids >= 450, search at FULL probe — exact by
+    construction, so the result must bit-match brute-force kNN over
+    only the surviving rows. A deletion that missed a row (or dropped
+    the wrong one) breaks the hash. Cached per sf_dir."""
+    import tempfile
+
+    from vector_indexer_spark.operators.index_build import (
+        build_index,
+        delete_vectors,
+    )
+    from vector_indexer_spark.operators.search import search_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _DEL_IDX_CACHE:
+        vec = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        path = tempfile.mkdtemp(prefix="ivf_del_entry_") + "/index"
+        idx = build_index(vec, path, nlist=16, seed=42)
+        doomed = emb.filter(F.col("vec_id") >= 450).select(
+            F.col("vec_id").alias("id")
+        )
+        delete_vectors(spark, idx, doomed)
+        _DEL_IDX_CACHE[sf_dir] = idx
+    idx = _DEL_IDX_CACHE[sf_dir]
+    q = emb.filter(F.col("vec_id").isin(2, 460)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_index(
+        spark, idx, q, k=5, n_probe=idx.nlist, method="native"
+    )
+
+
+_register(
+    "ivf_delete_search_fixed",
+    _ivf_delete_search_fixed,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query
+               FROM embeddings WHERE vec_id IN (2, 460)),
+    survivors AS (SELECT * FROM embeddings WHERE vec_id < 450),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id, {_KNN_DIST2_SQL} AS dist2
+      FROM survivors v CROSS JOIN q
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY dist2, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+    FROM ranked WHERE rank <= 5
+    """,
+)
