@@ -77,3 +77,25 @@ def test_empty_build_raises(spark, tmp_path):
 
 def test_suggest_nlist_reexport():
     assert api.suggest_nlist(60_000) == 490
+
+
+def test_api_add_extends_index_and_search_finds(spark, tmp_path):
+    """Faiss-style api.add: ordinal ids continue from n_vectors, added
+    rows are immediately searchable, and full-probe results stay exact."""
+    import numpy as np
+
+    from vector_indexer_spark.api import add, build
+
+    rng = np.random.default_rng(7)
+    xb = rng.standard_normal((200, 16)).astype(np.float32)
+    xa = rng.standard_normal((50, 16)).astype(np.float32)
+    idx = build(xb, str(tmp_path / "apiadd"), spark=spark, nlist=8)
+    assert add(idx, xa) == 250
+    # self-query on an added row at full probe → itself at rank 1
+    D, I = idx.search_sync(xa[:3], k=1, n_probe=idx.nlist)
+    assert list(I[:, 0]) == [200, 201, 202]
+    assert np.allclose(D[:, 0], 0.0, atol=1e-5)
+    with pytest.raises(ValueError, match="dimension"):
+        add(idx, np.zeros((2, 8), dtype=np.float32))
+    with pytest.raises(ValueError, match="one id per row"):
+        add(idx, xa[:2], ids=np.array([900], dtype=np.int64))

@@ -37,6 +37,7 @@ from vector_indexer_spark.config import (
 )
 from vector_indexer_spark.operators.index_build import (
     IvfIndex,
+    add_vectors,
     build_index,
     load_index,
 )
@@ -222,6 +223,44 @@ def build(
         df, work_dir, dimension=d, nlist=nlist, seed=seed
     )
     return VectorIndex(spark, idx)
+
+
+def add(
+    index: VectorIndex,
+    xa: np.ndarray,
+    *,
+    ids: np.ndarray | None = None,
+) -> int:
+    """Faiss-style incremental add to a built index: ``xa`` is an
+    (n, d) float32 matrix; ``ids`` defaults to ordinals continuing
+    from the current ``n_vectors`` (the reference is build-once —
+    this extends the binding the way ``IndexIVF.add``/``add_with_ids``
+    do). Returns the new total vector count."""
+    spark = index._spark
+    xa = np.ascontiguousarray(xa, dtype=np.float32)
+    if xa.ndim != 2 or xa.shape[0] == 0:
+        raise ValueError("xa must be a non-empty (n, d) matrix")
+    n, d = xa.shape
+    if d != index.dimension:
+        raise ValueError(f"xa dimension {d} != index {index.dimension}")
+    if ids is None:
+        ids = np.arange(n, dtype=np.int64) + index._index.n_vectors
+    ids = np.asarray(ids, dtype=np.int64)
+    if ids.shape != (n,):
+        raise ValueError("ids must be one id per row of xa")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ids,
+                "external_id": ids,
+                "values": list(xa),
+                "ts": np.zeros(n, dtype=np.int64),
+            }
+        ),
+        "id long, external_id long, values array<float>, ts long",
+    ).withColumn("ts", F.unix_timestamp().cast("long"))
+    stats = add_vectors(spark, index._index, df)
+    return stats["n_vectors"]
 
 
 def load(
