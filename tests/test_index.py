@@ -811,3 +811,56 @@ class TestAddVectors:
         lazy = load_index(spark, split_idx.path, lazy_centroids=True)
         with pytest.raises(ValueError, match="lazy_centroids"):
             add_vectors(spark, lazy, split_idx.vectors(spark).limit(1))
+
+
+def test_merge_indexes_and_refresh_meta(spark, embeddings, tmp_path):
+    """merge_from semantics: absorb src's rows into dst under DST's
+    centroids; full-probe search over the merged index equals exact
+    kNN over the union. refresh_meta_count repairs a drifted count."""
+    from vector_indexer_spark.operators.index_build import (
+        build_index,
+        merge_indexes,
+        refresh_meta_count,
+    )
+
+    a = embeddings.filter(F.col("vec_id") < 300).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    b = embeddings.filter(F.col("vec_id") >= 300).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    dst = build_index(a, str(tmp_path / "mdst"), nlist=8, seed=42)
+    src = build_index(b, str(tmp_path / "msrc"), nlist=4, seed=7)
+    stats = merge_indexes(spark, dst, src)
+    assert stats["n_added"] == 200 and stats["n_vectors"] == 500
+    # src untouched
+    assert src.vectors(spark).count() == 200
+    q = embeddings.filter(F.col("vec_id").isin(10, 350)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in search_index(
+            spark, dst, q, k=5, n_probe=dst.nlist
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_exact(
+            embeddings, q, k=5, id_col="vec_id", vec_col="embedding"
+        ).collect()
+    }
+    assert got == want
+    # merging again collides on ids
+    with pytest.raises(ValueError, match="already present"):
+        merge_indexes(spark, dst, src)
+
+    # simulate streaming-sink drift: stale meta count
+    import json
+
+    meta = json.load(open(dst.meta_path))
+    meta["n_vectors"] = 300
+    json.dump(meta, open(dst.meta_path, "w"))
+    r = refresh_meta_count(spark, dst)
+    assert r == {"n_vectors": 500, "drift": 200}
+    assert json.load(open(dst.meta_path))["n_vectors"] == 500

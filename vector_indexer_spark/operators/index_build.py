@@ -581,3 +581,43 @@ def add_vectors(
         "n_vectors": index.n_vectors,
         "files_after": _parquet_file_count(index.vectors_path),
     }
+
+
+def refresh_meta_count(spark: SparkSession, index: IvfIndex) -> dict:
+    """Re-derive ``n_vectors`` from the live table and rewrite the meta
+    sidecar. The streaming ingest sink (streaming/ingest.py) appends
+    rows without touching meta — by design: a JSON rewrite per
+    micro-batch from executor-adjacent code would race — so a
+    long-running stream drifts the recorded count. Run this after the
+    stream drains (or on any suspicion of drift: ``add_vectors``
+    interrupted between write and meta update). Returns
+    ``{n_vectors, drift}`` where drift = actual − previously recorded.
+    """
+    actual = spark.read.parquet(index.vectors_path).count()
+    with open(index.meta_path) as f:
+        meta = json.load(f)
+    drift = actual - int(meta["n_vectors"])
+    meta["n_vectors"] = actual
+    with open(index.meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    index.n_vectors = actual
+    return {"n_vectors": actual, "drift": drift}
+
+
+def merge_indexes(
+    spark: SparkSession, dst: IvfIndex, src: IvfIndex
+) -> dict:
+    """Absorb every vector of ``src`` into ``dst`` (Faiss
+    ``merge_from``): reads ``src``'s payload rows (its cluster/shard
+    labels are dropped — they are meaningless under ``dst``'s
+    centroids) and routes them through :func:`add_vectors`, so all the
+    batch guards (dup ids, dimension, schema) apply. ``src`` is left
+    untouched; delete its directory when done with it. The id spaces
+    must be disjoint — overlaps fail the duplicate-id check before
+    anything is written. Returns the add stats."""
+    if src.dimension != dst.dimension:
+        raise ValueError(
+            f"dimension mismatch: src {src.dimension} != dst {dst.dimension}"
+        )
+    rows = src.vectors(spark).drop("cluster_id", "shard_id")
+    return add_vectors(spark, dst, rows)
