@@ -542,3 +542,51 @@ def test_ivfpq_add_vectors_roundtrip(spark, embeddings, tmp_path):
     out = search_ivfpq(spark, idx, q, k=5, n_probe=idx.nlist).toPandas()
     for qid in (450, 470):
         assert qid in set(out[out.query_id == qid].neighbor_id)
+
+
+def test_ivfpq_codes_compaction_after_adds(spark, embeddings, tmp_path):
+    """Repeated compressed-tier adds accumulate small code files;
+    compact_table restores the layout with identical search results."""
+    from vector_indexer_spark.operators.index_build import compact_table
+    from vector_indexer_spark.operators.pq import (
+        add_vectors_ivfpq,
+        build_ivfpq_index,
+        search_ivfpq,
+    )
+
+    base = embeddings.filter(F.col("vec_id") < 400).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    idx = build_ivfpq_index(
+        base, str(tmp_path / "pqc"), nlist=8, m=4, ksub=16, seed=42
+    )
+    for lo in (400, 425, 450, 475):
+        add_vectors_ivfpq(
+            spark,
+            idx,
+            embeddings.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 25)
+            ).select(
+                F.col("vec_id").alias("id"),
+                F.col("embedding").alias("values"),
+            ),
+        )
+    q = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    before = (
+        search_ivfpq(spark, idx, q, k=5, n_probe=idx.nlist)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    stats = compact_table(spark, idx.codes_path())
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["rows"] == 500
+    after = (
+        search_ivfpq(spark, idx, q, k=5, n_probe=idx.nlist)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(before.neighbor_id) == list(after.neighbor_id)

@@ -401,7 +401,15 @@ def compact_index(spark: SparkSession, index: IvfIndex) -> dict:
     overwritten in place (Spark cannot safely overwrite a path it is
     reading). Returns ``{rows, files_before, files_after}``.
     """
-    src = index.vectors_path
+    return compact_table(spark, index.vectors_path)
+
+
+def compact_table(spark: SparkSession, src: str) -> dict:
+    """Compact ANY shard-partitioned cluster-sorted table at ``src`` —
+    the flat index's ``vectors`` dir (via :func:`compact_index`) or a
+    compressed tier's ``codes`` dir (IVF-PQ / IVF-SQ appends from
+    their ``add_vectors_*`` accumulate small files the same way).
+    Same staged-swap + row-count-parity protocol."""
     files_before = _parquet_file_count(src)
 
     def _same_rows(n_before, n_after):
