@@ -1,0 +1,143 @@
+"""Pure-Python PNG codec + resize (multimodal vision preprocessing).
+
+The decoder must handle all five PNG scanline filters even though our
+own encoder only emits filter 0 — external corpora use them all."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators.multimodal import (
+    decode_png,
+    encode_png,
+    resize_array,
+    resize_images,
+)
+
+
+def _filtered_png(arr: np.ndarray, ftype: int) -> bytes:
+    """Reference-side PNG writer applying the SAME filter to every
+    scanline (spec §9 reconstruction run in reverse) — exercises the
+    decoder's unfiltering paths our encoder never produces."""
+    h, w, channels = arr.shape
+    bpp = channels
+    a32 = arr.astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        line = a32[y].reshape(-1)
+        up = a32[y - 1].reshape(-1) if y else np.zeros(w * bpp, np.int32)
+        filt = bytearray([ftype])
+        for x in range(w * bpp):
+            a = line[x - bpp] if x >= bpp else 0
+            b = up[x]
+            c = up[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            filt.append((int(line[x]) - pred) & 0xFF)
+        raw += filt
+
+    def chunk(cid, data):
+        return (
+            struct.pack(">I", len(data)) + cid + data
+            + struct.pack(">I", zlib.crc32(cid + data) & 0xFFFFFFFF)
+        )
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_channel_counts(channels):
+    rng = np.random.default_rng(channels)
+    x = rng.integers(0, 256, (11, 7, channels), dtype=np.uint8)
+    assert (decode_png(encode_png(x)) == x).all()
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_decoder_unfilters_every_filter_type(ftype):
+    rng = np.random.default_rng(ftype)
+    x = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    assert (decode_png(_filtered_png(x, ftype)) == x).all()
+
+
+def test_png_decoder_rejects_unsupported():
+    x = np.zeros((4, 4, 3), dtype=np.uint8)
+    b = bytearray(encode_png(x))
+    # force palette color type in IHDR (byte 25) — CRC not checked
+    b[25] = 3
+    with pytest.raises(ValueError, match="color type"):
+        decode_png(bytes(b))
+    b = bytearray(encode_png(x))
+    b[24] = 16  # bit depth
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bytes(b))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a")
+
+
+def test_resize_invariants():
+    rng = np.random.default_rng(42)
+    x = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    for method in ("nearest", "bilinear"):
+        r = resize_array(x, 15, 10, method=method)
+        assert r.shape == (10, 15, 3)
+        u = resize_array(x, 60, 40, method=method)
+        assert u.shape == (40, 60, 3)
+    # constant image stays constant under both kernels
+    const = np.full((8, 8, 1), 77, dtype=np.uint8)
+    for method in ("nearest", "bilinear"):
+        assert (resize_array(const, 5, 3, method=method) == 77).all()
+    # identity resize is exact for nearest; bilinear with same grid too
+    assert (resize_array(x, 30, 20, method="nearest") == x).all()
+    assert (resize_array(x, 30, 20, method="bilinear") == x).all()
+    with pytest.raises(ValueError, match="positive"):
+        resize_array(x, 0, 5)
+    with pytest.raises(ValueError, match="method"):
+        resize_array(x, 5, 5, method="lanczos")
+
+
+def test_resize_images_spark_matches_local(spark):
+    rng = np.random.default_rng(7)
+    imgs = {
+        i: rng.integers(0, 256, (16 + i, 24 - i, 3), dtype=np.uint8)
+        for i in range(4)
+    }
+    rows = [(i, "image", bytearray(encode_png(a)), "t") for i, a in imgs.items()]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, content binary, source string"
+    )
+    out = {
+        r.media_id: r
+        for r in resize_images(media, 8, 8, method="bilinear").collect()
+    }
+    assert set(out) == set(imgs)
+    for i, arr in imgs.items():
+        want = resize_array(arr, 8, 8, method="bilinear")
+        got = decode_png(bytes(out[i].content))
+        assert out[i].width == 8 and out[i].height == 8
+        assert out[i].channels == 3
+        assert (got == want).all()
+    # raw-bytes mode for a downstream tensorizer
+    raw = resize_images(media, 4, 4, reencode=False).collect()[0]
+    assert len(bytes(raw.content)) == 4 * 4 * 3

@@ -5435,3 +5435,92 @@ _register(
     FROM ranked WHERE rank <= 5
     """,
 )
+
+
+def _media_resize_checksum(spark, sf_dir):
+    """The full PNG decode→resize path locked by an exact oracle:
+    pixels are formula-generated ((did + 3x + 7y + c) mod 256),
+    encoded to real zlib-compressed PNGs (multimodal.encode_png),
+    decoded + nearest-resized to 4x4 by resize_images, and the
+    per-image pixel sum is recomputed in pure integer SQL from the
+    same formula + the same pixel-center index mapping
+    (xs_i = floor((i+0.5)·w/4)). Any defect in the codec, the
+    unfilter, or the resample index math breaks the hash."""
+    import pandas as pd  # noqa: PLC0415
+
+    from vector_indexer_spark.operators.multimodal import (
+        encode_png,
+        resize_images,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def _mk(batches):
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 + did % 5, 8 + (did * 3) % 5
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                arr = ((did + 3 * x + 7 * y + c) % 256).astype(np.uint8)
+                payloads.append(encode_png(arr))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(_mk, "media_id long, content binary")
+    resized = resize_images(media, 4, 4, method="nearest", reencode=False)
+
+    def _sum(batches):
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "pixel_sum": [
+                        int(
+                            np.frombuffer(bytes(b), dtype=np.uint8)
+                            .astype(np.int64)
+                            .sum()
+                        )
+                        for b in pdf["content"]
+                    ],
+                }
+            )
+
+    return resized.mapInPandas(_sum, "media_id long, pixel_sum long")
+
+
+_register(
+    "media_resize_checksum",
+    _media_resize_checksum,
+    """
+    WITH dims AS (
+      SELECT doc_id AS media_id,
+             8 + doc_id % 5 AS w,
+             8 + (doc_id * 3) % 5 AS h
+      FROM documents WHERE doc_id < 200
+    ),
+    px AS (
+      SELECT d.media_id,
+             (d.media_id + 3 * (((2 * i.i + 1) * d.w) // 8)
+                         + 7 * (((2 * j.j + 1) * d.h) // 8) + c.c) % 256
+               AS val
+      FROM dims d,
+           range(0, 4) i(i), range(0, 4) j(j), range(0, 3) c(c)
+    )
+    SELECT media_id, CAST(sum(val) AS BIGINT) AS pixel_sum
+    FROM px GROUP BY media_id
+    """,
+)
