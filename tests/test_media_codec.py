@@ -141,3 +141,54 @@ def test_resize_images_spark_matches_local(spark):
     # raw-bytes mode for a downstream tensorizer
     raw = resize_images(media, 4, 4, reencode=False).collect()[0]
     assert len(bytes(raw.content)) == 4 * 4 * 3
+
+
+def test_wav_roundtrip_and_rejects():
+    from vector_indexer_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    for ch in (1, 2):
+        x = rng.integers(-32768, 32768, (77, ch)).astype(np.int16)
+        s, r = decode_wav(encode_wav(x, 44100))
+        assert r == 44100 and (s == x).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    # float-format WAV (format code 3) rejected
+    b = bytearray(encode_wav(np.zeros((4, 1), np.int16), 8000))
+    b[20] = 3
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        decode_wav(bytes(b))
+
+
+def test_audio_features_zero_carry_zcr_and_stereo(spark):
+    from vector_indexer_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    # zeros are transparent to ZCR: +,0,−,+ reduces to +,−,+ = 2 flips
+    mono = np.array([5, 0, -5, 5], dtype=np.int16)[:, None]
+    stereo = np.stack(
+        [np.array([1, -1, 1, -1], np.int16),
+         np.array([2, 2, 2, 2], np.int16)], axis=1
+    )
+    rows = [
+        (0, "audio", bytearray(encode_wav(mono, 1000)), "t"),
+        (1, "audio", bytearray(encode_wav(stereo, 2000)), "t"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, content binary, source string"
+    )
+    out = {r.media_id: r for r in audio_features(media).collect()}
+    m = out[0]
+    assert (m.n_frames, m.sample_rate, m.channels) == (4, 1000, 1)
+    assert m.zero_crossings == 2  # + (0 skipped) - + : two sign flips
+    assert m.sum_abs == 15 and m.peak_abs == 5 and m.sum_sq == 75
+    assert m.duration_ms == 4 * 1000 // 1000
+    s = out[1]
+    assert (s.n_frames, s.channels) == (4, 2)
+    assert s.zero_crossings == 3  # ch0: 3 flips, ch1: 0
+    assert s.sum_abs == 4 + 8 and s.sum_sq == 4 + 16

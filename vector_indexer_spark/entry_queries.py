@@ -5524,3 +5524,93 @@ _register(
     FROM px GROUP BY media_id
     """,
 )
+
+
+def _media_audio_features(spark, sf_dir):
+    """Real WAV decode locked by oracle: PCM samples are
+    formula-generated (((did*31 + i*17) mod 65536) − 32768), packed
+    into genuine RIFF/WAVE bytes (multimodal.encode_wav), decoded by
+    audio_features, and every integer statistic (sums, peak, strict
+    sign-flip zero crossings with zeros transparent) is recomputed in
+    pure SQL from the same formula."""
+    import pandas as pd  # noqa: PLC0415
+
+    from vector_indexer_spark.operators.multimodal import (
+        audio_features,
+        encode_wav,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 200)
+    )
+
+    def _mk(batches):
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 37
+                i = np.arange(n, dtype=np.int64)
+                v = ((did * 31 + i * 17) % 65536) - 32768
+                payloads.append(
+                    encode_wav(v.astype(np.int16), 8000)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(_mk, "media_id long, content binary")
+    return audio_features(media)
+
+
+_register(
+    "media_audio_features",
+    _media_audio_features,
+    """
+    WITH params AS (
+      SELECT doc_id AS media_id, 64 + doc_id % 37 AS n
+      FROM documents WHERE doc_id < 200
+    ),
+    samp AS (
+      SELECT media_id, CAST(u.i AS BIGINT) AS i,
+             ((media_id * 31 + u.i * 17) % 65536) - 32768 AS v
+      FROM (SELECT media_id, unnest(range(0, n)) AS i FROM params) u(media_id, i)
+    ),
+    aggs AS (
+      SELECT media_id,
+             count(*) AS n_frames,
+             sum(abs(v)) AS sum_abs,
+             sum(v * v) AS sum_sq,
+             max(abs(v)) AS peak_abs
+      FROM samp GROUP BY media_id
+    ),
+    nz AS (
+      SELECT media_id, i, CASE WHEN v > 0 THEN 1 ELSE -1 END AS s
+      FROM samp WHERE v <> 0
+    ),
+    zc AS (
+      SELECT media_id,
+             count(*) FILTER (WHERE prev IS NOT NULL AND s <> prev) AS flips
+      FROM (SELECT media_id, s,
+                   lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+            FROM nz)
+      GROUP BY media_id
+    )
+    SELECT a.media_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS channels,
+           CAST(a.n_frames AS BIGINT) AS n_frames,
+           CAST(a.n_frames * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(a.sum_abs AS BIGINT) AS sum_abs,
+           CAST(a.sum_sq AS BIGINT) AS sum_sq,
+           CAST(a.peak_abs AS BIGINT) AS peak_abs,
+           CAST(coalesce(z.flips, 0) AS BIGINT) AS zero_crossings
+    FROM aggs a LEFT JOIN zc z USING (media_id)
+    """,
+)

@@ -460,3 +460,117 @@ def resize_images(
         _resize,
         "media_id long, width int, height int, channels int, content binary",
     )
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM codec + audio features — audio's twin of the PNG codec above:
+# 16-bit PCM is raw samples behind a RIFF header, so a real decoder
+# needs only struct math. Features are integer-exact so the whole
+# decode path can be oracled in pure SQL (media_audio_features).
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → ``((n_frames, channels) int16 array, sample_rate)``.
+    PCM format 1, 16-bit only (the training-corpus normal form);
+    compressed/float WAVs raise."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("malformed WAV: not RIFF/WAVE")
+    fmt = rate = channels = None
+    data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: format {fmt}, {bits}-bit"
+                    " (16-bit PCM only)"
+                )
+        elif cid == b"data":
+            data = body
+        i += 8 + csize + (csize % 2)
+    if rate is None or data is None or not channels:
+        raise ValueError("malformed WAV: missing fmt /data chunk")
+    samples = np.frombuffer(
+        data[: (len(data) // (2 * channels)) * 2 * channels], dtype="<i2"
+    ).reshape(-1, channels)
+    return samples, rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """``(n, channels)`` int16 array → canonical 16-bit PCM WAV."""
+    import struct  # noqa: PLC0415
+
+    samples = np.ascontiguousarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, channels = samples.shape
+    data = samples.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH",
+        1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Real audio feature extraction over WAV payloads: decode PCM,
+    emit integer-exact per-clip statistics (sums/peaks/zero crossings
+    stay in int64 — deterministic on every platform, and SQL-oracleable;
+    derive RMS etc. downstream as ``sqrt(sum_sq / n_samples)``).
+
+    Returns ``(media_id, sample_rate, channels, n_frames, duration_ms,
+    sum_abs, sum_sq, peak_abs, zero_crossings)``; zero crossings count
+    strict sign flips (+/−) along each channel, summed over channels,
+    with zero samples carrying the previous sign (the standard ZCR
+    convention that ignores silence plateaus)."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {
+                "media_id": [], "sample_rate": [], "channels": [],
+                "n_frames": [], "duration_ms": [], "sum_abs": [],
+                "sum_sq": [], "peak_abs": [], "zero_crossings": [],
+            }
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                s, rate = decode_wav(bytes(content))
+                s64 = s.astype(np.int64)
+                sgn = np.sign(s64)
+                # carry previous sign across zeros, per channel
+                flips = 0
+                for ch in range(s.shape[1]):
+                    col = sgn[:, ch]
+                    nz = col[col != 0]
+                    flips += int((nz[1:] != nz[:-1]).sum()) if nz.size else 0
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["channels"].append(s.shape[1])
+                rows["n_frames"].append(s.shape[0])
+                rows["duration_ms"].append(s.shape[0] * 1000 // rate)
+                rows["sum_abs"].append(int(np.abs(s64).sum()))
+                rows["sum_sq"].append(int((s64 * s64).sum()))
+                rows["peak_abs"].append(int(np.abs(s64).max(initial=0)))
+                rows["zero_crossings"].append(flips)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(
+        _feats,
+        "media_id long, sample_rate int, channels int, n_frames long,"
+        " duration_ms long, sum_abs long, sum_sq long, peak_abs long,"
+        " zero_crossings long",
+    )
