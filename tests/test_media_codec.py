@@ -192,3 +192,77 @@ def test_audio_features_zero_carry_zcr_and_stereo(spark):
     assert (s.n_frames, s.channels) == (4, 2)
     assert s.zero_crossings == 3  # ch0: 3 flips, ch1: 0
     assert s.sum_abs == 4 + 8 and s.sum_sq == 4 + 16
+
+
+def test_avi_demux_roundtrip_and_rejects():
+    from vector_indexer_spark.operators.multimodal import (
+        encode_avi,
+        encode_png,
+        parse_avi,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = [
+        encode_png(rng.integers(0, 256, (6, 8, 3), dtype=np.uint8))
+        for _ in range(4)
+    ]
+    m = parse_avi(encode_avi(frames, 33333, 8, 6))
+    assert m["n_frames"] == 4 and (m["width"], m["height"]) == (8, 6)
+    assert m["duration_ms"] == 4 * 33333 // 1000
+    assert m["frames"] == frames
+    # odd-length frame payload exercises RIFF word alignment
+    odd = [b"\x01\x02\x03", b"\x04"]
+    m2 = parse_avi(encode_avi(odd, 1000, 1, 1))
+    assert m2["frames"] == odd
+    with pytest.raises(ValueError, match="not RIFF/AVI"):
+        parse_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="avih"):
+        parse_avi(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_video_real_decode_and_frame_explode(spark):
+    from vector_indexer_spark.operators.multimodal import (
+        decode_png,
+        demux_video_frames,
+        encode_avi,
+        encode_png,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(11)
+    payloads = {}
+    for vid, nf in ((0, 3), (1, 5)):
+        payloads[vid] = [
+            rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+            for _ in range(nf)
+        ]
+    rows = [
+        (
+            vid,
+            "video",
+            bytearray(
+                encode_avi([encode_png(a) for a in arrs], 40000, 5, 4)
+            ),
+            "t",
+        )
+        for vid, arrs in payloads.items()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, content binary, source string"
+    )
+    # the once-stubbed video branch of decoder="real" now works
+    feats = {
+        r.media_id: r
+        for r in extract_features(media, decoder="real").collect()
+    }
+    assert (feats[0].width, feats[0].height) == (5, 4)
+    assert feats[1].duration_ms == 5 * 40000 // 1000
+    # per-frame explode → frames decode back to the exact pixels
+    out = demux_video_frames(media).collect()
+    assert {(r.media_id, r.frame_idx) for r in out} == {
+        (v, i) for v, arrs in payloads.items() for i in range(len(arrs))
+    }
+    for r in out:
+        assert (
+            decode_png(bytes(r.frame)) == payloads[r.media_id][r.frame_idx]
+        ).all()

@@ -5614,3 +5614,88 @@ _register(
     FROM aggs a LEFT JOIN zc z USING (media_id)
     """,
 )
+
+
+def _media_video_meta(spark, sf_dir):
+    """Real AVI demux locked by oracle: containers are built with
+    doc_id-derived frame counts/fps/dims around genuine PNG frames,
+    the once-stubbed video branch of ``decoder="real"`` recovers
+    width/height/duration from avih, and ``demux_video_frames``
+    recovers the frame count — all recomputed by formula in SQL."""
+    import pandas as pd  # noqa: PLC0415
+
+    from vector_indexer_spark.operators.multimodal import (
+        demux_video_frames,
+        encode_avi,
+        encode_png,
+        extract_features,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 100)
+    )
+
+    def _mk(batches):
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 1 + did % 7
+                w, h = 4 + did % 9, 4 + (did * 5) % 9
+                usec = 20000 + (did % 3) * 10000
+                y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                frames = [
+                    encode_png(
+                        ((did + f + 3 * x + 7 * y + c) % 256).astype(
+                            np.uint8
+                        )
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi(frames, usec, w, h))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "modality": "video",
+                    "content": payloads,
+                    "source": "synthetic",
+                }
+            )
+
+    media = docs.mapInPandas(
+        _mk,
+        "media_id long, modality string, content binary, source string",
+    ).cache()
+    meta = extract_features(media, decoder="real").select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("duration_ms").alias("duration_ms"),
+    )
+    counts = (
+        demux_video_frames(media)
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_frames"))
+    )
+    return meta.join(counts, "media_id")
+
+
+_register(
+    "media_video_meta",
+    _media_video_meta,
+    """
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 9 AS BIGINT) AS width,
+           CAST(4 + (doc_id * 5) % 9 AS BIGINT) AS height,
+           CAST((1 + doc_id % 7) * (20000 + (doc_id % 3) * 10000) // 1000
+                AS BIGINT) AS duration_ms,
+           CAST(1 + doc_id % 7 AS BIGINT) AS n_frames
+    FROM documents WHERE doc_id < 100
+    """,
+)

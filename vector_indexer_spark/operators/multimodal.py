@@ -2,13 +2,15 @@
 
 Treats image/audio/video payloads as opaque ``BINARY`` columns with
 typed metadata, processed in Arrow batches via ``mapInPandas``.
-``decoder="real"`` is a genuine pure-Python header decoder: PNG IHDR /
-JPEG SOF / GIF logical-screen width+height for images, WAV RIFF
-duration for audio, plus deterministic byte-histogram features — no
-PIL/librosa needed. Only video demux (which genuinely requires
-ffmpeg, absent in this container) remains a ``NotImplementedError``
-plug-in point. ``decoder="fake"`` keeps the fully-synthetic blake2b
-path for plumbing tests on arbitrary payloads.
+``decoder="real"`` is a genuine pure-Python decoder stack: PNG IHDR /
+JPEG SOF / GIF logical-screen width+height for images (plus a FULL
+PNG pixel codec below), WAV RIFF duration + PCM samples for audio,
+AVI container demux (avih metadata + movi frame chunks) for video,
+and deterministic byte-histogram features — no PIL/librosa/ffmpeg
+needed. The only out-of-scope piece is pixel decode of patent-era
+video codecs (H.264 etc.); MJPEG/PNG-in-AVI frames decode with the
+image codecs here. ``decoder="fake"`` keeps the fully-synthetic
+blake2b path for plumbing tests on arbitrary payloads.
 
 At 100 TB: binary payloads dominate row size, so the operators
 repartition by byte volume ahead of feature extraction
@@ -172,11 +174,9 @@ def _real_decode(content: bytes, modality: str) -> dict:
     elif modality == "audio":
         duration_ms = _parse_wav_duration_ms(content)
     elif modality == "video":
-        raise NotImplementedError(
-            "video demux requires ffmpeg, not available in this "
-            "environment; plug the decoder in here and keep the "
-            "surrounding mapInPandas plumbing unchanged"
-        )
+        meta = parse_avi(content)
+        width, height = meta["width"], meta["height"]
+        duration_ms = meta["duration_ms"]
     return {
         "byte_len": len(content),
         "width": width,
@@ -573,4 +573,115 @@ def audio_features(df: DataFrame) -> DataFrame:
         "media_id long, sample_rate int, channels int, n_frames long,"
         " duration_ms long, sum_abs long, sum_sq long, peak_abs long,"
         " zero_crossings long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# AVI container demux — video's RIFF sibling of the WAV codec: pure
+# struct math walks LIST('hdrl' avih …) for metadata and LIST('movi')
+# for the per-frame chunks. Codec-agnostic: frame payloads come back
+# as raw bytes (MJPEG corpora → _parse_jpeg / a future JPEG pixel
+# decoder; our synthetic fixtures carry PNG frames → decode_png works
+# on them directly). This removes the last decode stub — only frame
+# PIXEL decode of patent-era codecs (H.264 etc.) stays out of scope.
+# ---------------------------------------------------------------------------
+
+
+def _iter_riff_chunks(b: bytes, start: int, end: int):
+    i = start
+    while i + 8 <= end:
+        cid = b[i : i + 4]
+        csize = int.from_bytes(b[i + 4 : i + 8], "little")
+        yield cid, i + 8, min(i + 8 + csize, end)
+        i += 8 + csize + (csize % 2)  # word-aligned
+
+
+def parse_avi(b: bytes) -> dict:
+    """AVI bytes → ``{width, height, n_frames, usec_per_frame,
+    duration_ms, frames: [bytes, ...]}``. Walks the RIFF tree for the
+    mandatory ``avih`` header and every ``##dc``/``##db`` video frame
+    chunk inside ``LIST('movi')`` (OpenDML index chunks are skipped —
+    sequential demux needs none)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("malformed AVI: not RIFF/AVI ")
+    meta = {}
+    frames = []
+
+    def walk(start, end):
+        for cid, ds, de in _iter_riff_chunks(b, start, end):
+            if cid == b"LIST":
+                walk(ds + 4, de)  # skip the 4-byte list type
+            elif cid == b"avih" and de - ds >= 40:
+                meta["usec_per_frame"] = int.from_bytes(b[ds : ds + 4], "little")
+                meta["n_frames_hdr"] = int.from_bytes(
+                    b[ds + 16 : ds + 20], "little"
+                )
+                meta["width"] = int.from_bytes(b[ds + 32 : ds + 36], "little")
+                meta["height"] = int.from_bytes(b[ds + 36 : ds + 40], "little")
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                frames.append(b[ds:de])
+
+    walk(12, len(b))
+    if "usec_per_frame" not in meta:
+        raise ValueError("malformed AVI: missing avih header")
+    n = len(frames)
+    return {
+        "width": meta["width"],
+        "height": meta["height"],
+        "n_frames": n,
+        "usec_per_frame": meta["usec_per_frame"],
+        "duration_ms": n * meta["usec_per_frame"] // 1000,
+        "frames": frames,
+    }
+
+
+def encode_avi(
+    frames: list, usec_per_frame: int, width: int, height: int
+) -> bytes:
+    """Minimal standards-shaped AVI writer: RIFF('AVI ' LIST('hdrl'
+    avih) LIST('movi' 00dc…)). Frame payloads are written verbatim —
+    pair with :func:`encode_png` for fully-synthetic decodable video."""
+    import struct  # noqa: PLC0415
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, 0, 0, 0, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi = chunk(
+        b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_video_frames(df: DataFrame) -> DataFrame:
+    """Explode AVI payloads into per-frame rows ``(media_id,
+    frame_idx, byte_len, frame)`` — the real-container counterpart of
+    :func:`sample_frames`, feeding a downstream frame decoder (e.g.
+    ``decode_png`` for synthetic PNG-in-AVI corpora, a JPEG pixel
+    decoder for MJPEG)."""
+
+    def _demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {"media_id": [], "frame_idx": [], "byte_len": [],
+                    "frame": []}
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for i, fr in enumerate(parse_avi(bytes(content))["frames"]):
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["byte_len"].append(len(fr))
+                    rows["frame"].append(fr)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(
+        _demux,
+        "media_id long, frame_idx int, byte_len long, frame binary",
     )
