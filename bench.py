@@ -546,6 +546,58 @@ def main() -> None:
         extras["dedup1M_pairs"] = int(n_pairs)
         docs1m.unpersist()
 
+    # --- multimodal decode throughput: 50k synthetic PNGs decoded +
+    # bilinear-resized to 32x32 through the full mapInPandas codec
+    # path (pure-Python inflate + unfilter + NumPy resample + deflate).
+    # The per-image work is embarrassingly parallel; this measures the
+    # pipeline's per-core image rate, the number that scales linearly
+    # with executors at 100 TB.
+    if os.environ.get("BENCH_MEDIA", "1") == "1":
+        from vector_indexer_spark.operators.multimodal import (
+            encode_png,
+            resize_images,
+        )
+
+        n_img = int(os.environ.get("BENCH_MEDIA_N", "50000"))
+
+        def _mk_png(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                payloads = []
+                for mid in pdf["id"]:
+                    mid = int(mid)
+                    h, w = 40 + mid % 25, 40 + (mid * 7) % 25
+                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                    payloads.append(
+                        encode_png(
+                            ((mid + 3 * x + 7 * y + c) % 256).astype(
+                                np.uint8
+                            )
+                        )
+                    )
+                yield pd.DataFrame(
+                    {"media_id": pdf["id"], "content": payloads}
+                )
+
+        media = (
+            spark.range(n_img)
+            .repartition(32)
+            .mapInPandas(_mk_png, "media_id long, content binary")
+            .persist()
+        )
+        media.count()  # materialize: time decode+resize, not generation
+        t0 = time.perf_counter()
+        resize_images(media, 32, 32, method="bilinear").count()
+        dt = time.perf_counter() - t0
+        extras["media_resize_sec"] = round(dt, 3)
+        extras["media_resize_n_images"] = n_img
+        extras["media_images_per_sec"] = round(n_img / dt, 1)
+        media.unpersist()
+
     results = {k: round(v, 4) for k, v in results.items()}
     print(
         json.dumps(
