@@ -435,3 +435,36 @@ def test_global_topk_windows_rewrite_to_take_ordered(spark, documents, embedding
             f"{name}: global top-k not rewritten; the window would "
             f"move all scored rows to one partition\n{plan[:1500]}"
         )
+
+
+def test_media_codec_ops_are_scan_local(spark):
+    """The whole multimodal stage (PNG resize, WAV features, AVI frame
+    explode) is mapInPandas over the scan — zero shuffles, zero
+    broadcasts: per-payload work scales embarrassingly with executors."""
+    import numpy as np
+
+    from vector_indexer_spark.operators.multimodal import (
+        audio_features,
+        demux_video_frames,
+        encode_avi,
+        encode_png,
+        encode_wav,
+        resize_images,
+    )
+
+    img = encode_png(np.zeros((8, 8, 3), dtype=np.uint8))
+    wav = encode_wav(np.zeros((16, 1), dtype=np.int16), 8000)
+    avi = encode_avi([img, img], 40000, 8, 8)
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(img), "t"),
+         (1, "audio", bytearray(wav), "t"),
+         (2, "video", bytearray(avi), "t")],
+        "media_id long, modality string, content binary, source string",
+    )
+    for df in (
+        resize_images(media, 4, 4),
+        audio_features(media),
+        demux_video_frames(media),
+    ):
+        s = audit.plan_summary(df)
+        assert s["shuffles"] == 0 and s["broadcasts"] == 0

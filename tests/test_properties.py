@@ -169,3 +169,98 @@ class TestCapPerGroupProperty:
             for rank, (_negn, i) in enumerate(sorted(members)[:cap], 1):
                 want[(src, i)] = rank
         assert got == want
+
+
+class TestMediaCodecProperties:
+    """Pure-local codec properties (no Spark job per example, so these
+    can afford many examples): encode∘decode identity over arbitrary
+    shapes/channels, and resample bounds."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        c=st.integers(1, 4),
+        seed=st.integers(0, 2**31),
+    )
+    def test_png_roundtrip(self, w, h, c, seed):
+        import numpy as np
+
+        from vector_indexer_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        x = np.random.default_rng(seed).integers(
+            0, 256, (h, w, c), dtype=np.uint8
+        )
+        assert (decode_png(encode_png(x)) == x).all()
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        n=st.integers(1, 200),
+        ch=st.integers(1, 2),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_wav_roundtrip(self, n, ch, rate, seed):
+        import numpy as np
+
+        from vector_indexer_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        x = (
+            np.random.default_rng(seed)
+            .integers(-32768, 32768, (n, ch))
+            .astype(np.int16)
+        )
+        s, r = decode_wav(encode_wav(x, rate))
+        assert r == rate and (s == x).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 16),
+        tw=st.integers(1, 16),
+        th=st.integers(1, 16),
+        method=st.sampled_from(["nearest", "bilinear"]),
+        seed=st.integers(0, 2**31),
+    )
+    def test_resize_shape_and_range(self, w, h, tw, th, method, seed):
+        import numpy as np
+
+        from vector_indexer_spark.operators.multimodal import resize_array
+
+        x = np.random.default_rng(seed).integers(
+            0, 256, (h, w, 3), dtype=np.uint8
+        )
+        r = resize_array(x, tw, th, method=method)
+        assert r.shape == (th, tw, 3)
+        # resample output stays inside the input's value envelope
+        assert r.min() >= x.min() and r.max() <= x.max()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        nf=st.integers(0, 6),
+        usec=st.integers(1000, 100000),
+        seed=st.integers(0, 2**31),
+    )
+    def test_avi_roundtrip(self, nf, usec, seed):
+        import numpy as np
+
+        from vector_indexer_spark.operators.multimodal import (
+            encode_avi,
+            parse_avi,
+        )
+
+        rng = np.random.default_rng(seed)
+        frames = [
+            bytes(rng.integers(0, 256, rng.integers(0, 40)).astype(np.uint8))
+            for _ in range(nf)
+        ]
+        m = parse_avi(encode_avi(frames, usec, 3, 2))
+        assert m["frames"] == frames
+        assert m["n_frames"] == nf
+        assert m["duration_ms"] == nf * usec // 1000
