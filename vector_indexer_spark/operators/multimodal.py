@@ -318,15 +318,17 @@ def decode_png(b: bytes) -> np.ndarray:
             rec = line
         elif ftype == 2:  # Up
             rec = (line + up) & 0xFF
-        elif ftype in (1, 3, 4):  # left-dependent: sequential in x
+        elif ftype == 1:  # Sub: per-channel prefix sum mod 256
+            rec = (
+                np.cumsum(line.reshape(w, bpp), axis=0) & 0xFF
+            ).reshape(-1)
+        elif ftype in (3, 4):  # left+up dependent: sequential in x
             rec = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
                 a = rec[x - bpp] if x >= bpp else 0
                 bb = up[x]
                 c = up[x - bpp] if x >= bpp else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
+                if ftype == 3:
                     pred = (a + bb) >> 1
                 else:
                     p = a + bb - c
