@@ -864,3 +864,54 @@ def test_merge_indexes_and_refresh_meta(spark, embeddings, tmp_path):
     r = refresh_meta_count(spark, dst)
     assert r == {"n_vectors": 500, "drift": 200}
     assert json.load(open(dst.meta_path))["n_vectors"] == 500
+
+
+def test_missing_shard_tolerated_with_warning(spark, embeddings, tmp_path):
+    """P8 — missing-shard tolerance (reference src/shards.rs: warn and
+    serve from surviving shards): delete a shard dir, search still
+    succeeds with a RuntimeWarning, and at full probe the result is
+    EXACTLY brute-force kNN over the rows that physically survive."""
+    import shutil
+    import warnings
+
+    from vector_indexer_spark.operators.index_build import build_index
+
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    idx = build_index(vec, str(tmp_path / "p8idx"), nlist=16, seed=42)
+    victim = os.path.join(idx.vectors_path, "shard_id=0")
+    assert os.path.isdir(victim)
+    shutil.rmtree(victim)
+    survivors = {
+        r.id for r in idx.vectors(spark).select("id").collect()
+    }
+    assert 0 < len(survivors) < 500
+    q = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    for method in ("arrow", "native"):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            got = {
+                (r.query_id, r.rank): r.neighbor_id
+                for r in search_index(
+                    spark, idx, q, k=5, n_probe=idx.nlist, method=method
+                ).collect()
+            }
+        assert any(
+            issubclass(x.category, RuntimeWarning)
+            and "missing" in str(x.message)
+            for x in w
+        ), method
+        want = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in knn_exact(
+                embeddings.filter(F.col("vec_id").isin(list(survivors))),
+                q,
+                k=5,
+                id_col="vec_id",
+                vec_col="embedding",
+            ).collect()
+        }
+        assert got == want, method

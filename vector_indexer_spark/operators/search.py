@@ -221,6 +221,35 @@ def rank_probes_relational(
     )
 
 
+def _warn_missing_shards(index: IvfIndex) -> None:
+    """P8 — missing-shard tolerance, reference semantics (a shard file
+    that disappeared logs a warning and search proceeds over the
+    surviving shards, src/shards.rs): Spark's Hive partition discovery
+    lists the shard dirs fresh at scan time, so an absent
+    ``shard_id=N`` is silently skipped — results simply come from the
+    remaining shards (proven exact vs kNN-over-survivors in
+    test_index.py). This check only adds the reference's warning, and
+    only where it can be had for free: a local filesystem path. Remote
+    object-store paths skip it — a per-search remote listing would
+    cost more than the warning is worth."""
+    import os  # noqa: PLC0415
+    import warnings  # noqa: PLC0415
+
+    root = index.vectors_path
+    if not os.path.isdir(os.path.dirname(root)) or not os.path.isdir(root):
+        return  # remote path (or no local table) — discovery handles it
+    present = sum(
+        1 for d in os.listdir(root) if d.startswith("shard_id=")
+    )
+    if present < index.n_shards:
+        warnings.warn(
+            f"{index.n_shards - present} of {index.n_shards} index shards"
+            " missing on disk; searching the surviving shards (P8)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def search_index(
     spark: SparkSession,
     index: IvfIndex,
@@ -271,6 +300,7 @@ def search_index(
 
     if filter_expr is not None and isinstance(filter_expr, str):
         filter_expr = F.expr(filter_expr)
+    _warn_missing_shards(index)
     if method == "native":
         out = _search_native(
             spark, index, queries, k, n_probe, query_id_col, query_col,
