@@ -915,3 +915,38 @@ def test_missing_shard_tolerated_with_warning(spark, embeddings, tmp_path):
             ).collect()
         }
         assert got == want, method
+
+
+def test_per_cluster_query_returns_same_cluster_majority(spark, tmp_path):
+    """Reference integration semantics (integration_tests.rs:241-306):
+    on a well-separated clustered corpus, a query drawn from a cluster
+    gets neighbors overwhelmingly from its own trained cluster, even
+    with several probes open."""
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.sources.files import (
+        generate_clustered_vectors,
+    )
+
+    synth = generate_clustered_vectors(
+        spark, 2000, 16, n_clusters=8, separation=10.0, noise=0.3, seed=3
+    )
+    vec = synth.select("id", "values")
+    idx = build_index(vec, str(tmp_path / "cmidx"), nlist=8, seed=42)
+    assigned = idx.vectors(spark).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("cluster_id").alias("n_cluster"),
+    )
+    q = vec.filter(F.col("id") % 400 == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    out = search_index(spark, idx, q, k=10, n_probe=4)
+    own = idx.vectors(spark).select(
+        F.col("id").alias("query_id"), F.col("cluster_id").alias("q_cluster")
+    )
+    joined = out.join(assigned, "neighbor_id").join(own, "query_id")
+    frac = joined.agg(
+        F.avg(
+            (F.col("n_cluster") == F.col("q_cluster")).cast("double")
+        ).alias("f")
+    ).collect()[0]["f"]
+    assert frac >= 0.9, frac
