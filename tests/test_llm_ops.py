@@ -238,13 +238,22 @@ class TestRealHeaderDecode:
         out = multimodal.extract_features(media, decoder="real").toPandas()
         assert len(out) == 5 and (out.byte_len > 0).all()
 
-    def test_video_still_plugin_point(self, spark):
+    def test_video_real_decode_via_avi(self, spark):
+        # round 4: the video branch is a real AVI demux — metadata
+        # comes from avih, and a non-AVI payload fails loudly
+        avi = multimodal.encode_avi([b"frame0", b"frame1"], 50000, 7, 3)
         media = spark.createDataFrame(
+            [(0, "video", bytearray(avi), "t")],
+            "media_id long, modality string, content binary, source string",
+        )
+        row = multimodal.extract_features(media, decoder="real").collect()[0]
+        assert (row.width, row.height, row.duration_ms) == (7, 3, 100)
+        junk = spark.createDataFrame(
             [(0, "video", b"\x00" * 64, "t")],
             "media_id long, modality string, content binary, source string",
         )
-        with pytest.raises(Exception, match="NotImplemented|ffmpeg"):
-            multimodal.extract_features(media, decoder="real").collect()
+        with pytest.raises(Exception, match="RIFF/AVI"):
+            multimodal.extract_features(junk, decoder="real").collect()
 
     def test_malformed_image_raises(self, spark):
         media = spark.createDataFrame(
