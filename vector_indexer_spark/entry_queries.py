@@ -5699,3 +5699,26 @@ _register(
     FROM documents WHERE doc_id < 100
     """,
 )
+
+
+_BPE_CACHE: dict = {}
+
+
+def _text_bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer induction + distributed apply (operators/bpe.py).
+    Deterministic (no sampling below the 50k-doc cap, lexicographic
+    tie-breaks) but the merge loop is iterative — not SQL-expressible,
+    so this is a rows-only declaration; correctness is pinned by
+    test_bpe.py's pure-Python reference equivalence + exact
+    detokenization round-trip."""
+    from vector_indexer_spark.operators.bpe import bpe_tokenize, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if sf_dir not in _BPE_CACHE:
+        _BPE_CACHE[sf_dir] = bpe_train(docs, n_merges=150, seed=42)
+    return bpe_tokenize(docs, _BPE_CACHE[sf_dir]).select(
+        "doc_id", "n_tokens"
+    )
+
+
+_register("text_bpe_tokenize", _text_bpe_tokenize)
