@@ -266,3 +266,41 @@ def test_video_real_decode_and_frame_explode(spark):
         assert (
             decode_png(bytes(r.frame)) == payloads[r.media_id][r.frame_idx]
         ).all()
+
+
+def test_resize_images_composes_with_structured_streaming(spark, tmp_path):
+    """The vision-preprocessing stage runs unchanged as a streaming
+    transformation: mapInPandas is stream-capable, so readStream →
+    resize_images → memory sink needs no special-casing — the shape
+    of a continuous multimodal ingest pipeline."""
+    from vector_indexer_spark.operators.multimodal import (
+        decode_png,
+        resize_array,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(21)
+    imgs = {i: rng.integers(0, 256, (10, 12, 3), dtype=np.uint8) for i in range(6)}
+    src = str(tmp_path / "media_src")
+    spark.createDataFrame(
+        [(i, bytearray(encode_png(a))) for i, a in imgs.items()],
+        "media_id long, content binary",
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("media_id long, content binary").parquet(src)
+    q = (
+        resize_images(stream, 5, 4, method="nearest")
+        .writeStream.format("memory")
+        .queryName("t_media_resize")
+        .option("checkpointLocation", str(tmp_path / "ckpt_media"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.media_id: r for r in spark.sql("SELECT * FROM t_media_resize").collect()
+    }
+    assert set(got) == set(imgs)
+    for i, arr in imgs.items():
+        want = resize_array(arr, 5, 4, method="nearest")
+        assert (decode_png(bytes(got[i].content)) == want).all()
