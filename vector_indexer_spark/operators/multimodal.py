@@ -609,10 +609,12 @@ def parse_avi(b: bytes) -> dict:
     meta = {}
     frames = []
 
-    def walk(start, end):
+    def walk(start, end, depth=0):
+        if depth > 16:  # spec nesting is ~3; crafted input stays bounded
+            raise ValueError("malformed AVI: LIST nesting too deep")
         for cid, ds, de in _iter_riff_chunks(b, start, end):
             if cid == b"LIST":
-                walk(ds + 4, de)  # skip the 4-byte list type
+                walk(ds + 4, de, depth + 1)  # skip the 4-byte list type
             elif cid == b"avih" and de - ds >= 40:
                 meta["usec_per_frame"] = int.from_bytes(b[ds : ds + 4], "little")
                 meta["n_frames_hdr"] = int.from_bytes(
