@@ -264,3 +264,43 @@ class TestMediaCodecProperties:
         assert m["frames"] == frames
         assert m["n_frames"] == nf
         assert m["duration_ms"] == nf * usec // 1000
+
+
+class TestBpeProperties:
+    """Tokenizer induction properties — local (no Spark job per
+    example): detokenization is exact for ANY corpus and merge count,
+    and token counts never exceed character counts."""
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        words=st.lists(
+            st.text(
+                alphabet=st.characters(
+                    whitelist_categories=("Ll", "Lu", "Nd")
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+            min_size=0,
+            max_size=30,
+        ),
+        n_merges=st.integers(1, 50),
+    )
+    def test_roundtrip_and_compression_bound(self, words, n_merges):
+        from collections import Counter
+
+        from vector_indexer_spark.operators.bpe import (
+            bpe_decode_tokens,
+            bpe_encode_word,
+            bpe_train_local,
+        )
+
+        merges = bpe_train_local(Counter(words), n_merges)
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        text = " ".join(words)
+        toks = []
+        for w in words:
+            enc = bpe_encode_word(w, ranks)
+            assert 1 <= len(enc) <= len(w)  # never longer than chars
+            toks.extend(enc)
+        assert bpe_decode_tokens(toks) == text.rstrip()
