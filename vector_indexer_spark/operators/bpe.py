@@ -114,6 +114,7 @@ def bpe_train(
     *,
     text_col: str = "text",
     sample_cap: int = BPE_TRAIN_SAMPLE_CAP,
+    max_vocab: int = 1_000_000,
     seed: int = 42,
 ) -> list[tuple[str, str]]:
     """Learn a BPE merge list from a corpus DataFrame.
@@ -121,8 +122,13 @@ def bpe_train(
     The distributed part is the word-frequency aggregation (one
     explode + one count shuffle over the sampled docs); the merge loop
     itself runs on the driver over the aggregated ``{word: freq}``
-    table, which is vocabulary-sized — tiny relative to the corpus —
-    so this scales with *vocabulary*, not corpus size.
+    table. That table is vocabulary-sized, and at 100 TB even the
+    sampled vocabulary can be web-scale, so the collect is doubly
+    bounded: ``sample_cap`` documents AND the ``max_vocab`` most
+    frequent words (a distributed top-k, deterministic via the
+    (freq desc, word) sort). Dropping the Zipf tail barely moves the
+    learned merges — the pair counts that decide them live in the
+    head — and unseen words still tokenize (character fallback).
     """
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
@@ -137,6 +143,8 @@ def bpe_train(
         .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(max_vocab)
         .collect()
     )
     return bpe_train_local({r.word: r.freq for r in freq_rows}, n_merges)
