@@ -7,7 +7,6 @@ round-trip every document exactly."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from vector_indexer_spark.operators.bpe import (
     END,

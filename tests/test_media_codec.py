@@ -10,7 +10,6 @@ import zlib
 
 import numpy as np
 import pytest
-from pyspark.sql import functions as F
 
 from vector_indexer_spark.operators.multimodal import (
     decode_png,

@@ -468,3 +468,26 @@ def test_media_codec_ops_are_scan_local(spark):
     ):
         s = audit.plan_summary(df)
         assert s["shuffles"] == 0 and s["broadcasts"] == 0
+
+
+def test_bpe_apply_scan_local_and_train_topk(spark, documents):
+    """BPE apply is mapInPandas over the scan (zero shuffles); the
+    trainer's vocabulary cap compiles to a distributed partial top-k
+    (TakeOrderedAndProject), never a single-partition global sort."""
+    from vector_indexer_spark.operators.bpe import bpe_tokenize
+
+    s = audit.plan_summary(
+        bpe_tokenize(documents, [("a", "b")])
+    )
+    assert s["shuffles"] == 0 and s["broadcasts"] == 0
+    freq = (
+        documents.select(
+            F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(1000)
+    )
+    assert "TakeOrderedAndProject" in audit.executed_plan(freq)
