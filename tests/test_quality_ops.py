@@ -876,3 +876,23 @@ class TestTopNgramConcentration:
         assert out[3].top_ngram == "" and out[3].char_frac == 0.0
         with pytest.raises(ValueError):
             text_analysis.top_ngram_concentration(docs, n=0)
+
+
+def test_weighted_sample_invariance_and_clamp(spark, documents):
+    from vector_indexer_spark.operators.splits import weighted_sample
+
+    w = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(300.0))
+    a = {r.doc_id for r in weighted_sample(documents, w).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in weighted_sample(documents.repartition(13), w)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and 0 < len(a) < documents.count()
+    # weight 0 keeps nothing, weight 1 (and clamped >1) keeps all
+    assert weighted_sample(documents, F.lit(0.0)).count() == 0
+    n = documents.count()
+    assert weighted_sample(documents, F.lit(1.0)).count() == n
+    assert weighted_sample(documents, F.lit(7.5)).count() == n
+    assert weighted_sample(documents, F.lit(-3.0)).count() == 0

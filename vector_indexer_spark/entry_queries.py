@@ -5722,3 +5722,27 @@ def _text_bpe_tokenize(spark, sf_dir):
 
 
 _register("text_bpe_tokenize", _text_bpe_tokenize)
+
+
+def _sample_weighted(spark, sf_dir):
+    """Per-row-weighted deterministic sampling (quality curriculum):
+    each doc survives with probability n_chars/400 clamped to [0,1] —
+    same md5 bucket draw as the other samplers, recomputed exactly in
+    SQL."""
+    from vector_indexer_spark.operators.splits import weighted_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = F.least(F.lit(1.0), F.col("n_chars").cast("double") / F.lit(400.0))
+    return weighted_sample(docs, w).select("doc_id", "n_chars")
+
+
+_register(
+    "sample_weighted",
+    _sample_weighted,
+    f"""
+    SELECT doc_id, n_chars
+    FROM (SELECT doc_id, n_chars, {_DD_BUCKET7} AS b FROM documents)
+    WHERE b < CAST(round(least(1.0, greatest(0.0,
+                CAST(n_chars AS DOUBLE) / 400.0)) * 10000) AS BIGINT)
+    """,
+)

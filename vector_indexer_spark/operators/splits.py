@@ -147,6 +147,32 @@ def sample_expr(
     return _bucket_expr(id_col, seed) < int(round(rate * SPLIT_BUCKETS))
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Per-row-weighted deterministic sampling — the quality-curriculum
+    step of corpus construction: each row survives with probability
+    equal to its OWN weight column/expression (clamped to [0, 1]), but
+    the draw is the same ``md5(seed:id)`` bucket as every other
+    sampler here, so it is reproducible, repartition-invariant, and
+    independent of the train/test split draw. Scan-local: the bucket
+    compare runs inside codegen, zero shuffle.
+
+    ``weight_col`` is a column name or Column expression (e.g. a
+    Gopher quality score, or ``least(lit(1.0), col("n_chars")/400)``
+    to bias toward longer documents)."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = F.least(F.lit(1.0), F.greatest(F.lit(0.0), w.cast("double")))
+    return df.filter(
+        _bucket_expr(id_col, seed)
+        < F.round(w * F.lit(float(SPLIT_BUCKETS))).cast("long")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],
