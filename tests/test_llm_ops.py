@@ -737,3 +737,45 @@ class TestMaxSim:
             maxsim_topk(df, q, k=0)
         with pytest.raises(ValueError):
             maxsim_topk(df, q, metric="euclid")
+
+
+def test_hard_negatives_excludes_self_handles_duplicates(spark, embeddings, tmp_path):
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    # corpus where id 1000 duplicates id 0 exactly
+    dup = embeddings.filter(F.col("vec_id") == 0).select(
+        F.lit(1000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = embeddings.select("vec_id", "embedding", "label").union(dup)
+    anchors = corpus.filter(F.col("vec_id").isin(0, 1000))
+    out = mine_hard_negatives(corpus, anchors=anchors, k=3).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for aid, other in ((0, 1000), (1000, 0)):
+        rows = sorted(by_anchor[aid], key=lambda r: r.rank)
+        assert len(rows) == 3
+        assert all(r.negative_id != aid for r in rows)
+        # the exact duplicate is the hardest negative, at distance 0
+        assert rows[0].negative_id == other and rows[0].dist2 == 0.0
+
+    # ANN path at full probe matches brute force
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    idx = build_index(vec, str(tmp_path / "hnidx"), nlist=8, seed=42)
+    a5 = embeddings.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.anchor_id, r.rank): r.negative_id
+        for r in mine_hard_negatives(embeddings, anchors=a5, k=4).collect()
+    }
+    ann = {
+        (r.anchor_id, r.rank): r.negative_id
+        for r in mine_hard_negatives(
+            embeddings, anchors=a5, k=4, index=idx, n_probe=idx.nlist
+        ).collect()
+    }
+    assert ann == brute

@@ -5746,3 +5746,39 @@ _register(
                 CAST(n_chars AS DOUBLE) / 400.0)) * 10000) AS BIGINT)
     """,
 )
+
+
+def _sim_hard_negatives(spark, sf_dir):
+    """ANCE-style hard-negative mining: k nearest OTHER vectors per
+    anchor (self excluded even when duplicates shadow it)."""
+    from vector_indexer_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 40)
+    return mine_hard_negatives(emb, anchors=anchors, k=5)
+
+
+_register(
+    "sim_hard_negatives",
+    _sim_hard_negatives,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query
+               FROM embeddings WHERE vec_id < 40),
+    scored AS (
+      SELECT q.query_id AS anchor_id, v.vec_id AS neighbor_id,
+             {_KNN_DIST2_SQL} AS dist2
+      FROM embeddings v CROSS JOIN q
+      WHERE v.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY dist2, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, CAST(rank AS INT) AS rank,
+           neighbor_id AS negative_id, dist2
+    FROM ranked WHERE rank <= 5
+    """,
+)

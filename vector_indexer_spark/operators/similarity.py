@@ -558,3 +558,58 @@ def maxsim_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score")
     )
+
+
+def mine_hard_negatives(
+    df: DataFrame,
+    *,
+    anchors: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: IvfIndex | None = None,
+    n_probe: int = 20,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` nearest OTHER vectors by L2 — the negatives that sit
+    closest to the decision boundary (Xiong et al. 2021, ANCE).
+    Returns ``(anchor_id, rank, negative_id, dist2)``.
+
+    Scale path: pass a built ``index`` and the candidate generation
+    runs through the probe-pruned ANN scan instead of the brute
+    crossJoin — at corpus-sized anchor sets (mining negatives for
+    EVERY training example, the production shape) brute force is
+    O(n²·d) while ANN touches nprobe/nlist of the corpus per anchor
+    batch. Both paths over-fetch ``k+1`` then drop the self-match, so
+    an anchor that is not its own nearest neighbor (duplicate vectors)
+    still yields exactly ``k`` negatives.
+    """
+    from vector_indexer_spark.operators.knn import knn_exact  # noqa: PLC0415
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    src = anchors if anchors is not None else df
+    queries = src.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query")
+    )
+    if index is not None:
+        cand = search_index(
+            df.sparkSession, index, queries, k=k + 1, n_probe=n_probe
+        )
+    else:
+        cand = knn_exact(
+            df, queries, k=k + 1, id_col=id_col, vec_col=vec_col,
+            method="native",
+        )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        cand.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            "rank",
+            F.col("neighbor_id").alias("negative_id"),
+            "dist2",
+        )
+    )
