@@ -491,3 +491,22 @@ def test_bpe_apply_scan_local_and_train_topk(spark, documents):
         .limit(1000)
     )
     assert "TakeOrderedAndProject" in audit.executed_plan(freq)
+
+
+def test_olap_q7_broadcast_dims_single_fact_join(spark):
+    from vector_indexer_spark.operators.olap import volume_shipping
+
+    sf = "/root/testdata/sf0.001"
+    df = volume_shipping(
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        spark.read.parquet(f"{sf}/customer.parquet"),
+        spark.read.parquet(f"{sf}/nation.parquet"),
+    )
+    s = audit.plan_summary(df)
+    # both dimension chains broadcast; the only shuffles are the
+    # lineitem ⋈ orders fact join + the final group/sort
+    assert s["broadcasts"] >= 2
+    assert not s["cartesian"]
+    assert any("l_shipdate" in f for f in s["pushed_filters"])

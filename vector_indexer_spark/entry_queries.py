@@ -5782,3 +5782,46 @@ _register(
     FROM ranked WHERE rank <= 5
     """,
 )
+
+
+def _olap_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral nation-pair trade volume by ship
+    year, both directions, integer-cent revenue."""
+    from vector_indexer_spark.operators.olap import volume_shipping
+
+    return volume_shipping(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        nation1="NATION_0",
+        nation2="NATION_1",
+        date_from="1995-01-01",
+        date_to="1997-01-01",
+    )
+
+
+_register(
+    "olap_q7_volume_shipping",
+    _olap_q7_volume_shipping,
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           SUM(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
+                          * 100) AS BIGINT)) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_name IN ('NATION_0', 'NATION_1')
+      AND cn.n_name IN ('NATION_0', 'NATION_1')
+      AND sn.n_name <> cn.n_name
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)

@@ -237,3 +237,62 @@ def revenue_rollup(
             "n_items",
         )
     )
+
+
+def volume_shipping(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    *,
+    nation1: str = "NATION_0",
+    nation2: str = "NATION_1",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — discounted revenue of
+    lineitems a supplier in one nation shipped to a customer in the
+    other, by (supp_nation, cust_nation, ship year), both directions.
+
+    Plan shape: the nation pair filter broadcasts down BOTH dimension
+    chains (supplier and customer sides each reduce to a key list
+    BEFORE touching a fact), the ship-date band is pushed to the
+    lineitem scan, and the single fact-fact shuffle is lineitem ⋈
+    orders on orderkey — the same one-big-join discipline as Q5. The
+    cross-pair predicate (N1→N2 or N2→N1) runs AFTER both nation
+    names are attached, on fact-sized rows but as a codegen filter,
+    never a join. Revenue sums in integer cents (associative).
+    """
+    pair = nation.filter(F.col("n_name").isin(nation1, nation2)).select(
+        "n_nationkey", "n_name"
+    )
+    supp = supplier.join(
+        F.broadcast(pair.withColumnRenamed("n_name", "supp_nation")),
+        supplier.s_nationkey == pair.n_nationkey,
+    ).select("s_suppkey", "supp_nation")
+    cust = customer.join(
+        F.broadcast(pair.withColumnRenamed("n_name", "cust_nation")),
+        customer.c_nationkey == pair.n_nationkey,
+    ).select("c_custkey", "cust_nation")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from))
+        & (F.col("l_shipdate") < F.lit(date_to))
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("rev_cents"),
+    )
+    ords = orders.select("o_orderkey", "o_custkey")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
