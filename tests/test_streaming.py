@@ -647,3 +647,36 @@ def test_active_users_dau_wau(spark):
     assert out[8] == (1, 1)
     with pytest.raises(ValueError):
         active_users(ev, window_days=0)
+
+
+def test_asof_next_attaches_earliest_later_purchase(spark):
+    from vector_indexer_spark.streaming.events import asof_join_next
+
+    rows = [
+        # user 1: click@10 -> purchases @20, @30 (earliest=20);
+        # click@25 -> purchase@30; click@40 -> none
+        (1, 10, 1, "click", 0.0),
+        (2, 20, 1, "purchase", 5.0),
+        (3, 30, 1, "purchase", 7.0),
+        (4, 25, 1, "click", 0.0),
+        (5, 40, 1, "click", 0.0),
+        # user 2: tie on ts — purchase counts as later iff id larger
+        (6, 50, 2, "click", 0.0),
+        (7, 50, 2, "purchase", 9.0),
+        (8, 50, 2, "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join_next(
+            ev, left_type="click", right_type="purchase"
+        ).collect()
+    }
+    assert out[1].next_event_id == 2 and out[1].gap_ns == 10
+    assert out[4].next_event_id == 3 and out[4].gap_ns == 5
+    assert out[5].next_event_id is None and out[5].gap_ns is None
+    # ties: (50, id 7) and (50, id 8) are both "later" than (50, id 6);
+    # the earliest by (ts, id) is id 7
+    assert out[6].next_event_id == 7

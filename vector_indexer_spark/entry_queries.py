@@ -5825,3 +5825,87 @@ _register(
     GROUP BY 1, 2, 3
     """,
 )
+
+
+def _olap_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue in a
+    quarter, nation attached post-aggregation."""
+    from vector_indexer_spark.operators.olap import returned_item_customers
+
+    return returned_item_customers(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+_register(
+    "olap_q10_returned_items",
+    _olap_q10_returned_items,
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+           SUM(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount))
+                          * 100) AS BIGINT)) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue_cents DESC, c_custkey
+    LIMIT 20
+    """,
+)
+
+
+def _events_asof_next(spark, sf_dir):
+    """Forward as-of: for every click, the same user's EARLIEST
+    strictly-later purchase — the conversion-lag twin of the prior
+    join (same carried-window shape over the reversed order)."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import asof_join_next
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    out = asof_join_next(ev, left_type="click", right_type="purchase")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce("next_event_id", F.lit(-1)).alias("next_event_id"),
+        F.coalesce("next_ts", F.lit(-1)).alias("next_ts"),
+        F.coalesce("next_value", F.lit(-1.0)).alias("next_value"),
+        F.coalesce("gap_ns", F.lit(-1)).alias("gap_ns"),
+    )
+
+
+_register(
+    "events_asof_next_purchase",
+    _events_asof_next,
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_ns(ts) AS tns, event_type, value
+      FROM events
+    ),
+    carried AS (
+      SELECT event_id, user_id, tns, event_type,
+             last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                        IGNORE NULLS) OVER w AS next_event_id,
+             last_value(CASE WHEN event_type = 'purchase' THEN tns END
+                        IGNORE NULLS) OVER w AS next_ts,
+             last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS) OVER w AS next_value
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tns DESC, event_id DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, tns AS ts,
+           COALESCE(next_event_id, -1) AS next_event_id,
+           COALESCE(next_ts, -1) AS next_ts,
+           COALESCE(next_value, -1.0) AS next_value,
+           COALESCE(next_ts - tns, -1) AS gap_ns
+    FROM carried WHERE event_type = 'click'
+    """,
+)

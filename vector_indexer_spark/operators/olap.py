@@ -296,3 +296,52 @@ def volume_shipping(
         .agg(F.sum("rev_cents").alias("revenue_cents"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+def returned_item_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    *,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: the ``k`` customers who lost the most revenue
+    to returned items (``l_returnflag = 'R'``) for orders placed in a
+    quarter — the churn-triage report.
+
+    Plan shape: the return flag + order-date predicates are pushed to
+    their fact scans before the one orderkey fact-fact shuffle;
+    revenue partially aggregates per customer (map-side combine on the
+    custkey shuffle); customer + nation attach AFTER aggregation, so
+    the dimension join touches at most |customers| aggregated rows,
+    not fact rows; top-k is TakeOrdered, never a global sort.
+    """
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("rev_cents"),
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+    )
+    cust = customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nat = nation.select("n_nationkey", "n_name")
+    return (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "c_custkey", "c_name", "n_name", "c_acctbal", "revenue_cents"
+        )
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(k)
+    )

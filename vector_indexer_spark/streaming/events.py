@@ -723,3 +723,58 @@ def active_users(
     return dau.join(wau, "day_bucket").select(
         "day_bucket", "dau", "wau"
     )
+
+
+def asof_join_next(
+    events: DataFrame,
+    *,
+    left_type: str,
+    right_type: str,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Forward as-of: for every ``left_type`` event, the same user's
+    EARLIEST strictly-later ``right_type`` event — the
+    click→next-purchase conversion-lag shape, the time-mirror of
+    :func:`asof_join_prior` (same single user-key shuffle, carried
+    state window run over the reversed ordering; no range-join
+    explosion). Ties on ``ts`` count as later iff the id is larger.
+    Returns ``(event_id, user_id, ts, next_event_id, next_ts,
+    next_value, gap_ns)`` with nulls when no later right-type event
+    exists."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).desc(), F.col(id_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_right = F.col(type_col) == right_type
+
+    def carried(col, name):
+        return F.last(F.when(is_right, F.col(col)), ignorenulls=True).over(
+            w
+        ).alias(name)
+
+    return (
+        events.select(
+            F.col(id_col).alias("event_id"),
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).alias("ts"),
+            F.col(type_col).alias("__type"),
+            carried(id_col, "next_event_id"),
+            carried(ts_col, "next_ts"),
+            carried(value_col, "next_value"),
+        )
+        .filter(F.col("__type") == left_type)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "next_event_id",
+            "next_ts",
+            "next_value",
+            (F.col("next_ts") - F.col("ts")).alias("gap_ns"),
+        )
+    )
