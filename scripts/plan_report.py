@@ -178,6 +178,30 @@ def _maxsim_df(spark, docs):
     return maxsim_topk(cemb, q, k=10, metric="dot")
 
 
+def _q7_df(spark, sf_dir):
+    from vector_indexer_spark.operators.olap import volume_shipping
+
+    return volume_shipping(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+def _hard_neg_df(spark, emb):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.similarity import (
+        mine_hard_negatives,
+    )
+
+    return mine_hard_negatives(
+        emb, anchors=emb.filter(F.col("vec_id") < 5), k=4
+    )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -374,6 +398,21 @@ def main():
             "Equi-join on user with the time band as residual — "
             "candidates bounded per user, never a time-band cartesian.",
             _interval_df(spark, sf_dir),
+        ),
+        (
+            "OLAP Q7 bilateral volume shipping",
+            "Nation-pair filter broadcasts down both dimension chains; "
+            "ship-date band pushed to the lineitem scan; ONE fact-fact "
+            "shuffle on orderkey; cross-pair predicate is a codegen "
+            "filter, never a join.",
+            _q7_df(spark, sf_dir),
+        ),
+        (
+            "Hard-negative mining (brute path)",
+            "knn over-fetch k+1, self dropped, window re-rank over "
+            "<= k+1 rows per anchor. The ANN path swaps the scan for "
+            "the probe-pruned index read.",
+            _hard_neg_df(spark, emb),
         ),
         (
             "Chunk MaxSim (late interaction)",
