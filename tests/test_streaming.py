@@ -680,3 +680,91 @@ def test_asof_next_attaches_earliest_later_purchase(spark):
     # ties: (50, id 7) and (50, id 8) are both "later" than (50, id 6);
     # the earliest by (ts, id) is id 7
     assert out[6].next_event_id == 7
+
+
+def test_streaming_asof_next_waits_for_future_match(spark, tmp_path):
+    """Forward as-of as a stream: a click waits in state until its
+    purchase arrives in a LATER micro-batch, then emits exactly once;
+    intra-batch matching follows (ts, id) order like the batch twin."""
+    from vector_indexer_spark.streaming.asof import streaming_asof_next
+
+    src = str(tmp_path / "nev_in")
+    out = str(tmp_path / "nev_out")
+    ckpt = str(tmp_path / "ckpt_asof_next")
+    big = 2_000_000_000_000_000_000
+
+    def run(rows):
+        spark.createDataFrame(rows, EV_DDL).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(EV_DDL).parquet(src)
+        q = (
+            streaming_asof_next(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.event_id: r for r in spark.read.parquet(out).collect()}
+
+    # batch 1: click→purchase intra-batch; two clicks left pending
+    got = run(
+        [
+            (1, big + 100, 1, "click", 0.0),
+            (2, big + 200, 1, "purchase", 9.0),
+            (3, big + 300, 1, "click", 0.0),
+            (4, big + 50, 2, "click", 0.0),
+        ]
+    )
+    assert got[1].next_event_id == 2 and got[1].gap_ns == 100
+    assert got[1].next_value == 9.0
+    assert 3 not in got and 4 not in got  # pending, not emitted
+
+    # batch 2: purchases release both pending clicks (cross-batch);
+    # two pending lefts may match the same right's user timeline
+    got = run(
+        [
+            (5, big + 900, 1, "purchase", 7.0),
+            (6, big + 60, 2, "purchase", 3.0),
+        ]
+    )
+    assert got[3].next_event_id == 5 and got[3].gap_ns == 600
+    assert got[4].next_event_id == 6 and got[4].gap_ns == 10
+    # already-emitted click 1 did not re-emit with the new purchase
+    assert got[1].next_event_id == 2
+
+
+def test_streaming_asof_next_multiple_lefts_one_right(spark, tmp_path):
+    from vector_indexer_spark.streaming.asof import streaming_asof_next
+
+    src = str(tmp_path / "mev_in")
+    out = str(tmp_path / "mev_out")
+    ckpt = str(tmp_path / "ckpt_asof_multi")
+
+    spark.createDataFrame(
+        [
+            (1, 100, 1, "click", 0.0),
+            (2, 200, 1, "click", 0.0),
+            (3, 300, 1, "purchase", 5.0),
+            # tie on ts with the purchase: click 9's id is larger than
+            # the purchase's, so the purchase is NOT later for it —
+            # click 9 stays pending
+            (9, 300, 1, "click", 0.0),
+        ],
+        EV_DDL,
+    ).write.parquet(src)
+    stream = spark.readStream.schema(EV_DDL).parquet(src)
+    q = (
+        streaming_asof_next(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r for r in spark.read.parquet(out).collect()}
+    assert got[1].next_event_id == 3 and got[2].next_event_id == 3
+    assert 9 not in got

@@ -153,3 +153,168 @@ def streaming_asof_prior(
         "append",
         timeout,
     )
+
+
+ASOF_NEXT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ts", T.LongType(), False),
+        T.StructField("next_event_id", T.LongType(), True),
+        T.StructField("next_ts", T.LongType(), True),
+        T.StructField("next_value", T.DoubleType(), True),
+        T.StructField("gap_ns", T.LongType(), True),
+    ]
+)
+# pending left-type events awaiting a later right-type event
+ASOF_NEXT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("pending_ids", T.ArrayType(T.LongType()), True),
+        T.StructField("pending_ts", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _make_asof_next_fn(left_type: str, right_type: str, ttl_ms: int | None):
+    def _asof_next(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        uid = int(key[0])
+        if state.hasTimedOut:
+            # flush: pending lefts have waited past the TTL with no
+            # later right-type event — emit them unmatched (nulls)
+            ids, tss = state.get
+            state.remove()
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "event_id": pd.array(ids, dtype="int64"),
+                        "user_id": uid,
+                        "ts": pd.array(tss, dtype="int64"),
+                        "next_event_id": pd.array(
+                            [None] * len(ids), dtype="Int64"
+                        ),
+                        "next_ts": pd.array([None] * len(ids), dtype="Int64"),
+                        "next_value": pd.array(
+                            [None] * len(ids), dtype="Float64"
+                        ),
+                        "gap_ns": pd.array([None] * len(ids), dtype="Int64"),
+                    }
+                )
+            return
+        pend: list[tuple[int, int]] = []
+        if state.exists:
+            ids, tss = state.get
+            pend = [(int(t), int(i)) for i, t in zip(ids or [], tss or [])]
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not batch.empty:
+            batch = batch.sort_values(["ts", "event_id"]).reset_index(
+                drop=True
+            )
+            for _, row in batch[batch["event_type"] == left_type].iterrows():
+                pend.append((int(row["ts"]), int(row["event_id"])))
+        pend.sort()
+        rights = batch[batch["event_type"] == right_type] if not batch.empty else None
+        out_rows = {
+            "event_id": [], "ts": [], "next_event_id": [],
+            "next_ts": [], "next_value": [], "gap_ns": [],
+        }
+        still: list[tuple[int, int]] = []
+        if rights is not None and len(rights):
+            r_ts = rights["ts"].to_numpy()
+            r_id = rights["event_id"].to_numpy()
+            r_val = rights["value"].to_numpy()
+            j_start = 0
+            for lts, lid in pend:
+                # two-pointer: earliest right with (ts, id) > (lts, lid)
+                j = j_start
+                while j < len(r_ts) and (
+                    (r_ts[j], r_id[j]) <= (lts, lid)
+                ):
+                    j += 1
+                if j < len(r_ts):
+                    out_rows["event_id"].append(lid)
+                    out_rows["ts"].append(lts)
+                    out_rows["next_event_id"].append(int(r_id[j]))
+                    out_rows["next_ts"].append(int(r_ts[j]))
+                    out_rows["next_value"].append(float(r_val[j]))
+                    out_rows["gap_ns"].append(int(r_ts[j]) - lts)
+                else:
+                    still.append((lts, lid))
+                # pend is sorted, so the match frontier never moves back
+                j_start = min(j, len(r_ts) - 1) if len(r_ts) else 0
+        else:
+            still = pend
+        if still:
+            state.update(
+                (
+                    [i for _, i in still],
+                    [t for t, _ in still],
+                )
+            )
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
+        elif state.exists:
+            state.remove()
+        if out_rows["event_id"]:
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.array(
+                        out_rows["event_id"], dtype="int64"
+                    ),
+                    "user_id": uid,
+                    "ts": pd.array(out_rows["ts"], dtype="int64"),
+                    "next_event_id": pd.array(
+                        out_rows["next_event_id"], dtype="Int64"
+                    ),
+                    "next_ts": pd.array(out_rows["next_ts"], dtype="Int64"),
+                    "next_value": pd.array(
+                        out_rows["next_value"], dtype="Float64"
+                    ),
+                    "gap_ns": pd.array(out_rows["gap_ns"], dtype="Int64"),
+                }
+            )
+
+    return _asof_next
+
+
+def streaming_asof_next(
+    stream_df: DataFrame,
+    *,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Forward as-of as a stateful stream: each ``left_type`` event
+    waits in per-user state until the first later ``right_type`` event
+    arrives, then emits with the match — the conversion-lag join where
+    the future genuinely has to be awaited (the time-mirror of
+    :func:`streaming_asof_prior`, whose state is three scalars; here
+    state is the PENDING left events, bounded per user by the
+    left-event rate x TTL).
+
+    Emission contract (append mode): a left event emits exactly once —
+    when its match arrives, or unmatched (null columns) when the
+    ``state_ttl_ms`` timeout fires with no later right-type event
+    seen. Without a TTL, unmatched lefts wait forever (set one in
+    production). Within a micro-batch, matching follows the batch
+    operator's ``(ts, event_id)`` order exactly; across batches it is
+    as-of arrival, like every streaming twin here.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    sel = stream_df.select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    return sel.groupBy("user_id").applyInPandasWithState(
+        _make_asof_next_fn(left_type, right_type, state_ttl_ms),
+        ASOF_NEXT_OUTPUT_SCHEMA,
+        ASOF_NEXT_STATE_SCHEMA,
+        "append",
+        timeout,
+    )
