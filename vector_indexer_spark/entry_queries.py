@@ -5909,3 +5909,53 @@ _register(
     FROM carried WHERE event_type = 'click'
     """,
 )
+
+
+def _olap_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_0's share of the ECONOMY-part market in
+    ASIA by order year — conditional/total sums in one agg."""
+    from vector_indexer_spark.operators.olap import market_share
+
+    return market_share(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
+_register(
+    "olap_q8_market_share",
+    _olap_q8_market_share,
+    """
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             sn.n_name AS supp_nation,
+             CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey
+      WHERE p.p_type = 'ECONOMY'
+        AND r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT o_year,
+           SUM(CASE WHEN supp_nation = 'NATION_0' THEN rev_cents
+                    ELSE 0 END) AS share_cents,
+           SUM(rev_cents) AS total_cents,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_0' THEN rev_cents
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev_cents) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -345,3 +345,92 @@ def returned_item_customers(
         .orderBy(F.col("revenue_cents").desc(), "c_custkey")
         .limit(k)
     )
+
+
+def market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    share_nation: str = "NATION_0",
+    market_region: str = "ASIA",
+    part_type: str = "ECONOMY",
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a part-type
+    market inside a region, by order year — the ratio-of-sums report
+    (share = Σ revenue where supp_nation = X / Σ all revenue), which
+    MUST be computed as two conditional sums in ONE aggregation, never
+    two scans joined.
+
+    Plan shape: part-type and region filters reduce their dimension
+    chains to key lists that broadcast; order-date band pushes to the
+    orders scan; lineitem ⋈ orders is the one fact-fact shuffle; the
+    share divides two map-side-combined integer-cent sums after a
+    single (year) group-by. Revenue cents keep the division exact to
+    a deterministic double at the very last step.
+    """
+    p = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    reg_nations = nation.join(
+        F.broadcast(
+            region.filter(F.col("r_name") == market_region).select(
+                "r_regionkey"
+            )
+        ),
+        nation.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    cust = customer.join(
+        F.broadcast(reg_nations),
+        customer.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    ).select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("rev_cents"),
+    )
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+    )
+    share_rev = F.sum(
+        F.when(
+            F.col("supp_nation") == share_nation, F.col("rev_cents")
+        ).otherwise(F.lit(0))
+    )
+    return (
+        base.groupBy("o_year")
+        .agg(
+            share_rev.alias("share_cents"),
+            F.sum("rev_cents").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "share_cents",
+            "total_cents",
+            (
+                F.col("share_cents").cast("double")
+                / F.col("total_cents").cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
