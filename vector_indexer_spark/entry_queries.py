@@ -5959,3 +5959,31 @@ _register(
     FROM base GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+def _olap_q19_brand_quantity(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity-band revenue."""
+    from vector_indexer_spark.operators.olap import brand_quantity_revenue
+
+    return brand_quantity_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+_register(
+    "olap_q19_brand_quantity",
+    _olap_q19_brand_quantity,
+    """
+    SELECT SUM(CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100)
+                    AS BIGINT)) AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 10
+           AND l.l_quantity >= 1.0 AND l.l_quantity < 11.0)
+       OR (p.p_brand = 'Brand#2' AND p.p_size <= 20
+           AND l.l_quantity >= 10.0 AND l.l_quantity < 20.0)
+       OR (p.p_brand = 'Brand#3' AND p.p_size <= 30
+           AND l.l_quantity >= 20.0 AND l.l_quantity < 30.0)
+    """,
+)

@@ -434,3 +434,51 @@ def market_share(
         )
         .orderBy("o_year")
     )
+
+
+def brand_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    branches: tuple = (
+        ("Brand#1", 10, 1.0, 11.0),
+        ("Brand#2", 20, 10.0, 20.0),
+        ("Brand#3", 30, 20.0, 30.0),
+    ),
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue from lineitems matching ANY of several
+    (brand, max size, quantity band) branches — the disjunctive
+    OR-of-ANDs predicate that exercises an optimizer's disjunction
+    handling.
+
+    Plan shape: the part side pre-filters to the UNION of the brand/
+    size envelopes (the disjunction's part-only projection pushes to
+    the part scan) and broadcasts; the mixed part+lineitem conjuncts
+    evaluate post-join in codegen. One row out; no shuffle beyond the
+    final scalar agg.
+    """
+    env = None
+    for brand, max_size, _, _ in branches:
+        c = (F.col("p_brand") == brand) & (F.col("p_size") <= max_size)
+        env = c if env is None else (env | c)
+    p = part.filter(env).select("p_partkey", "p_brand", "p_size")
+    joined = lineitem.join(
+        F.broadcast(p), lineitem.l_partkey == p.p_partkey
+    )
+    pred = None
+    for brand, max_size, qlo, qhi in branches:
+        c = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size") <= max_size)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") < qhi)
+        )
+        pred = c if pred is None else (pred | c)
+    return joined.filter(pred).agg(
+        F.sum(
+            _cents(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+            )
+        ).alias("revenue_cents"),
+        F.count("*").alias("n_items"),
+    )
