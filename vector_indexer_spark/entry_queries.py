@@ -5987,3 +5987,70 @@ _register(
            AND l.l_quantity >= 20.0 AND l.l_quantity < 30.0)
     """,
 )
+
+
+def _olap_q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-HAVING-then-join large orders."""
+    from vector_indexer_spark.operators.olap import large_volume_customers
+
+    return large_volume_customers(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        min_quantity=250.0,
+    )
+
+
+_register(
+    "olap_q18_large_volume",
+    _olap_q18_large_volume,
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(floor(l_quantity)) AS total_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(floor(l_quantity)) >= 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(floor(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+           CAST(b.total_qty AS BIGINT) AS total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+
+
+def _olap_q22_dormant_rich(spark, sf_dir):
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders (scalar subquery + anti-join), rolled up per nation."""
+    from vector_indexer_spark.operators.olap import dormant_rich_customers
+
+    return dormant_rich_customers(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+_register(
+    "olap_q22_dormant_rich",
+    _olap_q22_dormant_rich,
+    """
+    WITH avg_bal AS (
+      SELECT avg(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_customers,
+           SUM(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS total_bal_cents
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.a
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -482,3 +482,85 @@ def brand_quantity_revenue(
         ).alias("revenue_cents"),
         F.count("*").alias("n_items"),
     )
+
+
+def large_volume_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    min_quantity: float = 250.0,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold, with their customer — the aggregate-HAVING-then-join
+    report.
+
+    Plan shape: the quantity sum happens FIRST, on (orderkey) with
+    map-side combine, and the HAVING filter shrinks the fact to a
+    handful of keys BEFORE any join — the aggregate-then-join
+    discipline (joining first would carry every lineitem through the
+    customer join). Quantities sum as integer units (the synthetic
+    quantities are integral; floor() pins it).
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.floor("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") >= F.lit(int(min_quantity)))
+    )
+    ords = orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = customer.select("c_custkey", "c_name")
+    return (
+        big.join(ords, big.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(k)
+    )
+
+
+def dormant_rich_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    *,
+    date_from: str = "2001-01-01",
+) -> DataFrame:
+    """TPC-H Q22 shape (adapted to available columns): customers with
+    above-average account balance and NO orders since ``date_from`` —
+    the scalar-subquery + anti-join report.
+
+    Plan shape: the global average is ONE scalar (computed in its own
+    tiny agg and broadcast via a cross join — never recomputed per
+    row); the no-recent-orders condition is a broadcast-able LEFT ANTI
+    join against the date-pruned orders key set; output aggregates per
+    nation key. Balance sums in integer cents.
+    """
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(date_from)
+    ).select("o_custkey").distinct()
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    return (
+        rich.join(
+            recent, rich.c_custkey == recent.o_custkey, "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("total_bal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
