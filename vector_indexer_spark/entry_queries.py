@@ -6054,3 +6054,51 @@ _register(
     GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+def _events_running_revenue(spark, sf_dir):
+    """Per-user LTV curve: exact integer-cent running purchase total."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import running_revenue
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return running_revenue(ev)
+
+
+_register(
+    "events_running_revenue",
+    _events_running_revenue,
+    """
+    SELECT event_id, user_id, epoch_ns(ts) AS ts,
+           CAST(floor(value * 100) AS BIGINT) AS value_cents,
+           SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS running_cents,
+           CAST(row_number() OVER w AS INT) AS purchase_seq
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+
+
+def _events_value_histogram(spark, sf_dir):
+    """Fixed-width purchase-value histogram in one agg."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import value_histogram
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return value_histogram(ev, bucket_width=1.0)
+
+
+_register(
+    "events_value_histogram",
+    _events_value_histogram,
+    """
+    SELECT CAST(floor(value / 1.0) AS BIGINT) AS bucket,
+           CAST(floor(value / 1.0) AS BIGINT) * 1.0 AS bucket_lo,
+           COUNT(*) AS n_events,
+           SUM(CAST(floor(value * 100) AS BIGINT)) AS sum_cents
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)

@@ -778,3 +778,84 @@ def asof_join_next(
             (F.col("next_ts") - F.col("ts")).alias("gap_ns"),
         )
     )
+
+
+def running_revenue(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Per-user running revenue: cumulative purchase value over the
+    user's time-ordered purchases — the LTV-curve prefix sum. Value
+    accumulates as integer cents so the running total is exact and
+    order-of-partial-sums-independent. One user-key shuffle; the
+    window never holds more than one user's rows.
+
+    Returns ``(event_id, user_id, ts, value_cents, running_cents,
+    purchase_seq)``.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    cents = F.floor(F.col(value_col) * F.lit(100)).cast("long")
+    return (
+        events.filter(F.col(type_col) == event_type)
+        .select(
+            F.col(id_col).alias("event_id"),
+            F.col(user_col).alias("user_id"),
+            F.col(ts_col).alias("ts"),
+            cents.alias("value_cents"),
+        )
+        .withColumn(
+            "running_cents",
+            F.sum("value_cents").over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn(
+            "purchase_seq",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+    )
+
+
+def value_histogram(
+    events: DataFrame,
+    *,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    event_type: str = "purchase",
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Fixed-width histogram of event values: ``(bucket, bucket_lo,
+    n_events, sum_cents)`` with bucket = floor(value / width). The
+    whole histogram is one map-side-combined aggregation — the shape
+    that stays a single shuffle of |buckets| rows at any corpus size
+    (vs quantile sketches when the distribution's range is unknown)."""
+    if bucket_width <= 0:
+        raise ValueError("bucket_width must be positive")
+    b = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    return (
+        events.filter(F.col(type_col) == event_type)
+        .groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col(value_col) * F.lit(100)).cast("long")
+            ).alias("sum_cents"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(bucket_width)).alias("bucket_lo"),
+            "n_events",
+            "sum_cents",
+        )
+        .orderBy("bucket")
+    )
