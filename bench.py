@@ -202,23 +202,41 @@ def main() -> None:
     # relational OLAP over the TPC-H-shaped facts (date-pruned scans,
     # broadcast dims, integer-cent map-side-combined sums)
     from vector_indexer_spark.operators.olap import (
+        large_volume_customers,
         pricing_summary,
         revenue_by_nation,
+        volume_shipping,
     )
 
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
     lineitem.count()
     orders_t = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer_t = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation_t = spark.read.parquet(f"{sf_dir}/nation.parquet")
     results["olap_pricing_summary"] = timed(
         lambda: pricing_summary(lineitem).count()
     )
     results["olap_q5_nation_revenue"] = timed(
         lambda: revenue_by_nation(
-            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            customer_t,
             orders_t,
             lineitem,
-            spark.read.parquet(f"{sf_dir}/nation.parquet"),
+            nation_t,
             spark.read.parquet(f"{sf_dir}/region.parquet"),
+        ).count()
+    )
+    results["olap_q7_volume_shipping"] = timed(
+        lambda: volume_shipping(
+            spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+            lineitem,
+            orders_t,
+            customer_t,
+            nation_t,
+        ).count()
+    )
+    results["olap_q18_large_volume"] = timed(
+        lambda: large_volume_customers(
+            customer_t, orders_t, lineitem
         ).count()
     )
     lineitem.unpersist()
