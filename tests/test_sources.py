@@ -343,3 +343,24 @@ def test_content_hash_encodes_nulls_distinctly(spark):
         for r in df.select(content_hash_expr(("a", "b")).alias("h")).collect()
     ]
     assert len(set(hashes)) == 4
+
+
+def test_documents_jsonl_roundtrip_gzip(spark, documents, tmp_path):
+    from vector_indexer_spark.sources.files import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    path = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(documents, path, partitions=3)
+    import glob
+
+    assert glob.glob(f"{path}/*.json.gz"), "expected gzip part files"
+    back = read_documents_jsonl(spark, path)
+    a = {r.doc_id: r for r in documents.collect()}
+    b = {r.doc_id: r for r in back.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert (a[k].text, a[k].lang, a[k].source, a[k].n_chars) == (
+            b[k].text, b[k].lang, b[k].source, b[k].n_chars
+        )

@@ -320,3 +320,26 @@ def read_documents_jsonl(
         .option("mode", "DROPMALFORMED")
         .json(path)
     )
+
+
+def write_documents_jsonl(
+    df: DataFrame,
+    path: str,
+    *,
+    partitions: int | None = None,
+    compression: str | None = "gzip",
+) -> None:
+    """JSONL document sink — the inverse of
+    :func:`read_documents_jsonl`, for handing a cleaned corpus to
+    tooling that speaks line-JSON rather than parquet. One file per
+    partition (``partitions`` repartitions first when the caller
+    wants a specific shard count); ``compression`` defaults to gzip —
+    Spark reads .json.gz back transparently, so the round-trip needs
+    no flags. Field order inside each line follows the DataFrame's
+    column order; a read-back through the schema-enforced reader is
+    row-identical (asserted in test_sources)."""
+    out = df.repartition(partitions) if partitions else df
+    w = out.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
