@@ -6102,3 +6102,30 @@ _register(
     GROUP BY 1, 2 ORDER BY 1
     """,
 )
+
+
+def _olap_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customers per order count, zeros included."""
+    from vector_indexer_spark.operators.olap import (
+        customer_order_distribution,
+    )
+
+    return customer_order_distribution(
+        spark.read.parquet(f"{sf_dir}/customer.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+    )
+
+
+_register(
+    "olap_q13_order_distribution",
+    _olap_q13_order_distribution,
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    )
+    GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+    """,
+)

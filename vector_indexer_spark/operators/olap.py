@@ -564,3 +564,33 @@ def dormant_rich_customers(
         )
         .orderBy("c_nationkey")
     )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by how many
+    orders they placed — INCLUDING zero-order customers, which is the
+    whole point (an inner join silently drops them; the LEFT join +
+    count(non-null key) is the load-bearing construct).
+
+    Plan shape: group-by-of-group-by — orders first collapse to one
+    row per customer (map-side combined on the custkey shuffle), the
+    left join attaches zeros, and the second aggregation is
+    |distinct order counts|-sized. No row ever carries order payload
+    past the first aggregation.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("c_count")
+    )
+    joined = customer.select("c_custkey").join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count")
+        )
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
