@@ -779,3 +779,78 @@ def test_hard_negatives_excludes_self_handles_duplicates(spark, embeddings, tmp_
         ).collect()
     }
     assert ann == brute
+
+
+def test_mmr_rerank_diversity_and_degenerate_lambda(spark):
+    from vector_indexer_spark.operators.similarity import mmr_rerank
+
+    # candidates: two near-duplicates with top relevance + two
+    # orthogonal lower-relevance docs. Pure relevance ranks the dupes
+    # 1-2; at λ=0.5 the near-dup's similarity penalty (~0.5) exceeds
+    # its relevance edge, so BOTH orthogonal docs outrank it.
+    rows = [
+        (0, 1, [1.0, 0.0, 0.0], 1.00),
+        (0, 2, [0.999, 0.01, 0.0], 0.99),   # near-dup of cand 1
+        (0, 3, [0.0, 1.0, 0.0], 0.80),      # orthogonal
+        (0, 4, [0.0, 0.0, 1.0], 0.10),
+    ]
+    cands = spark.createDataFrame(
+        rows, "query_id long, cand_id long, vec array<double>, score double"
+    )
+    out = mmr_rerank(cands, k=3, lambda_mult=0.5).collect()
+    order = [r.cand_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 3, 4]
+    # λ=1 degenerates to pure relevance order
+    out1 = mmr_rerank(cands, k=4, lambda_mult=1.0).collect()
+    order1 = [r.cand_id for r in sorted(out1, key=lambda r: r.rank)]
+    assert order1 == [1, 2, 3, 4]
+    # k > n returns all candidates, ranks dense
+    assert len(mmr_rerank(cands, k=10).collect()) == 4
+    with pytest.raises(ValueError, match="positive"):
+        mmr_rerank(cands, k=0)
+    with pytest.raises(ValueError, match="lambda"):
+        mmr_rerank(cands, k=1, lambda_mult=1.5)
+
+
+def test_mmr_rerank_matches_local_reference(spark, embeddings):
+    import numpy as np
+
+    from vector_indexer_spark.operators.similarity import mmr_rerank
+
+    # candidates = 20 embeddings per query with synthetic relevance
+    cands = (
+        embeddings.filter(F.col("vec_id") < 20)
+        .crossJoin(spark.range(2).withColumnRenamed("id", "query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("embedding").cast("array<double>").alias("vec"),
+            (1.0 / (F.col("vec_id") + F.col("query_id") + 1.0)).alias(
+                "score"
+            ),
+        )
+    )
+    got = {
+        (r.query_id, r.rank): r.cand_id
+        for r in mmr_rerank(cands, k=5, lambda_mult=0.7).collect()
+    }
+
+    rows = cands.collect()
+    for qid in (0, 1):
+        sub = [r for r in rows if r.query_id == qid]
+        ids = np.array([r.cand_id for r in sub])
+        rel = np.array([r.score for r in sub])
+        mat = np.array([r.vec for r in sub], dtype=np.float64)
+        unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+        avail = np.ones(len(ids), bool)
+        max_sim = np.zeros(len(ids))
+        picked = []
+        for r in range(5):
+            mmr = 0.7 * rel - 0.3 * (max_sim if picked else 0.0)
+            mmr = np.where(avail, mmr, -np.inf)
+            tied = np.flatnonzero(avail & (np.abs(mmr - mmr.max()) < 1e-15))
+            j = tied[np.argmin(ids[tied])]
+            picked.append(j)
+            avail[j] = False
+            max_sim = np.maximum(max_sim, unit @ unit[j])
+            assert got[(qid, r + 1)] == ids[j]

@@ -6129,3 +6129,39 @@ _register(
     GROUP BY 1 ORDER BY custdist DESC, c_count DESC
     """,
 )
+
+
+def _sim_mmr_rerank(spark, sf_dir):
+    """MMR diversification over a real candidate set: exact top-20
+    cosine candidates per query, greedily re-ranked for diversity
+    (λ=0.7). Deterministic but iterative-greedy — not SQL-expressible;
+    correctness is pinned by the pure-NumPy reference parity pytest
+    (test_llm_ops.test_mmr_rerank_matches_local_reference)."""
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.similarity import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    cands = (
+        knn_exact(emb, q, k=20, id_col="vec_id", vec_col="embedding",
+                  method="native")
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").cast("array<double>").alias("vec"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("cand_id"),
+            "vec",
+            (F.lit(1.0) / (F.lit(1.0) + F.col("dist2"))).alias("score"),
+        )
+    )
+    return mmr_rerank(cands, k=10, lambda_mult=0.7)
+
+
+_register("sim_mmr_rerank", _sim_mmr_rerank)

@@ -613,3 +613,79 @@ def mine_hard_negatives(
             "dist2",
         )
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    *,
+    lambda_mult: float = 0.5,
+    query_id_col: str = "query_id",
+    cand_id_col: str = "cand_id",
+    vec_col: str = "vec",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick, per query, the candidate maximizing
+    ``λ·relevance − (1−λ)·max_cosine_to_already_picked`` — the
+    diversity pass a retrieval stack runs on its top candidates before
+    handing them to a model.
+
+    Input is the per-query candidate set (``query_id, cand_id, vec,
+    score``) — list-sized by construction (the output of a top-k
+    search), so the greedy loop runs inside ``applyInPandas`` on one
+    query's candidates at a time: one query-key shuffle of
+    candidate-sized data, each group's O(k·n_cand) NumPy loop local.
+    Ties break on candidate id; λ=1 degenerates to pure relevance
+    order. Returns ``(query_id, rank, cand_id, mmr_score)``.
+    """
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not 0.0 <= lambda_mult <= 1.0:
+        raise ValueError("lambda_mult must be in [0, 1]")
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[cand_id_col].to_numpy()
+        rel = pdf[score_col].to_numpy(dtype=np.float64)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        n = len(ids)
+        picked: list[int] = []
+        max_sim = np.zeros(n)
+        out = {"query_id": [], "rank": [], "cand_id": [], "mmr_score": []}
+        avail = np.ones(n, dtype=bool)
+        for r in range(min(k, n)):
+            mmr = lambda_mult * rel - (1.0 - lambda_mult) * (
+                max_sim if picked else np.zeros(n)
+            )
+            mmr_masked = np.where(avail, mmr, -np.inf)
+            # argmax with id tie-break: among equal scores take min id
+            best_score = mmr_masked.max()
+            tied = np.flatnonzero(
+                avail & (np.abs(mmr_masked - best_score) < 1e-15)
+            )
+            j = tied[np.argmin(ids[tied])]
+            picked.append(j)
+            avail[j] = False
+            max_sim = np.maximum(max_sim, unit @ unit[j])
+            out["query_id"].append(pdf[query_id_col].iloc[0])
+            out["rank"].append(r + 1)
+            out["cand_id"].append(ids[j])
+            out["mmr_score"].append(float(best_score))
+        return pd.DataFrame(out)
+
+    return (
+        candidates.select(query_id_col, cand_id_col, vec_col, score_col)
+        .groupBy(query_id_col)
+        .applyInPandas(
+            _mmr,
+            "query_id long, rank int, cand_id long, mmr_score double",
+        )
+    )
