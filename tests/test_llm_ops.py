@@ -854,3 +854,35 @@ def test_mmr_rerank_matches_local_reference(spark, embeddings):
             avail[j] = False
             max_sim = np.maximum(max_sim, unit @ unit[j])
             assert got[(qid, r + 1)] == ids[j]
+
+
+def test_boilerplate_paragraph_removal(spark):
+    from vector_indexer_spark.operators.dedup import (
+        remove_boilerplate_paragraphs,
+    )
+
+    footer = "subscribe to our newsletter today"
+    rows = [
+        (i, f"unique sentence number {i} here. {footer}. closing thought {i}")
+        for i in range(10)
+    ] + [(100, "a document with no boilerplate at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_paragraphs(df, max_docs=5).collect()
+    }
+    for i in range(10):
+        # the 10x-repeated footer is stripped; order preserved
+        assert out[i].text == (
+            f"unique sentence number {i} here. closing thought {i}"
+        )
+        assert out[i].n_removed == 1
+    assert out[100].text == "a document with no boilerplate at all"
+    assert out[100].n_removed == 0
+    # short repeated fragments are exempt (min_chars)
+    short = spark.createDataFrame(
+        [(i, f"ok. real content for document {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    res = remove_boilerplate_paragraphs(short, max_docs=5).collect()
+    assert all(r.text.startswith("ok. ") and r.n_removed == 0 for r in res)

@@ -6165,3 +6165,57 @@ def _sim_mmr_rerank(spark, sf_dir):
 
 
 _register("sim_mmr_rerank", _sim_mmr_rerank)
+
+
+def _dedup_boilerplate(spark, sf_dir):
+    """Boilerplate paragraph removal: sentences (`. `-separated)
+    appearing in > 5 distinct docs are stripped everywhere, order
+    preserved; short fragments exempt."""
+    from vector_indexer_spark.operators.dedup import (
+        remove_boilerplate_paragraphs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_boilerplate_paragraphs(docs)
+
+
+_register(
+    "dedup_boilerplate",
+    _dedup_boilerplate,
+    """
+    WITH s AS (
+      SELECT doc_id, string_split(text, '. ') AS ps FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ps,
+             CAST(unnest(range(0, len(ps))) AS BIGINT) AS pos
+      FROM s
+    ),
+    parts AS (
+      SELECT doc_id, pos, ps[pos + 1] AS para,
+             sha256(lower(trim(ps[pos + 1]))) AS phash
+      FROM idx
+    ),
+    boiler AS (
+      SELECT phash FROM parts
+      WHERE length(trim(para)) >= 10
+      GROUP BY phash HAVING count(DISTINCT doc_id) > 5
+    ),
+    kept AS (
+      SELECT p.* FROM parts p
+      WHERE p.phash NOT IN (SELECT phash FROM boiler)
+    ),
+    removed AS (
+      SELECT doc_id, count(*) AS n_removed FROM parts
+      WHERE phash IN (SELECT phash FROM boiler)
+      GROUP BY doc_id
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(para, '. ' ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT r.doc_id, r.text,
+           CAST(coalesce(m.n_removed, 0) AS BIGINT) AS n_removed
+    FROM rebuilt r LEFT JOIN removed m USING (doc_id)
+    """,
+)

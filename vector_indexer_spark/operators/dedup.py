@@ -695,3 +695,77 @@ def decontaminate_ngram(
         corpus[id_col] == hit["__cid"],
         "left_anti",
     )
+
+
+def remove_boilerplate_paragraphs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = ". ",
+    max_docs: int = 5,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Boilerplate removal at paragraph granularity (the RefinedWeb /
+    Lee et al. line-dedup shape): a paragraph whose normalized form
+    appears in more than ``max_docs`` DISTINCT documents is stripped
+    from every document; surviving paragraphs are rejoined in their
+    original order. Paragraphs shorter than ``min_chars`` are exempt
+    (connectives like "Yes" would otherwise be nuked corpus-wide).
+
+    Plan shape: posexplode → one (hash) aggregation for the distinct-
+    doc counts → broadcast-able semi-join of the boilerplate set back
+    onto the exploded rows → re-assembly via ``array_join(collect_list
+    over position window)``. Two bounded shuffles (hash counts + doc
+    regroup); the boilerplate set is vocabulary-sized (it only holds
+    hashes seen in > max_docs docs).
+
+    Returns ``(doc_id, text, n_removed)`` — text with boilerplate
+    stripped, and the per-doc removed-paragraph count.
+    """
+    import re  # noqa: PLC0415
+
+    # F.split takes a REGEX: escape the literal separator (an unescaped
+    # ". " would split on <any char><space> and eat word endings)
+    parts = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.col(text_col), re.escape(sep), -1)
+        ).alias("pos", "para"),
+    ).withColumn(
+        "phash",
+        F.sha2(F.lower(F.trim(F.col("para"))), 256),
+    )
+    boiler = (
+        parts.filter(F.length(F.trim("para")) >= min_chars)
+        .groupBy("phash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("phash")
+    )
+    kept = parts.join(F.broadcast(boiler), "phash", "left_anti")
+    removed = parts.join(F.broadcast(boiler), "phash", "semi").groupBy(
+        "doc_id"
+    ).agg(F.count("*").alias("n_removed"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "para"))
+                    ),
+                    lambda s: s.para,
+                ),
+                sep,
+            ).alias("text")
+        )
+    )
+    return (
+        rebuilt.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
