@@ -6219,3 +6219,35 @@ _register(
     FROM rebuilt r LEFT JOIN removed m USING (doc_id)
     """,
 )
+
+
+def _text_lang_confusion(spark, sf_dir):
+    """Language-ID evaluation: confusion counts of the heuristic
+    prediction against the table's labeled lang column — the accuracy
+    report a pipeline runs before trusting a classifier at corpus
+    scale. One aggregation over the scan-local prediction."""
+    from vector_indexer_spark.operators.text_analysis import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        language_id(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _lang_confusion_sql():
+    base = _lang_sql().strip()
+    return f"""
+    WITH pred AS ({base})
+    SELECT d.lang, p.lang_pred, COUNT(*) AS n_docs
+    FROM pred p JOIN documents d USING (doc_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+_register(
+    "text_lang_confusion", _text_lang_confusion, _lang_confusion_sql()
+)
