@@ -510,3 +510,103 @@ def test_olap_q7_broadcast_dims_single_fact_join(spark):
     assert s["broadcasts"] >= 2
     assert not s["cartesian"]
     assert any("l_shipdate" in f for f in s["pushed_filters"])
+
+
+def test_olap_q14_broadcast_part_pushed_dates(spark):
+    from vector_indexer_spark.operators.olap import promo_revenue
+
+    sf = "/root/testdata/sf0.001"
+    s = audit.plan_summary(
+        promo_revenue(
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            spark.read.parquet(f"{sf}/part.parquet"),
+        )
+    )
+    # part joins by broadcast; the ship-date band reaches the scan
+    assert s["broadcasts"] >= 1
+    assert any("l_shipdate" in f for f in s["pushed_filters"])
+    assert not s["cartesian"]
+
+
+def test_olap_q15_single_fact_aggregation(spark):
+    from vector_indexer_spark.operators.olap import top_suppliers
+
+    sf = "/root/testdata/sf0.001"
+    s = audit.plan_summary(
+        top_suppliers(
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            spark.read.parquet(f"{sf}/supplier.parquet"),
+        )
+    )
+    # the revenue view is one suppkey shuffle; the scalar max and the
+    # name lookup are broadcast-sized (the cross join's build side is
+    # a 1-row aggregate — a broadcast NLJ, not a real cartesian)
+    assert s["broadcasts"] >= 2
+    assert any("l_shipdate" in f for f in s["pushed_filters"])
+
+
+def test_olap_q17_part_slice_broadcast_both_ways(spark):
+    from vector_indexer_spark.operators.olap import small_quantity_revenue
+
+    sf = "/root/testdata/sf0.001"
+    s = audit.plan_summary(
+        small_quantity_revenue(
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            spark.read.parquet(f"{sf}/part.parquet"),
+        )
+    )
+    # brand/size predicates prune the part scan; the slice and the
+    # per-part averages both attach by broadcast — the fact shuffles
+    # only for the average aggregation
+    assert s["broadcasts"] >= 2
+    pushed = " ".join(s["pushed_filters"])
+    assert "p_brand" in pushed and "p_size" in pushed
+    assert not s["cartesian"]
+
+
+def test_olap_q21_semi_anti_no_cartesian(spark):
+    from vector_indexer_spark.operators.olap import waiting_suppliers
+
+    sf = "/root/testdata/sf0.001"
+    s = audit.plan_summary(
+        waiting_suppliers(
+            spark.read.parquet(f"{sf}/supplier.parquet"),
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            spark.read.parquet(f"{sf}/orders.parquet"),
+            spark.read.parquet(f"{sf}/nation.parquet"),
+            nation_name="NATION_7",
+        )
+    )
+    # EXISTS/NOT EXISTS decorrelate to semi/anti hash joins on
+    # orderkey — never a nested-loop over the fact
+    plan = audit.executed_plan(
+        waiting_suppliers(
+            spark.read.parquet(f"{sf}/supplier.parquet"),
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            spark.read.parquet(f"{sf}/orders.parquet"),
+            spark.read.parquet(f"{sf}/nation.parquet"),
+            nation_name="NATION_7",
+        )
+    )
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert not s["cartesian"]
+    assert any("o_orderstatus" in f for f in s["pushed_filters"])
+
+
+def test_olap_q9_dims_broadcast_one_fact_fact_join(spark):
+    from vector_indexer_spark.operators.olap import product_type_profit
+
+    sf = "/root/testdata/sf0.001"
+    s = audit.plan_summary(
+        product_type_profit(
+            spark.read.parquet(f"{sf}/lineitem.parquet"),
+            spark.read.parquet(f"{sf}/orders.parquet"),
+            spark.read.parquet(f"{sf}/part.parquet"),
+            spark.read.parquet(f"{sf}/supplier.parquet"),
+            spark.read.parquet(f"{sf}/nation.parquet"),
+        )
+    )
+    # part slice + supplier→nation map broadcast; lineitem⋈orders is
+    # the only shuffle join; name LIKE prunes the part scan
+    assert s["broadcasts"] >= 2
+    assert not s["cartesian"]

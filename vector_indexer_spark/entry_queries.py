@@ -6251,3 +6251,182 @@ def _lang_confusion_sql():
 _register(
     "text_lang_confusion", _text_lang_confusion, _lang_confusion_sql()
 )
+
+
+def _olap_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo-part revenue share in a ship quarter."""
+    from vector_indexer_spark.operators.olap import promo_revenue
+
+    return promo_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+_register(
+    "olap_q14_promo_revenue",
+    _olap_q14_promo_revenue,
+    """
+    WITH j AS (
+      SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT) AS rev_cents,
+             p_type
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+    )
+    SELECT SUM(CASE WHEN p_type = 'PROMO' THEN rev_cents
+               ELSE 0 END) AS promo_cents,
+           SUM(rev_cents) AS total_cents,
+           100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_cents
+                            ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(rev_cents) AS DOUBLE) AS promo_pct
+    FROM j
+    """,
+)
+
+
+def _olap_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: max-revenue supplier(s) for a quarter."""
+    from vector_indexer_spark.operators.olap import top_suppliers
+
+    return top_suppliers(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+
+
+_register(
+    "olap_q15_top_supplier",
+    _olap_q15_top_supplier,
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) AS total_rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_rev_cents
+    FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_rev_cents = (SELECT MAX(total_rev_cents) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+
+
+def _olap_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: yearly revenue lost to small-quantity orders
+    (correlated per-part average-quantity subquery, decorrelated)."""
+    from vector_indexer_spark.operators.olap import small_quantity_revenue
+
+    return small_quantity_revenue(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+_register(
+    "olap_q17_small_quantity",
+    _olap_q17_small_quantity,
+    """
+    WITH items AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand = 'Brand#4' AND p_size <= 15
+    ),
+    avg_q AS (
+      SELECT l_partkey AS a_partkey, AVG(l_quantity) AS avg_qty
+      FROM items GROUP BY 1
+    )
+    SELECT SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+             AS lost_cents,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS DOUBLE) / 7.0 AS avg_yearly
+    FROM items JOIN avg_q ON l_partkey = a_partkey
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+
+
+def _olap_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (lateness adapted to the schema): sole-late
+    suppliers on multi-supplier finalized orders — EXISTS/NOT EXISTS
+    as semi/anti joins."""
+    from vector_indexer_spark.operators.olap import waiting_suppliers
+
+    return waiting_suppliers(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        nation_name="NATION_7",
+    )
+
+
+_register(
+    "olap_q21_waiting_suppliers",
+    _olap_q21_waiting_suppliers,
+    """
+    WITH fitems AS (
+      SELECT l_orderkey, l_suppkey,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    supp AS (
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS numwait
+    FROM fitems l1 JOIN supp ON l1.l_suppkey = s_suppkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM fitems l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM fitems l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 20
+    """,
+)
+
+
+def _olap_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (cost adapted — no partsupp in the schema):
+    profit by supplier nation and order year for name-matched parts."""
+    from vector_indexer_spark.operators.olap import product_type_profit
+
+    return product_type_profit(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+_register(
+    "olap_q9_product_profit",
+    _olap_q9_product_profit,
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                    AS BIGINT)
+               - CAST(floor(p_retailprice * 100 * 0.6) AS BIGINT)
+                 * CAST(floor(l_quantity) AS BIGINT)) AS profit_cents
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)

@@ -594,3 +594,298 @@ def customer_order_distribution(
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: the share of revenue in a ship-date window
+    that came from promotional parts.
+
+    Plan shape: lineitem date-prunes at the scan, then joins the part
+    dimension via an explicit broadcast (part is |parts|-sized — tiny
+    next to the fact, and at warehouse scale still well under the
+    broadcast budget at ~200 B/row × 2×10^8 rows only for SF≥1000;
+    beyond that the join degrades to a shuffle on partkey, which AQE
+    chooses automatically when the hint is dropped). Both the promo
+    and total sums come out of ONE aggregation pass — a conditional
+    sum, not two scans. Revenue sums as integer cents; the ratio is a
+    single IEEE division of two exact longs, so the oracle matches
+    bit-for-bit.
+    """
+    rev = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    )
+    joined = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from))
+            & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .select("l_partkey", rev.alias("rev_cents"))
+        .join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    return joined.agg(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", F.col("rev_cents")).otherwise(
+                F.lit(0)
+            )
+        ).alias("promo_cents"),
+        F.sum("rev_cents").alias("total_cents"),
+    ).select(
+        "promo_cents",
+        "total_cents",
+        (
+            F.lit(100.0)
+            * F.col("promo_cents").cast("double")
+            / F.col("total_cents").cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+def top_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum revenue in a
+    quarter — the create-view / scalar-max / equality-join report.
+
+    Plan shape: per-supplier revenue is one map-side-combined
+    aggregation over the date-pruned fact (the "revenue view"); the
+    global max is a 1-row aggregate of THAT (|suppliers| rows, not
+    fact rows) broadcast back via cross join; supplier names attach by
+    broadcast. Nothing fact-sized crosses the network twice.
+    """
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(date_from))
+            & (F.col("l_shipdate") < F.lit(date_to))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _cents(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                )
+            ).alias("total_rev_cents")
+        )
+    )
+    max_rev = revenue.agg(
+        F.max("total_rev_cents").alias("__max_rev")
+    )
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev_cents") == F.col("__max_rev"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_suppkey", "s_name", "total_rev_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    brand: str = "Brand#4",
+    max_size: int = 15,
+    quantity_fraction: float = 0.5,
+    years_spanned: float = 7.0,
+) -> DataFrame:
+    """TPC-H Q17 shape (container→size adaptation — the synthetic part
+    table has no p_container, so the secondary part predicate is a
+    size band): average yearly revenue lost if small-quantity orders
+    for one brand's small parts were dropped.
+
+    The load-bearing construct is the CORRELATED SUBQUERY — each
+    lineitem compares against the average quantity *of its own part* —
+    decorrelated the way every warehouse engine does: compute per-part
+    averages once as an aggregate, then join. The part-filtered fact
+    slice drives both the average and the final sum, so the per-part
+    aggregate is over the brand slice only (matching the oracle's
+    correlated form, where the subquery's part is equality-bound to
+    the outer part).
+
+    Plan shape: broadcast the filtered part dim into the fact scan;
+    one partkey-shuffle aggregation for the averages (|brand parts|
+    rows — tiny); broadcast those back; one conditional sum. Revenue
+    sums as integer cents; the final division by ``years_spanned`` is
+    one IEEE op on an exact long.
+    """
+    pslice = F.broadcast(
+        part.filter(
+            (F.col("p_brand") == brand) & (F.col("p_size") <= max_size)
+        ).select("p_partkey")
+    )
+    items = lineitem.join(
+        pslice, F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_qty = items.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        F.avg("l_quantity").alias("__avg_qty")
+    )
+    return (
+        items.join(
+            F.broadcast(avg_qty),
+            F.col("l_partkey") == F.col("a_partkey"),
+        )
+        .filter(
+            F.col("l_quantity")
+            < F.lit(quantity_fraction) * F.col("__avg_qty")
+        )
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("lost_cents"))
+        .select(
+            "lost_cents",
+            (
+                F.col("lost_cents").cast("double")
+                / F.lit(float(years_spanned))
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_name: str = "GERMANY",
+    late_days: int = 60,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21 shape (lateness adapted — no l_commitdate/receiptdate
+    in the synthetic schema, so "late" is shipping > ``late_days``
+    after the order date): suppliers in one nation who were the SOLE
+    late supplier on a multi-supplier finalized order.
+
+    The load-bearing constructs are the EXISTS (another supplier
+    shipped in the same order) and NOT EXISTS (no OTHER supplier was
+    also late) — expressed as a left-semi and a left-anti join on
+    orderkey with a suppkey inequality, exactly how Catalyst
+    decorrelates the SQL form.
+
+    Plan shape: the fact slice (F-status orders, one nation's
+    suppliers) is built once and reused for the probe sides; both
+    existence joins shuffle on orderkey — the same key, so the
+    exchange is reusable; the final count is per-supplier (tiny). The
+    semi/anti probe sides project only (orderkey, suppkey) — no
+    payload travels.
+    """
+    nkey = F.broadcast(
+        nation.filter(F.col("n_name") == nation_name).select("n_nationkey")
+    )
+    supp = supplier.join(
+        nkey, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    fords = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    items = lineitem.join(
+        fords, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ).alias("is_late"),
+    )
+    late_mine = items.filter(F.col("is_late")).join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    others = items.select(
+        F.col("l_orderkey").alias("e_orderkey"),
+        F.col("l_suppkey").alias("e_suppkey"),
+    )
+    late_others = items.filter(F.col("is_late")).select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+    )
+    exists_other = late_mine.join(
+        others,
+        (F.col("l_orderkey") == F.col("e_orderkey"))
+        & (F.col("l_suppkey") != F.col("e_suppkey")),
+        "left_semi",
+    )
+    sole_late = exists_other.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("x_orderkey"))
+        & (F.col("l_suppkey") != F.col("x_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(k)
+    )
+
+
+def product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    name_like: str = "widget",
+    cost_fraction: float = 0.6,
+) -> DataFrame:
+    """TPC-H Q9 shape (cost adapted — the synthetic schema has no
+    partsupp/ps_supplycost, so unit cost is ``cost_fraction`` of the
+    part's retail price): profit by supplier nation and order year for
+    parts whose name contains a substring.
+
+    Plan shape: the part slice (name LIKE) and supplier→nation map
+    broadcast into the fact; the one fact-fact shuffle is
+    lineitem ⋈ orders on orderkey (only to read the year); profit
+    amounts compute as exact integer cents BEFORE aggregation, so
+    partial sums combine associatively and match the oracle
+    bit-for-bit. Output is |nations| × |years| rows.
+    """
+    pslice = F.broadcast(
+        part.filter(F.col("p_name").contains(name_like)).select(
+            "p_partkey",
+            F.floor(
+                F.col("p_retailprice") * F.lit(100.0) * F.lit(cost_fraction)
+            )
+            .cast("long")
+            .alias("unit_cost_cents"),
+        )
+    )
+    snation = F.broadcast(
+        supplier.join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "n_name")
+    )
+    amount = (
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        )
+        - F.col("unit_cost_cents") * F.floor("l_quantity").cast("long")
+    ).alias("amount_cents")
+    return (
+        lineitem.join(pslice, F.col("l_partkey") == F.col("p_partkey"))
+        .join(snation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("n_name", "o_year", amount)
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(F.sum("amount_cents").alias("profit_cents"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
