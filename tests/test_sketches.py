@@ -1,0 +1,121 @@
+"""Sketch invariants: HLL accuracy/merge, CMS bounds, plan shape.
+
+The register-level values are pinned bit-exact by the oracle queries
+(sketch_hll_registers / sketch_cms_counts etc.); these tests cover
+what SQL can't — estimator accuracy against exact cardinalities, the
+upper-bound contract, and the bounded-state plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators.sketches import (
+    cms_lookup,
+    cms_table,
+    heavy_hitters,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+from vector_indexer_spark.plans import audit
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def test_hll_estimate_within_tolerance(spark, events):
+    # standard error ~1.04/sqrt(m); p=12 -> 1.6%, allow 3 sigma + the
+    # small-range correction regime
+    exact = events.select("event_id").distinct().count()
+    regs = hll_registers(events, "event_id", p=12)
+    est = hll_estimate(regs, p=12)
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_hll_low_cardinality_linear_counting(spark, events):
+    # 15 distinct users at sf0.001 — deep in the linear-counting
+    # regime, where the estimate is near-exact
+    exact = events.select("user_id").distinct().count()
+    regs = hll_registers(events, "user_id", p=12)
+    est = hll_estimate(regs, p=12)
+    assert abs(est - exact) / exact < 0.02
+
+
+def test_hll_merge_equals_global(spark, events):
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    merged = hll_merge(
+        hll_registers(half_a, "event_id", p=10),
+        hll_registers(half_b, "event_id", p=10),
+    )
+    whole = hll_registers(events, "event_id", p=10)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_hll_state_bounded(spark, events):
+    regs = hll_registers(events, "event_id", p=8)
+    assert regs.count() <= 256
+
+
+def test_hll_rejects_bad_p(events):
+    with pytest.raises(ValueError):
+        hll_registers(events, "event_id", p=3)
+
+
+def test_cms_never_underestimates(spark, events):
+    # the min-over-rows estimate is a provable upper bound on the
+    # true count — check it for EVERY key, not just heavy ones
+    sketch = cms_table(events, "user_id", depth=4, width=64)
+    exact = events.groupBy("user_id").agg(
+        F.count("*").alias("exact_count")
+    )
+    est = cms_lookup(sketch, exact, "user_id", depth=4, width=64)
+    bad = (
+        exact.join(est, "user_id")
+        .filter(F.col("est_count") < F.col("exact_count"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cms_tight_for_heavy_keys(spark, events):
+    # with width >> distinct keys, collisions are rare and the top
+    # keys' estimates should equal their exact counts
+    hh = heavy_hitters(events, "user_id", k=5, depth=4, width=4096)
+    rows = hh.collect()
+    assert len(rows) == 5
+    assert all(r["est_count"] == r["exact_count"] for r in rows)
+
+
+def test_cms_merge_by_sum(spark, events):
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        cms_table(half_a, "user_id", depth=2, width=64)
+        .unionByName(cms_table(half_b, "user_id", depth=2, width=64))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_table(events, "user_id", depth=2, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_sketch_plans_single_shuffle(spark, events):
+    # the whole sketch is one map-side-combinable aggregation over
+    # the scan — the shape that makes it free at 100 TB
+    s = audit.plan_summary(hll_registers(events, "event_id", p=10))
+    assert s["shuffles"] <= 2  # agg exchange + orderBy range exchange
+    assert not s["cartesian"]
+    s2 = audit.plan_summary(cms_table(events, "user_id"))
+    assert s2["shuffles"] <= 2
+    assert not s2["cartesian"]

@@ -6430,3 +6430,153 @@ _register(
     ORDER BY nation, o_year DESC
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# sketch_ — mergeable sketches (HyperLogLog / Count-Min). Deterministic
+# md5-derived registers make the ENTIRE sketch state oracle-checkable,
+# not just the estimate.
+# --------------------------------------------------------------------------
+
+def _hll_hash_sql(val: str) -> str:
+    """DuckDB twin of sketches._hash60 (60-bit md5 prefix)."""
+    return (
+        f"CAST(concat('0x', substr(md5({val}), 1, 15)) AS BIGINT)"
+    )
+
+
+def _sketch_hll_registers(spark, sf_dir):
+    """HLL register table (p=10) over event ids — the bounded state
+    behind COUNT(DISTINCT) at corpus scale. One map-side-combined MAX
+    aggregation; <= 1024 output rows at any input size."""
+    from vector_indexer_spark.operators.sketches import hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_registers(ev, "event_id", p=10)
+
+
+def _hll_registers_sql(col: str, table: str, p: int = 10) -> str:
+    rest = 60 - p
+    h = _hll_hash_sql(f"CAST({col} AS VARCHAR)")
+    return f"""
+    WITH parts AS (
+      SELECT {h} >> {rest} AS register,
+             {h} & ((1::BIGINT << {rest}) - 1) AS rest
+      FROM {table} WHERE {col} IS NOT NULL
+    )
+    SELECT register,
+           CAST(MAX(CASE WHEN rest = 0 THEN {rest + 1}
+                    ELSE {rest} - length(bin(rest)) + 1 END) AS INT)
+             AS max_rho
+    FROM parts GROUP BY 1 ORDER BY 1
+    """
+
+
+_register(
+    "sketch_hll_registers",
+    _sketch_hll_registers,
+    _hll_registers_sql("event_id", "events"),
+)
+
+
+def _sketch_hll_merged(spark, sf_dir):
+    """HLL mergeability, oracle-proven: per-slice register tables
+    (purchase events vs the rest) merged by element-wise max must
+    equal the registers computed over the whole table in one pass —
+    which is exactly what the oracle computes. This is the property
+    that lets per-day sketches combine without rescanning."""
+    from vector_indexer_spark.operators.sketches import (
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = hll_registers(
+        ev.filter(F.col("event_type") == "purchase"), "user_id", p=10
+    )
+    b = hll_registers(
+        ev.filter(F.col("event_type") != "purchase"), "user_id", p=10
+    )
+    return hll_merge(a, b)
+
+
+_register(
+    "sketch_hll_merged",
+    _sketch_hll_merged,
+    _hll_registers_sql("user_id", "events"),
+)
+
+
+def _cms_bucket_sql(col: str, d: int, width: int) -> str:
+    h = _hll_hash_sql(f"concat('{d}:', CAST({col} AS VARCHAR))")
+    return f"{h} % {width}"
+
+
+def _sketch_cms_counts(spark, sf_dir):
+    """Count-Min sketch state (4x256) over event users — bounded
+    (depth x width) frequency table that merges by bucket-wise sum."""
+    from vector_indexer_spark.operators.sketches import cms_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cms_table(ev, "user_id", depth=4, width=256)
+
+
+def _cms_table_sql(col: str, table: str, depth: int, width: int) -> str:
+    selects = "\n      UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_bucket_sql(col, d, width)} AS bucket "
+        f"FROM {table} WHERE {col} IS NOT NULL"
+        for d in range(depth)
+    )
+    return f"""
+    SELECT d, bucket, COUNT(*) AS cnt
+    FROM ({selects})
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+_register(
+    "sketch_cms_counts",
+    _sketch_cms_counts,
+    _cms_table_sql("user_id", "events", 4, 256),
+)
+
+
+def _sketch_heavy_hitters(spark, sf_dir):
+    """Exact top-20 users by event count, with the CMS estimate
+    alongside — the sketch-validation report. The estimate is an
+    upper bound (min over salted rows) and tight for heavy keys."""
+    from vector_indexer_spark.operators.sketches import heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return heavy_hitters(ev, "user_id", k=20, depth=4, width=256)
+
+
+def _heavy_hitters_sql() -> str:
+    width, depth = 256, 4
+    probes = "\n      UNION ALL ".join(
+        f"SELECT user_id, {d} AS d, "
+        f"{_cms_bucket_sql('user_id', d, width)} AS bucket FROM exact"
+        for d in range(depth)
+    )
+    return f"""
+    WITH exact AS (
+      SELECT user_id, COUNT(*) AS exact_count
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1 ORDER BY exact_count DESC, user_id LIMIT 20
+    ),
+    cms AS ({_cms_table_sql("user_id", "events", depth, width)}),
+    probes AS ({probes}),
+    est AS (
+      SELECT p.user_id, MIN(coalesce(c.cnt, 0)) AS est_count
+      FROM probes p LEFT JOIN cms c USING (d, bucket)
+      GROUP BY 1
+    )
+    SELECT e.user_id, e.exact_count, s.est_count
+    FROM exact e JOIN est s USING (user_id)
+    ORDER BY e.exact_count DESC, e.user_id
+    """
+
+
+_register(
+    "sketch_heavy_hitters", _sketch_heavy_hitters, _heavy_hitters_sql()
+)

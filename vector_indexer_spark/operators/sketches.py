@@ -1,0 +1,226 @@
+"""Mergeable sketches — HyperLogLog distinct counts and Count-Min
+frequency estimates, built deterministically so every register is
+SQL-checkable.
+
+At 100 TB, exact ``COUNT(DISTINCT)`` and exact per-key counts are the
+queries that hurt: both shuffle the full key set. Sketches replace
+them with a bounded-size state that (a) computes in ONE map-side
+combinable aggregation over the scan and (b) MERGES across days /
+partitions / clusters by element-wise max (HLL) or sum (CMS) — the
+property that makes incremental corpus accounting free.
+
+Design choice — determinism over speed-of-hash: registers derive from
+``md5`` (first 15 hex chars → a 60-bit integer), not from the engine's
+native hash. md5 is bit-identical across Spark, DuckDB, and any other
+engine, so the *entire sketch state* (not just a final estimate) can
+be oracle-verified, and sketches built by different systems merge
+correctly. The hash costs more than xxhash64; at scan time it is
+still cheap next to I/O, and a production deployment can swap the
+hash expression in one place.
+
+No counterpart in the reference (an ANN engine); this is the
+training-data-pipeline surface: corpus-level distinct counts (unique
+users / URLs / shingles) and heavy-hitter detection without a
+full-cardinality shuffle.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BITS = 60  # 15 hex chars of md5 → fits a signed long exactly
+
+
+def _hash60(col: F.Column) -> F.Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5(value).
+
+    Identical in DuckDB as
+    ``CAST(concat('0x', substr(md5(v), 1, 15)) AS BIGINT)``.
+    """
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+def hll_registers(
+    df: DataFrame, col: str, *, p: int = 12
+) -> DataFrame:
+    """HyperLogLog register table for one column: ``(register,
+    max_rho)`` over the 2**p registers that saw at least one value.
+
+    register = top ``p`` hash bits; rho = 1 + number of leading zeros
+    in the remaining ``60-p`` bits (computed exactly via the length of
+    the binary string — no float log anywhere). One map-side-combined
+    MAX aggregation; output is ≤ 2**p rows regardless of input scale.
+
+    Two register tables merge by ``union → groupBy register → max`` —
+    see :func:`hll_merge`; the estimate comes from
+    :func:`hll_estimate`.
+    """
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    rest_bits = _BITS - p
+    h = _hash60(F.col(col))
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(rest)) + F.lit(1)
+    )
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.shiftright(h, rest_bits).alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+        .orderBy("register")
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge HLL register tables (same ``p``) — element-wise max.
+
+    This is the whole point of the sketch at warehouse scale: per-day
+    / per-source register tables (2**p rows each) combine without
+    touching the raw data again.
+    """
+    if not register_tables:
+        raise ValueError("need at least one register table")
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return (
+        out.groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .orderBy("register")
+    )
+
+
+def hll_estimate(registers: DataFrame, *, p: int = 12) -> float:
+    """Distinct-count estimate from a register table.
+
+    Standard HLL estimator with the small-range (linear counting)
+    correction. Driver-side over ≤ 2**p rows — bounded regardless of
+    data scale; summed in register order so the result is
+    deterministic.
+    """
+    m = 1 << p
+    rows = registers.orderBy("register").collect()
+    seen = {int(r["register"]): int(r["max_rho"]) for r in rows}
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m)
+    )
+    inv_sum = 0.0
+    for j in range(m):
+        inv_sum += math.ldexp(1.0, -seen.get(j, 0))
+    estimate = alpha * m * m / inv_sum
+    zeros = m - len(seen)
+    if estimate <= 2.5 * m and zeros > 0:
+        estimate = m * math.log(m / zeros)
+    return estimate
+
+
+def cms_table(
+    df: DataFrame, col: str, *, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-Min sketch table for one column: ``(d, bucket, cnt)`` for
+    ``depth`` salted hash rows of ``width`` buckets.
+
+    Each value lands in one bucket per row (salt ``d:`` prefixed into
+    the hash input); counts are plain map-side-combined sums, so two
+    CMS tables merge by bucket-wise addition and the state is
+    ``depth × width`` rows at any input scale. Lookups take the MIN
+    across rows (:func:`cms_lookup`) — an upper bound on the true
+    count, tight for heavy keys.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1, width >= 2: {depth}, {width}")
+    rows = df.filter(F.col(col).isNotNull())
+    buckets = F.array(
+        *[
+            _hash60(
+                F.concat(F.lit(f"{d}:"), F.col(col).cast("string"))
+            )
+            % F.lit(width)
+            for d in range(depth)
+        ]
+    )
+    return (
+        rows.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("d", "bucket")
+    )
+
+
+def cms_lookup(
+    cms: DataFrame,
+    items: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Estimated count per item: MIN over the sketch rows of the
+    item's bucket count. ``items`` is a (small) frame of candidate
+    keys; the sketch side is depth×width rows and broadcasts.
+    """
+    probes = items.select(
+        F.col(col),
+        F.posexplode(
+            F.array(
+                *[
+                    _hash60(
+                        F.concat(F.lit(f"{d}:"), F.col(col).cast("string"))
+                    )
+                    % F.lit(width)
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["d", "bucket"], "left")
+        .groupBy(col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+        )
+        .orderBy(col)
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    *,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Exact top-k keys by count, with the CMS estimate alongside —
+    the validation report a pipeline runs before trusting the sketch
+    as a pre-filter at full scale.
+
+    The exact side is one count aggregation + TakeOrdered(k); the CMS
+    estimate joins from the bounded sketch. (In the 100 TB deployment
+    the exact pass is what you're *replacing*; there the CMS pre-
+    filters candidate keys so the exact count runs over a semi-joined
+    slice only.)
+    """
+    exact = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(col)
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col(col))
+        .limit(k)
+    )
+    sketch = cms_table(df, col, depth=depth, width=width)
+    est = cms_lookup(sketch, exact, col, depth=depth, width=width)
+    return (
+        exact.join(est, col)
+        .select(col, "exact_count", "est_count")
+        .orderBy(F.col("exact_count").desc(), F.col(col))
+    )
