@@ -6580,3 +6580,43 @@ def _heavy_hitters_sql() -> str:
 _register(
     "sketch_heavy_hitters", _sketch_heavy_hitters, _heavy_hitters_sql()
 )
+
+
+def _profile_events(spark, sf_dir):
+    """Dataset-card profile of the events table: one scan, one row
+    per column with null/distinct counts and min/max. The first query
+    a pipeline runs against a new data drop."""
+    from vector_indexer_spark.operators.profile import profile_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile_table(
+        ev, ["event_id", "event_type", "ts", "user_id"]
+    )
+
+
+def _profile_col_sql(col: str, dtype: str, table: str) -> str:
+    return f"""
+    SELECT '{col}' AS col_name, '{dtype}' AS dtype,
+           COUNT({col}) AS n_nonnull,
+           COUNT(*) - COUNT({col}) AS n_null,
+           COUNT(DISTINCT {col}) AS n_distinct,
+           CAST(MIN({col}) AS VARCHAR) AS min_repr,
+           CAST(MAX({col}) AS VARCHAR) AS max_repr
+    FROM {table}
+    """
+
+
+_register(
+    "profile_events",
+    _profile_events,
+    " UNION ALL ".join(
+        _profile_col_sql(c, t, "events")
+        for c, t in [
+            ("event_id", "bigint"),
+            ("event_type", "string"),
+            ("ts", "timestamp_ntz"),
+            ("user_id", "bigint"),
+        ]
+    )
+    + " ORDER BY col_name",
+)

@@ -1,0 +1,114 @@
+"""Table profiling — the ANALYZE / dataset-card report.
+
+One scan produces per-column statistics (non-null count, null count,
+distinct count, min/max) for any column list, unpivoted to one row
+per column. This is the first query every pipeline runs against a new
+100 TB drop: schema sanity, null rates, key cardinalities.
+
+Scale shape: ALL statistics come from a single aggregation pass —
+column stats are parallel aggregate expressions over one scan, never
+per-column jobs. Exact distinct counts expand the aggregation buffer
+per distinct column (Spark's Expand operator); at warehouse scale
+pass ``distinct="approx"`` to swap in ``approx_count_distinct``
+(HLL-based, one pass, no expand) — the same trade
+:mod:`~vector_indexer_spark.operators.sketches` makes explicit.
+
+min/max render as strings so the unpivoted rows are homogeneous;
+floating-point, array, and binary columns report NULL there (their
+text rendering is engine-specific, and a min over float NaNs is not
+meaningful) while their counts remain real.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# types whose min/max text rendering is stable and meaningful
+_REPR_OK_PREFIXES = (
+    "tinyint",
+    "smallint",
+    "int",
+    "bigint",
+    "string",
+    "date",
+    "timestamp",
+    "boolean",
+    "decimal",
+)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    distinct: str = "exact",
+) -> DataFrame:
+    """Per-column profile: ``(col_name, dtype, n_nonnull, n_null,
+    n_distinct, min_repr, max_repr)``, one row per column, ordered by
+    column name.
+
+    ``distinct="exact"`` uses ``count_distinct`` (bit-reproducible,
+    oracle-checkable); ``"approx"`` uses ``approx_count_distinct``
+    for the one-pass warehouse-scale variant.
+    """
+    if distinct not in ("exact", "approx"):
+        raise ValueError(f"distinct must be exact|approx: {distinct!r}")
+    cols = list(columns) if columns is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    dtypes = dict(df.dtypes)
+
+    ndv = F.count_distinct if distinct == "exact" else (
+        lambda c: F.approx_count_distinct(c)
+    )
+    aggs = [F.count(F.lit(1)).alias("__total")]
+    for c in cols:
+        repr_ok = dtypes[c].startswith(_REPR_OK_PREFIXES)
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            ndv(F.col(c)).alias(f"{c}__ndv"),
+            (
+                F.min(F.col(c)).cast("string")
+                if repr_ok
+                else F.lit(None).cast("string")
+            ).alias(f"{c}__min"),
+            (
+                F.max(F.col(c)).cast("string")
+                if repr_ok
+                else F.lit(None).cast("string")
+            ).alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+
+    # unpivot the single stats row into one row per column; stack()
+    # keeps this inside the same plan (no driver round-trip)
+    stack_args = []
+    for c in cols:
+        stack_args += [
+            F.lit(c),
+            F.lit(dtypes[c]),
+            F.col(f"{c}__nn"),
+            (F.col("__total") - F.col(f"{c}__nn")).cast("long"),
+            F.col(f"{c}__ndv"),
+            F.col(f"{c}__min"),
+            F.col(f"{c}__max"),
+        ]
+    return (
+        one.select(
+            F.stack(
+                F.lit(len(cols)),
+                *stack_args,
+            ).alias(
+                "col_name",
+                "dtype",
+                "n_nonnull",
+                "n_null",
+                "n_distinct",
+                "min_repr",
+                "max_repr",
+            )
+        )
+        .orderBy("col_name")
+    )
