@@ -6620,3 +6620,108 @@ _register(
     )
     + " ORDER BY col_name",
 )
+
+
+# --------------------------------------------------------------------------
+# opq_ — optimized product quantization (operators/opq.py). A
+# permutation IS an orthogonal rotation, so the fixed-model oracle
+# exercises the full rotate→slice→argmin composition bit-exact: dims
+# permuted by i→(17·i mod 64) (a bijection, gcd(17,64)=1), codebooks =
+# subspace slices of the first 8 permuted embeddings. The learned
+# PCA-rotation path is pinned by tests/test_opq.py (orthogonality,
+# exact distance preservation, ≥5% error win over plain PQ).
+# --------------------------------------------------------------------------
+
+_OPQ_PERM_SQL = """
+  pemb AS (
+    SELECT vec_id,
+           list_transform(generate_series(0, 63),
+                          i -> embedding[(i * 17) % 64 + 1]) AS embedding
+    FROM embeddings
+  )
+"""
+
+
+def _opq_perm_codes_fixed(spark, sf_dir):
+    """OPQ encode under a fixed permutation rotation + fixed
+    codebooks — one row per (vector, subspace)."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.functions.distance import dist2_expr
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    perm = F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: F.element_at(F.col("embedding"), (i * 17) % 64 + 1),
+    )
+    pemb = emb.select("vec_id", perm.alias("embedding"))
+    cw = pemb.filter(F.col("vec_id") < _N_PQ_CODEWORDS).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("cwv")
+    )
+    subs = spark.range(_PQ_M).select(
+        F.col("id").cast("int").alias("subspace")
+    )
+    cb = cw.crossJoin(subs).select(
+        "subspace",
+        "code",
+        F.slice(
+            F.col("cwv"), F.col("subspace") * _PQ_DSUB + 1, _PQ_DSUB
+        ).alias("codeword"),
+    )
+    pairs = pemb.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "subspace",
+        "code",
+        dist2_expr(
+            F.slice(
+                F.col("embedding"),
+                F.col("subspace") * _PQ_DSUB + 1,
+                _PQ_DSUB,
+            ),
+            "codeword",
+        ).alias("dist2"),
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("dist2", "code")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "subspace", "code")
+    )
+
+
+_register(
+    "opq_perm_codes_fixed",
+    _opq_perm_codes_fixed,
+    f"""
+    WITH {_OPQ_PERM_SQL},
+    {_DD_PQ.replace("FROM embeddings", "FROM pemb")}
+    SELECT vec_id, subspace, code FROM enc
+    """,
+)
+
+
+def _opq_search_trained(spark, sf_dir):
+    """Trained OPQ end-to-end: distributed-PCA rotation + eigenvalue
+    allocation + PQ codebooks, encode the corpus, ADC top-5 for 5
+    queries. Trained path (kmeans RNG) — rows-only; the composition's
+    algebra is oracled via opq_perm_codes_fixed and pinned by
+    tests/test_opq.py."""
+    from vector_indexer_spark.operators.opq import (
+        opq_encode,
+        opq_search,
+        opq_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = opq_train(
+        emb, vec_col="embedding", m=4, ksub=16, seed=42
+    )
+    codes = opq_encode(emb, model, id_col="vec_id", vec_col="embedding")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query"),
+    )
+    return opq_search(codes, q, model, k=5)
+
+
+_register("opq_search_trained", _opq_search_trained)
