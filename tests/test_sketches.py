@@ -119,3 +119,54 @@ def test_sketch_plans_single_shuffle(spark, events):
     s2 = audit.plan_summary(cms_table(events, "user_id"))
     assert s2["shuffles"] <= 2
     assert not s2["cartesian"]
+
+
+def test_streaming_hll_equals_batch(spark, tmp_path, events):
+    # the streamed register table must be bit-identical to the batch
+    # pass over the same files — and stay exact as more files arrive
+    # (the MAX update is idempotent/associative, so replay is safe)
+    from vector_indexer_spark.streaming.sketches import (
+        start_hll_registers,
+    )
+
+    src = str(tmp_path / "src")
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    half_a.write.parquet(src)
+
+    schema = events.schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = start_hll_registers(
+        stream,
+        str(tmp_path / "ckpt"),
+        col="event_id",
+        p=10,
+        queryName="t_hll",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    got_a = sorted(
+        map(tuple, spark.sql("SELECT * FROM t_hll").collect())
+    )
+    want_a = sorted(map(tuple, hll_registers(half_a, "event_id", p=10).collect()))
+    assert got_a == want_a
+
+    # second drop arrives; the restarted availableNow run must equal
+    # the batch over the union
+    half_b.write.mode("append").parquet(src)
+    q2 = start_hll_registers(
+        spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "ckpt"),
+        col="event_id",
+        p=10,
+        queryName="t_hll2",
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    got_all = sorted(
+        map(tuple, spark.sql("SELECT * FROM t_hll2").collect())
+    )
+    want_all = sorted(
+        map(tuple, hll_registers(events, "event_id", p=10).collect())
+    )
+    assert got_all == want_all

@@ -45,6 +45,22 @@ def _hash60(col: F.Column) -> F.Column:
     ).cast("long")
 
 
+def hll_register_rho(
+    col: F.Column, p: int
+) -> tuple[F.Column, F.Column]:
+    """(register, rho) expressions for one value — shared by the batch
+    and streaming register aggregations."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"p must be in [4, 18], got {p}")
+    rest_bits = _BITS - p
+    h = _hash60(col)
+    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
+    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
+        F.lit(rest_bits) - F.length(F.bin(rest)) + F.lit(1)
+    )
+    return F.shiftright(h, rest_bits), rho.cast("int")
+
+
 def hll_registers(
     df: DataFrame, col: str, *, p: int = 12
 ) -> DataFrame:
@@ -60,20 +76,10 @@ def hll_registers(
     see :func:`hll_merge`; the estimate comes from
     :func:`hll_estimate`.
     """
-    if not 4 <= p <= 18:
-        raise ValueError(f"p must be in [4, 18], got {p}")
-    rest_bits = _BITS - p
-    h = _hash60(F.col(col))
-    rest = h.bitwiseAND(F.lit((1 << rest_bits) - 1))
-    rho = F.when(rest == 0, F.lit(rest_bits + 1)).otherwise(
-        F.lit(rest_bits) - F.length(F.bin(rest)) + F.lit(1)
-    )
+    reg, rho = hll_register_rho(F.col(col), p)
     return (
         df.filter(F.col(col).isNotNull())
-        .select(
-            F.shiftright(h, rest_bits).alias("register"),
-            rho.cast("int").alias("rho"),
-        )
+        .select(reg.alias("register"), rho.alias("rho"))
         .groupBy("register")
         .agg(F.max("rho").alias("max_rho"))
         .orderBy("register")
