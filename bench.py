@@ -239,7 +239,27 @@ def main() -> None:
             customer_t, orders_t, lineitem
         ).count()
     )
+    # adapted Q9: two broadcast dims + the one orderkey fact-fact join
+    from vector_indexer_spark.operators.olap import product_type_profit
+
+    results["olap_q9_profit"] = timed(
+        lambda: product_type_profit(
+            lineitem,
+            orders_t,
+            spark.read.parquet(f"{sf_dir}/part.parquet"),
+            spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+            nation_t,
+        ).count()
+    )
     lineitem.unpersist()
+
+    # mergeable-sketch scan shape: one map-side-combined aggregation,
+    # ≤2^p output rows — the COUNT(DISTINCT) replacement at 100 TB
+    from vector_indexer_spark.operators.sketches import hll_registers
+
+    results["sketch_hll_events"] = timed(
+        lambda: hll_registers(events, "event_id", p=12).count()
+    )
 
     # --- plan evidence: the search scan must actually prune ---
     from pyspark.sql import functions as SF
