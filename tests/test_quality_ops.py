@@ -896,3 +896,76 @@ def test_weighted_sample_invariance_and_clamp(spark, documents):
     assert weighted_sample(documents, F.lit(1.0)).count() == n
     assert weighted_sample(documents, F.lit(7.5)).count() == n
     assert weighted_sample(documents, F.lit(-3.0)).count() == 0
+
+
+# --------------------------------------------------------------------------
+# DSIR importance scoring (values pinned by the text_dsir_* oracles;
+# here: directional behavior on a constructed corpus + contracts)
+# --------------------------------------------------------------------------
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from vector_indexer_spark.operators.text_analysis import (
+        dsir_scores,
+        dsir_select,
+    )
+
+    rows = [
+        (0, "physics quantum energy field theory", "web"),
+        (1, "quantum field physics energy states", "web"),
+        (2, "buy cheap pills discount offer now", "web"),
+        (3, "cheap discount offer pills deal buy", "web"),
+        (10, "quantum physics energy theory", "curated"),
+        (11, "field theory quantum states", "curated"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    raw = docs.filter(F.col("source") == "web")
+    target = docs.filter(F.col("source") == "curated")
+    s = {
+        r["doc_id"]: r["dsir_micros"] / max(r["n_tokens"], 1)
+        for r in dsir_scores(raw, target).collect()
+    }
+    # physics-like docs must outscore spam under a physics target LM
+    assert min(s[0], s[1]) > max(s[2], s[3])
+    top = dsir_select(raw, target, k=2).collect()
+    assert {r["doc_id"] for r in top} == {0, 1}
+
+
+def test_dsir_empty_doc_scores_zero(spark):
+    from vector_indexer_spark.operators.text_analysis import dsir_scores
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dsir_scores(docs, docs).collect()}
+    assert got[1]["n_tokens"] == 0 and got[1]["dsir_micros"] == 0
+
+
+def test_dsir_contracts(spark):
+    from vector_indexer_spark.operators.text_analysis import (
+        dsir_scores,
+        dsir_select,
+    )
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="smoothing"):
+        dsir_scores(docs, docs, smoothing=0.0)
+    with pytest.raises(ValueError, match="k must be positive"):
+        dsir_select(docs, docs, k=0)
+
+
+def test_dsir_plan_no_cartesian_broadcast_stats(spark):
+    from vector_indexer_spark.operators.text_analysis import dsir_scores
+    from vector_indexer_spark.plans import audit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s = audit.plan_summary(
+        dsir_scores(docs, docs.filter(F.col("source") == "src0"))
+    )
+    # the 1-row stats frame broadcasts; vocabulary joins hash on the
+    # token key; no true cartesian anywhere
+    assert s["broadcasts"] >= 1
+    assert not s["cartesian"]

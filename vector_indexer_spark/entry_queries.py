@@ -6725,3 +6725,96 @@ def _opq_search_trained(spark, sf_dir):
 
 
 _register("opq_search_trained", _opq_search_trained)
+
+
+_DSIR_SQL_CTES = f"""
+    toks AS (
+      SELECT doc_id, unnest({_DD_TOKENS.format(c="text")}) AS token
+      FROM documents
+    ),
+    tgt_toks AS (
+      SELECT unnest({_DD_TOKENS.format(c="text")}) AS token
+      FROM documents WHERE source = 'src0'
+    ),
+    raw_vocab AS (SELECT token, count(*) AS raw_cnt FROM toks GROUP BY 1),
+    tgt_vocab AS (SELECT token, count(*) AS tgt_cnt FROM tgt_toks GROUP BY 1),
+    stats AS (
+      SELECT (SELECT CAST(SUM(raw_cnt) AS DOUBLE) FROM raw_vocab)
+               AS raw_total,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM raw_vocab) AS vsize,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM tgt_toks) AS tgt_total
+    ),
+    vocab AS (
+      SELECT r.token,
+             CAST(floor((
+               ln((coalesce(t.tgt_cnt, 0) + 1.0)
+                  / (s.tgt_total + 1.0 * s.vsize))
+               - ln((r.raw_cnt + 1.0)
+                    / (s.raw_total + 1.0 * s.vsize))
+             ) * 1000000) AS BIGINT) AS llr_micros
+      FROM raw_vocab r LEFT JOIN tgt_vocab t USING (token)
+      CROSS JOIN stats s
+    ),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             SUM(v.llr_micros) AS dsir_micros
+      FROM toks t JOIN vocab v USING (token) GROUP BY 1
+    )
+"""
+
+
+def _text_dsir_scores(spark, sf_dir):
+    """DSIR importance scores: log-likelihood ratio of a target-corpus
+    unigram LM (source src0 as the in-domain set) vs the raw-corpus
+    LM, per-token micros floored for an engine-exact sum."""
+    from vector_indexer_spark.operators.text_analysis import dsir_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_scores(docs, docs.filter(F.col("source") == "src0"))
+
+
+_register(
+    "text_dsir_scores",
+    _text_dsir_scores,
+    f"""
+    WITH {_DSIR_SQL_CTES}
+    SELECT d.doc_id,
+           coalesce(per.n_tokens, 0) AS n_tokens,
+           coalesce(per.dsir_micros, 0) AS dsir_micros
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)
+
+
+def _text_dsir_selected(spark, sf_dir):
+    """DSIR selection: top-100 documents by length-normalized
+    importance ratio — the resampling cut that keeps in-domain-looking
+    data."""
+    from vector_indexer_spark.operators.text_analysis import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_select(
+        docs, docs.filter(F.col("source") == "src0"), k=100
+    )
+
+
+_register(
+    "text_dsir_selected",
+    _text_dsir_selected,
+    f"""
+    WITH {_DSIR_SQL_CTES},
+    scored AS (
+      SELECT d.doc_id,
+             coalesce(per.n_tokens, 0) AS n_tokens,
+             coalesce(per.dsir_micros, 0) AS dsir_micros
+      FROM documents d LEFT JOIN per USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, dsir_micros,
+           CAST(floor(CAST(dsir_micros AS DOUBLE)
+                      / CAST(greatest(n_tokens, 1) AS DOUBLE))
+                AS BIGINT) AS rank_key
+    FROM scored
+    ORDER BY rank_key DESC, doc_id
+    LIMIT 100
+    """,
+)

@@ -1089,3 +1089,146 @@ def top_ngram_concentration(
         .otherwise(F.lit(0.0))
         .alias("char_frac"),
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style importance score for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — first-order unigram variant): every document in
+    ``df`` scores ``Σ_tokens ln p_target(w) − ln p_raw(w)``, the
+    log-likelihood ratio between a unigram LM of the ``target``
+    (high-quality / in-domain) corpus and one of the raw corpus.
+    Documents that look like the target score high; selection is then
+    a top-fraction cut (see :func:`dsir_select`).
+
+    Both LMs use add-``smoothing`` estimates over the RAW corpus
+    vocabulary, so every raw token has positive probability under
+    both. Per-token ratios are floored to integer micros before
+    summation (the :func:`unigram_surprisal` discipline) — the
+    per-doc sum is order-independent and engine-exact.
+
+    Returns ``(doc_id, n_tokens, dsir_micros)``; empty docs score 0.
+
+    Scale shape: two vocabulary aggregations (map-side combined), a
+    vocabulary-keyed join to attach per-token stats, one per-doc sum.
+    The target corpus is typically small (a curated set) but nothing
+    here requires it; no all-pairs step anywhere.
+    """
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens_expr(text_col)).alias("token"),
+    )
+    raw_vocab = toks.groupBy("token").agg(F.count("*").alias("raw_cnt"))
+    tgt_toks = target.select(
+        F.explode(tokens_expr(text_col)).alias("token")
+    )
+    tgt_vocab = tgt_toks.groupBy("token").agg(
+        F.count("*").alias("tgt_cnt")
+    )
+    stats = (
+        raw_vocab.agg(
+            F.sum("raw_cnt").cast("double").alias("raw_total"),
+            F.count("*").cast("double").alias("vsize"),
+        )
+        .crossJoin(
+            tgt_toks.agg(
+                F.count("*").cast("double").alias("tgt_total")
+            )
+        )
+    )
+    a = F.lit(float(smoothing))
+    vocab = (
+        raw_vocab.join(tgt_vocab, "token", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            (
+                F.log(
+                    (
+                        F.coalesce(F.col("tgt_cnt"), F.lit(0)).cast(
+                            "double"
+                        )
+                        + a
+                    )
+                    / (F.col("tgt_total") + a * F.col("vsize"))
+                )
+                - F.log(
+                    (F.col("raw_cnt").cast("double") + a)
+                    / (F.col("raw_total") + a * F.col("vsize"))
+                )
+            ).alias("__llr"),
+        )
+        .select(
+            "token",
+            F.floor(F.col("__llr") * F.lit(1_000_000))
+            .cast("long")
+            .alias("llr_micros"),
+        )
+    )
+    per_doc = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("llr_micros").alias("dsir_micros"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("dsir_micros", F.lit(0)).alias("dsir_micros"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+    length_normalize: bool = True,
+) -> DataFrame:
+    """Top-``k`` documents by DSIR score — the selection step.
+
+    ``length_normalize`` ranks by mean per-token ratio (so long
+    documents don't win on length alone); ties break by doc_id. At
+    warehouse scale the top-k is TakeOrdered over the score frame —
+    no global sort of the corpus.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    scores = dsir_scores(
+        df, target, text_col=text_col, id_col=id_col, smoothing=smoothing
+    )
+    rank_col = (
+        (
+            F.col("dsir_micros").cast("double")
+            / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+        )
+        if length_normalize
+        else F.col("dsir_micros").cast("double")
+    )
+    return (
+        scores.select(
+            "doc_id",
+            "n_tokens",
+            "dsir_micros",
+            F.floor(rank_col).cast("long").alias("rank_key"),
+        )
+        .orderBy(F.col("rank_key").desc(), "doc_id")
+        .limit(k)
+    )
