@@ -886,3 +886,59 @@ def test_boilerplate_paragraph_removal(spark):
     )
     res = remove_boilerplate_paragraphs(short, max_docs=5).collect()
     assert all(r.text.startswith("ok. ") and r.n_removed == 0 for r in res)
+
+
+def test_decontaminate_semantic_drops_self_and_near(spark):
+    from vector_indexer_spark.operators.dedup import (
+        decontaminate_semantic,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0]),   # near-dup of eval vector
+        (2, [0.0, 1.0, 0.0]),      # orthogonal — survives
+        (3, [0.0, 0.0, 1.0]),      # orthogonal — survives
+    ]
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>"
+    )
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "eid long, embedding array<double>"
+    )
+    kept = decontaminate_semantic(corpus, ev, threshold=0.95)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    # all columns pass through
+    assert kept.columns == corpus.columns
+
+
+def test_decontaminate_semantic_threshold_contract(spark):
+    import pytest as _pytest
+
+    from vector_indexer_spark.operators.dedup import (
+        decontaminate_semantic,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0])], "doc_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="threshold"):
+        decontaminate_semantic(df, df, threshold=0.0)
+
+
+def test_decontaminate_semantic_broadcasts_eval_side(spark):
+    from vector_indexer_spark.operators.dedup import (
+        decontaminate_semantic,
+    )
+    from vector_indexer_spark.plans import audit
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    out = decontaminate_semantic(
+        emb, emb.limit(5), threshold=0.9, id_col="vec_id"
+    )
+    plan = audit.executed_plan(out)
+    # the only nested-loop is against the broadcast eval set; the
+    # corpus side never exchanges on a data-sized key
+    assert "BroadcastNestedLoopJoin" in plan
+    assert not audit.has_cartesian(out)

@@ -6818,3 +6818,38 @@ _register(
     LIMIT 100
     """,
 )
+
+
+def _decon_semantic_kept(spark, sf_dir):
+    """Semantic decontamination: corpus vectors cosine-matched (≥0.8)
+    against a broadcast 10-vector eval set are dropped; survivors'
+    ids return. The eval vectors live in the corpus, so they remove
+    themselves (cosine 1.0) — the self-hit proves the semantics."""
+    from vector_indexer_spark.operators.dedup import (
+        decontaminate_semantic,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eval_set = emb.filter(F.col("vec_id") >= 490)
+    return decontaminate_semantic(
+        emb, eval_set, threshold=0.8, id_col="vec_id"
+    ).select("vec_id")
+
+
+_register(
+    "decon_semantic_kept",
+    _decon_semantic_kept,
+    f"""
+    WITH ev AS (SELECT embedding AS evec FROM embeddings
+                WHERE vec_id >= 490),
+    bad AS (
+      SELECT DISTINCT v.vec_id
+      FROM embeddings v CROSS JOIN ev
+      WHERE {_DD_DOT.format(a="v.embedding", b="ev.evec")}
+            / ({_DD_NORM.format(a="v.embedding")}
+               * {_DD_NORM.format(a="ev.evec")}) >= 0.8
+    )
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+    """,
+)

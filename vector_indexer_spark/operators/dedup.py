@@ -769,3 +769,51 @@ def remove_boilerplate_paragraphs(
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
         )
     )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    *,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    eval_vec_col: str = "embedding",
+) -> DataFrame:
+    """Drop corpus rows whose embedding is near-duplicate (cosine ≥
+    ``threshold``) of ANY evaluation vector — the semantic tier of
+    decontamination, catching paraphrases the exact/n-gram tiers
+    (``decontaminate_exact`` / ``decontaminate_ngram``) miss. All
+    corpus columns pass through for survivors.
+
+    Plan: the eval side (an eval set — thousands of vectors, not
+    billions) broadcasts; each corpus partition scores its rows
+    against the full eval matrix scan-locally (broadcast nested loop
+    — deliberate: the build side is eval-sized) and contaminated ids
+    anti-join out. The corpus never shuffles. For an eval set too
+    large to broadcast, pre-block both sides with
+    ``similarity.cosine_near_dup_rhp``'s banded signatures and run
+    this check within buckets only.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    from vector_indexer_spark.functions.distance import cosine_expr  # noqa: PLC0415
+
+    ev = F.broadcast(
+        eval_set.select(F.col(eval_vec_col).alias("__evec"))
+    )
+    contaminated = (
+        corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col))
+        .crossJoin(ev)
+        .filter(
+            cosine_expr(F.col(vec_col), F.col("__evec"))
+            >= F.lit(float(threshold))
+        )
+        .select("__cid")
+        .distinct()
+    )
+    return corpus.join(
+        contaminated,
+        corpus[id_col] == contaminated["__cid"],
+        "left_anti",
+    )
