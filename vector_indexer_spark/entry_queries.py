@@ -6853,3 +6853,33 @@ _register(
     WHERE vec_id NOT IN (SELECT vec_id FROM bad)
     """,
 )
+
+
+def _layout_zorder_keys(spark, sf_dir):
+    """Morton (z-order) keys over (user_id, event_id) — the sort key
+    behind multi-dimensional file clustering (OPTIMIZE ZORDER BY).
+    Pure shift/mask codegen; the layout writer sorts by this key so
+    parquet min/max stats prune on EITHER column."""
+    from vector_indexer_spark.operators.layout import zorder_key_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        "user_id",
+        zorder_key_expr(["user_id", "event_id"], bits=20).alias("zkey"),
+    ).orderBy("event_id")
+
+
+def _layout_zorder_sql():
+    from vector_indexer_spark.operators.layout import zorder_key_sql
+
+    z = zorder_key_sql(["user_id", "event_id"], bits=20)
+    return f"""
+    SELECT event_id, user_id, {z} AS zkey
+    FROM events ORDER BY event_id
+    """
+
+
+_register(
+    "layout_zorder_keys", _layout_zorder_keys, _layout_zorder_sql()
+)
