@@ -170,3 +170,85 @@ def test_streaming_hll_equals_batch(spark, tmp_path, events):
         map(tuple, hll_registers(events, "event_id", p=10).collect())
     )
     assert got_all == want_all
+
+
+def test_grouped_hll_slices_equal_per_group_sketches(spark, events):
+    from vector_indexer_spark.operators.sketches import hll_registers
+
+    grouped = hll_registers(
+        events, "user_id", p=8, group_cols=["event_type"]
+    )
+    types = [
+        r[0] for r in events.select("event_type").distinct().collect()
+    ]
+    for t in types:
+        slice_ = sorted(
+            (r["register"], r["max_rho"])
+            for r in grouped.filter(F.col("event_type") == t).collect()
+        )
+        direct = sorted(
+            map(
+                tuple,
+                hll_registers(
+                    events.filter(F.col("event_type") == t),
+                    "user_id",
+                    p=8,
+                ).collect(),
+            )
+        )
+        assert slice_ == direct
+
+
+def test_bloom_no_false_negatives(spark, events):
+    from vector_indexer_spark.operators.sketches import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    bits = bloom_bits(events, "user_id", m_bits=4096, k_hashes=4)
+    present = events.select("user_id").distinct()
+    got = bloom_might_contain(
+        bits, present, "user_id", m_bits=4096, k_hashes=4
+    ).collect()
+    assert all(r["might_contain"] for r in got)
+
+
+def test_bloom_rejects_most_absent_keys(spark, events):
+    from vector_indexer_spark.operators.sketches import (
+        bloom_bits,
+        bloom_might_contain,
+    )
+
+    bits = bloom_bits(events, "user_id", m_bits=4096, k_hashes=4)
+    absent = spark.range(1_000_000, 1_000_200).select(
+        F.col("id").alias("user_id")
+    )
+    got = bloom_might_contain(
+        bits, absent, "user_id", m_bits=4096, k_hashes=4
+    ).collect()
+    fp = sum(1 for r in got if r["might_contain"])
+    # 15 distinct keys × 4 hashes in 4096 bits → fp rate ≪ 1%
+    assert fp <= 2
+
+
+def test_bloom_prefilter_exact_after_join(spark, events):
+    from vector_indexer_spark.operators.sketches import bloom_prefilter
+
+    small = events.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct()
+    pre = bloom_prefilter(
+        events, small, "user_id", m_bits=4096, k_hashes=3
+    )
+    # no false negatives: the true semi-join survives the pre-filter
+    want = events.join(small, "user_id", "left_semi").count()
+    got = pre.join(small, "user_id", "left_semi").count()
+    assert got == want
+    assert pre.columns == events.columns
+
+
+def test_bloom_contracts(spark, events):
+    from vector_indexer_spark.operators.sketches import bloom_bits
+
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_bits(events, "user_id", m_bits=1)

@@ -6883,3 +6883,60 @@ def _layout_zorder_sql():
 _register(
     "layout_zorder_keys", _layout_zorder_keys, _layout_zorder_sql()
 )
+
+
+def _sketch_hll_by_type(spark, sf_dir):
+    """Sketch-per-group rollup: distinct-user HLL registers per event
+    type (p=8) — the OLAP-cube cell sketch; any coarser cell is an
+    element-wise max of these."""
+    from vector_indexer_spark.operators.sketches import hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_registers(
+        ev, "user_id", p=8, group_cols=["event_type"]
+    )
+
+
+_register(
+    "sketch_hll_by_type",
+    _sketch_hll_by_type,
+    f"""
+    WITH parts AS (
+      SELECT event_type,
+             {_hll_hash_sql("CAST(user_id AS VARCHAR)")} >> 52 AS register,
+             {_hll_hash_sql("CAST(user_id AS VARCHAR)")}
+               & ((1::BIGINT << 52) - 1) AS rest
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT event_type, register,
+           CAST(MAX(CASE WHEN rest = 0 THEN 53
+                    ELSE 52 - length(bin(rest)) + 1 END) AS INT)
+             AS max_rho
+    FROM parts GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+
+
+def _sketch_bloom_bits(spark, sf_dir):
+    """Bloom bit set over event users (4 salted hashes into 4096
+    bits) — the broadcastable join-pruning filter; merge across
+    sources is union-distinct."""
+    from vector_indexer_spark.operators.sketches import bloom_bits
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return bloom_bits(ev, "user_id", m_bits=4096, k_hashes=4)
+
+
+def _bloom_bits_sql() -> str:
+    selects = "\n      UNION ALL ".join(
+        "SELECT "
+        + _hll_hash_sql(f"concat('b{i}:', CAST(user_id AS VARCHAR))")
+        + " % 4096 AS bit FROM events WHERE user_id IS NOT NULL"
+        for i in range(4)
+    )
+    return f"""
+    SELECT DISTINCT bit FROM ({selects}) ORDER BY bit
+    """
+
+
+_register("sketch_bloom_bits", _sketch_bloom_bits, _bloom_bits_sql())

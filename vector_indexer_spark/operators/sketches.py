@@ -62,7 +62,11 @@ def hll_register_rho(
 
 
 def hll_registers(
-    df: DataFrame, col: str, *, p: int = 12
+    df: DataFrame,
+    col: str,
+    *,
+    p: int = 12,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """HyperLogLog register table for one column: ``(register,
     max_rho)`` over the 2**p registers that saw at least one value.
@@ -72,17 +76,24 @@ def hll_registers(
     the binary string — no float log anywhere). One map-side-combined
     MAX aggregation; output is ≤ 2**p rows regardless of input scale.
 
+    ``group_cols`` turns this into a sketch-per-group rollup (e.g.
+    distinct users per event type / per day): output grows to
+    |groups| × 2**p rows max, and each group's slice is itself a
+    mergeable sketch — the OLAP-cube use, where per-cell sketches
+    roll up to any coarser cell by max.
+
     Two register tables merge by ``union → groupBy register → max`` —
     see :func:`hll_merge`; the estimate comes from
     :func:`hll_estimate`.
     """
     reg, rho = hll_register_rho(F.col(col), p)
+    gcols = list(group_cols or [])
     return (
         df.filter(F.col(col).isNotNull())
-        .select(reg.alias("register"), rho.alias("rho"))
-        .groupBy("register")
+        .select(*gcols, reg.alias("register"), rho.alias("rho"))
+        .groupBy(*gcols, "register")
         .agg(F.max("rho").alias("max_rho"))
-        .orderBy("register")
+        .orderBy(*gcols, "register")
     )
 
 
@@ -230,3 +241,132 @@ def heavy_hitters(
         .select(col, "exact_count", "est_count")
         .orderBy(F.col("exact_count").desc(), F.col(col))
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    col: str,
+    *,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-filter bit set for one column: the DISTINCT positions set
+    by ``k_hashes`` salted hashes per value — ``(bit,)`` rows, at most
+    ``m_bits`` of them whatever the input size.
+
+    Same determinism contract as the other sketches: positions derive
+    from md5, so the bit set is engine-portable and merge across
+    sources is a plain union-distinct. The operational use is JOIN
+    PRUNING (:func:`bloom_prefilter`): build bits from the small
+    side's keys, broadcast them, and drop big-side rows scan-locally
+    before the shuffle join — the Bloom-join reduction every warehouse
+    engine applies at scale.
+    """
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError(
+            f"need m_bits >= 2, k_hashes >= 1: {m_bits}, {k_hashes}"
+        )
+    rows = df.filter(F.col(col).isNotNull())
+    positions = F.array(
+        *[
+            _hash60(F.concat(F.lit(f"b{i}:"), F.col(col).cast("string")))
+            % F.lit(m_bits)
+            for i in range(k_hashes)
+        ]
+    )
+    return (
+        rows.select(F.explode(positions).alias("bit"))
+        .distinct()
+        .orderBy("bit")
+    )
+
+
+def bloom_might_contain(
+    bits: DataFrame,
+    items: DataFrame,
+    col: str,
+    *,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Membership probe: ``(col, might_contain)`` — true iff ALL
+    ``k_hashes`` positions for the value are present in ``bits``
+    (no false negatives; false-positive rate ≈ (1−e^{−kn/m})^k).
+    The bit set broadcasts; the probe is one small join + AND-agg.
+    """
+    probes = items.select(
+        F.col(col),
+        F.explode(
+            F.array(
+                *[
+                    _hash60(
+                        F.concat(
+                            F.lit(f"b{i}:"), F.col(col).cast("string")
+                        )
+                    )
+                    % F.lit(m_bits)
+                    for i in range(k_hashes)
+                ]
+            )
+        ).alias("bit"),
+    )
+    hit = F.broadcast(bits.withColumn("__present", F.lit(True)))
+    return (
+        probes.join(hit, "bit", "left")
+        .groupBy(col)
+        .agg(
+            F.min(F.coalesce(F.col("__present"), F.lit(False))).alias(
+                "might_contain"
+            )
+        )
+        .orderBy(col)
+    )
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    small: DataFrame,
+    col: str,
+    *,
+    small_col: str | None = None,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Bloom-join reduction: keep only ``big`` rows whose ``col``
+    MIGHT appear in ``small``'s key set — a scan-local pre-filter
+    (broadcast bit set, no shuffle of ``big``) that shrinks the
+    shuffle the real join pays afterward. Exactness is unaffected:
+    Bloom has no false negatives, and the subsequent join removes
+    false positives.
+    """
+    bits = bloom_bits(
+        small.select(F.col(small_col or col).alias(col)),
+        col,
+        m_bits=m_bits,
+        k_hashes=k_hashes,
+    )
+    # positions recompute on the big side scan-locally; membership is
+    # k broadcast left joins against the bit set ANDed together
+    probe = big
+    hit = F.broadcast(bits.withColumn("__present", F.lit(True)))
+    cond = F.lit(True)
+    for i in range(k_hashes):
+        pos = _hash60(
+            F.concat(F.lit(f"b{i}:"), F.col(col).cast("string"))
+        ) % F.lit(m_bits)
+        probe = probe.withColumn(f"__b{i}", pos)
+    joined = probe
+    for i in range(k_hashes):
+        joined = joined.join(
+            hit.select(
+                F.col("bit").alias(f"__bit{i}"),
+                F.col("__present").alias(f"__p{i}"),
+            ),
+            F.col(f"__b{i}") == F.col(f"__bit{i}"),
+            "left",
+        )
+        cond = cond & F.coalesce(F.col(f"__p{i}"), F.lit(False))
+    drop = [f"__b{i}" for i in range(k_hashes)] + [
+        f"__bit{i}" for i in range(k_hashes)
+    ] + [f"__p{i}" for i in range(k_hashes)]
+    return joined.filter(cond).drop(*drop)
