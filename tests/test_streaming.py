@@ -768,3 +768,78 @@ def test_streaming_asof_next_multiple_lefts_one_right(spark, tmp_path):
     got = {r.event_id: r for r in spark.read.parquet(out).collect()}
     assert got[1].next_event_id == 3 and got[2].next_event_id == 3
     assert 9 not in got
+
+
+def test_pivot_counts_explicit_values(spark):
+    from vector_indexer_spark.streaming.events import pivot_counts
+
+    rows = [
+        (1, "click"), (1, "click"), (1, "buy"), (2, "buy"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        r["user_id"]: r
+        for r in pivot_counts(
+            ev, pivot_values=["click", "buy", "view"]
+        ).collect()
+    }
+    assert (got[1]["n_click"], got[1]["n_buy"], got[1]["n_view"]) == (2, 1, 0)
+    assert (got[2]["n_click"], got[2]["n_buy"]) == (0, 1)
+    with pytest.raises(ValueError, match="pivot_values"):
+        pivot_counts(ev, pivot_values=[])
+
+
+def test_latest_by_key_tiebreak_and_group_limit_plan(spark):
+    from vector_indexer_spark.plans import audit
+    from vector_indexer_spark.streaming.events import latest_by_key
+
+    rows = [
+        (10, 100, 1, "a"),
+        (11, 100, 1, "b"),   # same ts → higher event_id wins
+        (5, 200, 1, "c"),    # later ts wins outright... (ts=200)
+        (7, 50, 2, "d"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    )
+    got = {r["user_id"]: r for r in latest_by_key(ev).collect()}
+    assert got[1]["event_type"] == "c"
+    assert got[2]["event_type"] == "d"
+    # same-ts tie: drop the ts=200 row and the event_id breaks it
+    got2 = {
+        r["user_id"]: r
+        for r in latest_by_key(ev.filter("ts != 200")).collect()
+    }
+    assert got2[1]["event_id"] == 11
+    # partial window-group-limit below the exchange: map tasks forward
+    # one candidate per key, not full history
+    plan = audit.executed_plan(latest_by_key(ev))
+    assert "WindowGroupLimit" in plan
+
+
+def test_scd2_intervals_islands_merge(spark):
+    from vector_indexer_spark.streaming.events import scd2_intervals
+
+    rows = [
+        (1, 100, 1, "free"),
+        (2, 200, 1, "free"),   # same attr — merges into one interval
+        (3, 300, 1, "paid"),
+        (4, 400, 1, "free"),   # back to free — NEW interval, not merged
+        (5, 100, 2, "paid"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    )
+    got = scd2_intervals(ev).collect()
+    u1 = [
+        (r["event_type"], r["valid_from"], r["valid_to"])
+        for r in got
+        if r["user_id"] == 1
+    ]
+    assert u1 == [
+        ("free", 100, 300),
+        ("paid", 300, 400),
+        ("free", 400, None),
+    ]
+    u2 = [(r["event_type"], r["valid_to"]) for r in got if r["user_id"] == 2]
+    assert u2 == [("paid", None)]

@@ -6940,3 +6940,97 @@ def _bloom_bits_sql() -> str:
 
 
 _register("sketch_bloom_bits", _sketch_bloom_bits, _bloom_bits_sql())
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events_pivot(spark, sf_dir):
+    """Wide pivot report: per-user counts, one column per event type
+    (explicit value list — no discovery scan, bounded columns)."""
+    from vector_indexer_spark.streaming.events import pivot_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return pivot_counts(ev, pivot_values=_EVENT_TYPES)
+
+
+_register(
+    "events_pivot_type_counts",
+    _events_pivot,
+    "SELECT user_id, "
+    + ", ".join(
+        f"SUM(CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END) AS n_{v}"
+        for v in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1 ORDER BY 1",
+)
+
+
+def _events_latest(spark, sf_dir):
+    """CDC compaction: each user's latest event row (upsert-to-state
+    dedup), deterministic tie-break on event_id."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import latest_by_key
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return latest_by_key(ev)
+
+
+_register(
+    "events_latest_state",
+    _events_latest,
+    """
+    SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value,
+           props
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+
+
+def _events_scd2(spark, sf_dir):
+    """SCD-type-2 history: per-user validity intervals of the
+    event_type attribute (islands of consecutive equal values merged;
+    NULL valid_to = current)."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import scd2_intervals
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    # open (current) intervals carry valid_to = -1 here: the driver's
+    # compare treats a NULL numeric column as NaN, and NaN != NaN
+    return scd2_intervals(ev).withColumn(
+        "valid_to", F.coalesce("valid_to", F.lit(-1).cast("long"))
+    )
+
+
+_register(
+    "events_scd2_intervals",
+    _events_scd2,
+    """
+    WITH staged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    isl AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM staged
+    ),
+    per AS (
+      SELECT user_id, island, min(event_type) AS event_type,
+             min(epoch_ns(ts)) AS valid_from
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id, event_type, valid_from,
+           coalesce(lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from), -1) AS valid_to
+    FROM per ORDER BY user_id, valid_from
+    """,
+)

@@ -859,3 +859,109 @@ def value_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def pivot_counts(
+    events: DataFrame,
+    *,
+    row_key: str = "user_id",
+    pivot_col: str = "event_type",
+    pivot_values: list[str] | None = None,
+) -> DataFrame:
+    """Wide per-key report: one row per ``row_key`` with a count
+    column per ``pivot_col`` value — the pivot shape every BI layer
+    asks for.
+
+    ``pivot_values`` should be passed explicitly at scale (here it
+    must be: Spark would otherwise run a distinct scan to discover
+    the columns, and an unbounded value set would mint unbounded
+    columns). One groupBy shuffle; the pivot itself is a map-side
+    conditional-count projection, not extra movement.
+    """
+    if not pivot_values:
+        raise ValueError("pivot_values must be a non-empty list")
+    aggs = [
+        F.sum(
+            F.when(F.col(pivot_col) == v, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"n_{v}")
+        for v in pivot_values
+    ]
+    return (
+        events.groupBy(row_key).agg(*aggs).orderBy(row_key)
+    )
+
+
+def latest_by_key(
+    events: DataFrame,
+    *,
+    key_cols: list[str] | None = None,
+    order_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Keep each key's LATEST row — the CDC/upsert compaction step
+    (dedup a change stream down to current state). Ties on
+    ``order_col`` break by ``tiebreak_col`` DESC, so the result is
+    deterministic under replay.
+
+    One hash shuffle on the key; Spark 4 plants a partial
+    WindowGroupLimit below the exchange, so each map task forwards
+    one candidate row per key, not the full history.
+    """
+    keys = key_cols or ["user_id"]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    *,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: collapse each
+    key's change stream into validity intervals ``(key, attr,
+    valid_from, valid_to)``, ``valid_to`` NULL on the current row.
+
+    Consecutive rows with the SAME attribute merge into one interval
+    (the island step: a change flag → running island id → min/max per
+    island). One key shuffle feeds both windows and the final
+    aggregation — the exchange is reused.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(tiebreak_col)
+    )
+    changed = (
+        F.lag(attr_col).over(w).isNull()
+        | (F.lag(attr_col).over(w) != F.col(attr_col))
+    ).cast("int")
+    island = F.sum("__chg").over(
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = (
+        events.select(
+            key_col, attr_col, ts_col, tiebreak_col
+        )
+        .withColumn("__chg", changed)
+        .withColumn("__island", island)
+    )
+    per_island = staged.groupBy(key_col, "__island").agg(
+        F.first(attr_col).alias(attr_col),
+        F.min(ts_col).alias("valid_from"),
+    )
+    nxt = Window.partitionBy(key_col).orderBy("valid_from")
+    return per_island.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(nxt).alias("valid_to"),
+    ).orderBy(key_col, "valid_from")
