@@ -202,6 +202,71 @@ def _hard_neg_df(spark, emb):
     )
 
 
+def _hll_df(spark, sf_dir):
+    from vector_indexer_spark.operators.sketches import hll_registers
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hll_registers(ev, "event_id", p=12)
+
+
+def _bloom_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.sketches import bloom_prefilter
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    small = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id"
+    ).distinct()
+    return bloom_prefilter(ev, small, "user_id", m_bits=4096, k_hashes=3)
+
+
+def _profile_df(spark, sf_dir):
+    from vector_indexer_spark.operators.profile import profile_table
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile_table(ev, ["event_id", "event_type", "user_id"])
+
+
+def _dsir_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.text_analysis import dsir_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_scores(docs, docs.filter(F.col("source") == "src0"))
+
+
+def _q21_df(spark, sf_dir):
+    from vector_indexer_spark.operators.olap import waiting_suppliers
+
+    return waiting_suppliers(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        nation_name="NATION_7",
+    )
+
+
+def _latest_df(spark, sf_dir):
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import latest_by_key
+
+    return latest_by_key(read_events_ns(spark, f"{sf_dir}/events.parquet"))
+
+
+def _zorder_df(spark, sf_dir):
+    from vector_indexer_spark.operators.layout import zorder_key_expr
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        "user_id",
+        zorder_key_expr(["user_id", "event_id"], bits=20).alias("zkey"),
+    )
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -419,6 +484,55 @@ def main():
             "Scan-local chunk scoring vs broadcast queries, then one "
             "map-side-combinable MAX per (query, doc).",
             _maxsim_df(spark, docs),
+        ),
+        (
+            "HyperLogLog registers",
+            "ONE map-side-combined MAX aggregation over the scan; "
+            "output bounded at 2^p rows whatever the input — the "
+            "COUNT(DISTINCT) replacement at warehouse scale.",
+            _hll_df(spark, sf_dir),
+        ),
+        (
+            "Bloom-join prefilter",
+            "Bit set built from the small side's keys, broadcast; the "
+            "big side filters scan-locally BEFORE the shuffle join — "
+            "no exchange of big-side rows that can't match.",
+            _bloom_df(spark, sf_dir),
+        ),
+        (
+            "Table profiler",
+            "All column stats in ONE aggregation pass (expand for the "
+            "exact distincts), unpivoted in-plan with stack() — never "
+            "a per-column job.",
+            _profile_df(spark, sf_dir),
+        ),
+        (
+            "DSIR importance scores",
+            "Two vocabulary-sized aggregations, token-keyed join, one "
+            "per-doc sum; the 1-row stats frame broadcasts. Corpus "
+            "text explodes exactly once.",
+            _dsir_df(spark, sf_dir),
+        ),
+        (
+            "OLAP Q21 waiting suppliers (EXISTS/NOT EXISTS)",
+            "Decorrelated to left-semi + left-anti hash joins on the "
+            "SAME orderkey exchange; probe sides carry (orderkey, "
+            "suppkey) only.",
+            _q21_df(spark, sf_dir),
+        ),
+        (
+            "CDC latest-by-key",
+            "WindowGroupLimit (Partial) below the key exchange: each "
+            "map task forwards one candidate row per key, not the "
+            "full history.",
+            _latest_df(spark, sf_dir),
+        ),
+        (
+            "Z-order layout key",
+            "Morton interleave as pure shift/mask codegen; the write "
+            "is one range exchange + in-partition sort, after which "
+            "parquet min/max stats prune on EVERY z-ordered column.",
+            _zorder_df(spark, sf_dir),
         ),
     ]
 
