@@ -1,0 +1,64 @@
+"""BFS/k-NN-graph invariants (values pinned by the recursive-CTE
+oracle `graph_knn_bfs_hops`; here: hand-built graphs + contracts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators.graph import (
+    bfs_hops,
+    knn_graph,
+    symmetrize,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_bfs_hand_graph(spark):
+    # 0→1→2→3 chain plus shortcut 0→2; node 9 unreachable
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 2), (9, 9)])
+    src = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, src, max_hops=5).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+
+
+def test_bfs_depth_bound_and_multi_source(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (10, 2)])
+    src = spark.createDataFrame([(0,), (10,)], "node long")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, src, max_hops=1).collect()}
+    # depth 1 stops before node 3; node 2 is 1 hop from source 10
+    assert got == {0: 0, 10: 0, 1: 1, 2: 1}
+
+
+def test_bfs_zero_hops_and_contract(spark):
+    e = _edges(spark, [(0, 1)])
+    src = spark.createDataFrame([(0,)], "node long")
+    got = bfs_hops(e, src, max_hops=0).collect()
+    assert [(r["node"], r["hops"]) for r in got] == [(0, 0)]
+    with pytest.raises(ValueError, match="max_hops"):
+        bfs_hops(e, src, max_hops=-1)
+
+
+def test_symmetrize_both_directions(spark):
+    p = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = sorted(map(tuple, symmetrize(p).collect()))
+    assert got == [(1, 2), (2, 1)]
+
+
+def test_knn_graph_degree_and_no_self(spark):
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 50)
+    )
+    edges = knn_graph(
+        emb, k=3, id_col="vec_id", vec_col="embedding", symmetric=False
+    )
+    assert edges.filter(F.col("src") == F.col("dst")).count() == 0
+    deg = edges.groupBy("src").count().agg(F.max("count")).first()[0]
+    assert deg == 3
+    assert edges.select("src").distinct().count() == 50
+    with pytest.raises(ValueError, match="k must be"):
+        knn_graph(emb, k=0, id_col="vec_id", vec_col="embedding")

@@ -7034,3 +7034,84 @@ _register(
     FROM per ORDER BY user_id, valid_from
     """,
 )
+
+
+def _events_value_quantiles(spark, sf_dir):
+    """Per-type purchase-value quantiles — the grouped exact
+    percentile profile (same (n-1)·q interpolation as DuckDB
+    quantile_cont, bit-exact)."""
+    from vector_indexer_spark.operators.text_analysis import (
+        length_quantiles,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return length_quantiles(
+        ev, by_col="event_type", len_col="value"
+    ).orderBy("group")
+
+
+_register(
+    "events_value_quantiles",
+    _events_value_quantiles,
+    """
+    SELECT event_type AS "group", COUNT(*) AS n_docs,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.75) AS p75,
+           quantile_cont(value, 0.95) AS p95
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+def _graph_knn_bfs(spark, sf_dir):
+    """Bounded-depth BFS over a 3-NN similarity graph (300-vector
+    slice): min hops from vec 0 within 3 — the Pregel-style iterative
+    join shape, oracled against DuckDB's recursive CTE."""
+    from vector_indexer_spark.operators.graph import bfs_hops, knn_graph
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 300)
+    )
+    edges = knn_graph(
+        emb, k=3, id_col="vec_id", vec_col="embedding", symmetric=True
+    )
+    src = spark.createDataFrame([(0,)], "node long")
+    return bfs_hops(edges, src, max_hops=3)
+
+
+_register(
+    "graph_knn_bfs_hops",
+    _graph_knn_bfs,
+    f"""
+    WITH RECURSIVE
+    sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+    scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             {_DD_DIST2.format(a="a.embedding", b="b.embedding")} AS dist2
+      FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM scored)
+      WHERE rn <= 3
+    ),
+    edges AS (
+      SELECT src, dst FROM nn
+      UNION
+      SELECT dst AS src, src AS dst FROM nn
+    ),
+    reach(node, hop) AS (
+      SELECT CAST(0 AS BIGINT), 0
+      UNION
+      SELECT e.dst, r.hop + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hop < 3
+    )
+    SELECT node, MIN(hop) AS hops FROM reach GROUP BY 1 ORDER BY 1
+    """,
+)

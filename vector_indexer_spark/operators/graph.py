@@ -1,0 +1,133 @@
+"""Graph traversal on DataFrames — bounded-depth BFS (min-hop
+distances).
+
+Spark has no recursive CTE; the standard translation is Pregel-style
+iteration: each hop is one frontier ⋈ edges join (a key-partitioned
+shuffle), with the visited set accumulated across iterations. Depth
+is bounded by contract (``max_hops``) so the driver loop is a fixed,
+small number of Spark jobs — the shape GraphFrames/GraphX use for
+k-hop queries.
+
+For UNBOUNDED reachability (full connected components) this engine
+already has the right tool: ``dedup.resolve_duplicate_groups``'s
+pointer-jumping min-label propagation, which converges in
+O(log diameter) rounds instead of O(diameter). BFS here is the
+complement: exact hop DISTANCES for bounded neighborhoods (k-hop
+ego nets, near-dup blast radius, graph-ANN walks).
+
+Scale shape per iteration: frontier ⋈ edges shuffles on the node key;
+the visited set joins as an anti-join on the same key. Frontiers are
+persisted and unpersisted per round; at 1000 executors the cost is
+``max_hops`` shuffles of frontier-sized (not graph-sized) data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bfs_hops(
+    edges: DataFrame,
+    sources: DataFrame,
+    *,
+    max_hops: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Minimum hop count from any source to every node within
+    ``max_hops``: ``(node, hops)``, sources at 0.
+
+    ``edges`` is directed — pass both directions for an undirected
+    graph. Deterministic: the first hop at which a node is reached is
+    unique, whatever the join order.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    )
+    dist = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .persist()
+    )
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__s"])
+            .select(F.col("__d").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .persist()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        new_dist = dist.unionByName(nxt).persist()
+        dist.unpersist()
+        dist = new_dist
+        frontier = nxt
+    return dist.orderBy("node")
+
+
+def symmetrize(
+    pairs: DataFrame, a_col: str = "id_a", b_col: str = "id_b"
+) -> DataFrame:
+    """Undirected pair list → directed edge list (both directions)."""
+    fwd = pairs.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    )
+    rev = pairs.select(
+        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+    )
+    return fwd.unionByName(rev).distinct()
+
+
+def knn_graph(
+    vectors: DataFrame,
+    k: int,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    symmetric: bool = True,
+) -> DataFrame:
+    """k-NN graph: directed edge to each point's ``k`` nearest
+    neighbors (self excluded, engine tie rule (dist2, id)); optionally
+    symmetrized. The navigable structure graph-ANN methods build —
+    here as the substrate for hop queries over similarity space.
+    """
+    from vector_indexer_spark.operators.knn import knn_exact  # noqa: PLC0415
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = vectors.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query")
+    )
+    nn = (
+        knn_exact(
+            vectors, q, k=k + 1, id_col=id_col, vec_col=vec_col,
+            method="native",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            F.col("rank"),
+        )
+    )
+    # rank re-check after dropping self: keep the k best survivors
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("src").orderBy("rank")
+    edges = (
+        nn.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("src", "dst")
+    )
+    if symmetric:
+        return symmetrize(edges, "src", "dst")
+    return edges
