@@ -843,3 +843,77 @@ def test_scd2_intervals_islands_merge(spark):
     ]
     u2 = [(r["event_type"], r["valid_to"]) for r in got if r["user_id"] == 2]
     assert u2 == [("paid", None)]
+
+
+def test_resample_ffill_hand_case(spark):
+    from vector_indexer_spark.streaming.events import resample_ffill
+
+    # user 1: events at t=5 (v=10) and t=25 (v=20), step 10
+    # → ticks 10 (sees v=10) and 20 (still v=10); no tick at 25
+    # wait: hi = 25 - 25%10 = 20, lo = 5 + (10 - 5)%10 = 10
+    rows = [
+        (1, 5, 10.0, 100),
+        (1, 25, 20.0, 101),
+        (2, 10, 7.0, 102),   # single on-grid event: tick 10 sees it
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, value double, event_id long"
+    )
+    got = sorted(
+        (r["user_id"], r["tick_ns"], r["value_ffill"])
+        for r in resample_ffill(ev, step_ns=10).collect()
+    )
+    assert got == [(1, 10, 10.0), (1, 20, 10.0), (2, 10, 7.0)]
+
+
+def test_resample_ffill_same_ts_tiebreak_and_contract(spark):
+    from vector_indexer_spark.streaming.events import resample_ffill
+
+    # two events at the same timestamp: the higher event_id wins
+    rows = [(1, 10, 1.0, 100), (1, 10, 2.0, 101)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts long, value double, event_id long"
+    )
+    got = resample_ffill(ev, step_ns=10).collect()
+    assert [(r["tick_ns"], r["value_ffill"]) for r in got] == [(10, 2.0)]
+    with pytest.raises(ValueError, match="step_ns"):
+        resample_ffill(ev, step_ns=0)
+
+
+def test_correlation_matrix_reference(spark):
+    import numpy as np
+
+    from vector_indexer_spark.operators.profile import correlation_matrix
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1000, 200) / 10.0
+    y = 2.0 * x + rng.integers(0, 100, 200) / 10.0
+    z = rng.integers(0, 1000, 200) / 10.0
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x, y, z)],
+        "x double, y double, z double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["x", "y", "z"], scale=10).collect()
+    }
+    # quantization at scale=10 is lossless for these /10 values → the
+    # result must match numpy's corrcoef on the quantized ints
+    qx, qy, qz = (np.floor(v * 10).astype(np.int64) for v in (x, y, z))
+    assert abs(got[("x", "y")] - np.corrcoef(qx, qy)[0, 1]) < 1e-12
+    assert abs(got[("x", "z")] - np.corrcoef(qx, qz)[0, 1]) < 1e-12
+    assert got[("x", "y")] > 0.9
+    import pytest as _p
+
+    with _p.raises(ValueError, match="at least 2"):
+        correlation_matrix(df, ["x"])
+
+
+def test_correlation_constant_column_null(spark):
+    from vector_indexer_spark.operators.profile import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, c double"
+    )
+    got = correlation_matrix(df, ["c", "x"]).collect()
+    assert got[0]["corr"] is None  # zero variance → NULL, not NaN/crash

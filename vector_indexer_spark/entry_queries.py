@@ -7115,3 +7115,99 @@ _register(
     SELECT node, MIN(hop) AS hops FROM reach GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+def _profile_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem numerics in one
+    pass — exact integer moment sums (cents/centi-units), the
+    rolling_anomalies determinism discipline."""
+    from vector_indexer_spark.operators.profile import correlation_matrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return correlation_matrix(
+        li, ["l_discount", "l_extendedprice", "l_quantity"], scale=100
+    )
+
+
+def _corr_sql() -> str:
+    cols = ["l_discount", "l_extendedprice", "l_quantity"]
+    q = {c: f"CAST(floor({c} * 100) AS BIGINT)" for c in cols}
+    pair_rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = (
+                f"(CAST(COUNT(*) AS DOUBLE) * CAST(SUM({q[a]} * {q[b]}) AS DOUBLE)"
+                f" - CAST(SUM({q[a]}) AS DOUBLE) * CAST(SUM({q[b]}) AS DOUBLE))"
+            )
+            den = (
+                f"(sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM({q[a]} * {q[a]}) AS DOUBLE)"
+                f" - CAST(SUM({q[a]}) AS DOUBLE) * CAST(SUM({q[a]}) AS DOUBLE))"
+                f" * sqrt(CAST(COUNT(*) AS DOUBLE) * CAST(SUM({q[b]} * {q[b]}) AS DOUBLE)"
+                f" - CAST(SUM({q[b]}) AS DOUBLE) * CAST(SUM({q[b]}) AS DOUBLE)))"
+            )
+            pair_rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" COUNT(*) AS n,"
+                f" CASE WHEN {den} = 0 THEN NULL"
+                f" ELSE {num} / {den} END AS corr"
+                f" FROM lineitem"
+            )
+    return " UNION ALL ".join(pair_rows) + " ORDER BY col_a, col_b"
+
+
+_register("profile_corr_matrix", _profile_corr_matrix, _corr_sql())
+
+
+def _events_resample_ffill(spark, sf_dir):
+    """Per-user daily resample with forward fill (LOCF): the
+    gap-filling step of any time-series rollup; grid ticks via
+    in-plan sequence(), fill via one IGNORE NULLS window."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import resample_ffill
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    day = 24 * 3_600_000_000_000
+    return resample_ffill(ev, step_ns=day)
+
+
+_register(
+    "events_resample_ffill",
+    _events_resample_ffill,
+    """
+    WITH ev AS (
+      SELECT user_id AS u, epoch_ns(ts) AS t, value AS v,
+             event_id AS eid
+      FROM events
+    ),
+    bounds AS (
+      SELECT u,
+             MIN(t) + (86400000000000 - MIN(t) % 86400000000000)
+               % 86400000000000 AS lo,
+             MAX(t) - MAX(t) % 86400000000000 AS hi
+      FROM ev GROUP BY 1
+    ),
+    grid AS (
+      SELECT u, unnest(range(lo, hi + 1, 86400000000000)) AS t,
+             CAST(NULL AS DOUBLE) AS v, CAST(NULL AS BIGINT) AS eid,
+             1 AS is_grid
+      FROM bounds WHERE lo <= hi
+    ),
+    staged AS (
+      SELECT u, t, v, eid, 0 AS is_grid FROM ev
+      UNION ALL
+      SELECT * FROM grid
+    ),
+    filled AS (
+      SELECT u, t, is_grid,
+             last_value(v IGNORE NULLS) OVER (
+               PARTITION BY u
+               ORDER BY t, is_grid, coalesce(eid, -4611686018427387904)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS ffill
+      FROM staged
+    )
+    SELECT u AS user_id, t AS tick_ns, ffill AS value_ffill
+    FROM filled WHERE is_grid = 1
+    ORDER BY user_id, tick_ns
+    """,
+)

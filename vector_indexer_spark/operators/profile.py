@@ -112,3 +112,60 @@ def profile_table(
         )
         .orderBy("col_name")
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Pearson correlation for every column pair in ONE aggregation
+    pass: ``(col_a, col_b, n, corr)``, pairs ordered ``a < b``.
+
+    Determinism discipline (the ``rolling_anomalies`` precedent):
+    values quantize to integers (``floor(x·scale)``) BEFORE any sum,
+    so the moment sums are exact longs whatever the partition order,
+    and the final correlation is a fixed sequence of IEEE ops on exact
+    integers — bit-reproducible by the SQL oracle. Bound: Σx·y must
+    fit int64 — |x·scale| ≤ 3·10⁶ over 10⁹ rows is safe; past that,
+    raise ``scale`` granularity down or pre-aggregate per partition
+    into decimals.
+
+    Scale shape: one map-side-combined aggregation (k + k² sum
+    expressions), 1-row result expanded to k(k−1)/2 pair rows in-plan.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    q = {c: F.floor(F.col(c) * F.lit(scale)).cast("long") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.sum(q[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(q[c] * q[c]).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(q[a] * q[b]).alias(f"sp_{a}_{b}"))
+    one = df.agg(*aggs)
+
+    def corr(a: str, b: str) -> F.Column:
+        n = F.col("__n").cast("double")
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        ssa = F.col(f"ss_{a}").cast("double")
+        ssb = F.col(f"ss_{b}").cast("double")
+        sab = F.col(f"sp_{a}_{b}").cast("double")
+        num = n * sab - sa * sb
+        den = F.sqrt(n * ssa - sa * sa) * F.sqrt(n * ssb - sb * sb)
+        return F.when(den == 0, F.lit(None)).otherwise(num / den)
+
+    stack_args = []
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1:]
+    ]
+    for a, b in pairs:
+        stack_args += [F.lit(a), F.lit(b), F.col("__n"), corr(a, b)]
+    return one.select(
+        F.stack(F.lit(len(pairs)), *stack_args).alias(
+            "col_a", "col_b", "n", "corr"
+        )
+    ).orderBy("col_a", "col_b")

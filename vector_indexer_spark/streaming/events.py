@@ -965,3 +965,81 @@ def scd2_intervals(
         "valid_from",
         F.lead("valid_from").over(nxt).alias("valid_to"),
     ).orderBy(key_col, "valid_from")
+
+
+def resample_ffill(
+    events: DataFrame,
+    *,
+    step_ns: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Regularize each key's irregular event stream onto a fixed time
+    grid with forward fill: ``(user, tick_ns, value_ffill)`` at every
+    ``step_ns`` multiple between the key's first and last event;
+    value = the latest observation at or before the tick (ties on
+    timestamp break by ``tiebreak_col``, the replay-stable rule).
+
+    The gap-filling/resampling step every time-series store exposes
+    (``date_bin`` + LOCF), as a pure DataFrame plan: per-key bounds →
+    in-plan ``sequence()`` grid → union of grid ticks and real events
+    → ONE key-partitioned window whose ``last(value) IGNORE NULLS``
+    carries the observation forward. Grid rows sort after same-ts
+    events, so a tick ON an event time sees that event.
+
+    Scale shape: one shuffle on the key feeds bounds, union, and
+    window alike; grid size is (span/step) rows per key — choose
+    ``step_ns`` so that stays sane (it is data, not state).
+    """
+    if step_ns <= 0:
+        raise ValueError("step_ns must be positive")
+    ev = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).cast("long").alias("__t"),
+        F.col(value_col).cast("double").alias("__v"),
+        F.col(tiebreak_col).cast("long").alias("__id"),
+    )
+    step = F.lit(step_ns)
+    # pure modular arithmetic: epoch-ns values exceed 2^53, so any
+    # float division here would silently misplace ticks
+    mn, mx = F.min("__t"), F.max("__t")
+    bounds = ev.groupBy("__u").agg(
+        (mn + (step - mn % step) % step).alias("__lo"),
+        (mx - mx % step).alias("__hi"),
+    ).filter(F.col("__lo") <= F.col("__hi"))
+    grid = bounds.select(
+        "__u",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), step)
+        ).alias("__t"),
+    ).select(
+        "__u",
+        "__t",
+        F.lit(None).cast("double").alias("__v"),
+        F.lit(None).cast("long").alias("__id"),
+        F.lit(1).alias("__is_grid"),
+    )
+    staged = ev.withColumn("__is_grid", F.lit(0)).unionByName(grid)
+    w = (
+        Window.partitionBy("__u")
+        .orderBy(
+            F.col("__t"),
+            F.col("__is_grid"),
+            F.coalesce(F.col("__id"), F.lit(-(1 << 62))),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = staged.withColumn(
+        "__ffill", F.last("__v", ignorenulls=True).over(w)
+    )
+    return (
+        filled.filter(F.col("__is_grid") == 1)
+        .select(
+            F.col("__u").alias(user_col),
+            F.col("__t").alias("tick_ns"),
+            F.col("__ffill").alias("value_ffill"),
+        )
+        .orderBy(user_col, "tick_ns")
+    )
