@@ -6830,7 +6830,9 @@ def _decon_semantic_kept(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    eval_set = emb.filter(F.col("vec_id") >= 490)
+    # fixed 10-vector eval set — bounded at every sf (a >= cutoff
+    # would grow the broadcast side with the table)
+    eval_set = emb.filter(F.col("vec_id") < 10)
     return decontaminate_semantic(
         emb, eval_set, threshold=0.8, id_col="vec_id"
     ).select("vec_id")
@@ -6841,7 +6843,7 @@ _register(
     _decon_semantic_kept,
     f"""
     WITH ev AS (SELECT embedding AS evec FROM embeddings
-                WHERE vec_id >= 490),
+                WHERE vec_id < 10),
     bad AS (
       SELECT DISTINCT v.vec_id
       FROM embeddings v CROSS JOIN ev
