@@ -270,6 +270,14 @@ def test_bm25_single_stats_broadcast_no_big_shuffle(spark, documents):
     # corpus stats; no shuffle carries doc-granular exploded tokens
     assert s["broadcasts"] >= 1
     assert not s["cartesian"] or s["broadcasts"] >= 1  # bnlj on 1-row side ok
+    # top-k must be TakeOrdered (map-side local k + driver merge);
+    # Spark 4.1 does NOT plant WindowGroupLimit under an unpartitioned
+    # window, so a rank-then-filter here would funnel every scoring
+    # doc through one task — pin the safe shape instead
+    plan = audit.executed_plan(
+        bm25_topk(documents, ["spark", "hash"], k=5)
+    )
+    assert "TakeOrderedAndProject" in plan
 
 
 def test_asof_single_user_shuffle(spark):

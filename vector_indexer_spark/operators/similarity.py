@@ -383,12 +383,14 @@ def embedding_outliers(
     )
     if threshold is not None:
         return nearest.filter(F.col("dist2") > threshold)
+    # TakeOrdered top-n over the corpus-sized distance frame; the
+    # rank window then touches ≤ top_n rows (an unpartitioned window
+    # over `nearest` itself would single-task the corpus)
+    top = nearest.orderBy(F.col("dist2").desc(), "id").limit(top_n)
     wg = Window.orderBy(F.col("dist2").desc(), "id")
-    return (
-        nearest.withColumn("outlier_rank", F.row_number().over(wg))
-        .filter(F.col("outlier_rank") <= top_n)
-        .select("id", "cluster_id", "dist2", "outlier_rank")
-    )
+    return top.withColumn(
+        "outlier_rank", F.row_number().over(wg)
+    ).select("id", "cluster_id", "dist2", "outlier_rank")
 
 
 def semdedup(

@@ -685,13 +685,21 @@ def bm25_topk(
     score = contribs[0]
     for c in contribs[1:]:
         score = score + c
-    w = Window.orderBy(F.col("score").desc(), "doc_id")
-    return (
+    # top-k via orderBy+limit → TakeOrderedAndProject: each map task
+    # forwards its local k, the driver merges — never a full shuffle
+    # of every scoring doc into one window partition. (Spark 4.1 does
+    # NOT plant a WindowGroupLimit under an unpartitioned window —
+    # verified empirically — so the rank-then-filter shape would
+    # funnel the corpus through a single task.) The rank window then
+    # runs over ≤ k rows, where single-partition is free.
+    top = (
         scored.select("doc_id", score.alias("score"))
         .filter(F.col("score") > 0)
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
     )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def length_quantiles(
@@ -959,12 +967,16 @@ def collocations(
         "n_pairs",
         F.floor(pmi * F.lit(1_000_000)).cast("long").alias("pmi_micros"),
     )
+    # TakeOrdered top-k (map-side local k), NOT rank-then-filter: an
+    # unpartitioned window would move the whole pruned-pair vocabulary
+    # through one task (Spark 4.1 plants no WindowGroupLimit there)
+    top = scored.orderBy(
+        F.col("pmi_micros").desc(), "tok_a", "tok_b"
+    ).limit(k)
     wr = Window.orderBy(F.col("pmi_micros").desc(), "tok_a", "tok_b")
-    return (
-        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("rank", "tok_a", "tok_b", "n_pairs", "pmi_micros")
-    )
+    return top.withColumn(
+        "rank", F.row_number().over(wr).cast("int")
+    ).select("rank", "tok_a", "tok_b", "n_pairs", "pmi_micros")
 
 
 def keyword_snippets(
