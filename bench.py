@@ -582,6 +582,25 @@ def main() -> None:
         extras["dedup1M_sec"] = round(time.perf_counter() - t0, 3)
         extras["dedup1M_n_docs"] = n_docs
         extras["dedup1M_pairs"] = int(n_pairs)
+
+        # sketch scan at 1M rows: HLL registers + estimate vs the
+        # exact distinct — one map-side agg against a full distinct
+        # shuffle, the trade the sketch exists for
+        from vector_indexer_spark.operators.sketches import (
+            hll_estimate,
+            hll_registers,
+        )
+
+        t0 = time.perf_counter()
+        regs = hll_registers(docs1m, "text", p=12)
+        est = hll_estimate(regs, p=12)
+        extras["hll1M_sec"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        exact = docs1m.select("text").distinct().count()
+        extras["hll1M_exact_distinct_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+        extras["hll1M_rel_err"] = round(abs(est - exact) / exact, 4)
         docs1m.unpersist()
 
     # --- multimodal decode throughput: 50k synthetic PNGs decoded +
