@@ -917,3 +917,65 @@ def test_correlation_constant_column_null(spark):
     )
     got = correlation_matrix(df, ["c", "x"]).collect()
     assert got[0]["corr"] is None  # zero variance → NULL, not NaN/crash
+
+
+def test_streaming_latest_state_equals_batch(spark, tmp_path):
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.cdc import start_latest_state
+    from vector_indexer_spark.streaming.events import latest_by_key
+
+    ev = read_events_ns(
+        spark, "/root/testdata/sf0.001/events.parquet"
+    ).cache()
+    src = str(tmp_path / "src")
+    first = ev.filter(F.col("event_id") % 3 != 0)
+    rest = ev.filter(F.col("event_id") % 3 == 0)
+    first.write.parquet(src)
+
+    schema = ev.schema
+    q = start_latest_state(
+        spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "ckpt"),
+        queryName="t_state",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql(
+            "SELECT user_id, event_id, ts FROM t_state"
+        ).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            latest_by_key(first).select(
+                "user_id", "event_id", "ts"
+            ).collect(),
+        )
+    )
+    assert got == want
+
+    # late batch arrives: restart over the grown directory — the
+    # compacted state must equal the batch answer over everything
+    rest.write.mode("append").parquet(src)
+    q2 = start_latest_state(
+        spark.readStream.schema(schema).parquet(src),
+        str(tmp_path / "ckpt"),
+        queryName="t_state2",
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    got2 = sorted(
+        map(tuple, spark.sql(
+            "SELECT user_id, event_id, ts FROM t_state2"
+        ).collect())
+    )
+    want2 = sorted(
+        map(
+            tuple,
+            latest_by_key(ev).select(
+                "user_id", "event_id", "ts"
+            ).collect(),
+        )
+    )
+    assert got2 == want2

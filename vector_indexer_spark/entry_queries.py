@@ -7213,3 +7213,50 @@ _register(
     ORDER BY user_id, tick_ns
     """,
 )
+
+
+def _streaming_latest_oracle(spark, sf_dir):
+    """The STREAMING CDC compaction run as a real streaming query
+    (max_by aggregation state, availableNow trigger, memory sink)
+    over the sf events, checked against the SAME SQL oracle as the
+    batch latest_by_key — the aggregate is a lattice join, so batch
+    and stream answers are identical by construction."""
+    import tempfile
+    import uuid
+
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.cdc import start_latest_state
+
+    work = tempfile.mkdtemp(prefix="stream_cdc_entry_")
+    src, ckpt = f"{work}/in", f"{work}/ckpt"
+    read_events_ns(spark, f"{sf_dir}/events.parquet").write.parquet(src)
+    name = f"cdc_state_{uuid.uuid4().hex[:8]}"
+    q = start_latest_state(
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string,"
+            " value double, props string"
+        ).parquet(src),
+        ckpt,
+        queryName=name,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"SELECT event_id, ts, user_id, event_type, value, props"
+        f" FROM {name}"
+    )
+
+
+_register(
+    "streaming_latest_oracle",
+    _streaming_latest_oracle,
+    """
+    SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value,
+           props
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
