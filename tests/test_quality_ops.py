@@ -969,3 +969,31 @@ def test_dsir_plan_no_cartesian_broadcast_stats(spark):
     # token key; no true cartesian anywhere
     assert s["broadcasts"] >= 1
     assert not s["cartesian"]
+
+
+def test_source_drift_flags_off_distribution_feed(spark):
+    from vector_indexer_spark.operators.text_analysis import (
+        source_drift_kl,
+    )
+
+    rows = (
+        [(i, "the quick brown fox jumps over dogs", "clean")
+         for i in range(20)]
+        + [(100 + i, "the quick brown fox jumps again", "steady")
+           for i in range(20)]
+        + [(200 + i, "zzz spam casino jackpot winner click", "drifted")
+           for i in range(5)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    kl = {
+        r["group"]: r["kl_nanos"]
+        for r in source_drift_kl(docs).collect()
+    }
+    # the off-distribution feed must dominate both in-distribution ones
+    assert kl["drifted"] > 3 * max(kl["clean"], kl["steady"])
+    import pytest as _p
+
+    with _p.raises(ValueError, match="smoothing"):
+        source_drift_kl(docs, smoothing=0)

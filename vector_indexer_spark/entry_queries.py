@@ -7260,3 +7260,55 @@ _register(
     ) WHERE rn = 1
     """,
 )
+
+
+def _text_source_drift(spark, sf_dir):
+    """Per-source unigram KL divergence from the corpus distribution —
+    the feed drift monitor; nano-floored contributions for engine-
+    exact sums."""
+    from vector_indexer_spark.operators.text_analysis import (
+        source_drift_kl,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_drift_kl(docs)
+
+
+_register(
+    "text_source_drift",
+    _text_source_drift,
+    f"""
+    WITH toks AS (
+      SELECT source AS "group",
+             unnest({_DD_TOKENS.format(c="text")}) AS token
+      FROM documents
+    ),
+    per_group AS (
+      SELECT "group", token, count(*) AS g_cnt FROM toks GROUP BY 1, 2
+    ),
+    vocab AS (SELECT token, count(*) AS c_cnt FROM toks GROUP BY 1),
+    gtotals AS (
+      SELECT "group", CAST(count(*) AS DOUBLE) AS g_total
+      FROM toks GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(SUM(c_cnt) AS DOUBLE) AS c_total,
+             CAST(COUNT(*) AS DOUBLE) AS vsize
+      FROM vocab
+    ),
+    contribs AS (
+      SELECT p."group", p.g_cnt,
+             CAST(floor(
+               ((p.g_cnt + 1.0) / (g.g_total + 1.0 * s.vsize))
+               * (ln((p.g_cnt + 1.0) / (g.g_total + 1.0 * s.vsize))
+                  - ln((v.c_cnt + 1.0) / (s.c_total + 1.0 * s.vsize)))
+               * 1000000000) AS BIGINT) AS c
+      FROM per_group p
+      JOIN vocab v USING (token)
+      JOIN gtotals g USING ("group")
+      CROSS JOIN stats s
+    )
+    SELECT "group", SUM(g_cnt) AS n_tokens, SUM(c) AS kl_nanos
+    FROM contribs GROUP BY 1 ORDER BY 1
+    """,
+)

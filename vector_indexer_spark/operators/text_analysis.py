@@ -1244,3 +1244,73 @@ def dsir_select(
         .orderBy(F.col("rank_key").desc(), "doc_id")
         .limit(k)
     )
+
+
+def source_drift_kl(
+    df: DataFrame,
+    *,
+    by_col: str = "source",
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Distribution drift per corpus slice: KL(P_slice ‖ P_corpus)
+    over the unigram distributions, with add-``smoothing`` estimates
+    on the corpus vocabulary — the monitor a pipeline runs per
+    source / per day to catch a feed going off-distribution before it
+    poisons a training mix.
+
+    Returns ``(group, n_tokens, kl_micros)`` — per-word contributions
+    ``p_s(w)·ln(p_s(w)/p(w))`` floored to integer micros before the
+    sum (the engine-wide order-independence discipline), so the score
+    is bit-reproducible. Note KL ≥ 0 holds for the true quantity;
+    per-term flooring can leave tiny negatives for near-identical
+    distributions — it is a drift SCORE, compared against thresholds
+    orders of magnitude above the quantization.
+
+    Scale shape: one (group, token) aggregation + one vocabulary
+    aggregation; the join keys on the token (vocabulary-sized sides);
+    final sum is per-group. The corpus text explodes exactly once.
+    """
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive")
+    toks = df.select(
+        F.col(by_col).alias("group"),
+        F.explode(tokens_expr(text_col)).alias("token"),
+    )
+    per_group = toks.groupBy("group", "token").agg(
+        F.count("*").alias("g_cnt")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c_cnt"))
+    gtotals = toks.groupBy("group").agg(
+        F.count("*").cast("double").alias("g_total")
+    )
+    stats = vocab.agg(
+        F.sum("c_cnt").cast("double").alias("c_total"),
+        F.count("*").cast("double").alias("vsize"),
+    )
+    a = F.lit(float(smoothing))
+    joined = (
+        per_group.join(vocab, "token")
+        .join(F.broadcast(gtotals), "group")
+        .crossJoin(F.broadcast(stats))
+    )
+    p_s = (F.col("g_cnt").cast("double") + a) / (
+        F.col("g_total") + a * F.col("vsize")
+    )
+    p_c = (F.col("c_cnt").cast("double") + a) / (
+        F.col("c_total") + a * F.col("vsize")
+    )
+    contrib = F.floor(
+        p_s * (F.log(p_s) - F.log(p_c)) * F.lit(1_000_000_000)
+    ).cast("long")
+    return (
+        joined.select("group", "g_cnt", contrib.alias("__c"))
+        .groupBy("group")
+        .agg(
+            F.sum("g_cnt").alias("n_tokens"),
+            F.sum("__c").alias("kl_nanos"),
+        )
+        .orderBy("group")
+    )
