@@ -45,6 +45,11 @@ def _hash60(col: F.Column) -> F.Column:
     ).cast("long")
 
 
+def _salted_bucket(col: F.Column, salt: str, width: int) -> F.Column:
+    """Salted hash bucket — shared by the CMS rows and Bloom positions."""
+    return _hash60(F.concat(F.lit(salt), col.cast("string"))) % F.lit(width)
+
+
 def hll_register_rho(
     col: F.Column, p: int
 ) -> tuple[F.Column, F.Column]:
@@ -158,10 +163,7 @@ def cms_table(
     rows = df.filter(F.col(col).isNotNull())
     buckets = F.array(
         *[
-            _hash60(
-                F.concat(F.lit(f"{d}:"), F.col(col).cast("string"))
-            )
-            % F.lit(width)
+            _salted_bucket(F.col(col), f"{d}:", width)
             for d in range(depth)
         ]
     )
@@ -190,10 +192,7 @@ def cms_lookup(
         F.posexplode(
             F.array(
                 *[
-                    _hash60(
-                        F.concat(F.lit(f"{d}:"), F.col(col).cast("string"))
-                    )
-                    % F.lit(width)
+                    _salted_bucket(F.col(col), f"{d}:", width)
                     for d in range(depth)
                 ]
             )
@@ -269,8 +268,7 @@ def bloom_bits(
     rows = df.filter(F.col(col).isNotNull())
     positions = F.array(
         *[
-            _hash60(F.concat(F.lit(f"b{i}:"), F.col(col).cast("string")))
-            % F.lit(m_bits)
+            _salted_bucket(F.col(col), f"b{i}:", m_bits)
             for i in range(k_hashes)
         ]
     )
@@ -299,12 +297,7 @@ def bloom_might_contain(
         F.explode(
             F.array(
                 *[
-                    _hash60(
-                        F.concat(
-                            F.lit(f"b{i}:"), F.col(col).cast("string")
-                        )
-                    )
-                    % F.lit(m_bits)
+                    _salted_bucket(F.col(col), f"b{i}:", m_bits)
                     for i in range(k_hashes)
                 ]
             )
@@ -351,10 +344,9 @@ def bloom_prefilter(
     hit = F.broadcast(bits.withColumn("__present", F.lit(True)))
     cond = F.lit(True)
     for i in range(k_hashes):
-        pos = _hash60(
-            F.concat(F.lit(f"b{i}:"), F.col(col).cast("string"))
-        ) % F.lit(m_bits)
-        probe = probe.withColumn(f"__b{i}", pos)
+        probe = probe.withColumn(
+            f"__b{i}", _salted_bucket(F.col(col), f"b{i}:", m_bits)
+        )
     joined = probe
     for i in range(k_hashes):
         joined = joined.join(
