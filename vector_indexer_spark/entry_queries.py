@@ -7312,3 +7312,35 @@ _register(
     FROM contribs GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+def _olap_revenue_cube(spark, sf_dir):
+    """CUBE(year, priority) revenue: the full grouping lattice (leaf,
+    both marginals, grand total) in one pass."""
+    from vector_indexer_spark.operators.olap import revenue_cube
+
+    return revenue_cube(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+_register(
+    "olap_revenue_cube",
+    _olap_revenue_cube,
+    """
+    SELECT COALESCE(yr, -1) AS yr,
+           COALESCE(pri, 'ALL') AS pri,
+           CAST(GROUPING(yr) AS INT) AS yr_total,
+           CAST(GROUPING(pri) AS INT) AS pri_total,
+           SUM(rev_cents) AS revenue_cents,
+           count(*) AS n_items
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+             o.o_orderpriority AS pri,
+             CAST(floor((l.l_extendedprice * (1.0 - l.l_discount)) * 100)
+                  AS BIGINT) AS rev_cents
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey)
+    GROUP BY CUBE(yr, pri)
+    """,
+)

@@ -889,3 +889,43 @@ def product_type_profit(
         .agg(F.sum("amount_cents").alias("profit_cents"))
         .orderBy("nation", F.col("o_year").desc())
     )
+
+
+def revenue_cube(
+    orders: DataFrame,
+    lineitem: DataFrame,
+) -> DataFrame:
+    """``CUBE (order year, order priority)`` — the full lattice:
+    per-cell, per-year, per-priority, and grand totals in ONE pass.
+    The CUBE completes what :func:`revenue_rollup` starts: ROLLUP
+    omits the per-priority marginals; a BI layer slicing on either
+    axis wants all four grouping sets. Same sentinel + GROUPING-flag
+    discipline, same single map-side grouping-set expansion (2× the
+    rollup's expand, still one fact scan and one shuffle).
+    """
+    joined = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderpriority").alias("pri"),
+        _cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("rev_cents"),
+    )
+    return (
+        joined.cube("yr", "pri")
+        .agg(
+            F.sum("rev_cents").alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+            F.grouping("yr").cast("int").alias("yr_total"),
+            F.grouping("pri").cast("int").alias("pri_total"),
+        )
+        .select(
+            F.coalesce("yr", F.lit(-1)).alias("yr"),
+            F.coalesce("pri", F.lit("ALL")).alias("pri"),
+            "yr_total",
+            "pri_total",
+            "revenue_cents",
+            "n_items",
+        )
+    )
