@@ -304,3 +304,100 @@ class TestBpeProperties:
             assert 1 <= len(enc) <= len(w)  # never longer than chars
             toks.extend(enc)
         assert bpe_decode_tokens(toks) == text.rstrip()
+
+
+class TestSketchProperties:
+    """The md5-derived sketch expressions vs pure-Python hashlib
+    references — any value, any p, bit-for-bit."""
+
+    @given(
+        vals=st.lists(
+            st.one_of(st.integers(-(2**40), 2**40), st.text(max_size=20)),
+            min_size=1,
+            max_size=30,
+        ),
+        p=st.integers(4, 16),
+    )
+    @_settings
+    def test_hll_registers_match_hashlib_reference(self, spark, vals, p):
+        import hashlib
+
+        from vector_indexer_spark.operators.sketches import hll_registers
+
+        df = spark.createDataFrame(
+            [(str(v),) for v in vals], "v string"
+        )
+        got = {
+            (r["register"], r["max_rho"])
+            for r in hll_registers(df, "v", p=p).collect()
+        }
+        want = {}
+        for v in vals:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            rest_bits = 60 - p
+            reg, rest = h >> rest_bits, h & ((1 << rest_bits) - 1)
+            rho = (
+                rest_bits + 1
+                if rest == 0
+                else rest_bits - rest.bit_length() + 1
+            )
+            want[reg] = max(want.get(reg, 0), rho)
+        assert got == set(want.items())
+
+    @given(
+        vals=st.lists(st.integers(0, 10**6), min_size=1, max_size=40),
+        width=st.sampled_from([16, 64, 256]),
+    )
+    @_settings
+    def test_cms_counts_match_hashlib_reference(self, spark, vals, width):
+        import hashlib
+        from collections import Counter
+
+        from vector_indexer_spark.operators.sketches import cms_table
+
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        got = {
+            (r["d"], r["bucket"]): r["cnt"]
+            for r in cms_table(df, "v", depth=2, width=width).collect()
+        }
+        want = Counter()
+        for v in vals:
+            for d in range(2):
+                b = (
+                    int(
+                        hashlib.md5(f"{d}:{v}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % width
+                )
+                want[(d, b)] += 1
+        assert got == dict(want)
+
+
+class TestMortonProperties:
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 2**14 - 1), st.integers(0, 2**14 - 1)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @_settings
+    def test_zorder_key_bijective_and_orderable(self, spark, pts):
+        from vector_indexer_spark.operators.layout import zorder_key_expr
+
+        df = spark.createDataFrame(list(set(pts)), "x long, y long")
+        rows = df.select(
+            "x", "y", zorder_key_expr(["x", "y"], bits=14).alias("z")
+        ).collect()
+        # bijective: distinct points → distinct keys; decodable back
+        zs = [r["z"] for r in rows]
+        assert len(set(zs)) == len(rows)
+        for r in rows:
+            x = sum(
+                ((r["z"] >> (2 * b)) & 1) << b for b in range(14)
+            )
+            y = sum(
+                ((r["z"] >> (2 * b + 1)) & 1) << b for b in range(14)
+            )
+            assert (x, y) == (r["x"], r["y"])

@@ -252,3 +252,30 @@ def test_bloom_contracts(spark, events):
 
     with pytest.raises(ValueError, match="m_bits"):
         bloom_bits(events, "user_id", m_bits=1)
+
+
+def test_sketches_empty_input(spark):
+    from vector_indexer_spark.operators.sketches import (
+        bloom_bits,
+        cms_table,
+        hll_estimate,
+        hll_registers,
+    )
+
+    empty = spark.createDataFrame([], "v long")
+    regs = hll_registers(empty, "v", p=8)
+    assert regs.count() == 0
+    assert hll_estimate(regs, p=8) == 0.0
+    assert cms_table(empty, "v").count() == 0
+    assert bloom_bits(empty, "v").count() == 0
+
+
+def test_profile_empty_table(spark):
+    from vector_indexer_spark.operators.profile import profile_table
+
+    empty = spark.createDataFrame([], "a long, b string")
+    rows = {r["col_name"]: r for r in profile_table(empty).collect()}
+    assert rows["a"]["n_nonnull"] == 0
+    assert rows["a"]["n_null"] == 0
+    assert rows["a"]["n_distinct"] == 0
+    assert rows["a"]["min_repr"] is None

@@ -7344,3 +7344,35 @@ _register(
     GROUP BY CUBE(yr, pri)
     """,
 )
+
+
+def _ivfopq_search_trained(spark, sf_dir):
+    """Trained IVF-OPQ end to end (rotation → coarse quantizer →
+    residual PQ → pruned ADC). Trained path — rows-only; the
+    rotation algebra is oracled via opq_perm_codes_fixed and the
+    IVF-PQ body via ivfpq_adc_fixed."""
+    import tempfile
+
+    from vector_indexer_spark.operators.opq import (
+        build_ivfopq_index,
+        search_ivfopq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 300  # bounded fixture at every sf
+    )
+    src = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    work = tempfile.mkdtemp(prefix="ivfopq_entry_")
+    idx = build_ivfopq_index(
+        src, work, nlist=4, m=4, ksub=16, seed=42, max_iters=3
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query"),
+    )
+    return search_ivfopq(spark, idx, q, k=5, n_probe=8)
+
+
+_register("ivfopq_search_trained", _ivfopq_search_trained)

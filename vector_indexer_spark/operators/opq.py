@@ -287,3 +287,155 @@ def opq_search(
         query_id_col=query_id_col,
         query_col=query_col,
     )
+
+
+@dataclass
+class IvfOpqIndex:
+    """Rotation + persisted IVF-PQ index over the rotated space —
+    Faiss's ``OPQd_m,IVFnlist,PQm`` factory string as a composition:
+    the learned rotation feeds the standard IVF-PQ build unchanged
+    (coarse quantizer, residual PQ, codes-only partitioned layout)."""
+
+    mean: np.ndarray
+    rotation: np.ndarray
+    ivfpq: "object"  # IvfPqIndex
+
+    @property
+    def dimension(self) -> int:
+        return int(self.rotation.shape[1])
+
+    def rotate(self, x: np.ndarray) -> np.ndarray:
+        return (np.asarray(x, dtype=np.float64) - self.mean) @ self.rotation.T
+
+
+def build_ivfopq_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    nlist: int | None = None,
+    m: int = 8,
+    ksub: int = 256,
+    seed: int = 42,
+    mode: str = "full",
+    max_iters: int | None = None,
+) -> IvfOpqIndex:
+    """Train the rotation (distributed PCA + eigenvalue allocation),
+    rotate the corpus in one GEMM pass, and hand the rotated view to
+    the standard IVF-PQ build. Rotation sidecar persists beside the
+    index so load/search reconstruct the full pipeline."""
+    from vector_indexer_spark.operators.pq import build_ivfpq_index  # noqa: PLC0415
+
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot build IVF-OPQ on empty input")
+    d = len(first[0])
+    if d % m != 0:
+        raise ValueError(f"dimension {d} not divisible by m={m}")
+    pca = pca_train(df, k=d, vec_col=vec_col)
+    order = eigenvalue_allocation(np.asarray(pca.explained_variance), m)
+    rotation = np.asarray(pca.components, dtype=np.float64)[order]
+    mean = np.asarray(pca.mean, dtype=np.float64)
+    rotated = _rotate_df(df, mean, rotation, id_col=id_col, vec_col=vec_col)
+    ivfpq = build_ivfpq_index(
+        rotated,
+        os.path.join(path, "ivfpq"),
+        id_col="id",
+        vec_col="rvec",
+        nlist=nlist,
+        m=m,
+        ksub=ksub,
+        seed=seed,
+        mode=mode,
+        max_iters=max_iters,
+    )
+    os.makedirs(path, exist_ok=True)
+    spark = df.sparkSession
+    spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in rotation[i]])
+            for i in range(rotation.shape[0])
+        ],
+        "row_id INT, basis ARRAY<DOUBLE>",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "rotation")
+    )
+    with open(os.path.join(path, "ivfopq_meta.json"), "w") as f:
+        json.dump(
+            {
+                "version": OPQ_FORMAT_VERSION,
+                "d": d,
+                "mean": [float(x) for x in mean],
+            },
+            f,
+        )
+    return IvfOpqIndex(mean=mean, rotation=rotation, ivfpq=ivfpq)
+
+
+def load_ivfopq_index(spark: SparkSession, path: str) -> IvfOpqIndex:
+    from vector_indexer_spark.operators.pq import load_ivfpq_index  # noqa: PLC0415
+
+    meta_path = os.path.join(path, "ivfopq_meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(f"no IVF-OPQ index at {path}")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("version") != OPQ_FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported IVF-OPQ version {meta.get('version')!r}"
+        )
+    rows = (
+        spark.read.parquet(os.path.join(path, "rotation"))
+        .orderBy("row_id")
+        .collect()
+    )
+    return IvfOpqIndex(
+        mean=np.asarray(meta["mean"], dtype=np.float64),
+        rotation=np.asarray([r.basis for r in rows], dtype=np.float64),
+        ivfpq=load_ivfpq_index(spark, os.path.join(path, "ivfpq")),
+    )
+
+
+def search_ivfopq(
+    spark: SparkSession,
+    index: IvfOpqIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 20,
+    *,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Rotate the query batch driver-side (bounded), then run the
+    standard pruned residual-ADC search — distances in rotated space
+    equal original-space distances exactly (orthogonal rotation)."""
+    from vector_indexer_spark.operators.pq import search_ivfpq  # noqa: PLC0415
+
+    qrows = queries.select(query_id_col, query_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, adc_dist2 double"
+        )
+    qmat = stack_arrays([r[1] for r in qrows])
+    if qmat.shape[1] != index.dimension:
+        raise ValueError(
+            f"query dimension {qmat.shape[1]} != index dim {index.dimension}"
+        )
+    rq = index.rotate(qmat)
+    rq_df = spark.createDataFrame(
+        [
+            (int(r[0]), [float(x) for x in rq[i]])
+            for i, r in enumerate(qrows)
+        ],
+        f"{query_id_col} long, {query_col} array<double>",
+    )
+    return search_ivfpq(
+        spark,
+        index.ivfpq,
+        rq_df,
+        k=k,
+        n_probe=n_probe,
+        query_id_col=query_id_col,
+        query_col=query_col,
+    )
