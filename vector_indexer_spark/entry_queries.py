@@ -7376,3 +7376,104 @@ def _ivfopq_search_trained(spark, sf_dir):
 
 
 _register("ivfopq_search_trained", _ivfopq_search_trained)
+
+
+def _maint_snapshot_diff(spark, sf_dir):
+    """CDC between two event snapshots (derived deterministically from
+    the table): adds, removals, and value changes by key."""
+    from vector_indexer_spark.operators.maintenance import snapshot_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    old = ev.filter(F.col("event_id") % 7 != 0)
+    new = ev.filter(F.col("event_id") % 5 != 0).withColumn(
+        "value",
+        F.when(
+            F.col("event_id") % 3 == 0, F.col("value") * F.lit(2.0)
+        ).otherwise(F.col("value")),
+    )
+    return snapshot_diff(
+        old, new, ["event_id"], compare_cols=["value", "event_type"]
+    )
+
+
+_register(
+    "maint_snapshot_diff",
+    _maint_snapshot_diff,
+    """
+    WITH old AS (
+      SELECT event_id, value, event_type FROM events
+      WHERE event_id % 7 <> 0
+    ),
+    new AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN value * 2.0
+                  ELSE value END AS value,
+             event_type
+      FROM events WHERE event_id % 5 <> 0
+    )
+    SELECT coalesce(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                WHEN o.value IS NOT DISTINCT FROM n.value
+                 AND o.event_type IS NOT DISTINCT FROM n.event_type
+                  THEN 'unchanged'
+                ELSE 'changed' END AS change_type
+    FROM old o FULL OUTER JOIN new n USING (event_id)
+    WHERE NOT (o.event_id IS NOT NULL AND n.event_id IS NOT NULL
+               AND o.value IS NOT DISTINCT FROM n.value
+               AND o.event_type IS NOT DISTINCT FROM n.event_type)
+    ORDER BY event_id
+    """,
+)
+
+
+def _maint_constraints(spark, sf_dir):
+    """Contract validation of the events drop: null/uniqueness/domain/
+    range rules as one violation report."""
+    from vector_indexer_spark.operators.maintenance import (
+        validate_constraints,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return validate_constraints(
+        ev,
+        not_null=["event_id", "ts", "user_id"],
+        unique=[["event_id"]],
+        accepted_values={
+            "event_type": ["click", "error", "purchase", "signup", "view"]
+        },
+        ranges={"value": (0.0, 1e9)},
+    )
+
+
+_register(
+    "maint_constraints",
+    _maint_constraints,
+    """
+    SELECT 'accepted_values' AS rule, 'event_type' AS "column",
+           SUM(CASE WHEN event_type NOT IN
+                 ('click','error','purchase','signup','view')
+                 OR event_type IS NULL THEN 1 ELSE 0 END) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'not_null', 'event_id',
+           SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+    FROM events
+    UNION ALL
+    SELECT 'not_null', 'ts',
+           SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) FROM events
+    UNION ALL
+    SELECT 'not_null', 'user_id',
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) FROM events
+    UNION ALL
+    SELECT 'range', 'value',
+           SUM(CASE WHEN value < 0.0 OR value > 1e9 THEN 1 ELSE 0 END)
+    FROM events
+    UNION ALL
+    SELECT 'unique', 'event_id',
+           coalesce((SELECT SUM(c - 1) FROM (
+             SELECT COUNT(*) AS c FROM events GROUP BY event_id
+             HAVING COUNT(*) > 1)), 0)
+    ORDER BY rule, "column"
+    """,
+)

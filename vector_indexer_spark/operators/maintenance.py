@@ -1,0 +1,170 @@
+"""Dataset maintenance — snapshot diff, partition upsert, constraint
+validation. The operational layer around a 100 TB table: what changed
+between two loads, how to land a corrected slice without rewriting the
+table, and whether a drop satisfies its contract before it merges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    *,
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Change-data capture between two snapshots: one row per key with
+    ``change_type`` ∈ added | removed | changed (| unchanged).
+
+    ``compare_cols`` defaults to every shared non-key column; equality
+    is null-safe (NULL == NULL). One full-outer hash join on the key —
+    at warehouse scale co-partition both snapshots on the key (bucketed
+    layout) and the join degrades to zero-shuffle sort-merge, the same
+    discipline as the fact-fact OLAP joins.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    shared = [c for c in old.columns if c in set(new.columns)]
+    cmp_cols = (
+        list(compare_cols)
+        if compare_cols is not None
+        else [c for c in shared if c not in set(key_cols)]
+    )
+    missing = [
+        c
+        for c in list(key_cols) + cmp_cols
+        if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(f"columns absent from a snapshot: {missing}")
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"__o_{c}") for c in cmp_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"__n_{c}") for c in cmp_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    joined = o.join(n, list(key_cols), "full_outer")
+    same = F.lit(True)
+    for c in cmp_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = joined.select(*key_cols, change.alias("change_type"))
+    if not include_unchanged:
+        out = out.filter(F.col("change_type") != "unchanged")
+    return out.orderBy(*key_cols)
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+) -> None:
+    """Land a corrected slice into a partitioned parquet table,
+    touching ONLY the partitions present in ``df`` (Spark's dynamic
+    partition overwrite): the daily-backfill move — rewrite one day,
+    never the table. Callers re-reading the path see old partitions
+    byte-identical.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def validate_constraints(
+    df: DataFrame,
+    *,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    accepted_values: dict[str, list] | None = None,
+    ranges: dict[str, tuple] | None = None,
+) -> DataFrame:
+    """Contract check before a drop merges: one row per rule with its
+    violation count — ``(rule, column, n_violations)``; a clean drop
+    is all-zero. The dbt-test / Great-Expectations shape as ONE Spark
+    job: every rule is a conditional count in a single aggregation
+    pass (uniqueness rules add one groupBy each, on their own keys).
+    """
+    aggs = []
+    labels: list[tuple[str, str]] = []
+    for c in not_null or []:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(
+                f"nn_{len(labels)}"
+            )
+        )
+        labels.append(("not_null", c))
+    for c, vals in (accepted_values or {}).items():
+        aggs.append(
+            F.sum(
+                (~F.col(c).isin(vals) | F.col(c).isNull()).cast("long")
+            ).alias(f"nn_{len(labels)}")
+        )
+        labels.append(("accepted_values", c))
+    for c, (lo, hi) in (ranges or {}).items():
+        aggs.append(
+            F.sum(
+                ((F.col(c) < lo) | (F.col(c) > hi)).cast("long")
+            ).alias(f"nn_{len(labels)}")
+        )
+        labels.append(("range", c))
+
+    spark = df.sparkSession
+    parts = []
+    if aggs:
+        one = df.agg(*aggs)
+        stack_args = []
+        for i, (rule, col) in enumerate(labels):
+            stack_args += [
+                F.lit(rule),
+                F.lit(col),
+                F.coalesce(F.col(f"nn_{i}"), F.lit(0)).cast("long"),
+            ]
+        parts.append(
+            one.select(
+                F.stack(F.lit(len(labels)), *stack_args).alias(
+                    "rule", "column", "n_violations"
+                )
+            )
+        )
+    for keys in unique or []:
+        dup = (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("__c") - 1), F.lit(0))
+                .cast("long")
+                .alias("n_violations")
+            )
+            .select(
+                F.lit("unique").alias("rule"),
+                F.lit(",".join(keys)).alias("column"),
+                "n_violations",
+            )
+        )
+        parts.append(dup)
+    if not parts:
+        return spark.createDataFrame(
+            [], "rule string, column string, n_violations long"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("rule", "column")
