@@ -7477,3 +7477,50 @@ _register(
     ORDER BY rule, "column"
     """,
 )
+
+
+_SQL_IFACE_Q13 = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey AS k, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _sql_interface_q13(spark, sf_dir):
+    """Dialect parity on the Q13 shape: the SAME SQL text (left join +
+    group-by-of-group-by + two-key ordering) runs on spark.sql and
+    DuckDB."""
+    from vector_indexer_spark.sql import register_corpus_views, sql
+
+    register_corpus_views(spark, sf_dir, tables=("customer", "orders"))
+    return sql(spark, _SQL_IFACE_Q13)
+
+
+_register("sql_interface_q13", _sql_interface_q13, _SQL_IFACE_Q13)
+
+
+_SQL_IFACE_WINDOW = """
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id, rn
+"""
+
+
+def _sql_interface_window(spark, sf_dir):
+    """Dialect parity on window functions: identical OVER clause text
+    on both engines (partitioned ranking of each user's purchases)."""
+    from vector_indexer_spark.sql import register_corpus_views, sql
+
+    register_corpus_views(spark, sf_dir, tables=("events",))
+    return sql(spark, _SQL_IFACE_WINDOW)
+
+
+_register(
+    "sql_interface_window", _sql_interface_window, _SQL_IFACE_WINDOW
+)
