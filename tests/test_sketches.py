@@ -279,3 +279,71 @@ def test_profile_empty_table(spark):
     assert rows["a"]["n_null"] == 0
     assert rows["a"]["n_distinct"] == 0
     assert rows["a"]["min_repr"] is None
+
+
+def test_hdr_quantiles_within_relative_error(spark, events):
+    import numpy as np
+
+    from vector_indexer_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_quantiles,
+    )
+
+    hist = hdr_histogram(events, "value", scale=100, sub_bits=5)
+    probs = [0.1, 0.5, 0.9, 0.99]
+    est = hdr_quantiles(hist, probs, scale=100, sub_bits=5)
+    vals = np.array(
+        [r["value"] for r in events.select("value").collect()]
+    )
+    exact = np.quantile(np.floor(vals * 100) / 100, probs)
+    for e_, x in zip(est, exact):
+        # bucket width + rank interpolation: allow 2x the 2^-5 bound
+        assert abs(e_ - x) <= max(abs(x) * 2 ** -4, 0.02)
+
+
+def test_hdr_histogram_merge_and_bounds(spark, events):
+    from vector_indexer_spark.operators.sketches import hdr_histogram
+
+    a = hdr_histogram(
+        events.filter(F.col("event_id") % 2 == 0), "value", sub_bits=4
+    )
+    b = hdr_histogram(
+        events.filter(F.col("event_id") % 2 == 1), "value", sub_bits=4
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("exp", "sub")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = hdr_histogram(events, "value", sub_bits=4)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    # bounded state: every sub-bucket respects the 2^sub_bits cap
+    import pytest as _p
+
+    assert whole.filter(F.col("sub") >= 2 ** 5).count() == 0
+    with _p.raises(ValueError, match="sub_bits"):
+        hdr_histogram(events, "value", sub_bits=0)
+
+
+def test_hdr_zero_and_empty(spark):
+    from vector_indexer_spark.operators.sketches import (
+        hdr_histogram,
+        hdr_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(0.0,), (0.001,), (5.0,)], "value double"
+    )
+    hist = hdr_histogram(df, "value", scale=100, sub_bits=5)
+    rows = {(r["exp"], r["sub"]): r["cnt"] for r in hist.collect()}
+    # 0.0 and 0.001 both quantize to unit 0 → the (-1, 0) bucket
+    assert rows[(-1, 0)] == 2
+    empty = spark.createDataFrame([], "value double")
+    import math
+
+    est = hdr_quantiles(
+        hdr_histogram(empty, "value"), [0.5]
+    )
+    assert math.isnan(est[0])

@@ -7524,3 +7524,35 @@ def _sql_interface_window(spark, sf_dir):
 _register(
     "sql_interface_window", _sql_interface_window, _SQL_IFACE_WINDOW
 )
+
+
+def _sketch_hdr_histogram(spark, sf_dir):
+    """HDR-histogram quantile sketch over purchase values: (exponent,
+    sub-bucket, count) in pure integer arithmetic — bounded state,
+    bucket-sum merges, quantiles within 2^-5 relative error."""
+    from vector_indexer_spark.operators.sketches import hdr_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hdr_histogram(ev, "value", scale=100, sub_bits=5)
+
+
+_register(
+    "sketch_hdr_histogram",
+    _sketch_hdr_histogram,
+    """
+    WITH q AS (
+      SELECT CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT CASE WHEN x <= 0 THEN -1
+                  ELSE CAST(length(bin(x)) - 1 AS INT) END AS exp,
+             CASE WHEN x <= 0 THEN 0
+                  WHEN length(bin(x)) - 1 < 5 THEN x
+                  ELSE x >> (length(bin(x)) - 1 - 5) END AS sub
+      FROM q
+    )
+    SELECT exp, CAST(sub AS BIGINT) AS sub, COUNT(*) AS cnt
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)

@@ -362,3 +362,93 @@ def bloom_prefilter(
         f"__bit{i}" for i in range(k_hashes)
     ] + [f"__p{i}" for i in range(k_hashes)]
     return joined.filter(cond).drop(*drop)
+
+
+def hdr_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    scale: int = 100,
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Mergeable quantile sketch — an HDR-histogram in pure integer
+    arithmetic: values quantize to units (``floor(v·scale)``, ≥ 0),
+    then bucket by (binary exponent, top ``sub_bits`` mantissa bits).
+    Output ``(exp, sub, cnt)`` — at most ``64·2^sub_bits`` rows at any
+    input size, merging by bucket-wise sum; every quantile read from
+    it (:func:`hdr_quantiles`) carries a guaranteed relative error
+    ≤ 2^−sub_bits.
+
+    The usual HDR/t-digest construction needs float logs or stateful
+    centroids; exponent = ``length(bin(x))`` and shifts keep this one
+    bit-reproducible and SQL-checkable like the other sketches. Zero
+    maps to the dedicated (−1, 0) bucket; negative inputs are a
+    contract violation the caller filters (latencies, sizes, prices).
+    """
+    if scale < 1 or not 1 <= sub_bits <= 16:
+        raise ValueError(
+            f"need scale >= 1, sub_bits in [1,16]: {scale}, {sub_bits}"
+        )
+    x = F.floor(F.col(col) * F.lit(scale)).cast("long")
+    n = F.length(F.bin(x))  # MSB position for x >= 1
+    e = (n - F.lit(1)).cast("int")
+    # shift amount is data-dependent — F.shiftright only takes an int
+    # literal, so call the SQL function form with a column operand
+    sub = F.when(e < sub_bits, x).otherwise(
+        F.call_function("shiftright", x, e - F.lit(sub_bits))
+    )
+    out = df.filter(F.col(col).isNotNull()).select(
+        F.when(x <= 0, F.lit(-1)).otherwise(e).alias("exp"),
+        F.when(x <= 0, F.lit(0)).otherwise(sub).cast("long").alias("sub"),
+    )
+    return (
+        out.groupBy("exp", "sub")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("exp", "sub")
+    )
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    probs: list[float],
+    *,
+    scale: int = 100,
+    sub_bits: int = 5,
+) -> list[float]:
+    """Quantile estimates from an HDR histogram (driver-side over the
+    bounded bucket table): for each probability, the midpoint of the
+    bucket holding that rank, de-quantized back through ``scale``.
+    Relative error ≤ 2^−sub_bits by construction.
+    """
+    if any(not 0 <= p <= 1 for p in probs):
+        raise ValueError("probs must be fractions in [0, 1]")
+    rows = hist.orderBy("exp", "sub").collect()
+    total = sum(r["cnt"] for r in rows)
+    if total == 0:
+        return [float("nan")] * len(probs)
+
+    def bucket_bounds(exp, sub):
+        if exp < 0:
+            return 0, 0
+        if exp < sub_bits:
+            return sub, sub
+        lo = sub << (exp - sub_bits)
+        hi = (sub + 1) << (exp - sub_bits)
+        return lo, hi - 1
+
+    out = []
+    for p in probs:
+        rank = p * (total - 1)
+        seen = 0
+        val = None
+        for r in rows:
+            if seen + r["cnt"] > rank:
+                lo, hi = bucket_bounds(r["exp"], r["sub"])
+                val = (lo + hi) / 2.0 / scale
+                break
+            seen += r["cnt"]
+        if val is None:
+            lo, hi = bucket_bounds(rows[-1]["exp"], rows[-1]["sub"])
+            val = (lo + hi) / 2.0 / scale
+        out.append(val)
+    return out
