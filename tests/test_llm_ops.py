@@ -942,3 +942,72 @@ def test_decontaminate_semantic_broadcasts_eval_side(spark):
     # corpus side never exchanges on a data-sized key
     assert "BroadcastNestedLoopJoin" in plan
     assert not audit.has_cartesian(out)
+
+
+def test_jaccard_join_hand_case_boundary(spark):
+    from vector_indexer_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    rows = [
+        (0, "a b c d"),       # {a,b,c,d}
+        (1, "a b c e"),       # jacc(0,1) = 3/5 = 0.6
+        (2, "a b"),           # jacc(0,2) = 2/4 = 0.5 (boundary)
+        (3, "x y z"),         # disjoint
+        (4, ""),              # empty — never pairs
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_int"], r["n_union"])
+        for r in jaccard_similarity_join(docs, threshold=0.5).collect()
+    }
+    assert got == {(0, 1): (3, 5), (0, 2): (2, 4), (1, 2): (2, 4)}
+    # strictly above 0.5: the boundary pairs drop, 0.6 survives
+    got6 = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_similarity_join(docs, threshold=0.51).collect()
+    }
+    assert got6 == {(0, 1)}
+
+
+def test_jaccard_join_matches_bruteforce_random(spark):
+    import itertools
+    import random
+
+    from vector_indexer_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.sample(vocab, rng.randint(1, 12))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in jaccard_similarity_join(docs, threshold=t).collect()
+        }
+        sets = {i: set(s.split()) for i, s in rows}
+        tm = int(round(t * 1_000_000))
+        want = set()
+        for a, b in itertools.combinations(range(60), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * 1_000_000 >= tm * union:
+                want.add((a, b))
+        assert got == want, f"threshold {t}"
+
+
+def test_jaccard_join_threshold_contract(spark):
+    from vector_indexer_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    docs = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    import pytest as _p
+
+    with _p.raises(ValueError, match="threshold"):
+        jaccard_similarity_join(docs, threshold=0.0)

@@ -7556,3 +7556,44 @@ _register(
     FROM b GROUP BY 1, 2 ORDER BY 1, 2
     """,
 )
+
+
+def _dedup_jaccard_join(spark, sf_dir):
+    """EXACT Jaccard set-similarity self-join (prefix filtering) on a
+    bounded 200-doc slice, threshold 0.4 — the oracle brute-forces
+    every pair, so a single missed or spurious pair fails the hash:
+    algorithmic completeness proven, not sampled."""
+    from vector_indexer_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    return jaccard_similarity_join(docs, threshold=0.4)
+
+
+_register(
+    "dedup_jaccard_join",
+    _dedup_jaccard_join,
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_distinct({_DD_TOKENS.format(c="text")}) AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    ne AS (SELECT * FROM t WHERE len(toks) >= 1),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+               AS n_int,
+             CAST(len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks)) AS BIGINT)
+               AS n_union
+      FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, n_int, n_union FROM pairs
+    WHERE n_int * 1000000 >= 400000 * n_union
+    ORDER BY id_a, id_b
+    """,
+)

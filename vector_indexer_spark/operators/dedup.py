@@ -817,3 +817,116 @@ def decontaminate_semantic(
         corpus[id_col] == contaminated["__cid"],
         "left_anti",
     )
+
+
+def jaccard_similarity_join(
+    df: DataFrame,
+    *,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT set-similarity self-join: every pair of documents whose
+    token-SET Jaccard ≥ ``threshold`` — the prefix-filtering algorithm
+    (AllPairs/PPJoin family, Bayardo et al. 2007 / Xiao et al. 2008).
+    Complements MinHash-LSH: LSH is probabilistic blocking with a
+    recall curve; this is exact — no missed pairs, no false pairs —
+    at the cost of a candidate set governed by the prefix lists.
+
+    Algorithm: order all tokens by ascending document frequency
+    (rarest first, ties by token); a doc with n tokens emits only its
+    first ``n − ⌈t·n⌉ + 1`` tokens as "prefix" keys — two sets with
+    Jaccard ≥ t MUST share a prefix token under any global order, so
+    equi-joining prefixes loses nothing; exact verification then
+    filters the candidates. All threshold arithmetic is integer
+    (micros), so the boundary is bit-stable and oracle-checkable.
+
+    Returns ``(id_a, id_b, n_int, n_union)`` with id_a < id_b;
+    Jaccard = n_int/n_union. Empty-token documents never pair.
+
+    Scale shape: one token-df aggregation; prefix explode is ≤
+    (1−t)·|tokens| of the corpus; the candidate join shuffles on the
+    prefix token — rare tokens by construction, so lists stay short
+    EXCEPT for heavy prefix tokens, which the rarest-first order
+    minimizes; verification touches candidates only. The classic
+    skew guard (length filter |a|·t ≤ |b| inside the join) is
+    included.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    t_micros = int(round(threshold * 1_000_000))
+    docs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(tokens_expr(text_col)).alias("toks"),
+    ).filter(F.size("toks") >= 1)
+    tok = docs.select(
+        "doc_id", F.explode("toks").alias("token")
+    )
+    dfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    # global rarest-first order, materialized per doc as a sorted
+    # (df, token) struct array — deterministic total order
+    ranked = (
+        tok.join(dfreq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "token"))
+            ).alias("rts")
+        )
+        .select(
+            "doc_id",
+            F.col("rts.token").alias("rtoks"),
+            F.size("rts").alias("n"),
+        )
+    )
+    # prefix length p = n − ⌈t·n⌉ + 1, ceil in exact integer micros
+    req = F.floor(
+        (F.col("n") * F.lit(t_micros) + F.lit(999_999)) / F.lit(1_000_000)
+    ).cast("long")
+    prefixed = ranked.select(
+        "doc_id",
+        "rtoks",
+        "n",
+        F.slice(
+            "rtoks", 1, (F.col("n") - req + F.lit(1)).cast("int")
+        ).alias("prefix"),
+    )
+    sides = prefixed.select(
+        "doc_id", "n", "rtoks", F.explode("prefix").alias("ptok")
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    # length filter: |a| ≥ t·|b| is necessary for Jaccard ≥ t (a ≤ b)
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ptok") == F.col("b.ptok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least(F.col("a.n"), F.col("b.n")) * F.lit(1_000_000)
+                >= F.greatest(F.col("a.n"), F.col("b.n"))
+                * F.lit(t_micros)
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.rtoks").alias("ta"),
+            F.col("b.rtoks").alias("tb"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    n_int = F.size(F.array_intersect("ta", "tb")).cast("long")
+    verified = cand.select(
+        "id_a",
+        "id_b",
+        n_int.alias("n_int"),
+        (F.col("na") + F.col("nb") - n_int).cast("long").alias("n_union"),
+    ).filter(
+        F.col("n_int") * F.lit(1_000_000)
+        >= F.lit(t_micros) * F.col("n_union")
+    )
+    return verified.orderBy("id_a", "id_b")
