@@ -1011,3 +1011,28 @@ def test_jaccard_join_threshold_contract(spark):
 
     with _p.raises(ValueError, match="threshold"):
         jaccard_similarity_join(docs, threshold=0.0)
+
+
+def test_edit_distance_verify_hand_case(spark):
+    from vector_indexer_spark.operators.dedup import (
+        edit_distance_verify,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "kitten"), (1, "sitting"), (2, "kitten"), (3, "zzzzzz")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_distance"]
+        for r in edit_distance_verify(
+            pairs, docs, max_distance=3
+        ).collect()
+    }
+    assert got == {(0, 1): 3, (0, 2): 0}  # (0,3) is 6 edits — dropped
+    import pytest as _p
+
+    with _p.raises(ValueError, match="max_distance"):
+        edit_distance_verify(pairs, docs, max_distance=-1)

@@ -7597,3 +7597,40 @@ _register(
     ORDER BY id_a, id_b
     """,
 )
+
+
+def _dedup_edit_verify(spark, sf_dir):
+    """Dedup ladder end: exact Levenshtein verification of candidate
+    pairs (here a bounded 100-doc brute pair set so the oracle can
+    brute-force the same; in the pipeline the pairs come from
+    LSH/SimHash/Jaccard blocking, never corpus×corpus)."""
+    from vector_indexer_spark.operators.dedup import (
+        edit_distance_verify,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.join(
+        docs.select(F.col("doc_id").alias("id_b")),
+        F.col("id_a") < F.col("id_b"),
+    )
+    return edit_distance_verify(pairs, docs, max_distance=120)
+
+
+_register(
+    "dedup_edit_verify",
+    _dedup_edit_verify,
+    """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 100
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT)
+             AS edit_distance
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.text, b.text) <= 120
+    ORDER BY id_a, id_b
+    """,
+)

@@ -930,3 +930,47 @@ def jaccard_similarity_join(
         >= F.lit(t_micros) * F.col("n_union")
     )
     return verified.orderBy("id_a", "id_b")
+
+
+def edit_distance_verify(
+    pairs: DataFrame,
+    docs: DataFrame,
+    *,
+    max_distance: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Final verification tier of the dedup ladder: exact Levenshtein
+    distance on candidate pairs (from LSH / SimHash / Jaccard-join
+    blocking), keeping pairs within ``max_distance`` edits — the
+    strictest near-dup criterion, run ONLY on the blocked candidates
+    (edit distance is quadratic per pair; never corpus×corpus).
+
+    Plan: two hash joins attach the texts (candidate-sized, not
+    corpus-sized, on the build side of nothing), then the codegen
+    ``levenshtein`` per pair. Returns (id_a, id_b, edit_distance).
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    ta = docs.select(
+        F.col(id_col).alias(a_col), F.col(text_col).alias("__ta")
+    )
+    tb = docs.select(
+        F.col(id_col).alias(b_col), F.col(text_col).alias("__tb")
+    )
+    return (
+        pairs.select(a_col, b_col)
+        .join(ta, a_col)
+        .join(tb, b_col)
+        .select(
+            a_col,
+            b_col,
+            F.levenshtein("__ta", "__tb").cast("long").alias(
+                "edit_distance"
+            ),
+        )
+        .filter(F.col("edit_distance") <= max_distance)
+        .orderBy(a_col, b_col)
+    )
