@@ -618,3 +618,14 @@ def test_olap_q9_dims_broadcast_one_fact_fact_join(spark):
     # the only shuffle join; name LIKE prunes the part scan
     assert s["broadcasts"] >= 2
     assert not s["cartesian"]
+
+
+def test_partitioned_rank_filter_gets_window_group_limit(spark, documents):
+    # unlike the unpartitioned case (see the bm25 test), Spark 4.1
+    # DOES plant WindowGroupLimit for rank-filter over a PARTITIONED
+    # window — per-group top-k forwards k rows per (map task, group).
+    # top_tokens relies on that; pin it.
+    from vector_indexer_spark.operators.text_analysis import top_tokens
+
+    plan = audit.executed_plan(top_tokens(documents, k=5))
+    assert "WindowGroupLimit" in plan
