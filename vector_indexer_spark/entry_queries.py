@@ -7634,3 +7634,81 @@ _register(
     ORDER BY id_a, id_b
     """,
 )
+
+
+def _events_rolling_range_window(spark, sf_dir):
+    """RANGE-frame window: per-user trailing-24h revenue at every
+    purchase — a range frame over the integer-ns timeline (value-based
+    frames, not row counts; the feature row frames can't express)."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.sources.files import read_events_ns
+
+    day = 24 * 3_600_000_000_000
+    ev = (
+        read_events_ns(spark, f"{sf_dir}/events.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rangeBetween(-day, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum("cents").over(w).alias("trailing_24h_cents"),
+    ).orderBy("user_id", "ts", "event_id")
+
+
+_register(
+    "events_rolling_range_window",
+    _events_rolling_range_window,
+    """
+    SELECT user_id, event_id, epoch_ns(ts) AS ts,
+           SUM(CAST(floor(value * 100) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY epoch_ns(ts)
+             RANGE BETWEEN 86400000000000 PRECEDING AND CURRENT ROW
+           ) AS trailing_24h_cents
+    FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id, ts, event_id
+    """,
+)
+
+
+def _events_value_ntiles(spark, sf_dir):
+    """ntile(4) quartile binning of purchase values per event type —
+    the percentile-bucket assignment (deterministic under the total
+    (value, event_id) order)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("event_type", "event_id")
+    )
+
+
+_register(
+    "events_value_ntiles",
+    _events_value_ntiles,
+    """
+    SELECT event_type, event_id,
+           ntile(4) OVER (PARTITION BY event_type
+                          ORDER BY value, event_id) AS quartile
+    FROM events
+    ORDER BY event_type, event_id
+    """,
+)
