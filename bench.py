@@ -601,6 +601,17 @@ def main() -> None:
             time.perf_counter() - t0, 3
         )
         extras["hll1M_rel_err"] = round(abs(est - exact) / exact, 4)
+
+        # scan-local text ops at 1M docs: docs/sec for the corpus-
+        # cleaning pass (stats + lang-id + Gopher rules in one scan) —
+        # the number that multiplies by executors at 100 TB
+        t0 = time.perf_counter()
+        text_analysis.gopher_quality(
+            text_analysis.text_stats(docs1m).join(docs1m, "doc_id")
+        ).agg(F.sum("passes")).collect()
+        dt = time.perf_counter() - t0
+        extras["text1M_clean_sec"] = round(dt, 3)
+        extras["text1M_docs_per_sec"] = round(n_docs / dt)
         docs1m.unpersist()
 
     # --- multimodal decode throughput: 50k synthetic PNGs decoded +

@@ -364,3 +364,37 @@ def test_documents_jsonl_roundtrip_gzip(spark, documents, tmp_path):
         assert (a[k].text, a[k].lang, a[k].source, a[k].n_chars) == (
             b[k].text, b[k].lang, b[k].source, b[k].n_chars
         )
+
+
+def test_csv_source_schema_and_malformed(spark, tmp_path):
+    from vector_indexer_spark.sources.files import read_documents_csv
+
+    p = str(tmp_path / "docs.csv")
+    with open(p, "w") as f:
+        f.write("doc_id,text,lang,source\n")
+        f.write('0,"hello, world",en,src0\n')
+        f.write('1,"quoted ""x"" text",de,src1\n')
+        f.write("not_a_number,oops,xx,src2\n")  # malformed doc_id
+    clean = read_documents_csv(spark, p)
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {0, 1}
+    assert rows[0]["text"] == "hello, world"  # embedded comma survives
+    assert rows[1]["text"] == 'quoted "x" text'  # escaped quotes
+
+    audit = read_documents_csv(spark, p, keep_corrupt=True)
+    bad = audit.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 1
+
+
+def test_orc_roundtrip_identical(spark, tmp_path):
+    # format coverage: the engine's tables round-trip through ORC
+    # byte-identically (Avro needs the external spark-avro package —
+    # not bundled; documented, not silently skipped)
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = str(tmp_path / "docs_orc")
+    src.write.orc(p)
+    back = spark.read.orc(p)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )

@@ -343,3 +343,39 @@ def write_documents_jsonl(
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def read_documents_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: str = "doc_id LONG, text STRING, lang STRING, source STRING",
+    header: bool = True,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Schema-enforced CSV document source (the other wire format raw
+    drops arrive in). Same contract as the JSONL reader: explicit
+    schema — never an inference pre-pass over 100 TB — and
+    DROPMALFORMED by default; ``keep_corrupt=True`` switches to
+    PERMISSIVE with a ``_corrupt_record`` audit column (cached before
+    filtering, per the Spark corrupt-column restriction).
+    """
+    if keep_corrupt:
+        df = spark.read.csv(
+            path,
+            schema=schema + ", _corrupt_record STRING",
+            header=header,
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt_record",
+            multiLine=False,
+            escape='"',
+        )
+        return df.cache()
+    return spark.read.csv(
+        path,
+        schema=schema,
+        header=header,
+        mode="DROPMALFORMED",
+        multiLine=False,
+        escape='"',
+    )
