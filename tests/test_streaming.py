@@ -979,3 +979,49 @@ def test_streaming_latest_state_equals_batch(spark, tmp_path):
         )
     )
     assert got2 == want2
+
+
+def test_point_in_time_join_semantics(spark):
+    from vector_indexer_spark.streaming.events import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [(1, 100, "bronze"), (1, 200, "gold"), (2, 50, "bronze")],
+        "user_id long, valid_from long, event_type string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, 150),  # between changes → bronze
+            (11, 1, 200),  # AT the change instant → inclusive → gold
+            (12, 1, 999),  # after → gold
+            (13, 2, 40),   # before any history → NULL
+            (14, 3, 500),  # no history at all → NULL
+        ],
+        "event_id long, user_id long, ts long",
+    )
+    got = {
+        r["event_id"]: r["state_at_event"]
+        for r in point_in_time_join(facts, dim).collect()
+    }
+    assert got == {
+        10: "bronze",
+        11: "gold",
+        12: "gold",
+        13: None,
+        14: None,
+    }
+
+
+def test_point_in_time_join_single_shuffle(spark):
+    from vector_indexer_spark.plans import audit
+    from vector_indexer_spark.streaming.events import point_in_time_join
+
+    dim = spark.createDataFrame(
+        [(1, 100, "a")], "user_id long, valid_from long, event_type string"
+    )
+    facts = spark.createDataFrame(
+        [(10, 1, 150)], "event_id long, user_id long, ts long"
+    )
+    s = audit.plan_summary(point_in_time_join(facts, dim))
+    # union + ONE key-partitioned window — never |facts| x |history|
+    assert s["shuffles"] <= 2  # key exchange (+ final orderBy-free here)
+    assert not s["cartesian"]

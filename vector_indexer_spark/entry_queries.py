@@ -7712,3 +7712,59 @@ _register(
     ORDER BY event_type, event_id
     """,
 )
+
+
+def _events_pit_join(spark, sf_dir):
+    """Point-in-time dimension lookup: each purchase gets the user's
+    browsing state (SCD2 over non-purchase events) valid AT the
+    purchase instant — the feature-store AS OF join, via the
+    carry-forward pattern (one key shuffle, no range join)."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import (
+        point_in_time_join,
+        scd2_intervals,
+    )
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    dim = scd2_intervals(ev.filter(F.col("event_type") != "purchase"))
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return point_in_time_join(facts, dim).orderBy("event_id")
+
+
+_register(
+    "events_pit_join",
+    _events_pit_join,
+    """
+    WITH src AS (
+      SELECT user_id, event_type, epoch_ns(ts) AS t, event_id
+      FROM events WHERE event_type <> 'purchase'
+    ),
+    staged AS (
+      SELECT user_id, event_type, t, event_id,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM src
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    isl AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island
+      FROM staged
+    ),
+    dim AS (
+      SELECT user_id, island, min(event_type) AS attr,
+             min(t) AS valid_from
+      FROM isl GROUP BY 1, 2
+    )
+    SELECT f.event_id, f.user_id, epoch_ns(f.ts) AS ts,
+           (SELECT d.attr FROM dim d
+            WHERE d.user_id = f.user_id
+              AND d.valid_from <= epoch_ns(f.ts)
+            ORDER BY d.valid_from DESC LIMIT 1) AS state_at_event
+    FROM events f WHERE f.event_type = 'purchase'
+    ORDER BY f.event_id
+    """,
+)

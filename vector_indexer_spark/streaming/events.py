@@ -1043,3 +1043,55 @@ def resample_ffill(
         )
         .orderBy(user_col, "tick_ns")
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim_history: DataFrame,
+    *,
+    key_col: str = "user_id",
+    fact_ts_col: str = "ts",
+    valid_from_col: str = "valid_from",
+    attr_col: str = "event_type",
+    out_col: str = "state_at_event",
+) -> DataFrame:
+    """Temporal (point-in-time) dimension lookup: each fact row gets
+    the ``dim_history`` attribute valid AT its timestamp (the row with
+    the greatest ``valid_from`` ≤ fact ts; ``valid_from`` inclusive).
+    The AS OF join every feature store / SCD2 warehouse needs — fed
+    naturally by :func:`scd2_intervals`.
+
+    Plan: the no-range-join carry pattern (same as the as-of family):
+    union dim-change rows and fact rows on one timeline, ONE key
+    shuffle, ``last(attr) IGNORE NULLS`` carries the state forward;
+    dim rows sort before facts at equal timestamps so an effective-now
+    change applies to same-instant facts. Never |facts| × |history|.
+    """
+    f = facts.select(
+        F.col(key_col).alias("__k"),
+        F.col(fact_ts_col).cast("long").alias("__t"),
+        F.lit(None).cast("string").alias("__attr"),
+        F.lit(1).alias("__is_fact"),
+        "*",
+    )
+    d = dim_history.select(
+        F.col(key_col).alias("__k"),
+        F.col(valid_from_col).cast("long").alias("__t"),
+        F.col(attr_col).cast("string").alias("__attr"),
+        F.lit(0).alias("__is_fact"),
+    )
+    for c in facts.columns:
+        d = d.withColumn(c, F.lit(None).cast(dict(f.dtypes)[c]))
+    staged = f.unionByName(d)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__is_fact")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        staged.withColumn(
+            out_col, F.last("__attr", ignorenulls=True).over(w)
+        )
+        .filter(F.col("__is_fact") == 1)
+        .select(*facts.columns, out_col)
+    )
