@@ -256,6 +256,50 @@ def _latest_df(spark, sf_dir):
     return latest_by_key(read_events_ns(spark, f"{sf_dir}/events.parquet"))
 
 
+def _jaccard_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.dedup import (
+        jaccard_similarity_join,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    return jaccard_similarity_join(docs, threshold=0.4)
+
+
+def _pit_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import (
+        point_in_time_join,
+        scd2_intervals,
+    )
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    dim = scd2_intervals(ev.filter(F.col("event_type") != "purchase"))
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return point_in_time_join(facts, dim)
+
+
+def _snapdiff_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.maintenance import snapshot_diff
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return snapshot_diff(
+        ev.filter(F.col("event_id") % 7 != 0),
+        ev.filter(F.col("event_id") % 5 != 0),
+        ["event_id"],
+        compare_cols=["value"],
+    )
+
+
 def _zorder_df(spark, sf_dir):
     from vector_indexer_spark.operators.layout import zorder_key_expr
 
@@ -533,6 +577,25 @@ def main():
             "is one range exchange + in-partition sort, after which "
             "parquet min/max stats prune on EVERY z-ordered column.",
             _zorder_df(spark, sf_dir),
+        ),
+        (
+            "Exact Jaccard join (prefix filtering)",
+            "Rarest-first global token order; only the (1-t)-fraction "
+            "prefix explodes; candidate equi-join on rare prefix "
+            "tokens + length filter; exact verify on candidates only.",
+            _jaccard_df(spark, sf_dir),
+        ),
+        (
+            "Point-in-time dimension join",
+            "Union of dim changes and facts on one timeline, ONE key "
+            "exchange, carry-forward window — never facts x history.",
+            _pit_df(spark, sf_dir),
+        ),
+        (
+            "Snapshot CDC diff",
+            "Full-outer hash join on the key; with both snapshots "
+            "bucketed it degrades to zero-shuffle sort-merge.",
+            _snapdiff_df(spark, sf_dir),
         ),
     ]
 
