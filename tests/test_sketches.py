@@ -347,3 +347,29 @@ def test_hdr_zero_and_empty(spark):
         hdr_histogram(empty, "value"), [0.5]
     )
     assert math.isnan(est[0])
+
+
+def test_streaming_cms_equals_batch(spark, tmp_path, events):
+    from vector_indexer_spark.operators.sketches import cms_table
+    from vector_indexer_spark.streaming.sketches import start_cms_table
+
+    src = str(tmp_path / "cms_src")
+    events.write.parquet(src)
+    q = start_cms_table(
+        spark.readStream.schema(events.schema).parquet(src),
+        str(tmp_path / "cms_ckpt"),
+        col="user_id",
+        depth=2,
+        width=64,
+        queryName="t_cms",
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM t_cms").collect()))
+    want = sorted(
+        map(
+            tuple,
+            cms_table(events, "user_id", depth=2, width=64).collect(),
+        )
+    )
+    assert got == want

@@ -63,3 +63,53 @@ def start_hll_registers(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_cms_table(
+    stream: DataFrame, col: str, *, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Live Count-Min sketch: the same salted-bucket derivation as the
+    batch path, as a streaming count aggregation. State is bounded at
+    depth×width rows; counts are exact per micro-batch under
+    Structured Streaming's exactly-once state, so the streamed sketch
+    equals the batch sketch over the same files."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from vector_indexer_spark.operators.sketches import _salted_bucket
+
+    rows = stream.filter(F.col(col).isNotNull())
+    buckets = F.array(
+        *[
+            _salted_bucket(F.col(col), f"{d}:", width)
+            for d in range(depth)
+        ]
+    )
+    return (
+        rows.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def start_cms_table(
+    stream: DataFrame,
+    checkpoint: str,
+    *,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    queryName: str = "cms_table",
+    trigger_available_now: bool = False,
+):
+    """Run the live CMS into a memory sink (complete mode — the state
+    is sketch-sized by design)."""
+    writer = (
+        streaming_cms_table(stream, col, depth=depth, width=width)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
