@@ -7768,3 +7768,39 @@ _register(
     ORDER BY f.event_id
     """,
 )
+
+
+def _sketch_hdr_by_type(spark, sf_dir):
+    """Grouped HDR quantile sketch: per-event-type value histograms —
+    the per-cell latency/value profile, mergeable to any coarser cell
+    by bucket-sum."""
+    from vector_indexer_spark.operators.sketches import hdr_histogram
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hdr_histogram(
+        ev, "value", scale=100, sub_bits=4, group_cols=["event_type"]
+    )
+
+
+_register(
+    "sketch_hdr_by_type",
+    _sketch_hdr_by_type,
+    """
+    WITH q AS (
+      SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    b AS (
+      SELECT event_type,
+             CASE WHEN x <= 0 THEN -1
+                  ELSE CAST(length(bin(x)) - 1 AS INT) END AS exp,
+             CASE WHEN x <= 0 THEN 0
+                  WHEN length(bin(x)) - 1 < 4 THEN x
+                  ELSE x >> (length(bin(x)) - 1 - 4) END AS sub
+      FROM q
+    )
+    SELECT event_type, exp, CAST(sub AS BIGINT) AS sub,
+           COUNT(*) AS cnt
+    FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)

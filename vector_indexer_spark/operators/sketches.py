@@ -370,6 +370,7 @@ def hdr_histogram(
     *,
     scale: int = 100,
     sub_bits: int = 5,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Mergeable quantile sketch — an HDR-histogram in pure integer
     arithmetic: values quantize to units (``floor(v·scale)``, ≥ 0),
@@ -397,14 +398,16 @@ def hdr_histogram(
     sub = F.when(e < sub_bits, x).otherwise(
         F.call_function("shiftright", x, e - F.lit(sub_bits))
     )
+    gcols = list(group_cols or [])
     out = df.filter(F.col(col).isNotNull()).select(
+        *gcols,
         F.when(x <= 0, F.lit(-1)).otherwise(e).alias("exp"),
         F.when(x <= 0, F.lit(0)).otherwise(sub).cast("long").alias("sub"),
     )
     return (
-        out.groupBy("exp", "sub")
+        out.groupBy(*gcols, "exp", "sub")
         .agg(F.count("*").alias("cnt"))
-        .orderBy("exp", "sub")
+        .orderBy(*gcols, "exp", "sub")
     )
 
 
