@@ -997,3 +997,27 @@ def test_source_drift_flags_off_distribution_feed(spark):
 
     with _p.raises(ValueError, match="smoothing"):
         source_drift_kl(docs, smoothing=0)
+
+
+def test_bigram_surprisal_flags_incoherent_text(spark):
+    from vector_indexer_spark.operators.text_analysis import (
+        bigram_surprisal,
+    )
+
+    coherent = "the cat sat on the mat"
+    rows = (
+        [(i, coherent) for i in range(10)]
+        # same unigrams, scrambled order — unigram filter is blind to
+        # this; the bigram model must not be
+        + [(100, "mat the on sat cat the")]
+        + [(101, "x")]  # single token — no bigrams, scores 0
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["surprisal_micros"])
+        for r in bigram_surprisal(docs).collect()
+    }
+    per_bigram_coherent = got[0][1] / got[0][0]
+    per_bigram_scrambled = got[100][1] / got[100][0]
+    assert per_bigram_scrambled > 1.5 * per_bigram_coherent
+    assert got[101] == (0, 0)

@@ -7804,3 +7804,58 @@ _register(
     FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
 )
+
+
+def _text_bigram_surprisal(spark, sf_dir):
+    """Self-trained bigram-LM surprisal (second-order coherence
+    filter), micros-floored for engine-exact sums."""
+    from vector_indexer_spark.operators.text_analysis import (
+        bigram_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_surprisal(docs)
+
+
+_register(
+    "text_bigram_surprisal",
+    _text_bigram_surprisal,
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, len(toks))) AS BIGINT) AS pos,
+             toks
+      FROM (SELECT doc_id, {_DD_TOKENS.format(c="text")} AS toks
+            FROM documents)
+    ),
+    flat AS (
+      SELECT doc_id, pos, toks[pos + 1] AS tok,
+             CASE WHEN pos + 2 <= len(toks) THEN toks[pos + 2]
+                  ELSE NULL END AS nxt
+      FROM tok
+    ),
+    bi AS (
+      SELECT doc_id, tok AS tok_a, nxt AS tok_b FROM flat
+      WHERE nxt IS NOT NULL
+    ),
+    bic AS (SELECT tok_a, tok_b, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+    unic AS (SELECT tok AS t, count(*) AS c_a FROM flat GROUP BY 1),
+    vs AS (SELECT CAST(count(*) AS DOUBLE) AS vsize FROM unic),
+    sv AS (
+      SELECT b.tok_a, b.tok_b,
+             CAST(floor(-ln((b.c_ab + 1.0) / (u.c_a + v.vsize))
+                        * 1000000) AS BIGINT) AS s_micros
+      FROM bic b JOIN unic u ON b.tok_a = u.t CROSS JOIN vs v
+    ),
+    per AS (
+      SELECT bi.doc_id, count(*) AS n_bigrams,
+             SUM(sv.s_micros) AS surprisal_micros
+      FROM bi JOIN sv USING (tok_a, tok_b)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_bigrams, 0) AS n_bigrams,
+           coalesce(per.surprisal_micros, 0) AS surprisal_micros
+    FROM documents d LEFT JOIN per USING (doc_id)
+    """,
+)

@@ -1314,3 +1314,89 @@ def source_drift_kl(
         )
         .orderBy("group")
     )
+
+
+def bigram_surprisal(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Second-order LM quality signal: per-document total bigram
+    surprisal ``Σ −ln p(wᵢ | wᵢ₋₁)`` under a self-trained add-1
+    bigram model (p = (c(ab)+1)/(c(a)+V), V = unigram vocabulary).
+    Catches what the unigram filter can't: documents whose words are
+    individually common but locally incoherent (shuffled text, word
+    salads) score high; natural phrasing scores low.
+
+    Same determinism discipline as :func:`unigram_surprisal`: each
+    bigram's surprisal floors to integer micros before the per-doc
+    sum. Returns ``(doc_id, n_bigrams, surprisal_micros)``; docs with
+    < 2 tokens score 0.
+
+    Scale shape: bigrams shingle scan-locally (posexplode + lead);
+    bigram and unigram counts are vocabulary-keyed map-side-combined
+    shuffles; the two count joins key on vocabulary-sized sides; one
+    per-doc sum. The corpus text explodes exactly once.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        tok.select(
+            "doc_id",
+            F.col("tok").alias("tok_a"),
+            F.lead("tok").over(w).alias("tok_b"),
+        )
+        .filter(F.col("tok_b").isNotNull())
+    )
+    bi_counts = bi.groupBy("tok_a", "tok_b").agg(
+        F.count("*").alias("c_ab")
+    )
+    uni_counts = tok.groupBy(F.col("tok").alias("t")).agg(
+        F.count("*").alias("c_a")
+    )
+    vsize = uni_counts.agg(
+        F.count("*").cast("double").alias("vsize")
+    )
+    scored_vocab = (
+        bi_counts.join(
+            uni_counts, bi_counts.tok_a == uni_counts.t
+        )
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.floor(
+                -F.log(
+                    (F.col("c_ab").cast("double") + F.lit(1.0))
+                    / (F.col("c_a").cast("double") + F.col("vsize"))
+                )
+                * F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("s_micros"),
+        )
+    )
+    per_doc = (
+        bi.join(scored_vocab, ["tok_a", "tok_b"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("s_micros").alias("surprisal_micros"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("surprisal_micros", F.lit(0)).alias(
+            "surprisal_micros"
+        ),
+    )
