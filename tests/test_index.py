@@ -381,18 +381,43 @@ def test_compact_index_restores_layout(spark, embeddings, tmp_path):
     q = embeddings.limit(5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
     )
-    before = {
-        (r.query_id, r.rank): r.neighbor_id
-        for r in search_index(spark, idx, q, k=5, n_probe=8).collect()
-    }
+
+    def _result_map(rows):
+        # (query_id, rank) -> (neighbor_id, dist2)
+        return {(r.query_id, r.rank): (r.neighbor_id, r.dist2) for r in rows}
+
+    before = _result_map(
+        search_index(spark, idx, q, k=5, n_probe=8).collect()
+    )
     stats = compact_index(spark, idx)
     assert stats["files_after"] < stats["files_before"]
     assert stats["rows"] == idx.vectors(spark).count()
-    after = {
-        (r.query_id, r.rank): r.neighbor_id
-        for r in search_index(spark, idx, q, k=5, n_probe=8).collect()
-    }
-    assert after == before
+    after = _result_map(
+        search_index(spark, idx, q, k=5, n_probe=8).collect()
+    )
+    # Compaction must not change WHAT the search returns. The fixture is
+    # duplicate-heavy (the three appended batches clone ids < 100), so
+    # equal-true-distance neighbors exist; on the Arrow fast path their
+    # dist2 carries GEMM round-off that depends on batch SHAPE (see
+    # pairwise_dist2), and compaction changes the file layout and hence
+    # batch shapes. Rank order WITHIN a float-tie group is therefore
+    # layout-dependent by design; the layout-invariant contract is:
+    # per query, the same neighbor set at the same (noise-bounded)
+    # distances, and identical ranking wherever distances are distinct.
+    assert set(before) == set(after)
+    by_query_before: dict[int, list] = {}
+    by_query_after: dict[int, list] = {}
+    for (qid, rank), (nid, d2) in sorted(before.items()):
+        by_query_before.setdefault(qid, []).append((nid, d2))
+    for (qid, rank), (nid, d2) in sorted(after.items()):
+        by_query_after.setdefault(qid, []).append((nid, d2))
+    for qid in by_query_before:
+        b, a = by_query_before[qid], by_query_after[qid]
+        assert sorted(n for n, _ in b) == sorted(n for n, _ in a)
+        for (nb, db), (na, da) in zip(b, a):
+            assert db == pytest.approx(da, abs=1e-6)
+            if nb != na:  # swapped only within a distance tie group
+                assert db == pytest.approx(da, abs=1e-6)
     # pruning still works on the compacted layout
     from vector_indexer_spark.plans import audit
 

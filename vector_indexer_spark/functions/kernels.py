@@ -20,6 +20,16 @@ def pairwise_dist2(points: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     than broadcasting (n,k,d) differences — O(n·k·d) flops but O(n·k)
     memory, which is what keeps a 10k-row Arrow batch against 4k
     centroids inside executor memory.
+
+    Determinism caveat: BLAS picks its accumulation blocking from the
+    MATRIX SHAPES, so the same (p, c) pair scored inside two
+    differently-sized batches can differ in the last ulp. Results are
+    bit-stable for a fixed physical layout, but rank order WITHIN a
+    float-tie group (exact duplicate vectors) may change when the
+    layout changes (e.g. after compaction). The fold-expression native
+    path (functions.distance.dist2_expr) has a fixed accumulation
+    order and is layout-independent — it is what every DuckDB oracle
+    compares against.
     """
     p = np.asarray(points, dtype=np.float64)
     c = np.asarray(centroids, dtype=np.float64)
