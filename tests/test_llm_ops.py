@@ -1036,3 +1036,138 @@ def test_edit_distance_verify_hand_case(spark):
 
     with _p.raises(ValueError, match="max_distance"):
         edit_distance_verify(pairs, docs, max_distance=-1)
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_exact_survivors(spark):
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta"), (2, "eta theta")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),       # exact corpus dup -> dropped
+            (11, "brand new content one"),  # survives
+            (12, "brand new content one"),  # intra-batch dup of 11 -> dropped
+            (13, "brand new content two"),  # survives
+        ],
+        "doc_id long, text string",
+    )
+    manifest = dedup.content_hash_manifest(corpus)
+    kept = sorted(
+        r.doc_id
+        for r in dedup.dedup_incremental_exact(delta, manifest).collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_incremental_exact_bloom_path_is_exact(spark, docs):
+    """The Bloom-prefiltered manifest join must return EXACTLY the
+    plain anti-join's survivors (no false negatives by construction,
+    false positives removed by the join)."""
+    corpus = docs.filter(F.col("doc_id") < 300)
+    delta = docs.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" new"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    manifest = dedup.content_hash_manifest(corpus)
+    plain = {
+        r.doc_id
+        for r in dedup.dedup_incremental_exact(delta, manifest).collect()
+    }
+    bloomed = {
+        r.doc_id
+        for r in dedup.dedup_incremental_exact(
+            delta, manifest, bloom_bits=1 << 14
+        ).collect()
+    }
+    assert bloomed == plain
+    # only the perturbed half survives
+    assert plain == {10_000 + i for i in range(0, 100, 2)}
+
+
+def test_incremental_lsh_matches_batch_cross_pairs(spark, docs):
+    """Incremental candidates against a banded manifest must equal the
+    from-scratch batch LSH run over corpus ∪ delta, restricted to
+    cross (delta, corpus) pairs — the incremental path may never see
+    different buckets than a full re-run."""
+    corpus = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    delta = corpus.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    manifest = dedup.banded_signatures(corpus)
+    incr = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.incremental_lsh_candidates(delta, manifest).collect()
+    }
+    batch = dedup.lsh_candidate_pairs(corpus.unionByName(delta)).collect()
+    cross = {
+        (b, a) for a, b in ((r.id_a, r.id_b) for r in batch)
+        if a < 10_000 <= b
+    }
+    assert incr == cross
+    for i in range(40):  # identical texts must match their original
+        assert (i + 10_000, i) in incr
+
+
+def test_incremental_lsh_bucket_cap_spans_both_sides(spark):
+    """A boilerplate bucket that is oversized only in corpus+delta
+    UNION must be dropped — the cap has to count both sides, or an
+    incremental run would emit pairs a from-scratch run suppresses."""
+    boiler = "the same boilerplate footer text repeated verbatim"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(8)]
+        + [(100, "a genuinely unique document about spark shuffles")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(1_000 + i, boiler) for i in range(8)]
+        + [(1_100, "a genuinely unique document about spark shuffles")],
+        "doc_id long, text string",
+    )
+    manifest = dedup.banded_signatures(corpus)
+    capped = {
+        (r.new_id, r.corpus_id)
+        for r in dedup.incremental_lsh_candidates(
+            delta, manifest, max_bucket_size=10
+        ).collect()
+    }
+    # 8 + 8 = 16 > cap: boilerplate suppressed; unique doc still pairs
+    assert capped == {(1_100, 100)}
+    uncapped = dedup.incremental_lsh_candidates(
+        delta, manifest, max_bucket_size=None
+    ).count()
+    assert uncapped == 8 * 8 + 1
+
+
+def test_incremental_near_verifies_jaccard(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven eight nine ten"),
+            (1, "completely different words in this corpus document here"),
+        ],
+        "doc_id long, text string",
+    )
+    # near-dup of doc 0 (one token appended), plus an unrelated doc
+    delta = spark.createDataFrame(
+        [
+            (10, "one two three four five six seven eight nine ten eleven"),
+            (11, "nothing shared with anything at all whatsoever kept apart"),
+        ],
+        "doc_id long, text string",
+    )
+    manifest = dedup.banded_signatures(corpus)
+    out = dedup.dedup_incremental_near(
+        delta, corpus, manifest, threshold=0.5
+    ).collect()
+    matches = {(r.new_id, r.corpus_id): r.jaccard for r in out}
+    assert set(matches) == {(10, 0)}
+    # 8 shared shingles of 9+1 distinct-union -> 8/11... compute exactly:
+    # shingles(10 tokens, k=3) = 8; shingles(11 tokens) = 9; shared = 8
+    assert matches[(10, 0)] == pytest.approx(8 / 9)

@@ -7859,3 +7859,192 @@ _register(
     FROM documents d LEFT JOIN per USING (doc_id)
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# dedup_incr_ — incremental (delta-vs-corpus) dedup. The delta fixture
+# is synthesized FROM documents so both engines derive it identically:
+# ids %5==0 are exact corpus duplicates (anti-joined away), %5==1 carry
+# fresh suffixed content (survive), %10==1 duplicates of the %5==1
+# content at a higher id (intra-batch dedup keeps the lower id).
+# --------------------------------------------------------------------------
+
+_INCR_SUFFIX = " incremental fresh suffix"
+
+
+def _incr_delta(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dup = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"), "text"
+    )
+    fresh = docs.filter(F.col("doc_id") % 5 == 1).select(
+        (F.col("doc_id") + 20_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_INCR_SUFFIX)).alias("text"),
+    )
+    refresh = docs.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 30_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_INCR_SUFFIX)).alias("text"),
+    )
+    return dup.unionByName(fresh).unionByName(refresh)
+
+
+def _dedup_incr_exact_kept(spark, sf_dir):
+    from vector_indexer_spark.operators.dedup import (
+        content_hash_manifest,
+        dedup_incremental_exact,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    manifest = content_hash_manifest(docs)
+    return dedup_incremental_exact(_incr_delta(spark, sf_dir), manifest).select(
+        "doc_id"
+    )
+
+
+_INCR_DELTA_SQL = f"""
+  delta AS (
+    SELECT doc_id + 10000 AS doc_id, text
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 20000 AS doc_id, text || '{_INCR_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 5 = 1
+    UNION ALL
+    SELECT doc_id + 30000 AS doc_id, text || '{_INCR_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 10 = 1
+  )
+"""
+
+_register(
+    "dedup_incr_exact_kept",
+    _dedup_incr_exact_kept,
+    f"""
+    WITH {_INCR_DELTA_SQL},
+    batch_kept AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM delta
+      ) WHERE rn = 1
+    )
+    SELECT b.doc_id FROM batch_kept b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM documents d WHERE sha256(d.text) = sha256(b.text)
+    )
+    """,
+)
+
+
+def _incr_near_delta(spark, sf_dir):
+    """Near-dup delta: corpus docs < 60 re-idented, even ids perturbed
+    by an appended token run (jaccard < 1, still bucket-colliding for
+    long docs; short perturbed docs may drop out — deterministically on
+    both engines)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.filter(F.col("doc_id") < 60)
+    return base.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" extra tokens appended here")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _dedup_incr_lsh_pairs(spark, sf_dir):
+    from vector_indexer_spark.operators.dedup import (
+        banded_signatures,
+        incremental_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 60)
+    manifest = banded_signatures(corpus)
+    return incremental_lsh_candidates(_incr_near_delta(spark, sf_dir), manifest)
+
+
+def _incr_lsh_sql(verified: bool) -> str:
+    from vector_indexer_spark.operators.dedup import minhash_params
+
+    params = minhash_params(16)
+    shingles = _DD_SHINGLE_HASHES.format(toks="toks")
+    sig_cols = ",\n      ".join(
+        f"coalesce(list_min(list_transform(sh, h -> ({a} * (h % 2147483647) + {b}) % 2147483647)), 2147483647) AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_rows = ", ".join(
+        f"({b}, concat_ws('_', s{b * 4}, s{b * 4 + 1}, s{b * 4 + 2}, s{b * 4 + 3}))"
+        for b in range(4)
+    )
+    cand = f"""
+    corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    delta AS (
+      SELECT doc_id + 10000 AS doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN text || ' extra tokens appended here'
+                  ELSE text END AS text
+      FROM corpus
+    ),
+    both_sides AS (
+      SELECT * FROM corpus UNION ALL SELECT * FROM delta
+    ),
+    t AS (
+      SELECT doc_id, {_DD_TOKENS.format(c="text")} AS toks FROM both_sides
+    ),
+    sh AS (SELECT doc_id, {shingles} AS sh FROM t),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh),
+    banded AS (
+      SELECT doc_id, b.band, b.bucket
+      FROM sig, LATERAL (VALUES {band_rows}) AS b(band, bucket)
+      WHERE sig.s0 <> 2147483647
+    ),
+    cand AS (
+      SELECT DISTINCT d.doc_id AS new_id, m.doc_id AS corpus_id
+      FROM banded d JOIN banded m
+        ON d.band = m.band AND d.bucket = m.bucket
+      WHERE d.doc_id >= 10000 AND m.doc_id < 10000
+    )"""
+    if not verified:
+        return f"WITH {cand}\n    SELECT new_id, corpus_id FROM cand"
+    return f"""
+    WITH {cand},
+    j AS (
+      SELECT c.new_id, c.corpus_id,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+             CAST(len(a.sh) AS DOUBLE) + CAST(len(b.sh) AS DOUBLE)
+               - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS uni
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.new_id
+      JOIN sh b ON b.doc_id = c.corpus_id
+    )
+    SELECT new_id, corpus_id,
+           CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END AS jaccard
+    FROM j
+    WHERE (CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END) >= 0.7
+    """
+
+
+_register("dedup_incr_lsh_pairs", _dedup_incr_lsh_pairs, _incr_lsh_sql(False))
+
+
+def _dedup_incr_near_matches(spark, sf_dir):
+    from vector_indexer_spark.operators.dedup import (
+        banded_signatures,
+        dedup_incremental_near,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 60)
+    manifest = banded_signatures(corpus)
+    return dedup_incremental_near(
+        _incr_near_delta(spark, sf_dir), corpus, manifest, threshold=0.7
+    )
+
+
+_register(
+    "dedup_incr_near_matches",
+    _dedup_incr_near_matches,
+    _incr_lsh_sql(True),
+)

@@ -974,3 +974,222 @@ def edit_distance_verify(
         .filter(F.col("edit_distance") <= max_distance)
         .orderBy(a_col, b_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+#
+# A production corpus is never re-deduplicated from scratch: each crawl
+# or ingest DELTA is deduped against the standing corpus using a small
+# persisted *manifest* (content hashes for exact dedup, banded MinHash
+# buckets for near-dup), then the manifest is advanced with the
+# survivors. At 100 TB the manifest is the only corpus-sized state that
+# participates per batch, and it is hash/bucket-keyed — persist it
+# bucketed on its key and the per-batch join is a zero-shuffle
+# sort-merge against delta-sized shuffled data. The reference engine
+# has no incremental story (full rebuild, src/ivf_index.rs); this is a
+# Spark-first extension in the spirit of its streaming ingest.
+
+
+def content_hash_manifest(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+) -> DataFrame:
+    """(content_hash, keep_id) — the exact-dedup state to persist
+    between batches. One hash-key shuffle with map-side combine; the
+    manifest has one row per distinct content, not per doc."""
+    key = normalized_text_expr(text_col) if normalize else F.col(text_col)
+    return (
+        df.select(
+            F.sha2(key, 256).alias("content_hash"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+
+
+def dedup_incremental_exact(
+    new_df: DataFrame,
+    manifest: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = False,
+    bloom_bits: int | None = None,
+) -> DataFrame:
+    """Delta-batch survivors vs a standing corpus: rows of ``new_df``
+    whose content hash is absent from ``manifest`` AND that are the
+    min-id representative of their content within the batch (a batch
+    can carry internal copies too). Returns all columns of ``new_df``.
+
+    Physical shape: hash each delta row once, window-dedup within the
+    batch (delta-sized shuffle), then LEFT ANTI join against the
+    manifest on the hash key. The anti-join shuffles only the delta
+    when the manifest is pre-bucketed on ``content_hash``; with
+    ``bloom_bits`` set, a broadcast Bloom filter built from the DELTA
+    (the small side!) prunes the manifest scan first, so a 100 TB
+    manifest is reduced to candidate rows before its exchange —
+    exactness is unaffected (Bloom has no false negatives and the
+    anti-join removes false positives).
+    """
+    key = normalized_text_expr(text_col) if normalize else F.col(text_col)
+    hashed = new_df.withColumn("__chash", F.sha2(key, 256))
+    w = Window.partitionBy("__chash").orderBy(F.col(id_col))
+    batch_kept = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    m = manifest.select(F.col("content_hash").alias("__chash"))
+    if bloom_bits is not None:
+        from vector_indexer_spark.operators.sketches import bloom_prefilter
+
+        m = bloom_prefilter(
+            m, batch_kept.select("__chash"), "__chash", m_bits=bloom_bits
+        )
+    return batch_kept.join(m, "__chash", "left_anti").drop("__chash")
+
+
+def banded_signatures(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, band, bucket) — the near-dup LSH state to persist
+    between batches (the banded MinHash bucket table; text is NOT part
+    of the manifest). Shingle-less docs are excluded before banding
+    for the same reason as :func:`lsh_candidate_pairs` — the
+    all-sentinel signature would collide every short doc with every
+    other one."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_sig_columns(
+        df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_k=shingle_k,
+    ).filter(F.col("s0") != F.lit(HASH_MOD))
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"s{b * rows + r}") for r in range(rows)],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def incremental_lsh_candidates(
+    new_df: DataFrame,
+    manifest: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """(new_id, corpus_id) near-dup candidates between a delta batch
+    and the standing corpus, from shared MinHash band buckets.
+
+    The corpus never re-shingles: its side of the join is the
+    persisted :func:`banded_signatures` manifest. Only the delta pays
+    signature computation, and the bucket join is delta×manifest (an
+    equi-join on (band, bucket)), NOT a corpus self-join. Oversized
+    buckets — mass boilerplate that belongs to exact dedup — are
+    dropped by their size in the UNION of both sides, mirroring the
+    batch path's cap so incremental and from-scratch runs agree.
+    """
+    delta = banded_signatures(
+        new_df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        bands=bands, shingle_k=shingle_k,
+    )
+    if max_bucket_size is not None:
+        both = delta.unionByName(manifest)
+        big = (
+            both.groupBy("band", "bucket")
+            .agg(F.count("*").alias("__bsz"))
+            .filter(F.col("__bsz") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        delta = delta.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+        manifest = manifest.join(
+            F.broadcast(big), ["band", "bucket"], "left_anti"
+        )
+    d = delta.alias("d")
+    m = manifest.alias("m")
+    return (
+        d.join(
+            m,
+            (F.col("d.band") == F.col("m.band"))
+            & (F.col("d.bucket") == F.col("m.bucket")),
+        )
+        .select(
+            F.col("d.doc_id").alias("new_id"),
+            F.col("m.doc_id").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+
+def dedup_incremental_near(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    manifest: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """(new_id, corpus_id, jaccard) verified near-dup matches of the
+    delta against the corpus: LSH candidates from the banded manifest,
+    then exact shingle-Jaccard verification ≥ ``threshold``.
+
+    Verification needs both texts, but only for docs that appear in a
+    candidate pair — :func:`jaccard_pairs` semi-joins the union frame
+    down to exactly those docs before shingling, so the corpus scan it
+    pays is candidate-sized, not corpus-sized. Requires delta/corpus
+    id spaces to be disjoint (true for monotonic ingest ids).
+    """
+    cand = incremental_lsh_candidates(
+        new_df, manifest, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        max_bucket_size=max_bucket_size,
+    ).select(F.col("new_id").alias("id_a"), F.col("corpus_id").alias("id_b"))
+    both = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        corpus_df.select(F.col(id_col), F.col(text_col))
+    )
+    return (
+        jaccard_pairs(
+            both, cand, text_col=text_col, id_col=id_col,
+            shingle_k=shingle_k,
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").alias("new_id"),
+            F.col("id_b").alias("corpus_id"),
+            "jaccard",
+        )
+    )
