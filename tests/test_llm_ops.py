@@ -1171,3 +1171,26 @@ def test_incremental_near_verifies_jaccard(spark):
     # 8 shared shingles of 9+1 distinct-union -> 8/11... compute exactly:
     # shingles(10 tokens, k=3) = 8; shingles(11 tokens) = 9; shared = 8
     assert matches[(10, 0)] == pytest.approx(8 / 9)
+
+
+def test_resolve_keep_best_picks_argmax_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (0, 1.0), (1, 5.0), (2, 5.0),   # group {0,1,2}: 1 wins (tie 1<2)
+            (3, 2.0), (4, 1.0),             # group {3,4}: 3 wins
+            (9, 0.5),                       # singleton keeps itself
+        ],
+        "doc_id long, quality double",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: (r.canonical_id, r.keep_id)
+        for r in dedup.resolve_keep_best(df, pairs).collect()
+    }
+    assert out == {
+        0: (0, 1), 1: (0, 1), 2: (0, 1),
+        3: (3, 3), 4: (3, 3),
+        9: (9, 9),
+    }

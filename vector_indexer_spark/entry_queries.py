@@ -8048,3 +8048,74 @@ _register(
     _dedup_incr_near_matches,
     _incr_lsh_sql(True),
 )
+
+
+def _dedup_keep_best(spark, sf_dir):
+    """Keep-best resolution over the chained tripled fixture: quality
+    is a deterministic function of the id ((id*37) % 11), so the three
+    copies of each chain differ and ties occur across chains."""
+    from vector_indexer_spark.operators.dedup import resolve_keep_best
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tripled = (
+        docs.select("doc_id")
+        .union(docs.select((F.col("doc_id") + 10_000).alias("doc_id")))
+        .union(docs.select((F.col("doc_id") + 20_000).alias("doc_id")))
+        .filter((F.col("doc_id") % 10_000) < 30)
+        .withColumn(
+            "quality", ((F.col("doc_id") * 37) % 11).cast("double")
+        )
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 10_000) for i in range(30)]
+        + [(i + 10_000, i + 20_000) for i in range(30)],
+        "id_a long, id_b long",
+    )
+    return resolve_keep_best(tripled, pairs)
+
+
+_register(
+    "dedup_keep_best",
+    _dedup_keep_best,
+    """
+    WITH RECURSIVE ids AS (
+      SELECT doc_id FROM documents WHERE doc_id % 10000 < 30
+      UNION SELECT doc_id + 10000 FROM documents WHERE doc_id % 10000 < 30
+      UNION SELECT doc_id + 20000 FROM documents WHERE doc_id % 10000 < 30
+    ),
+    docs AS (
+      SELECT doc_id, CAST((doc_id * 37) % 11 AS DOUBLE) AS quality
+      FROM ids
+    ),
+    edges AS (
+      SELECT i AS id_a, i + 10000 AS id_b FROM range(0, 30) r(i)
+      UNION ALL
+      SELECT i + 10000, i + 20000 FROM range(0, 30) r(i)
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS reached FROM docs
+      UNION
+      SELECT r.node, u.dst
+      FROM reach r JOIN und u ON u.src = r.reached
+    ),
+    canon AS (
+      SELECT node AS doc_id, MIN(reached) AS canonical_id
+      FROM reach GROUP BY 1
+    ),
+    ranked AS (
+      SELECT c.canonical_id, c.doc_id,
+             row_number() OVER (PARTITION BY c.canonical_id
+                                ORDER BY d.quality DESC, c.doc_id ASC) AS rn
+      FROM canon c JOIN docs d USING (doc_id)
+    ),
+    best AS (
+      SELECT canonical_id, doc_id AS keep_id FROM ranked WHERE rn = 1
+    )
+    SELECT c.doc_id, c.canonical_id, b.keep_id
+    FROM canon c JOIN best b USING (canonical_id)
+    """,
+)

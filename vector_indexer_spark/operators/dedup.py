@@ -1193,3 +1193,54 @@ def dedup_incremental_near(
             "jaccard",
         )
     )
+
+
+def resolve_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    max_pairs_driver: int = 5_000_000,
+) -> DataFrame:
+    """(doc_id, canonical_id, keep_id) — duplicate-group resolution
+    that keeps the BEST document of each group instead of the lowest
+    id: ``keep_id`` is the group's argmax-``quality_col`` doc, ties
+    broken toward the lower id. Docs in no pair keep themselves.
+
+    Real cleaning pipelines resolve near-dup groups this way (keep the
+    longest / highest-quality variant, drop the mangled re-posts);
+    min-id keep is only right when copies are byte-identical. Group
+    labels come from :func:`resolve_duplicate_groups` (driver
+    union-find under ``max_pairs_driver`` distinct pairs, distributed
+    min-label propagation beyond). The argmax is a groupBy over
+    (canonical_id) with a single struct-MIN aggregate — map-side
+    combinable, no per-group sort, unlike a window formulation — and
+    the winners table (one row per group) joins back on the group key.
+    """
+    canon = resolve_duplicate_groups(
+        df, pairs, id_col=id_col, max_pairs_driver=max_pairs_driver
+    )
+    q = df.select(
+        F.col(id_col).alias("doc_id"), F.col(quality_col).alias("__q")
+    )
+    labeled = canon.join(q, "doc_id")
+    # min over (-quality, id): argmax quality with min-id tie-break.
+    # Spark normalizes -0.0 = 0.0 in struct comparisons, so a zero
+    # quality cannot split a tie group differently from the oracle's
+    # (quality DESC, id ASC) window order.
+    best = (
+        labeled.groupBy("canonical_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("__q")).alias("negq"),
+                    F.col("doc_id").alias("id"),
+                )
+            ).alias("__b")
+        )
+        .select("canonical_id", F.col("__b.id").alias("keep_id"))
+    )
+    return labeled.join(best, "canonical_id").select(
+        "doc_id", "canonical_id", "keep_id"
+    )
