@@ -1021,3 +1021,43 @@ def test_bigram_surprisal_flags_incoherent_text(spark):
     per_bigram_scrambled = got[100][1] / got[100][0]
     assert per_bigram_scrambled > 1.5 * per_bigram_coherent
     assert got[101] == (0, 0)
+
+
+def test_cluster_keywords_hand_computed(spark):
+    from vector_indexer_spark.operators.text_analysis import cluster_keywords
+
+    # cluster a: 'spark' dominant and rare elsewhere; 'the' everywhere
+    rows = [
+        (0, "a", "spark spark spark the"),
+        (1, "a", "spark shuffle the"),
+        (2, "b", "duck duck duck the"),
+        (3, "b", "duck oracle the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lab string, text string")
+    out = cluster_keywords(
+        df, cluster_col="lab", top_k=2, min_count=2
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append((r.rank, r.token))
+    # distinctive term ranks first in each cluster; 'the' (flat across
+    # corpus, PMI ~ ln(p(the|a)/p(the)) ≈ 0) ranks below
+    assert by_cluster["a"][0] == (1, "spark")
+    assert by_cluster["b"][0] == (1, "duck")
+    import math
+    r_spark = next(r for r in out if r.cluster == "a" and r.token == "spark")
+    # p(spark|a) = 4/7, p(spark) = 4/14 -> ratio exactly 2
+    assert r_spark.n_in_cluster == 4
+    assert r_spark.pmi_micros == math.floor(
+        math.log((4 / 7) / (4 / 14)) * 1e6
+    )
+
+
+def test_cluster_keywords_plan_has_window_group_limit(spark, documents):
+    from vector_indexer_spark.operators.text_analysis import cluster_keywords
+    from vector_indexer_spark.plans import audit
+
+    plan = audit.executed_plan(
+        cluster_keywords(documents, cluster_col="lang", top_k=5, min_count=3)
+    )
+    assert "WindowGroupLimit" in plan

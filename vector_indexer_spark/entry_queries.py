@@ -8119,3 +8119,51 @@ _register(
     FROM canon c JOIN best b USING (canonical_id)
     """,
 )
+
+
+def _text_cluster_keywords(spark, sf_dir):
+    """Corpus-map labels for the `lang` slices of documents."""
+    from vector_indexer_spark.operators.text_analysis import cluster_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cluster_keywords(docs, cluster_col="lang", top_k=5, min_count=3)
+
+
+_register(
+    "text_cluster_keywords",
+    _text_cluster_keywords,
+    f"""
+    WITH tok AS (
+      SELECT lang AS cluster, unnest({_DD_TOKENS.format(c="text")}) AS tok
+      FROM documents
+    ),
+    ct AS (
+      SELECT cluster, tok, count(*) AS n_in_cluster
+      FROM tok GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    marg AS (SELECT tok, count(*) AS n_corpus FROM tok GROUP BY 1),
+    ctot AS (SELECT cluster, count(*) AS n_cluster_toks FROM tok GROUP BY 1),
+    total AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tok),
+    scored AS (
+      SELECT ct.cluster, ct.tok AS token, ct.n_in_cluster,
+             CAST(floor(ln(
+               (CAST(ct.n_in_cluster AS DOUBLE)
+                / CAST(ctot.n_cluster_toks AS DOUBLE))
+               / (CAST(marg.n_corpus AS DOUBLE) / total.n_total)
+             ) * 1000000) AS BIGINT) AS pmi_micros
+      FROM ct
+      JOIN marg USING (tok)
+      JOIN ctot USING (cluster)
+      CROSS JOIN total
+    ),
+    ranked AS (
+      SELECT cluster, token, n_in_cluster, pmi_micros,
+             CAST(row_number() OVER (PARTITION BY cluster
+                                     ORDER BY pmi_micros DESC, token ASC)
+                  AS INT) AS rank
+      FROM scored
+    )
+    SELECT cluster, rank, token, n_in_cluster, pmi_micros
+    FROM ranked WHERE rank <= 5
+    """,
+)

@@ -1400,3 +1400,75 @@ def bigram_surprisal(
             "surprisal_micros"
         ),
     )
+
+
+def cluster_keywords(
+    df: DataFrame,
+    *,
+    cluster_col: str,
+    text_col: str = "text",
+    top_k: int = 10,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-map labeling: per cluster, the ``top_k`` most DISTINCTIVE
+    tokens by cluster-term PMI ``ln(p(tok|cluster) / p(tok))`` among
+    tokens seen ≥ ``min_count`` times inside the cluster — the labels
+    a dataset card prints next to each k-means cluster / source /
+    language slice ("what is this slice about?"). Per-source frequency
+    alone ranks stopwords first; the corpus-marginal denominator is
+    what surfaces the slice's signature vocabulary.
+
+    Returns ``(cluster, rank, token, n_in_cluster, pmi_micros)``, rank
+    by ``(pmi_micros DESC, token ASC)`` within each cluster; PMI is
+    floored to integer micros so ranking and values are engine-exact.
+
+    Scale shape: tokens explode scan-locally ONCE; (cluster, token)
+    counts and token marginals are map-side-combined shuffles on
+    vocabulary-sized keys; cluster totals are cluster-count-sized and
+    broadcast; the per-cluster top-k is a rank filter over a window
+    PARTITIONED by cluster, so Spark 4.1 plants a partial
+    WindowGroupLimit below the exchange — each map task forwards at
+    most ``top_k`` rows per cluster, never the vocabulary.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from vector_indexer_spark.functions.text import tokens_expr  # noqa: PLC0415
+
+    if top_k <= 0:
+        raise ValueError("top_k must be positive")
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    tok = df.select(
+        F.col(cluster_col).alias("cluster"),
+        F.explode(tokens_expr(text_col)).alias("tok"),
+    )
+    ct = tok.groupBy("cluster", "tok").agg(
+        F.count("*").alias("n_in_cluster")
+    ).filter(F.col("n_in_cluster") >= min_count)
+    marg = tok.groupBy("tok").agg(F.count("*").alias("n_corpus"))
+    ctot = tok.groupBy("cluster").agg(F.count("*").alias("n_cluster_toks"))
+    total = tok.agg(F.count("*").cast("double").alias("n_total"))
+    pmi = F.log(
+        (F.col("n_in_cluster").cast("double")
+         / F.col("n_cluster_toks").cast("double"))
+        / (F.col("n_corpus").cast("double") / F.col("n_total"))
+    )
+    scored = (
+        ct.join(marg, "tok")
+        .join(F.broadcast(ctot), "cluster")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "cluster",
+            F.col("tok").alias("token"),
+            "n_in_cluster",
+            F.floor(pmi * F.lit(1_000_000)).cast("long").alias("pmi_micros"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("pmi_micros").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("cluster", "rank", "token", "n_in_cluster", "pmi_micros")
+    )
