@@ -1025,3 +1025,84 @@ def test_point_in_time_join_single_shuffle(spark):
     # union + ONE key-partitioned window — never |facts| x |history|
     assert s["shuffles"] <= 2  # key exchange (+ final orderBy-free here)
     assert not s["cartesian"]
+
+
+def test_streaming_lsh_candidates_match_batch(spark, tmp_path, documents):
+    """The live LSH matcher over micro-batches must find exactly the
+    candidate pairs the batch operator finds — scan-local HOF
+    signatures ≡ the explode+window batch signatures, and keyed bucket
+    state ≡ the banded self-join."""
+    from vector_indexer_spark.operators.dedup import lsh_candidate_pairs
+    from vector_indexer_spark.streaming.dedup import streaming_lsh_candidates
+
+    docs = documents.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    again = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    ddl = "doc_id long, text string"
+
+    src = str(tmp_path / "lsh_in")
+    out = str(tmp_path / "lsh_out")
+    ckpt = str(tmp_path / "lsh_ckpt")
+
+    def _run():
+        stream = spark.readStream.schema(ddl).parquet(src)
+        q = (
+            streaming_lsh_candidates(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1 = originals, batch 2 = duplicates (cross-batch pairs)
+    docs.write.mode("append").parquet(src)
+    _run()
+    again.write.mode("append").parquet(src)
+    _run()
+
+    live = spark.read.parquet(out).collect()
+    live_pairs = {
+        (min(r.new_id, r.prior_id), max(r.new_id, r.prior_id)) for r in live
+    }
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(docs.unionByName(again)).collect()
+    }
+    assert live_pairs == batch_pairs
+    # identical texts must pair across the batch boundary
+    for i in range(30):
+        assert (i, i + 10_000) in live_pairs
+
+
+def test_streaming_lsh_bucket_saturation_bounds_state(spark, tmp_path):
+    """A boilerplate bucket saturates at max_bucket_size: pairing and
+    state growth stop, so a 10⁸-copy footer cannot blow up either the
+    state store or the emission volume."""
+    from vector_indexer_spark.streaming.dedup import streaming_lsh_candidates
+
+    boiler = "the same boilerplate footer text repeated verbatim"
+    rows = [(i, boiler) for i in range(20)]
+    ddl = "doc_id long, text string"
+    src = str(tmp_path / "sat_in")
+    ckpt = str(tmp_path / "sat_ckpt")
+    spark.createDataFrame(rows, ddl).write.parquet(src)
+    stream = spark.readStream.schema(ddl).parquet(src)
+    q = (
+        streaming_lsh_candidates(stream, max_bucket_size=5)
+        .writeStream.format("memory")
+        .queryName("lsh_sat")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM lsh_sat").collect()
+    # per band: members 0..4 pair (5*4/2 = 10 pairs), the rest are
+    # suppressed; 4 bands of identical signatures → 40 rows
+    assert len(out) == 40
+    assert {(r.new_id, r.prior_id) for r in out} == {
+        (b, a) for a in range(5) for b in range(a + 1, 5)
+    }

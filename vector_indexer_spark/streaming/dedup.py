@@ -128,3 +128,187 @@ def start_streaming_dedup(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup: live MinHash-LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+LSH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bucket", T.StringType(), False),
+        T.StructField("new_id", T.LongType(), False),
+        T.StructField("prior_id", T.LongType(), False),
+    ]
+)
+LSH_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen_ids", T.ArrayType(T.LongType()), False)]
+)
+
+
+def streaming_banded_buckets(
+    stream_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, band, bucket) for a STREAM — the streaming-legal
+    formulation of ``operators.dedup.banded_signatures``.
+
+    The batch path shingles via posexplode + a ``lead`` window, which
+    Structured Streaming forbids (non-time windows need a full
+    partition). Here the whole signature is scan-local: distinct
+    shingle hashes as an array expression
+    (``shingle_hashes_expr``), each MinHash as ``array_min`` over a
+    ``transform`` — per-row, stateless, so it runs unchanged on a
+    stream. (Batch uses the exploded form because the interpreted
+    higher-order functions are ~10× slower per shingle — a per-batch
+    cost a stream amortizes.) Hash constants are shared with the batch
+    path, so buckets agree bit-for-bit (pytest-locked).
+    """
+    from vector_indexer_spark.functions.text import (  # noqa: PLC0415
+        HASH_MOD,
+        shingle_hashes_expr,
+    )
+    from vector_indexer_spark.operators.dedup import (  # noqa: PLC0415
+        minhash_params,
+    )
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    params = minhash_params(num_hashes)
+    sh = F.array_sort(shingle_hashes_expr(text_col, shingle_k))
+
+    def _perm(a: int, b: int):
+        # Spark infers HOF arity from the Python signature — keep the
+        # lambda strictly unary and close over (a, b) here instead
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_MOD)
+
+    sig_cols = [
+        F.coalesce(
+            F.array_min(F.transform(F.col("__sh"), _perm(a, b))),
+            F.lit(HASH_MOD).cast("long"),
+        ).alias(f"s{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = (
+        stream_df.select(
+            F.col(id_col).alias("doc_id"), sh.alias("__sh")
+        )
+        .filter(F.size("__sh") > 0)  # shingle-less docs never band
+        .select("doc_id", *sig_cols)
+    )
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"s{b * rows + r}") for r in range(rows)],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def _make_bucket_matcher(cap: int, ttl_ms: int | None):
+    def _match(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen: list[int] = (
+            list(state.get[0]) if state.exists else []
+        )
+        new_ids: list[int] = []
+        prior_ids: list[int] = []
+        members = list(seen)
+        batch_ids: list[int] = []
+        for pdf in pdfs:
+            if not pdf.empty:
+                batch_ids.extend(int(x) for x in pdf["doc_id"])
+        # arrival order within a micro-batch is not meaningful; process
+        # in id order so replays are deterministic
+        for did in sorted(set(batch_ids)):
+            if did in members:
+                continue
+            if len(members) >= cap:
+                # saturated bucket = mass boilerplate; stop pairing AND
+                # stop growing state (the batch path drops such buckets
+                # whole — see lsh_candidate_pairs.max_bucket_size)
+                break
+            for prior in members:
+                new_ids.append(did)
+                prior_ids.append(prior)
+            members.append(did)
+        state.update((members,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if new_ids:
+            yield pd.DataFrame(
+                {
+                    "band": [int(key[0])] * len(new_ids),
+                    "bucket": [key[1]] * len(new_ids),
+                    "new_id": new_ids,
+                    "prior_id": prior_ids,
+                }
+            )
+
+    return _match
+
+
+def streaming_lsh_candidates(
+    stream_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket_size: int = 10_000,
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Live near-dup candidate pairs: every arriving doc is checked
+    against all PRIOR docs sharing any MinHash band bucket, emitting
+    ``(band, bucket, new_id, prior_id)`` — the streaming twin of
+    :func:`operators.dedup.incremental_lsh_candidates` with the
+    banded manifest held as keyed state instead of a table.
+
+    State per (band, bucket) is the member id list, bounded by
+    ``max_bucket_size`` (a saturated bucket stops pairing AND growing
+    — boilerplate belongs to exact dedup) and by ``state_ttl_ms``
+    (the dedup horizon). A doc appears in ``bands`` buckets, so the
+    same pair can emit once per shared band; downstream consumers
+    ``distinct()`` on (new_id, prior_id) — kept per-band here so the
+    emission is append-mode monotonic.
+    """
+    banded = streaming_banded_buckets(
+        stream_df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _make_bucket_matcher(max_bucket_size, state_ttl_ms),
+        LSH_OUTPUT_SCHEMA,
+        LSH_STATE_SCHEMA,
+        "append",
+        timeout,
+    )
