@@ -1061,3 +1061,35 @@ def test_cluster_keywords_plan_has_window_group_limit(spark, documents):
         cluster_keywords(documents, cluster_col="lang", top_k=5, min_count=3)
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_dedup_lines_keeps_first_preserves_order(spark):
+    from vector_indexer_spark.operators.text_analysis import dedup_lines
+
+    df = spark.createDataFrame(
+        [
+            (0, "nav\nbody one\nnav\nbody two\nnav\nfooter"),
+            (1, "only line"),
+            (2, ""),  # empty text -> one empty line
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_lines(df).collect()}
+    assert out[0].text == "nav\nbody one\nbody two\nfooter"
+    assert (out[0].n_lines, out[0].n_kept) == (6, 4)
+    assert out[1].text == "only line" and out[1].n_kept == 1
+    assert out[2].n_lines == 1 and out[2].n_kept == 1
+
+
+def test_dedup_lines_custom_separator_and_plan(spark):
+    from vector_indexer_spark.operators.text_analysis import dedup_lines
+    from vector_indexer_spark.plans import audit
+
+    df = spark.createDataFrame(
+        [(0, "a|b|a|c|b")], "doc_id long, text string"
+    )
+    row = dedup_lines(df, sep="|").collect()[0]
+    assert row.text == "a|b|c"
+    # scan-local: no exchange anywhere in the plan
+    plan = audit.executed_plan(dedup_lines(df, sep="|"))
+    assert "Exchange" not in plan

@@ -8167,3 +8167,49 @@ _register(
     FROM ranked WHERE rank <= 5
     """,
 )
+
+
+def _text_dedup_lines(spark, sf_dir):
+    """Within-doc repeated-line removal over a synthesized multi-line
+    fixture: each doc becomes 3 "lines" (text, text again, a 50-char
+    prefix), so exactly the middle line drops."""
+    from vector_indexer_spark.operators.text_analysis import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.col("text"),
+            F.substring(F.col("text"), 1, 50),
+        ).alias("text"),
+    )
+    return dedup_lines(multi)
+
+
+_register(
+    "text_dedup_lines",
+    _text_dedup_lines,
+    """
+    WITH multi AS (
+      SELECT doc_id,
+             text || chr(10) || text || chr(10) || substr(text, 1, 50)
+               AS text
+      FROM documents
+    ),
+    t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM multi),
+    k AS (
+      SELECT doc_id, lines,
+             list_transform(
+               list_filter(range(1, len(lines) + 1),
+                           i -> list_position(lines[1:i-1], lines[i]) = 0),
+               i -> lines[i]) AS kept
+      FROM t
+    )
+    SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, chr(10)) AS text
+    FROM k
+    """,
+)

@@ -1472,3 +1472,48 @@ def cluster_keywords(
         .filter(F.col("rank") <= top_k)
         .select("cluster", "rank", "token", "n_in_cluster", "pmi_micros")
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """Within-document repeated-line removal: keep the FIRST occurrence
+    of each line, preserve order, rejoin — the intra-doc counterpart of
+    cross-doc boilerplate stripping (navigation menus, cookie banners,
+    and chat transcripts repeat lines inside one page). Returns
+    ``(doc_id, n_lines, n_kept, text)``.
+
+    Entirely scan-local array expressions (split → positional filter →
+    rejoin): zero shuffle, no UDF, whole-stage codegen. The positional
+    keep-first filter is O(lines²) per document — lines per doc is
+    bounded in practice (and the quadratic term is in-core, not in the
+    shuffle), unlike a posexplode + window formulation which would pay
+    a corpus-wide shuffle for a per-row rewrite.
+    """
+    import re  # noqa: PLC0415
+
+    lines = F.split(F.col(text_col), re.escape(sep))
+    kept = F.filter(
+        F.col("__lines"),
+        lambda x, i: ~F.array_contains(F.slice(F.col("__lines"), 1, i), x),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"), lines.alias("__lines")
+        )
+        .select(
+            "doc_id",
+            F.size("__lines").cast("long").alias("n_lines"),
+            kept.alias("__kept"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.size("__kept").cast("long").alias("n_kept"),
+            F.array_join("__kept", sep).alias("text"),
+        )
+    )
