@@ -1093,3 +1093,68 @@ def test_dedup_lines_custom_separator_and_plan(spark):
     # scan-local: no exchange anywhere in the plan
     plan = audit.executed_plan(dedup_lines(df, sep="|"))
     assert "Exchange" not in plan
+
+
+def test_select_token_budget_matches_global_greedy(spark):
+    from vector_indexer_spark.operators.splits import select_token_budget
+
+    rows = [
+        (i, (i * 13) % 50 + 1, ((i * 37) % 101) / 101.0) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, quality double")
+    budget = 1_500
+    # brute-force reference: global (quality desc, id) prefix
+    expected, cum = set(), 0
+    for did, ntok, q in sorted(rows, key=lambda r: (-r[2], r[0])):
+        if cum + ntok > budget:
+            break
+        cum += ntok
+        expected.add(did)
+    got = {
+        r.doc_id for r in select_token_budget(df, budget).collect()
+    }
+    assert got == expected
+    total = sum(ntok for did, ntok, _ in rows if did in got)
+    assert total <= budget
+
+
+def test_select_token_budget_edges(spark):
+    from vector_indexer_spark.operators.splits import select_token_budget
+
+    df = spark.createDataFrame(
+        [(0, 10, 0.9), (1, 10, 0.5)], "doc_id long, n_tokens long, quality double"
+    )
+    assert select_token_budget(df, 0).count() == 0
+    assert select_token_budget(df, 10**9).count() == 2
+    # budget exactly covers the better doc; the next would cross
+    got = [r.doc_id for r in select_token_budget(df, 10).collect()]
+    assert got == [0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        select_token_budget(df, -1)
+
+
+def test_select_token_budget_no_unpartitioned_corpus_window(spark):
+    """The whole point of the bin formulation: no window over the
+    entire corpus in one partition. Every Window in the plan must be
+    partitioned (the only unpartitioned one is over the bins-sized
+    ledger, which Spark shows as a separate tiny aggregation input)."""
+    from vector_indexer_spark.operators.splits import select_token_budget
+    from vector_indexer_spark.plans import audit
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 50 + 1).alias("n_tokens"),
+        ((F.col("id") * 37 % 101) / 101.0).alias("quality"),
+    )
+    plan = audit.executed_plan(select_token_budget(df, 5_000))
+    import re as _re
+    # corpus-side windows are all partitioned by __bin
+    wins = _re.findall(r"Window .*", plan)
+    assert wins, "expected Window operators in plan"
+    unpart = [w for w in wins if "partitionBy" not in w.replace(" ", "")
+              and "__bin" not in w]
+    # the only allowed unpartitioned window is the bins-ledger cumsum,
+    # whose input is the __bin aggregate (ledger), never raw rows
+    for w in unpart:
+        assert "__bin_tokens" in w

@@ -8213,3 +8213,39 @@ _register(
     FROM k
     """,
 )
+
+
+def _split_token_budget(spark, sf_dir):
+    """Budget selection over documents with derived quality/tokens:
+    quality = ((doc_id*37) % 101)/101, tokens = n_chars, budget 50k."""
+    from vector_indexer_spark.operators.splits import select_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("n_chars").alias("n_tokens"),
+        (((F.col("doc_id") * 37) % 101) / F.lit(101.0)).alias("quality"),
+    )
+    return select_token_budget(docs, 50_000).select(
+        "doc_id", "n_tokens", "quality"
+    )
+
+
+_register(
+    "split_token_budget",
+    _split_token_budget,
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars AS n_tokens,
+             ((doc_id * 37) % 101) / 101.0 AS quality
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, quality,
+             sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, n_tokens, quality FROM c WHERE cum <= 50000
+    """,
+)

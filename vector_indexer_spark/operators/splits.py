@@ -12,7 +12,7 @@ on task scheduling. Scan-local projection; oracle-checked
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 SPLIT_BUCKETS = 10_000
@@ -283,4 +283,99 @@ def cap_per_group(
     return (
         df.withColumn("group_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("group_rank") <= cap)
+    )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    *,
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bins: int = 10_000,
+) -> DataFrame:
+    """Budget-constrained corpus selection: keep the highest-quality
+    documents whose cumulative token count fits ``budget_tokens`` —
+    the op that turns "we want a 500B-token mix" into a concrete
+    keep-set. Documents are taken in ``(quality DESC, id ASC)`` order
+    while the running token total stays within budget; the first
+    document that would cross it — and therefore everything after it,
+    since token counts are positive and the prefix sum monotone — is
+    excluded (documents are never split). Returns the kept rows (all
+    input columns).
+
+    The naive formulation — one global sort + unbounded prefix-sum
+    window — funnels the corpus through a single task. This is the
+    scale-safe exact equivalent in two bounded passes:
+
+    1. quantize quality into ``bins`` integer bins (scan-local), agg
+       per-bin token totals (≤ ``bins`` rows), cumsum them IN-PLAN via
+       a window over the bin table (bins-sized, not corpus-sized) and
+       pick the cut bin where the budget crosses;
+    2. everything in better bins is kept outright (no sort at all);
+       only the cut bin — corpus/bins of the data — pays a prefix-sum
+       window, and that window is PARTITIONED by the bin, so it
+       shuffles one bin, not the corpus.
+
+    Ties inside the cut bin break by (quality DESC, id ASC), making
+    the keep-set deterministic and engine-exact (quality enters the
+    cum-sum comparison only through its bin, an integer).
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    q = F.col(quality_col)
+    binc = F.least(
+        F.floor(q * F.lit(bins)).cast("long"), F.lit(bins - 1)
+    )
+    binned = df.withColumn("__bin", binc)
+    totals = (
+        binned.groupBy("__bin")
+        .agg(F.sum(F.col(tokens_col)).alias("__bin_tokens"))
+    )
+    wb = Window.orderBy(F.col("__bin").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # per-bin budget left BEFORE this bin (bins-sized window — fine)
+    ledger = totals.withColumn(
+        "__before", F.coalesce(F.sum("__bin_tokens").over(wb), F.lit(0))
+    ).select("__bin", "__before")
+    labeled = binned.join(F.broadcast(ledger), "__bin").withColumn(
+        "__bin_total",
+        F.sum(tokens_col).over(
+            Window.partitionBy("__bin").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    # bins that fit whole need no ordering at all
+    whole = labeled.filter(
+        F.col("__before") + F.col("__bin_total") <= F.lit(budget_tokens)
+    )
+    # the single cut bin: prefix-sum window partitioned BY the bin
+    wcut = Window.partitionBy("__bin").orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    cut = (
+        labeled.filter(
+            F.col("__before") <= F.lit(budget_tokens)
+        )
+        .withColumn(
+            "__run",
+            F.col("__before")
+            + F.coalesce(F.sum(tokens_col).over(wcut), F.lit(0)),
+        )
+        .filter(
+            (F.col("__run") + F.col(tokens_col) <= F.lit(budget_tokens))
+            & (
+                F.col("__before") + F.col("__bin_total")
+                > F.lit(budget_tokens)
+            )
+        )
+        .drop("__run")
+    )
+    return whole.unionByName(cut).drop(
+        "__bin", "__before", "__bin_total"
     )
