@@ -237,6 +237,54 @@ def _dsir_df(spark, sf_dir):
     return dsir_scores(docs, docs.filter(F.col("source") == "src0"))
 
 
+def _incr_lsh_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.dedup import (
+        banded_signatures,
+        incremental_lsh_candidates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") < 60)
+    delta = corpus.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    return incremental_lsh_candidates(delta, banded_signatures(corpus))
+
+
+def _token_budget_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.splits import select_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("n_chars").alias("n_tokens"),
+        (((F.col("doc_id") * 37) % 101) / F.lit(101.0)).alias("quality"),
+    )
+    return select_token_budget(docs, 50_000)
+
+
+def _cluster_kw_df(spark, sf_dir):
+    from vector_indexer_spark.operators.text_analysis import cluster_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cluster_keywords(docs, cluster_col="lang", top_k=5, min_count=3)
+
+
+def _dedup_lines_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.text_analysis import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.col("text")).alias("text"),
+    )
+    return dedup_lines(multi)
+
+
+
 def _q21_df(spark, sf_dir):
     from vector_indexer_spark.operators.olap import waiting_suppliers
 
@@ -596,6 +644,34 @@ def main():
             "Full-outer hash join on the key; with both snapshots "
             "bucketed it degrades to zero-shuffle sort-merge.",
             _snapdiff_df(spark, sf_dir),
+        ),
+        (
+            "Incremental LSH candidates (delta vs manifest)",
+            "Only the delta pays signatures; the corpus side is the "
+            "persisted banded manifest, joined on (band, bucket) — "
+            "never a corpus self-join. Union-side bucket cap via a "
+            "broadcast anti-join.",
+            _incr_lsh_df(spark, sf_dir),
+        ),
+        (
+            "Token-budget corpus selection",
+            "Bins-sized ledger cumsum + whole-bin keeps; only the "
+            "single cut bin pays a prefix window, PARTITIONED by the "
+            "bin — no corpus-wide single-partition window.",
+            _token_budget_df(spark, sf_dir),
+        ),
+        (
+            "Corpus-map cluster keywords",
+            "One scan-local token explode; vocab-keyed count "
+            "shuffles; broadcast cluster totals; partitioned rank "
+            "filter gets a partial WindowGroupLimit.",
+            _cluster_kw_df(spark, sf_dir),
+        ),
+        (
+            "Within-doc repeated-line removal",
+            "Pure scan-local array expressions (split, positional "
+            "keep-first filter, rejoin): ZERO exchanges in the plan.",
+            _dedup_lines_df(spark, sf_dir),
         ),
     ]
 
