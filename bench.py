@@ -583,6 +583,23 @@ def main() -> None:
         extras["dedup1M_n_docs"] = n_docs
         extras["dedup1M_pairs"] = int(n_pairs)
 
+        # incremental dedup: a 1% delta against the other 99% as the
+        # standing corpus. Per-batch cost must be delta-shaped — the
+        # corpus participates only through its banded-signature
+        # manifest (prebuilt+persisted here, as in production where it
+        # is amortized across every future batch).
+        corpus_side = docs1m.filter(F.col("doc_id") % 100 != 1)
+        delta_side = docs1m.filter(F.col("doc_id") % 100 == 1)
+        manifest = dedup.banded_signatures(corpus_side).persist()
+        manifest.count()
+        t0 = time.perf_counter()
+        n_incr = dedup.incremental_lsh_candidates(
+            delta_side, manifest
+        ).count()
+        extras["dedup1M_incr_sec"] = round(time.perf_counter() - t0, 3)
+        extras["dedup1M_incr_matches"] = int(n_incr)
+        manifest.unpersist()
+
         # sketch scan at 1M rows: HLL registers + estimate vs the
         # exact distinct — one map-side agg against a full distinct
         # shuffle, the trade the sketch exists for
