@@ -62,3 +62,49 @@ def test_knn_graph_degree_and_no_self(spark):
     assert edges.select("src").distinct().count() == 50
     with pytest.raises(ValueError, match="k must be"):
         knn_graph(emb, k=0, id_col="vec_id", vec_col="embedding")
+
+
+def test_pagerank_hand_computed_and_float_proximity(spark):
+    from vector_indexer_spark.operators.graph import pagerank
+
+    # 3-node cycle + one dangling receiver: 0->1->2->0, 0->3
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3)], "src long, dst long"
+    )
+    got = {
+        r.node: r.rank_micros
+        for r in pagerank(edges, iterations=2).collect()
+    }
+    # hand-run the exact integer recurrence
+    import collections
+    deg = {0: 2, 1: 1, 2: 1}
+    r = {n: 1_000_000 for n in range(4)}
+    for _ in range(2):
+        cin = collections.defaultdict(int)
+        for s, d in [(0, 1), (1, 2), (2, 0), (0, 3)]:
+            cin[d] += r[s] // deg[s]
+        r = {n: 150_000 + (85 * cin[n]) // 100 for n in range(4)}
+    assert got == r
+    # and it tracks float PageRank (same damping, dropped dangling mass)
+    rf = {n: 1.0 for n in range(4)}
+    for _ in range(2):
+        cf = collections.defaultdict(float)
+        for s, d in [(0, 1), (1, 2), (2, 0), (0, 3)]:
+            cf[d] += rf[s] / deg[s]
+        rf = {n: 0.15 + 0.85 * cf[n] for n in range(4)}
+    for n in range(4):
+        assert abs(got[n] / 1e6 - rf[n]) < 1e-4
+
+
+def test_pagerank_zero_iterations_and_validation(spark):
+    import pytest as _pytest
+
+    from vector_indexer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r.node: r.rank_micros for r in pagerank(edges, iterations=0).collect()}
+    assert got == {0: 1_000_000, 1: 1_000_000}
+    with _pytest.raises(ValueError):
+        pagerank(edges, iterations=-1)
+    with _pytest.raises(ValueError):
+        pagerank(edges, damping_pct=101)

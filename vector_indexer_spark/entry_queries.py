@@ -8249,3 +8249,56 @@ _register(
     SELECT doc_id, n_tokens, quality FROM c WHERE cum <= 50000
     """,
 )
+
+
+def _graph_pagerank(spark, sf_dir):
+    """Integer-exact PageRank over a deterministic 2-out-degree graph
+    derived from documents (doc_id -> (13*id)%500, (29*id)%500)."""
+    from vector_indexer_spark.operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13) % 500).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 29) % 500).alias("dst"),
+    )
+    return pagerank(e1.unionByName(e2), iterations=3)
+
+
+def _pagerank_sql(iterations: int = 3) -> str:
+    stages = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        stages.append(f"""
+    c{i} AS (
+      SELECT e.d AS node, SUM({prev}.r // deg.deg) AS cin
+      FROM e JOIN {prev} ON {prev}.node = e.s
+             JOIN deg ON deg.node = e.s
+      GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * coalesce(c{i}.cin, 0)) // 100 AS BIGINT)
+               AS r
+      FROM nodes n LEFT JOIN c{i} USING (node)
+    )""")
+        prev = f"r{i}"
+    return f"""
+    WITH e AS (
+      SELECT doc_id AS s, (doc_id * 13) % 500 AS d FROM documents
+      UNION ALL
+      SELECT doc_id, (doc_id * 29) % 500 FROM documents
+    ),
+    nodes AS (
+      SELECT s AS node FROM e UNION SELECT d FROM e
+    ),
+    deg AS (SELECT s AS node, count(*) AS deg FROM e GROUP BY 1),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),{",".join(stages)}
+    SELECT node, r AS rank_micros FROM {prev}
+    """
+
+
+_register("graph_pagerank", _graph_pagerank, _pagerank_sql())

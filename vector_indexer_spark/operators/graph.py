@@ -131,3 +131,85 @@ def knn_graph(
     if symmetric:
         return symmetrize(edges, "src", "dst")
     return edges
+
+
+PAGERANK_SCALE = 1_000_000  # ranks held in integer micros
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link-graph importance in EXACT integer arithmetic:
+    ``(node, rank_micros)`` after ``iterations`` rounds of
+
+        r' = (100 - d)/100 + d/100 · Σ_{u→v} r(u) DIV outdeg(u)
+
+    with every rank held in integer micros and every division an
+    integer floor — so the result is bit-identical across engines,
+    partitionings, and summation orders (float PageRank is none of
+    those: its Σ over in-neighbors reassociates per shuffle). The
+    page-importance signal CommonCrawl-scale corpus curation feeds
+    into quality scoring; absolute values differ from float PageRank
+    by < 1e-4 relative (bounded by the per-edge floor loss · in-degree).
+
+    Dangling nodes (no out-edges) appear as rank receivers; their mass
+    is dropped rather than redistributed (the common simplification;
+    ranks then need no global normalization pass per iteration).
+
+    Scale shape per iteration: ONE shuffle of the rank table joined to
+    the edge list on the source key, one map-side-combined SUM by
+    destination. ``iterations`` is bounded by contract (quality
+    signals use 2-5 rounds); out-degrees are computed once. The edge
+    list never moves: pre-partition both sides on the node key (or
+    bucket the edge table) and every round is a co-located join.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if not 0 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [0, 100]")
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .union(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy(F.col("__s").alias("node")).agg(
+        F.count("*").alias("__deg")
+    )
+    base = F.lit((100 - damping_pct) * PAGERANK_SCALE // 100).cast("long")
+    rank = nodes.withColumn(
+        "rank_micros", F.lit(PAGERANK_SCALE).cast("long")
+    )
+    for _ in range(iterations):
+        contrib = (
+            rank.join(outdeg, "node")
+            .join(e, rank["node"] == e["__s"])
+            .select(
+                F.col("__d").alias("node"),
+                # true integer division (`div`), NOT double `/` + cast:
+                # doubles lose exactness past 2^53 and round-to-nearest
+                F.expr("rank_micros div __deg").alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .withColumn("__in", F.coalesce(F.col("__in"), F.lit(0)))
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr(f"({damping_pct} * __in) div 100")
+                ).alias("rank_micros"),
+            )
+        )
+    return rank
