@@ -108,3 +108,34 @@ def test_pagerank_zero_iterations_and_validation(spark):
         pagerank(edges, iterations=-1)
     with _pytest.raises(ValueError):
         pagerank(edges, damping_pct=101)
+
+
+def test_connected_components_islands(spark):
+    from vector_indexer_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_distributed_path_matches_driver(spark):
+    from vector_indexer_spark.operators.graph import connected_components
+
+    # a chain forces multi-round label propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    driver = {
+        (r.node, r.component)
+        for r in connected_components(edges).collect()
+    }
+    distributed = {
+        (r.node, r.component)
+        for r in connected_components(edges, max_pairs_driver=5).collect()
+    }
+    assert driver == distributed == {(i, 0) for i in range(61)}

@@ -8302,3 +8302,37 @@ def _pagerank_sql(iterations: int = 3) -> str:
 
 
 _register("graph_pagerank", _graph_pagerank, _pagerank_sql())
+
+
+def _graph_components(spark, sf_dir):
+    """Connected components over the same derived doc graph as
+    pagerank (undirected: both edge directions passed)."""
+    from vector_indexer_spark.operators.graph import connected_components
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fwd = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13) % 500).alias("dst"),
+    )
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return connected_components(fwd.unionByName(rev))
+
+
+_register(
+    "graph_components",
+    _graph_components,
+    """
+    WITH RECURSIVE e AS (
+      SELECT doc_id AS s, (doc_id * 13) % 500 AS d FROM documents
+    ),
+    und AS (SELECT s, d FROM e UNION SELECT d, s FROM e),
+    nodes AS (SELECT s AS node FROM und UNION SELECT d FROM und),
+    reach AS (
+      SELECT node, node AS reached FROM nodes
+      UNION
+      SELECT r.node, u.d
+      FROM reach r JOIN und u ON u.s = r.reached
+    )
+    SELECT node, MIN(reached) AS component FROM reach GROUP BY 1
+    """,
+)

@@ -213,3 +213,42 @@ def pagerank(
             )
         )
     return rank
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_pairs_driver: int = 5_000_000,
+) -> DataFrame:
+    """(node, component) — undirected connected components with the
+    component labeled by its minimum node id.
+
+    Public face of the machinery duplicate-group resolution already
+    uses: driver union-find below ``max_pairs_driver`` distinct edges
+    (edge lists arrive post-blocking and are orders of magnitude
+    smaller than node sets), distributed min-label propagation with
+    pointer jumping above it (O(log diameter) rounds, never
+    materializing edges on the driver). Unlike :func:`bfs_hops` this
+    has no depth bound — it answers "which island?", not "how far?".
+    """
+    from vector_indexer_spark.operators.dedup import (  # noqa: PLC0415
+        resolve_duplicate_groups,
+    )
+
+    e = edges.select(
+        F.col(src_col).alias("id_a"), F.col(dst_col).alias("id_b")
+    )
+    nodes = (
+        e.select(F.col("id_a").alias("doc_id"))
+        .union(e.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    out = resolve_duplicate_groups(
+        nodes, e, id_col="doc_id", max_pairs_driver=max_pairs_driver
+    )
+    return out.select(
+        F.col("doc_id").alias("node"),
+        F.col("canonical_id").alias("component"),
+    )
