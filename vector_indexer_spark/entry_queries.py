@@ -8336,3 +8336,92 @@ _register(
     SELECT node, MIN(reached) AS component FROM reach GROUP BY 1
     """,
 )
+
+
+def _pipeline_training_mix(spark, sf_dir):
+    """Flagship composition — the corpus-construction path end to end:
+    plant exact duplicates (doubled ids), score quality (text_stats),
+    exact-dedup keeping the min id, select the best docs under a
+    15k-token budget, and stamp deterministic train/val/test splits.
+    Every stage is an already-oracled operator; this locks their
+    COMPOSITION."""
+    from vector_indexer_spark.operators.dedup import dedup_exact
+    from vector_indexer_spark.operators.splits import (
+        hash_split,
+        select_token_budget,
+    )
+    from vector_indexer_spark.operators.text_analysis import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    )
+    stats = text_stats(corpus).select("doc_id", "n_tokens", "quality")
+    scored = corpus.join(stats, "doc_id")
+    deduped = dedup_exact(scored)
+    selected = select_token_budget(deduped, 15_000)
+    return hash_split(selected, id_col="doc_id").select(
+        "doc_id", "n_tokens", "quality", "split"
+    )
+
+
+_register(
+    "pipeline_training_mix",
+    _pipeline_training_mix,
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000, text FROM documents
+    ),
+    t AS (
+      SELECT doc_id, text, {_DD_TOKENS.format(c="text")} AS toks
+      FROM corpus
+    ),
+    m AS (
+      SELECT doc_id, text,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+          AS n_alpha,
+        CAST(len(list_filter(toks, t -> t IN {_STOP_EN_SQL})) AS BIGINT)
+          AS n_stopwords
+      FROM t
+    ),
+    scored AS (
+      SELECT doc_id, text, n_tokens,
+        (least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+         + CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE)
+         + least((CASE WHEN n_tokens > 0
+                  THEN CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                  ELSE 0.0 END) * 4.0, 1.0)) / 3.0 AS quality
+      FROM m
+    ),
+    deduped AS (
+      SELECT doc_id, n_tokens, quality FROM (
+        SELECT doc_id, n_tokens, quality,
+               row_number() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    budgeted AS (
+      SELECT doc_id, n_tokens, quality FROM (
+        SELECT doc_id, n_tokens, quality,
+               sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM deduped
+      ) WHERE cum <= 15000
+    )
+    SELECT doc_id, n_tokens, quality,
+           CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, n_tokens, quality,
+             CAST(concat('0x', substr(md5(concat('42:',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS b
+      FROM budgeted)
+    """,
+)
