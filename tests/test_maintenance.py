@@ -86,3 +86,59 @@ def test_validate_constraints_counts(spark):
 def test_validate_constraints_empty_rules(spark):
     df = spark.createDataFrame([(1,)], "k long")
     assert validate_constraints(df).count() == 0
+
+
+class TestVersionedTables:
+    def test_commit_read_time_travel(self, spark, tmp_path):
+        from vector_indexer_spark.operators import maintenance as mt
+
+        t = str(tmp_path / "vt")
+        df1 = spark.range(10).withColumnRenamed("id", "k")
+        df2 = spark.range(25).withColumnRenamed("id", "k")
+        m1 = mt.write_version(df1, t, note="initial")
+        m2 = mt.write_version(df2, t, note="extended")
+        assert (m1["version"], m2["version"]) == (1, 2)
+        assert mt.latest_version(t) == 2
+        assert mt.read_version(spark, t).count() == 25       # latest
+        assert mt.read_version(spark, t, 1).count() == 10    # time travel
+        hist = mt.history(t)
+        assert [h["version"] for h in hist] == [1, 2]
+        assert hist[0]["note"] == "initial" and hist[0]["n_rows"] == 10
+
+    def test_old_snapshots_immutable_under_new_commits(self, spark, tmp_path):
+        from vector_indexer_spark.operators import maintenance as mt
+
+        t = str(tmp_path / "vt2")
+        df1 = spark.range(5).withColumnRenamed("id", "k")
+        mt.write_version(df1, t)
+        v1 = mt.read_version(spark, t, 1)
+        rows_before = sorted(r.k for r in v1.collect())
+        mt.write_version(spark.range(3).withColumnRenamed("id", "k"), t)
+        assert sorted(r.k for r in mt.read_version(spark, t, 1).collect()) == rows_before
+
+    def test_vacuum_keeps_latest(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from vector_indexer_spark.operators import maintenance as mt
+
+        t = str(tmp_path / "vt3")
+        for n in (4, 5, 6):
+            mt.write_version(spark.range(n).withColumnRenamed("id", "k"), t)
+        removed = mt.vacuum_versions(t, keep_last=1)
+        assert removed == [1, 2]
+        assert mt.read_version(spark, t).count() == 6
+        with _pytest.raises(FileNotFoundError, match="vacuumed|not exist"):
+            mt.read_version(spark, t, 1)
+        with _pytest.raises(ValueError):
+            mt.vacuum_versions(t, keep_last=0)
+
+    def test_empty_table_errors(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from vector_indexer_spark.operators import maintenance as mt
+
+        t = str(tmp_path / "vt4")
+        assert mt.latest_version(t) == 0
+        assert mt.history(t) == []
+        with _pytest.raises(FileNotFoundError):
+            mt.read_version(spark, t)

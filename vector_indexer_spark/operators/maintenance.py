@@ -168,3 +168,131 @@ def validate_constraints(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("rule", "column")
+
+
+# ---------------------------------------------------------------------------
+# Versioned tables (commit log + time travel) — "table format lite"
+# ---------------------------------------------------------------------------
+#
+# Reproducible corpus construction needs "train run X used corpus
+# version N" to stay answerable forever. Full table formats
+# (Delta/Iceberg) solve this with a transaction log over immutable
+# files; this is the same design reduced to its core: each commit
+# writes an immutable snapshot directory plus a JSON manifest naming
+# it, `_latest` points at the newest manifest, readers resolve a
+# version (or the latest) and do a plain parquet scan of that
+# snapshot. Writers never touch previous snapshots — time travel is a
+# manifest lookup, vacuum is a manifest-driven delete of expired ones.
+# Single-writer by contract (a pipeline's corpus builds are serialized
+# by the orchestrator); the atomicity primitive is POSIX rename of the
+# `_latest` pointer, the same one `_staged_rewrite` relies on.
+
+import json
+import os
+import shutil
+import time as _time
+
+from pyspark.sql import SparkSession
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, "_manifests", f"v{version:08d}.json")
+
+
+def write_version(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    note: str = "",
+    now_ms: int | None = None,
+) -> dict:
+    """Commit ``df`` as the next version of the table at ``table_dir``.
+    Returns the manifest dict (``version``, ``snapshot``, ``n_rows``,
+    ``ts_ms``, ``note``). The snapshot lands fully before any manifest
+    names it, so a crash mid-write leaves no visible half-version."""
+    os.makedirs(os.path.join(table_dir, "_manifests"), exist_ok=True)
+    version = latest_version(table_dir) + 1
+    snap_rel = f"snap-v{version:08d}"
+    snap = os.path.join(table_dir, snap_rel)
+    df.write.mode("errorifexists").parquet(snap)
+    n_rows = df.sparkSession.read.parquet(snap).count()
+    manifest = {
+        "version": version,
+        "snapshot": snap_rel,
+        "n_rows": n_rows,
+        "ts_ms": int(_time.time() * 1000) if now_ms is None else now_ms,
+        "note": note,
+    }
+    mpath = _manifest_path(table_dir, version)
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, mpath)  # manifest visible atomically
+    lat_tmp = os.path.join(table_dir, "_latest.tmp")
+    with open(lat_tmp, "w") as f:
+        f.write(str(version))
+    os.rename(lat_tmp, os.path.join(table_dir, "_latest"))
+    return manifest
+
+
+def latest_version(table_dir: str) -> int:
+    """Current version number, 0 if the table has no commits."""
+    try:
+        with open(os.path.join(table_dir, "_latest")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def read_manifest(table_dir: str, version: int | None = None) -> dict:
+    v = latest_version(table_dir) if version is None else version
+    if v < 1:
+        raise FileNotFoundError(f"no committed versions at {table_dir}")
+    try:
+        with open(_manifest_path(table_dir, v)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"version {v} does not exist at {table_dir} "
+            f"(latest is {latest_version(table_dir)}, or it was vacuumed)"
+        ) from None
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time travel: the table AS OF ``version`` (default: latest) as a
+    plain parquet scan of that immutable snapshot — full predicate
+    pushdown / column pruning apply, nothing is special at read time."""
+    m = read_manifest(table_dir, version)
+    return spark.read.parquet(os.path.join(table_dir, m["snapshot"]))
+
+
+def history(table_dir: str) -> list[dict]:
+    """All retained manifests, oldest first."""
+    mdir = os.path.join(table_dir, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def vacuum_versions(table_dir: str, *, keep_last: int = 2) -> list[int]:
+    """Delete snapshots (and manifests) older than the newest
+    ``keep_last`` versions; returns the removed version numbers. The
+    latest version is always retained."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = [m["version"] for m in history(table_dir)]
+    doomed = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in doomed:
+        m = read_manifest(table_dir, v)
+        snap = os.path.join(table_dir, m["snapshot"])
+        if os.path.isdir(snap):
+            shutil.rmtree(snap)
+        os.remove(_manifest_path(table_dir, v))
+    return doomed
