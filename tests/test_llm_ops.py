@@ -1194,3 +1194,20 @@ def test_resolve_keep_best_picks_argmax_quality(spark):
         3: (3, 3), 4: (3, 3),
         9: (9, 9),
     }
+
+
+def test_containment_catches_quote_inclusion(spark):
+    from vector_indexer_spark.operators.dedup import containment_pairs
+
+    small = "one two three four five six"
+    big = "zero prefix words here " + small + " and a long suffix tail " \
+          "with many additional tokens to dilute the union further"
+    df = spark.createDataFrame(
+        [(0, small), (1, big)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    row = containment_pairs(df, pairs).collect()[0]
+    # every shingle of the small doc appears in the big one
+    assert row.containment_a == 1.0
+    assert row.containment_b < 0.5
+    assert row.jaccard < 0.5  # Jaccard alone would miss this dup

@@ -142,3 +142,24 @@ class TestVersionedTables:
         assert mt.history(t) == []
         with _pytest.raises(FileNotFoundError):
             mt.read_version(spark, t)
+
+    def test_version_diff_composes_with_snapshot_diff(self, spark, tmp_path):
+        """Time travel + CDC diff answer 'what changed between corpus
+        version 1 and 2' — the composition a reproducible-pipeline
+        audit runs."""
+        from vector_indexer_spark.operators import maintenance as mt
+
+        t = str(tmp_path / "vt5")
+        df1 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+        )
+        df2 = spark.createDataFrame(
+            [(2, "b"), (3, "C"), (4, "d")], "k long, v string"
+        )
+        mt.write_version(df1, t)
+        mt.write_version(df2, t)
+        diff = mt.snapshot_diff(
+            mt.read_version(spark, t, 1), mt.read_version(spark, t, 2), ["k"]
+        )
+        got = {r.k: r.change_type for r in diff.collect()}
+        assert got == {1: "removed", 3: "changed", 4: "added"}

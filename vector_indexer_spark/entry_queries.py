@@ -8425,3 +8425,68 @@ _register(
       FROM budgeted)
     """,
 )
+
+
+def _dedup_containment(spark, sf_dir):
+    """Containment scores for pairs (i, i+1), i<50, plus a planted
+    quote-inclusion pair: doc 9000 = doc 0's text embedded in doc 1's
+    (containment of 0 in 9000 is 1.0, Jaccard well below)."""
+    from vector_indexer_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embed = docs.filter(F.col("doc_id") == 1).select(
+        F.lit(9_000).cast("long").alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ")).alias("__t1"),
+    )
+    d0 = docs.filter(F.col("doc_id") == 0).select(
+        F.col("text").alias("__t0")
+    )
+    planted = embed.crossJoin(d0).select(
+        "doc_id", F.concat(F.col("__t1"), F.col("__t0")).alias("text")
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(0, 9_000)],
+        "id_a long, id_b long",
+    )
+    return containment_pairs(corpus, pairs)
+
+
+_register(
+    "dedup_containment",
+    _dedup_containment,
+    f"""
+    WITH planted AS (
+      SELECT CAST(9000 AS BIGINT) AS doc_id,
+             (SELECT text FROM documents WHERE doc_id = 1) || ' ' ||
+             (SELECT text FROM documents WHERE doc_id = 0) AS text
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id, text FROM planted
+    ),
+    t AS (
+      SELECT doc_id, {_DD_TOKENS.format(c="text")} AS toks FROM corpus
+    ),
+    s AS (SELECT doc_id, {_DD_SHINGLE_HASHES.format(toks="toks")} AS sh FROM t),
+    pairs AS (
+      SELECT i AS id_a, i + 1 AS id_b FROM range(0, 50) r(i)
+      UNION ALL SELECT 0, 9000
+    ),
+    j AS (
+      SELECT p.id_a, p.id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+             CAST(len(a.sh) AS DOUBLE) AS na,
+             CAST(len(b.sh) AS DOUBLE) AS nb
+      FROM pairs p
+      JOIN s a ON a.doc_id = p.id_a
+      JOIN s b ON b.doc_id = p.id_b
+    )
+    SELECT id_a, id_b,
+           CASE WHEN na > 0 THEN inter / na ELSE 0.0 END AS containment_a,
+           CASE WHEN nb > 0 THEN inter / nb ELSE 0.0 END AS containment_b,
+           CASE WHEN na + nb - inter > 0
+                THEN inter / (na + nb - inter) ELSE 0.0 END AS jaccard
+    FROM j
+    """,
+)

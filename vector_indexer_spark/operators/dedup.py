@@ -1244,3 +1244,56 @@ def resolve_keep_best(
     return labeled.join(best, "canonical_id").select(
         "doc_id", "canonical_id", "keep_id"
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Asymmetric shingle containment for candidate pairs:
+    ``containment_a = |A∩B| / |A|`` (how much of doc a is inside doc
+    b) and vice versa, plus the symmetric Jaccard. Quote-inclusion and
+    page-embeds-page duplication score near 1.0 on one containment
+    side while Jaccard stays low (the union is dominated by the larger
+    doc) — the signal Jaccard-only verification systematically misses.
+
+    Same physical shape as :func:`jaccard_pairs`: shingle sets only
+    for docs appearing in a pair (semi-join first), candidate-sized
+    joins, scan-local set expressions.
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = df.join(ids, df[id_col] == ids["doc_id"], "left_semi").select(
+        F.col(id_col).alias("doc_id"),
+        F.array_sort(shingle_hashes_expr(text_col, shingle_k)).alias("sh"),
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    na = F.size("sh_a").cast("double")
+    nb = F.size("sh_b").cast("double")
+    union = na + nb - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(na > 0, inter / na).otherwise(F.lit(0.0)).alias(
+                "containment_a"
+            ),
+            F.when(nb > 0, inter / nb).otherwise(F.lit(0.0)).alias(
+                "containment_b"
+            ),
+            F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias(
+                "jaccard"
+            ),
+        )
+    )
