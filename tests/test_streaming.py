@@ -1106,3 +1106,53 @@ def test_streaming_lsh_bucket_saturation_bounds_state(spark, tmp_path):
     assert {(r.new_id, r.prior_id) for r in out} == {
         (b, a) for a in range(5) for b in range(a + 1, 5)
     }
+
+
+def test_funnel_conversion_window_and_restart(spark):
+    from vector_indexer_spark.streaming.events import (
+        funnel_conversion_counts,
+        funnel_counts,
+    )
+
+    rows = [
+        # user 1: full funnel within windows
+        _ev(0, 1, 0, 1.0), (1, 10 * NS, 1, "cart", 1.0),
+        (2, 20 * NS, 1, "buy", 1.0),
+        # user 2: first cart too late, restart succeeds
+        (3, 0 * NS, 2, "click", 1.0), (4, 100 * NS, 2, "cart", 1.0),
+        (5, 110 * NS, 2, "click", 1.0), (6, 120 * NS, 2, "cart", 1.0),
+        (7, 130 * NS, 2, "buy", 1.0),
+        # user 3: stalls at cart — buy outside the window, no restart
+        (8, 0 * NS, 3, "click", 1.0), (9, 10 * NS, 3, "cart", 1.0),
+        (10, 200 * NS, 3, "buy", 1.0),
+    ]
+    df = spark.createDataFrame(rows, EV_DDL)
+    got = {
+        r.step_idx: r.n_users
+        for r in funnel_conversion_counts(
+            df, ["click", "cart", "buy"], 30
+        ).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 2}
+    # the unbounded funnel counts user 3's late buy as converted
+    unbounded = {
+        r.step_idx: r.n_users
+        for r in funnel_counts(df, ["click", "cart", "buy"]).collect()
+    }
+    assert unbounded == {0: 3, 1: 3, 2: 3}
+
+
+def test_funnel_conversion_validation(spark):
+    import pytest as _pytest
+
+    from vector_indexer_spark.streaming.events import (
+        funnel_conversion_counts,
+    )
+
+    df = spark.createDataFrame([_ev(0, 1, 0)], EV_DDL)
+    with _pytest.raises(ValueError):
+        funnel_conversion_counts(df, [], 10)
+    with _pytest.raises(ValueError):
+        funnel_conversion_counts(df, ["a"], 0)
+    with _pytest.raises(ValueError):
+        funnel_conversion_counts(df, [str(i) for i in range(16)], 10)

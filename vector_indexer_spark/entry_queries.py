@@ -8490,3 +8490,71 @@ _register(
     FROM j
     """,
 )
+
+
+_CONV_WINDOW_S = 3 * 24 * 3600  # 3-day conversion window
+
+
+def _events_funnel_conversion(spark, sf_dir):
+    """Time-bound funnel (3-day conversion window, restart-on-step0)."""
+    from vector_indexer_spark.sources.files import read_events_ns
+    from vector_indexer_spark.streaming.events import (
+        funnel_conversion_counts,
+    )
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet")
+    return funnel_conversion_counts(ev, _FUNNEL_STEPS, _CONV_WINDOW_S)
+
+
+def _funnel_conversion_sql() -> str:
+    s0, s1, s2 = _FUNNEL_STEPS
+    w = _CONV_WINDOW_S
+    P32, P36 = 1 << 32, 1 << 36
+    # the SAME packed-BIGINT automaton the Spark fold runs (see
+    # funnel_conversion_counts): state = depth*2^36 + best*2^32 + ts_s
+    return f"""
+    WITH ev AS (
+      SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+             CASE event_type WHEN '{s0}' THEN 1 WHEN '{s1}' THEN 2
+                             WHEN '{s2}' THEN 3 ELSE 0 END AS code
+      FROM events
+    ),
+    folded AS (
+      SELECT user_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list(code * {P32} + tsn // 1000000000
+                 ORDER BY tsn, event_id)),
+          (acc, x) -> CASE
+            WHEN (x // {P32}) = (acc // {P36}) + 1
+                 AND (acc // {P36}) < 3
+                 AND ((acc // {P36}) = 0
+                      OR (x % {P32}) - (acc % {P32}) <= {w})
+            THEN ((acc // {P36}) + 1) * {P36}
+                 + greatest((acc // {P32}) % 16, (acc // {P36}) + 1) * {P32}
+                 + (x % {P32})
+            WHEN (x // {P32}) = 1
+            THEN {P36}
+                 + greatest((acc // {P32}) % 16, CAST(1 AS BIGINT)) * {P32}
+                 + (x % {P32})
+            ELSE acc END
+        ) AS st
+      FROM ev GROUP BY 1
+    ),
+    best AS (SELECT user_id, (st // {P32}) % 16 AS b FROM folded)
+    SELECT CAST(0 AS INT) AS step_idx, '{s0}' AS step,
+           (SELECT count(*) FROM best WHERE b >= 1) AS n_users
+    UNION ALL
+    SELECT CAST(1 AS INT), '{s1}',
+           (SELECT count(*) FROM best WHERE b >= 2)
+    UNION ALL
+    SELECT CAST(2 AS INT), '{s2}',
+           (SELECT count(*) FROM best WHERE b >= 3)
+    """
+
+
+_register(
+    "events_funnel_conversion",
+    _events_funnel_conversion,
+    _funnel_conversion_sql(),
+)

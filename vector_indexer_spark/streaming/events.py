@@ -1095,3 +1095,110 @@ def point_in_time_join(
         .filter(F.col("__is_fact") == 1)
         .select(*facts.columns, out_col)
     )
+
+
+def funnel_conversion_counts(
+    events: DataFrame,
+    steps: list,
+    window_s: int,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Time-bound funnel: like :func:`funnel_counts`, but each step
+    must occur within ``window_s`` SECONDS of the previously matched
+    step, and a fresh occurrence of ``steps[0]`` re-anchors a stalled
+    attempt (the product-analytics "conversion window" semantics).
+    Counts each user's BEST depth across attempts.
+
+    Exactness trick shared with the DuckDB oracle: the automaton state
+    (depth, best, last-match-second) is packed into ONE BIGINT
+    (``depth·2³⁶ + best·2³² + ts_s``) and each event into another
+    (``code·2³² + ts_s``), so the whole per-user run is a fold over a
+    sorted integer array — deterministic, engine-portable, and still
+    a single codegen ``aggregate`` with one int of state per user.
+    Second granularity bounds ts to 31 bits; funnel depths ≤ 15.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(steps) > 15:
+        raise ValueError("at most 15 funnel steps (packed state)")
+    if window_s <= 0:
+        raise ValueError("window_s must be positive")
+    p32, p36 = F.lit(1 << 32), F.lit(1 << 36)
+    # code + second are pre-projected BEFORE the fold: `div` is true
+    # integer division (double division of a ~2^60 ns timestamp is NOT
+    # exact — the long→double cast already rounds), and the fold's own
+    # power-of-two unpacking divisions are exact below 2^53
+    code = F.lit(0).cast("long")
+    for i, s in enumerate(steps):
+        code = F.when(
+            F.col(type_col) == F.lit(s), F.lit(i + 1).cast("long")
+        ).otherwise(code)
+    prepped = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("__ts"),
+        F.col(id_col).alias("__id"),
+        (code * p32 + F.expr(f"{ts_col} div 1000000000")).alias("__packed"),
+    )
+    per_user = prepped.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__ts").alias("ts"),
+                    F.col("__id").alias("id"),
+                    F.col("__packed").alias("p"),
+                )
+            )
+        ).alias("__tl")
+    )
+    packed = F.transform(F.col("__tl"), lambda e: e["p"])
+    n = len(steps)
+    w = F.lit(int(window_s))
+
+    def _step(acc, x):
+        d = (acc / p36).cast("long")
+        b = ((acc / p32) % F.lit(16)).cast("long")
+        t0 = acc % p32
+        c = (x / p32).cast("long")
+        te = x % p32
+        advance = (
+            (c == d + 1)
+            & (d < F.lit(n))
+            & ((d == 0) | (te - t0 <= w))
+        )
+        nd = F.when(advance, d + 1).otherwise(
+            F.when(c == 1, F.lit(1).cast("long")).otherwise(d)
+        )
+        nt = F.when(advance | (c == 1), te).otherwise(t0)
+        nb = F.greatest(b, nd)
+        return nd * p36 + nb * p32 + nt
+
+    best = (
+        F.aggregate(packed, F.lit(0).cast("long"), _step) / p32
+    ).cast("long") % F.lit(16)
+    depths = per_user.select(best.alias("__best"))
+    agg = depths.groupBy().agg(
+        *[
+            F.sum((F.col("__best") >= i + 1).cast("long")).alias(f"__n_{i}")
+            for i in range(n)
+        ]
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("int").alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.coalesce(F.col(f"__n_{i}"), F.lit(0)).alias(
+                            "n_users"
+                        ),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    ).select("r.step_idx", "r.step", "r.n_users")
