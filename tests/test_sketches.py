@@ -373,3 +373,37 @@ def test_streaming_cms_equals_batch(spark, tmp_path, events):
         )
     )
     assert got == want
+
+
+def test_hll_trailing_merge_equals_direct_window_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+        hll_trailing_merge,
+    )
+
+    # 3 daily slices of overlapping users
+    rows = [(d, u) for d in range(3) for u in range(d * 50, d * 50 + 80)]
+    df = spark.createDataFrame(rows, "day long, user long")
+    per_day = hll_registers(df, "user", p=8, group_cols=["day"])
+    trailing = hll_trailing_merge(per_day, bucket_col="day", trailing=2)
+    # window anchored at day 1 covers days {0, 1}: must be REGISTER-
+    # IDENTICAL to sketching those days' raw rows directly
+    win1 = trailing.filter(F.col("day") == 1).select("register", "max_rho")
+    direct = hll_registers(
+        df.filter(F.col("day") <= 1), "user", p=8
+    )
+    assert sorted(map(tuple, win1.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # day 0's window is just day 0 (no phantom negative buckets), and
+    # no window is anchored past the last real bucket
+    anchors = sorted(
+        r.day for r in trailing.select("day").distinct().collect()
+    )
+    assert anchors == [0, 1, 2]
+    # estimates track the true distinct counts
+    est = hll_estimate(win1, p=8)
+    assert abs(est - 130) / 130 < 0.15

@@ -8558,3 +8558,55 @@ _register(
     _events_funnel_conversion,
     _funnel_conversion_sql(),
 )
+
+
+_DAY_NS = 86_400_000_000_000
+
+
+def _sketch_hll_trailing(spark, sf_dir):
+    """Trailing-7-day distinct-user registers per day — merged from
+    per-day sketches, never from raw data."""
+    from vector_indexer_spark.operators.sketches import (
+        hll_registers,
+        hll_trailing_merge,
+    )
+    from vector_indexer_spark.sources.files import read_events_ns
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet").withColumn(
+        "day", F.expr(f"ts div {_DAY_NS}")
+    )
+    per_day = hll_registers(ev, "user_id", p=8, group_cols=["day"])
+    return hll_trailing_merge(per_day, bucket_col="day", trailing=7)
+
+
+def _hll_trailing_sql() -> str:
+    offs = ", ".join(f"({i})" for i in range(7))
+    h = _hll_hash_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH ev AS (
+      SELECT epoch_ns(ts) // {_DAY_NS} AS day, user_id
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    parts AS (
+      SELECT day, {h} >> 52 AS register,
+             {h} & ((1::BIGINT << 52) - 1) AS rest
+      FROM ev
+    ),
+    perday AS (
+      SELECT day, register,
+             MAX(CASE WHEN rest = 0 THEN 53
+                 ELSE 52 - length(bin(rest)) + 1 END) AS max_rho
+      FROM parts GROUP BY 1, 2
+    ),
+    fan AS (
+      SELECT p.day + o.off AS day, p.register, p.max_rho
+      FROM perday p CROSS JOIN (VALUES {offs}) o(off)
+    ),
+    days AS (SELECT DISTINCT day FROM perday)
+    SELECT f.day, f.register, CAST(MAX(f.max_rho) AS INT) AS max_rho
+    FROM fan f JOIN days USING (day)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+_register("sketch_hll_trailing", _sketch_hll_trailing, _hll_trailing_sql())

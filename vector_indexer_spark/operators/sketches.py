@@ -455,3 +455,49 @@ def hdr_quantiles(
             val = (lo + hi) / 2.0 / scale
         out.append(val)
     return out
+
+
+def hll_trailing_merge(
+    grouped_registers: DataFrame,
+    *,
+    bucket_col: str,
+    trailing: int,
+    bucket_step: int = 1,
+) -> DataFrame:
+    """Trailing-window sketch rollup: for every bucket (hour/day), the
+    merged HLL registers of the last ``trailing`` buckets — the
+    "distinct users over the trailing 7 days, daily" report computed
+    WITHOUT re-touching raw data: input is the per-bucket register
+    table from :func:`hll_registers(group_cols=[bucket_col])`, i.e.
+    ≤ |buckets|·2^p rows total, and each output window is one
+    element-wise MAX over ``trailing`` slices.
+
+    Physical shape: each register row fans out to the ≤ ``trailing``
+    windows it participates in (bounded ×trailing expansion of an
+    already-sketch-sized table), then one map-side-combined MAX per
+    (window, register). Feed any window's slice to
+    :func:`hll_estimate`. ``bucket_step`` is the numeric distance
+    between adjacent buckets (1 for dense integer buckets; 3600·10⁹
+    for epoch-ns hours).
+    """
+    if trailing < 1:
+        raise ValueError("trailing must be >= 1")
+    if bucket_step < 1:
+        raise ValueError("bucket_step must be >= 1")
+    offs = F.array(*[F.lit(i * bucket_step) for i in range(trailing)])
+    fanned = grouped_registers.select(
+        F.explode(offs).alias("__off"),
+        (F.col(bucket_col) + F.col("__off")).alias(bucket_col),
+        "register",
+        "max_rho",
+    )
+    # emit only windows anchored at buckets that exist in the input —
+    # offsets past the last bucket would otherwise surface phantom
+    # partial windows (semi-join against the tiny bucket list)
+    buckets = grouped_registers.select(bucket_col).distinct()
+    return (
+        fanned.join(buckets, bucket_col, "left_semi")
+        .groupBy(bucket_col, "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .orderBy(bucket_col, "register")
+    )
