@@ -65,3 +65,53 @@ def test_profile_single_pass_plan(spark, events):
     s = audit.plan_summary(profile_table(events, ["event_id", "user_id"]))
     assert s["shuffles"] <= 2
     assert not s["cartesian"]
+
+
+def test_psi_stable_slices_near_zero_and_shift_detected(spark):
+    from vector_indexer_spark.operators.profile import psi_by_slice
+
+    # two slices with the SAME distribution: each matches the pooled
+    # corpus, so both PSI ~ 0 (and exactly equal to each other)
+    same = spark.createDataFrame(
+        [("a", float(i % 100)) for i in range(1000)]
+        + [("b", float((i * 7) % 100)) for i in range(1000)],
+        "source string, v double",
+    )
+    stable = {
+        r.group: r.psi_nanos / 1e9
+        for r in psi_by_slice(
+            same, "v", by_col="source", lo=0.0, hi=500.0, n_bins=5
+        ).collect()
+    }
+    assert abs(stable["a"]) < 0.01 and abs(stable["b"]) < 0.01
+    assert stable["a"] == stable["b"]  # identical distributions
+
+    # add a shifted slice: it must score far above the stable ones,
+    # and above the 0.25 "shifted" convention — while the stable
+    # slices only inherit the pooled-corpus contamination
+    mixed = same.union(
+        spark.createDataFrame(
+            [("c", 400.0 + float(i % 100)) for i in range(1000)],
+            "source string, v double",
+        )
+    )
+    out = {
+        r.group: r.psi_nanos / 1e9
+        for r in psi_by_slice(
+            mixed, "v", by_col="source", lo=0.0, hi=500.0, n_bins=5
+        ).collect()
+    }
+    assert out["c"] > 0.25
+    assert out["c"] > out["a"] and out["c"] > out["b"]
+
+
+def test_psi_validation(spark):
+    import pytest as _pytest
+
+    from vector_indexer_spark.operators.profile import psi_by_slice
+
+    df = spark.createDataFrame([("a", 1.0)], "source string, v double")
+    with _pytest.raises(ValueError):
+        psi_by_slice(df, "v", lo=1.0, hi=1.0)
+    with _pytest.raises(ValueError):
+        psi_by_slice(df, "v", lo=0.0, hi=1.0, n_bins=0)

@@ -8610,3 +8610,58 @@ def _hll_trailing_sql() -> str:
 
 
 _register("sketch_hll_trailing", _sketch_hll_trailing, _hll_trailing_sql())
+
+
+def _profile_psi(spark, sf_dir):
+    """PSI of doc length per source vs the whole corpus."""
+    from vector_indexer_spark.operators.profile import psi_by_slice
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return psi_by_slice(
+        docs, "n_chars", by_col="source", lo=0.0, hi=800.0, n_bins=8
+    )
+
+
+_register(
+    "profile_psi",
+    _profile_psi,
+    """
+    WITH binned AS (
+      SELECT source AS grp,
+             CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN -1
+                  WHEN CAST(n_chars AS DOUBLE) >= 800.0 THEN 8
+                  ELSE CAST(floor((CAST(n_chars AS DOUBLE) - 0.0)
+                                  / 100.0) AS INT)
+             END AS bin
+      FROM documents
+    ),
+    counts AS (
+      SELECT grp, bin, count(*) AS c_slice FROM binned GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT g.grp, b.bin, coalesce(c.c_slice, 0) AS c_slice
+      FROM (SELECT DISTINCT grp FROM counts) g
+      CROSS JOIN (SELECT i AS bin FROM range(-1, 9) r(i)) b
+      LEFT JOIN counts c ON c.grp = g.grp AND c.bin = b.bin
+    ),
+    marg AS (SELECT bin, SUM(c_slice) AS c_all FROM grid GROUP BY 1),
+    tot AS (SELECT grp, SUM(c_slice) AS n_rows FROM grid GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_all FROM documents),
+    scored AS (
+      SELECT g.grp, t.n_rows,
+             CAST(floor(
+               (((g.c_slice + 1.0) / (t.n_rows + 10.0))
+                - ((m.c_all + 1.0) / (n.n_all + 10.0)))
+               * ln(((g.c_slice + 1.0) / (t.n_rows + 10.0))
+                    / ((m.c_all + 1.0) / (n.n_all + 10.0)))
+               * 1000000000) AS BIGINT) AS contrib
+      FROM grid g
+      JOIN marg m USING (bin)
+      JOIN tot t USING (grp)
+      CROSS JOIN n
+    )
+    SELECT grp AS "group", CAST(min(n_rows) AS BIGINT) AS n_rows,
+           SUM(contrib) AS psi_nanos
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+)

@@ -169,3 +169,95 @@ def correlation_matrix(
             "col_a", "col_b", "n", "corr"
         )
     ).orderBy("col_a", "col_b")
+
+
+def psi_by_slice(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by_col: str = "source",
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index per corpus slice: the numeric-
+    feature drift monitor (doc length, quality score, token count)
+    complementing the vocabulary-KL monitor in
+    ``text_analysis.source_drift_kl``. Convention: PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 shifted.
+
+        PSI(slice) = Σ_bins (p_b − q_b) · ln(p_b / q_b)
+
+    over a FIXED equal-width binning of ``[lo, hi)`` plus underflow /
+    overflow bins — the caller pins the bin edges, so the monitor
+    never needs a global min/max pass and scores are comparable
+    across runs. Add-one smoothing on counts keeps empty bins finite;
+    per-bin contributions floor to integer nanos before the sum, the
+    engine-wide order-independence discipline. Returns
+    ``(group, n_rows, psi_nanos)``.
+
+    Physical shape: bin ids are scan-local arithmetic; ONE map-side-
+    combined count per (slice, bin) (≤ slices·(n_bins+2) rows), the
+    corpus marginal aggregated from that table, a bins-sized join —
+    raw rows shuffle once, everything after is sketch-sized.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    if not lo < hi:
+        raise ValueError("need lo < hi")
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / n_bins
+    bin_id = (
+        F.when(v < F.lit(lo), F.lit(-1))
+        .when(v >= F.lit(hi), F.lit(n_bins))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)))
+        .cast("int")
+    )
+    counts = (
+        df.select(F.col(by_col).alias("group"), bin_id.alias("bin"))
+        .groupBy("group", "bin")
+        .agg(F.count("*").alias("c_slice"))
+    )
+    # dense (group x bin) grid so empty bins smooth identically on
+    # both engines
+    groups = counts.select("group").distinct()
+    bins = df.sparkSession.range(-1, n_bins + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    grid = groups.crossJoin(F.broadcast(bins))
+    dense = grid.join(counts, ["group", "bin"], "left").withColumn(
+        "c_slice", F.coalesce(F.col("c_slice"), F.lit(0))
+    )
+    marg = dense.groupBy("bin").agg(F.sum("c_slice").alias("c_all"))
+    totals = dense.groupBy("group").agg(F.sum("c_slice").alias("n_rows"))
+    n_all = df.count()
+    b = n_bins + 2
+    scored = (
+        dense.join(F.broadcast(marg), "bin")
+        .join(F.broadcast(totals), "group")
+        .withColumn(
+            "__p",
+            (F.col("c_slice") + F.lit(1.0))
+            / (F.col("n_rows") + F.lit(float(b))),
+        )
+        .withColumn(
+            "__q",
+            (F.col("c_all") + F.lit(1.0)) / F.lit(float(n_all + b)),
+        )
+        .withColumn(
+            "__contrib",
+            F.floor(
+                (F.col("__p") - F.col("__q"))
+                * F.log(F.col("__p") / F.col("__q"))
+                * F.lit(1e9)
+            ).cast("long"),
+        )
+    )
+    return (
+        scored.groupBy("group")
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.sum("__contrib").alias("psi_nanos"),
+        )
+        .orderBy("group")
+    )
