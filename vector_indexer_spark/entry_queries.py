@@ -8665,3 +8665,70 @@ _register(
     FROM scored GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+def _text_difficulty_buckets(spark, sf_dir):
+    """Curriculum difficulty quartiles: per-doc MEAN unigram surprisal
+    (integer-div micros) -> ntile(4) -> bucket profile. Composes the
+    oracled surprisal op with quartile binning; the global ntile runs
+    over doc-count rows (already reduced), and the 100-TB path for the
+    same report is sketches.hdr_quantiles over the mean column."""
+    from pyspark.sql import Window
+
+    from vector_indexer_spark.operators.text_analysis import (
+        unigram_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = (
+        unigram_surprisal(docs)
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.expr("surprisal_micros div n_tokens").alias("mean_micros"),
+        )
+    )
+    w = Window.orderBy("mean_micros", "doc_id")
+    return (
+        per_doc.withColumn("bucket", F.ntile(4).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("mean_micros").alias("min_mean_micros"),
+            F.max("mean_micros").alias("max_mean_micros"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_register(
+    "text_difficulty_buckets",
+    _text_difficulty_buckets,
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DD_TOKENS.format(c="text")}) AS token
+      FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vocab),
+    per_tok AS (
+      SELECT t.doc_id,
+             CAST(floor(-ln(CAST(v.cnt AS DOUBLE) / tot.total) * 1000000)
+                  AS BIGINT) AS u
+      FROM toks t JOIN vocab v USING (token) CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, SUM(u) // count(*) AS mean_micros
+      FROM per_tok GROUP BY 1 HAVING count(*) > 0
+    ),
+    binned AS (
+      SELECT doc_id, mean_micros,
+             ntile(4) OVER (ORDER BY mean_micros, doc_id) AS bucket
+      FROM per_doc
+    )
+    SELECT bucket, count(*) AS n_docs,
+           MIN(mean_micros) AS min_mean_micros,
+           MAX(mean_micros) AS max_mean_micros
+    FROM binned GROUP BY 1 ORDER BY 1
+    """,
+)
