@@ -1158,3 +1158,26 @@ def test_select_token_budget_no_unpartitioned_corpus_window(spark):
     # whose input is the __bin aggregate (ledger), never raw rows
     for w in unpart:
         assert "__bin_tokens" in w
+
+
+def test_bottom_k_sample_merge_algebra_and_stability(spark):
+    from vector_indexer_spark.operators.splits import bottom_k_sample
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    whole = sorted(r.doc_id for r in bottom_k_sample(df, 30).collect())
+    # bottom-k of parts' bottom-ks == bottom-k of the whole
+    a = bottom_k_sample(df.filter("doc_id < 1000"), 30)
+    b = bottom_k_sample(df.filter("doc_id >= 1000"), 30)
+    merged = sorted(
+        r.doc_id for r in bottom_k_sample(a.unionByName(b), 30).collect()
+    )
+    assert merged == whole
+    # stability under growth: the 3000-row sample overlaps the
+    # 2000-row one except where smaller draws displaced members
+    grown = spark.range(3000).withColumnRenamed("id", "doc_id")
+    g = set(r.doc_id for r in bottom_k_sample(grown, 30).collect())
+    kept = [d for d in whole if d in g]
+    assert len(kept) >= 15  # statistically ~20 expected; never a reshuffle
+    # exact count semantics
+    assert bottom_k_sample(df, 0).count() == 0
+    assert bottom_k_sample(df.limit(5), 30).count() == 5

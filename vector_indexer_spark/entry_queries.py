@@ -8732,3 +8732,26 @@ _register(
     FROM binned GROUP BY 1 ORDER BY 1
     """,
 )
+
+
+def _sample_bottom_k(spark, sf_dir):
+    """Exact-50 deterministic sample of documents (bottom-k md5 draw)."""
+    from vector_indexer_spark.operators.splits import bottom_k_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bottom_k_sample(docs, 50).select("doc_id")
+
+
+_register(
+    "sample_bottom_k",
+    _sample_bottom_k,
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('7:',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS draw
+      FROM documents
+      ORDER BY draw, doc_id LIMIT 50
+    )
+    """,
+)

@@ -379,3 +379,45 @@ def select_token_budget(
     return whole.unionByName(cut).drop(
         "__bin", "__before", "__bin_total"
     )
+
+
+def bottom_k_sample(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """EXACTLY ``min(k, n)`` rows, deterministically: the rows with the
+    k smallest ``md5(seed:id)`` draws (ties by id). The exact-count
+    companion to the Bernoulli samplers above — "give me a 10k-doc
+    eval slice" needs a count, not a rate — with the bottom-k sketch's
+    algebra: the bottom-k of a union is the bottom-k of the parts'
+    bottom-ks (pytest-locked), so per-partition / per-day samples
+    merge without re-scanning, and the same draw column makes the
+    sample STABLE under corpus growth (a doc leaves the sample only
+    when a smaller-hash doc arrives).
+
+    Plan shape: TakeOrderedAndProject — each map task forwards its
+    local k rows, no full sort, no single-partition window.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    if k == 0:
+        return df.limit(0)
+    cid = F.col(id_col)
+    # full-width md5-prefix draw (not the mod-10k bucket): collisions
+    # break by id, and k can exceed 10k
+    full_draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), cid.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.withColumn("__draw", full_draw)
+        .orderBy("__draw", cid)
+        .limit(k)
+        .drop("__draw")
+    )
