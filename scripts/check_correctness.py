@@ -77,7 +77,18 @@ def main():
     total = time.perf_counter() - t_all
     slow = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     print(f"\nslowest: " + ", ".join(f"{n}={t:.1f}s" for n, t in slow))
-    print(f"{len(qs) - len(failures)}/{len(qs)} green in {total:.1f}s")
+    if only:
+        unknown = sorted(only - set(qs))
+        if unknown:
+            print(f"UNKNOWN keys (ran nothing for): {unknown}")
+            failures.extend(unknown)
+        n_sel = len(only)
+        print(
+            f"{n_sel - len(failures)}/{n_sel} selected green "
+            f"(of {len(qs)} declared) in {total:.1f}s"
+        )
+    else:
+        print(f"{len(qs) - len(failures)}/{len(qs)} green in {total:.1f}s")
     sys.exit(1 if failures else 0)
 
 
