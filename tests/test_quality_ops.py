@@ -1181,3 +1181,39 @@ def test_bottom_k_sample_merge_algebra_and_stability(spark):
     # exact count semantics
     assert bottom_k_sample(df, 0).count() == 0
     assert bottom_k_sample(df.limit(5), 30).count() == 5
+
+
+def test_select_token_budget_by_group(spark):
+    import pytest as _pytest
+
+    from vector_indexer_spark.operators.splits import (
+        select_token_budget,
+        select_token_budget_by_group,
+    )
+
+    rows = [
+        (i, "web" if i % 2 == 0 else "code", (i * 13) % 40 + 1,
+         ((i * 37) % 101) / 101.0)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_tokens long, quality double"
+    )
+    out = select_token_budget_by_group(
+        df, {"web": 800, "code": 300}
+    )
+    got = {(r.doc_id, r.source) for r in out.collect()}
+    # per-group keeps equal an independent per-group run
+    for src, budget in (("web", 800), ("code", 300)):
+        solo = {
+            (r.doc_id, src)
+            for r in select_token_budget(
+                df.filter(F.col("source") == src), budget
+            ).collect()
+        }
+        assert {g for g in got if g[1] == src} == solo
+    # budget respected per group
+    toks = {r[0]: r[2] for r in rows}
+    assert sum(toks[d] for d, s in got if s == "code") <= 300
+    with _pytest.raises(ValueError):
+        select_token_budget_by_group(df, {})

@@ -1156,3 +1156,54 @@ def test_funnel_conversion_validation(spark):
         funnel_conversion_counts(df, ["a"], 0)
     with _pytest.raises(ValueError):
         funnel_conversion_counts(df, [str(i) for i in range(16)], 10)
+
+
+def test_cleaning_pass_composes_with_streaming(spark, tmp_path, documents):
+    """The corpus-cleaning scan (stats + Gopher rules) is scan-local,
+    so it must run unchanged as a Structured Streaming query — the
+    'clean as it lands' deployment. availableNow file source, parquet
+    sink; results must equal the batch run row-for-row."""
+    from vector_indexer_spark.operators.text_analysis import (
+        gopher_quality,
+        text_stats,
+    )
+
+    docs = documents.limit(100).select("doc_id", "text")
+    src = str(tmp_path / "clean_in")
+    out = str(tmp_path / "clean_out")
+    ckpt = str(tmp_path / "clean_ckpt")
+    docs.write.parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = (
+        gopher_quality(stream)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r.doc_id: (r.n_words, r.passes)
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_words, r.passes)
+        for r in gopher_quality(docs).collect()
+    }
+    assert streamed == batch
+    # and the stats scan too (stats feed quality_filter pipelines)
+    sq = (
+        text_stats(spark.readStream.schema("doc_id long, text string")
+                   .parquet(src))
+        .writeStream.format("memory")
+        .queryName("stats_live")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(120)
+    assert spark.sql("SELECT count(*) c FROM stats_live").collect()[0].c == 100

@@ -8755,3 +8755,59 @@ _register(
     )
     """,
 )
+
+
+def _split_token_budget_by_source(spark, sf_dir):
+    """Per-source token budgets (a mixture spec in tokens)."""
+    from vector_indexer_spark.operators.splits import (
+        select_token_budget_by_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("n_tokens"),
+        (((F.col("doc_id") * 37) % 101) / F.lit(101.0)).alias("quality"),
+    )
+    srcs = sorted(
+        r.source for r in docs.select("source").distinct().collect()
+    )
+    budgets = {s: 3_000 + 1_000 * i for i, s in enumerate(srcs[:3])}
+    return select_token_budget_by_group(docs, budgets).select(
+        "doc_id", "source", "n_tokens", "quality"
+    )
+
+
+def _budget_by_source_sql() -> str:
+    # mirror the budget spec: the 3 alphabetically-first sources get
+    # 3000/4000/5000 tokens
+    return """
+    WITH t AS (
+      SELECT doc_id, source, n_chars AS n_tokens,
+             ((doc_id * 37) % 101) / 101.0 AS quality
+      FROM documents
+    ),
+    srcs AS (
+      SELECT source, row_number() OVER (ORDER BY source) - 1 AS i
+      FROM (SELECT DISTINCT source FROM t)
+    ),
+    spec AS (
+      SELECT source, 3000 + 1000 * i AS budget FROM srcs WHERE i < 3
+    ),
+    c AS (
+      SELECT t.doc_id, t.source, t.n_tokens, t.quality, spec.budget,
+             sum(t.n_tokens) OVER (PARTITION BY t.source
+                                   ORDER BY t.quality DESC, t.doc_id ASC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+      FROM t JOIN spec USING (source)
+    )
+    SELECT doc_id, source, n_tokens, quality FROM c WHERE cum <= budget
+    """
+
+
+_register(
+    "split_token_budget_by_source",
+    _split_token_budget_by_source,
+    _budget_by_source_sql(),
+)

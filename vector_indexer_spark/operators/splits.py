@@ -421,3 +421,40 @@ def bottom_k_sample(
         .limit(k)
         .drop("__draw")
     )
+
+
+def select_token_budget_by_group(
+    df: DataFrame,
+    budgets: dict[str, int],
+    *,
+    group_col: str = "source",
+    quality_col: str = "quality",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bins: int = 10_000,
+) -> DataFrame:
+    """Per-source budget allocation — "30B tokens of web, 5B of code":
+    run :func:`select_token_budget` independently inside each named
+    group and union the keeps. Groups absent from ``budgets`` are
+    dropped (an explicit mixture spec, like :func:`corpus_mixture`).
+
+    The driver loop is over the budget DICT (a handful of named
+    sources), not the data; with the corpus partitioned by
+    ``group_col`` — the natural layout for per-source corpora — each
+    pass is a partition-pruned scan that reads only its group's
+    files. A single-pass variant would interleave every group's
+    cut-bin windows in one job tree; measured against the pruned-scan
+    loop there is no shuffle saved (the ledgers are per-group either
+    way), so the composition keeps the simpler plan.
+    """
+    out = None
+    for name, budget in budgets.items():
+        part = df.filter(F.col(group_col) == name)
+        sel = select_token_budget(
+            part, budget, quality_col=quality_col,
+            tokens_col=tokens_col, id_col=id_col, bins=bins,
+        )
+        out = sel if out is None else out.unionByName(sel)
+    if out is None:
+        raise ValueError("budgets must be non-empty")
+    return out
