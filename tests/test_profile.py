@@ -115,3 +115,49 @@ def test_psi_validation(spark):
         psi_by_slice(df, "v", lo=1.0, hi=1.0)
     with _pytest.raises(ValueError):
         psi_by_slice(df, "v", lo=0.0, hi=1.0, n_bins=0)
+
+
+def test_rank_normalize_and_blend(spark):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.profile import (
+        blend_signals,
+        rank_normalize,
+    )
+
+    # 100 rows, v = 0..99: percentile of v should be ~v/100
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("v")
+    )
+    out = rank_normalize(df, {"v": (0.0, 100.0)}, bins=100)
+    got = {r.doc_id: r.v_pctl_micros for r in out.collect()}
+    for i in (0, 25, 50, 99):
+        assert got[i] == i * 10_000  # i rows strictly below
+    # blending two anti-correlated signals flattens the ensemble
+    df2 = df.withColumn("w", (F.lit(99.0) - F.col("v")))
+    b = blend_signals(
+        df2, {"v": (0.0, 100.0), "w": (0.0, 100.0)}, bins=100
+    )
+    rows = b.collect()
+    blends = {r.blend_micros for r in rows}
+    assert blends == {495_000}  # pctl(v) + pctl(99-v) = 99 bins -> mean
+    assert set(rows[0].asDict()) >= {
+        "doc_id", "v", "w", "v_pctl_micros", "w_pctl_micros", "blend_micros"
+    }
+
+
+def test_rank_normalize_no_corpus_window(spark):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.profile import rank_normalize
+    from vector_indexer_spark.plans import audit
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("v")
+    )
+    import re as _re
+
+    plan = audit.executed_plan(rank_normalize(df, {"v": (0.0, 1000.0)}))
+    wins = _re.findall(r"Window .*", plan)
+    for w in wins:  # only the bins-ledger cumsum may be unpartitioned
+        assert "__c" in w

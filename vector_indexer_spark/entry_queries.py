@@ -8811,3 +8811,70 @@ _register(
     _split_token_budget_by_source,
     _budget_by_source_sql(),
 )
+
+
+def _profile_signal_blend(spark, sf_dir):
+    """Two-signal ensemble over documents: length + a derived score,
+    rank-normalized at bin resolution and mean-blended."""
+    from vector_indexer_spark.operators.profile import blend_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("len_sig"),
+        (((F.col("doc_id") * 37) % 101) / F.lit(101.0)).alias("q_sig"),
+    )
+    return blend_signals(
+        docs, {"len_sig": (0.0, 800.0), "q_sig": (0.0, 1.0)}, bins=100
+    ).select(
+        "doc_id",
+        "len_sig_pctl_micros",
+        "q_sig_pctl_micros",
+        "blend_micros",
+    )
+
+
+def _signal_blend_sql() -> str:
+    def pctl(expr, lo, hi, bins):
+        width = (hi - lo) / bins
+        return f"""
+      SELECT bin, coalesce(SUM(c) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS below
+      FROM (
+        SELECT CASE WHEN v < {lo} THEN -1
+                    WHEN v >= {hi} THEN {bins}
+                    ELSE CAST(floor((v - {lo}) / {width}) AS INT) END AS bin,
+               count(*) AS c
+        FROM (SELECT {expr} AS v FROM documents) GROUP BY 1
+      )"""
+
+    return f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    l_ledger AS ({pctl("CAST(n_chars AS DOUBLE)", 0.0, 800.0, 100)}),
+    q_ledger AS ({pctl("((doc_id * 37) % 101) / 101.0", 0.0, 1.0, 100)}),
+    t AS (
+      SELECT doc_id,
+        CASE WHEN CAST(n_chars AS DOUBLE) < 0.0 THEN -1
+             WHEN CAST(n_chars AS DOUBLE) >= 800.0 THEN 100
+             ELSE CAST(floor(CAST(n_chars AS DOUBLE) / 8.0) AS INT)
+        END AS lbin,
+        CASE WHEN ((doc_id * 37) % 101) / 101.0 < 0.0 THEN -1
+             WHEN ((doc_id * 37) % 101) / 101.0 >= 1.0 THEN 100
+             ELSE CAST(floor((((doc_id * 37) % 101) / 101.0) / 0.01)
+                       AS INT)
+        END AS qbin
+      FROM documents
+    )
+    SELECT t.doc_id,
+           (l.below * 1000000) // n.n AS len_sig_pctl_micros,
+           (q.below * 1000000) // n.n AS q_sig_pctl_micros,
+           ((l.below * 1000000) // n.n + (q.below * 1000000) // n.n) // 2
+             AS blend_micros
+    FROM t
+    JOIN l_ledger l ON l.bin = t.lbin
+    JOIN q_ledger q ON q.bin = t.qbin
+    CROSS JOIN n
+    """
+
+
+_register("profile_signal_blend", _profile_signal_blend, _signal_blend_sql())

@@ -21,7 +21,7 @@ meaningful) while their counts remain real.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # types whose min/max text rendering is stable and meaningful
@@ -260,4 +260,86 @@ def psi_by_slice(
             F.sum("__contrib").alias("psi_nanos"),
         )
         .orderBy("group")
+    )
+
+
+def rank_normalize(
+    df: DataFrame,
+    specs: dict[str, tuple[float, float]],
+    *,
+    bins: int = 10_000,
+    suffix: str = "_pctl_micros",
+) -> DataFrame:
+    """Percentile-rank normalization of one or more numeric signal
+    columns, at BIN resolution: for each ``col: (lo, hi)`` in
+    ``specs`` append ``col + suffix`` = floor(#rows in strictly lower
+    bins / n · 10⁶). Comparable scales are what let heterogeneous
+    quality signals (surprisal, Gopher score, PageRank, length) blend
+    into one ensemble — raw units cannot be averaged.
+
+    Exact percentile rank is a global sort; this is the engine's
+    bin-ledger pattern instead (see ``splits.select_token_budget``):
+    quantize into ``bins`` equal-width bins over the caller-pinned
+    ``[lo, hi)`` (± under/overflow), cumsum the bins-sized ledger, and
+    broadcast it back — resolution 1/bins (0.01% at the default), no
+    corpus-wide single-partition window, and deterministic because
+    ranks depend on the value only through its integer bin.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    if not specs:
+        raise ValueError("specs must be non-empty")
+    n = df.count()
+    out = df
+    for col, (lo, hi) in specs.items():
+        if not lo < hi:
+            raise ValueError(f"need lo < hi for {col!r}")
+        v = F.col(col).cast("double")
+        width = (hi - lo) / bins
+        bin_id = (
+            F.when(v < F.lit(lo), F.lit(-1))
+            .when(v >= F.lit(hi), F.lit(bins))
+            .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)))
+            .cast("int")
+            .alias("__bin")
+        )
+        counts = (
+            df.select(bin_id).groupBy("__bin").agg(F.count("*").alias("__c"))
+        )
+        wb = Window.orderBy("__bin").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        ledger = counts.withColumn(
+            "__below", F.coalesce(F.sum("__c").over(wb), F.lit(0))
+        ).select("__bin", "__below")
+        out = (
+            out.withColumn("__bin", bin_id)
+            .join(F.broadcast(ledger), "__bin")
+            .withColumn(
+                col + suffix,
+                F.expr(f"(__below * 1000000) div {n}"),
+            )
+            .drop("__bin", "__below")
+        )
+    return out
+
+
+def blend_signals(
+    df: DataFrame,
+    specs: dict[str, tuple[float, float]],
+    *,
+    bins: int = 10_000,
+    out_col: str = "blend_micros",
+) -> DataFrame:
+    """Ensemble quality score: the UNWEIGHTED MEAN of the percentile
+    ranks of every signal in ``specs`` (integer micros) — the
+    RefinedWeb/DCLM-style move of combining heterogeneous per-doc
+    signals after rank normalization, so no signal's unit dominates.
+    All input columns pass through; weighting, if wanted, is a select
+    away from the per-signal ``*_pctl_micros`` columns this keeps.
+    """
+    ranked = rank_normalize(df, specs, bins=bins)
+    total = " + ".join(c + "_pctl_micros" for c in specs)
+    return ranked.withColumn(
+        out_col, F.expr(f"({total}) div {len(specs)}")
     )
