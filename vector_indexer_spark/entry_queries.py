@@ -8878,3 +8878,104 @@ def _signal_blend_sql() -> str:
 
 
 _register("profile_signal_blend", _profile_signal_blend, _signal_blend_sql())
+
+
+def _profile_dataset_card(spark, sf_dir):
+    """Dataset card: one tall (section, key, value_str) report —
+    corpus totals, language mix, source mix, and length quantiles —
+    the release artifact a data drop ships. Each section is an
+    already-bounded aggregate; the union is report-sized."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    totals = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit("totals").alias("section"),
+                        F.lit(k).alias("key"),
+                        F.col(k).cast("string").alias("value_str"),
+                    )
+                    for k in ("n_docs", "n_chars", "n_langs", "n_sources")
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    lang_mix = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.lit("lang_mix").alias("section"),
+            F.col("lang").alias("key"),
+            F.col("c").cast("string").alias("value_str"),
+        )
+    )
+    source_mix = (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.lit("source_mix").alias("section"),
+            F.col("source").alias("key"),
+            F.col("c").cast("string").alias("value_str"),
+        )
+    )
+    med = docs.agg(
+        F.expr("percentile(n_chars, 0.5)").alias("p50"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("length").alias("section"),
+                    F.lit("p50_chars").alias("key"),
+                    F.col("p50").cast("string").alias("value_str"),
+                ),
+                F.struct(
+                    F.lit("length").alias("section"),
+                    F.lit("p95_chars").alias("key"),
+                    F.col("p95").cast("string").alias("value_str"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    return totals.unionByName(lang_mix).unionByName(source_mix).unionByName(
+        med
+    )
+
+
+_register(
+    "profile_dataset_card",
+    _profile_dataset_card,
+    """
+    SELECT 'totals' AS section, 'n_docs' AS key,
+           CAST(count(*) AS VARCHAR) AS value_str FROM documents
+    UNION ALL
+    SELECT 'totals', 'n_chars', CAST(SUM(n_chars) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'totals', 'n_langs', CAST(count(DISTINCT lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'totals', 'n_sources', CAST(count(DISTINCT source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'lang_mix', lang, CAST(count(*) AS VARCHAR)
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 'source_mix', source, CAST(count(*) AS VARCHAR)
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT 'length', 'p50_chars',
+           CAST(quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'length', 'p95_chars',
+           CAST(quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS VARCHAR)
+    FROM documents
+    """,
+)
