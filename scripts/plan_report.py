@@ -237,6 +237,45 @@ def _dsir_df(spark, sf_dir):
     return dsir_scores(docs, docs.filter(F.col("source") == "src0"))
 
 
+def _pagerank_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e1 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 13) % 500).alias("dst"),
+    )
+    e2 = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 29) % 500).alias("dst"),
+    )
+    return pagerank(e1.unionByName(e2), iterations=3)
+
+
+def _blend_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.profile import blend_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("len_sig"),
+        (((F.col("doc_id") * 37) % 101) / F.lit(101.0)).alias("q_sig"),
+    )
+    return blend_signals(
+        docs, {"len_sig": (0.0, 800.0), "q_sig": (0.0, 1.0)}, bins=100
+    )
+
+
+def _training_mix_df(spark, sf_dir):
+    from vector_indexer_spark.entry_queries import QUERIES
+
+    return QUERIES["pipeline_training_mix"](spark, sf_dir)
+
+
+
 def _incr_lsh_df(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -672,6 +711,26 @@ def main():
             "Pure scan-local array expressions (split, positional "
             "keep-first filter, rejoin): ZERO exchanges in the plan.",
             _dedup_lines_df(spark, sf_dir),
+        ),
+        (
+            "Integer-exact PageRank (3 iterations)",
+            "One rank-table shuffle + map-side-combined SUM per "
+            "round; integer micros with true `div`, so no float "
+            "reassociation anywhere.",
+            _pagerank_df(spark, sf_dir),
+        ),
+        (
+            "Signal blend (bin-ledger percentiles)",
+            "Per-signal bins-sized ledgers broadcast back; no "
+            "corpus-wide single-partition window.",
+            _blend_df(spark, sf_dir),
+        ),
+        (
+            "Training-mix pipeline (5 stages)",
+            "quality scan -> hash-window dedup -> bin-ledger budget "
+            "selection -> scan-local split stamp; the stages reuse "
+            "one corpus exchange where keys align.",
+            _training_mix_df(spark, sf_dir),
         ),
     ]
 
