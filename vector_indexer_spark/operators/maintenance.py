@@ -6,7 +6,12 @@ table, and whether a drop satisfies its contract before it merges.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+import shutil
+import time as _time
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -186,14 +191,6 @@ def validate_constraints(
 # Single-writer by contract (a pipeline's corpus builds are serialized
 # by the orchestrator); the atomicity primitive is POSIX rename of the
 # `_latest` pointer, the same one `_staged_rewrite` relies on.
-
-import json
-import os
-import shutil
-import time as _time
-
-from pyspark.sql import SparkSession
-
 
 def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, "_manifests", f"v{version:08d}.json")
