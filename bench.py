@@ -549,6 +549,15 @@ def main() -> None:
     # predecessor (same token stream + one extra token), so the
     # banded-LSH path has real work to find at every scale.
     if os.environ.get("BENCH_DEDUP1M", "1") == "1":
+        # section isolation: the preceding 1M ANN sections leave the
+        # executor heap pressured (the identical LSH call runs 15 s
+        # cold / 4.4 s warm in a fresh JVM but ~30 s placed here, and
+        # this hygiene step recovers only part of that — see
+        # BASELINE.md's position-sensitivity note). Drop stale cached
+        # blocks and nudge GC so the number leans toward the operator,
+        # not the neighbor.
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         n_docs = int(os.environ.get("BENCH_DEDUP_N", "1000000"))
         base = spark.range(n_docs).withColumn(
             "src_id",
