@@ -163,3 +163,46 @@ class TestVersionedTables:
         )
         got = {r.k: r.change_type for r in diff.collect()}
         assert got == {1: "removed", 3: "changed", 4: "added"}
+
+
+class TestOptimizeTable:
+    def test_compacts_and_preserves_rows(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from vector_indexer_spark.operators import maintenance as mt
+
+        t = str(tmp_path / "opt")
+        df = spark.range(5000).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("x"),
+            ((F.col("id") * 31) % 89).alias("y"),
+        )
+        df.repartition(40).write.parquet(t)  # many small files
+        before = set(r.k for r in spark.read.parquet(t).collect())
+        stats = mt.optimize_table(spark, t, ["x", "y"], num_files=4)
+        assert stats["files_after"] < stats["files_before"]
+        assert stats["files_after"] <= 4
+        assert stats["rows"] == 5000
+        after = set(r.k for r in spark.read.parquet(t).collect())
+        assert after == before
+
+    def test_crash_recovery_restores_backup(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from vector_indexer_spark.operators import maintenance as mt
+
+        t = str(tmp_path / "opt2")
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("x"),
+            (F.col("id") % 5).alias("y"),
+        ).write.parquet(t)
+        # simulate a crash between the two renames: live table gone,
+        # rows stranded in backup
+        os.rename(t, t + "__optimize__backup")
+        stats = mt.optimize_table(spark, t, ["x", "y"], num_files=2)
+        assert stats["rows"] == 100
+        assert spark.read.parquet(t).count() == 100
+        assert not os.path.exists(t + "__optimize__backup")

@@ -293,3 +293,64 @@ def vacuum_versions(table_dir: str, *, keep_last: int = 2) -> list[int]:
             shutil.rmtree(snap)
         os.remove(_manifest_path(table_dir, v))
     return doomed
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: list[str],
+    *,
+    bits: int = 16,
+    num_files: int = 8,
+) -> dict:
+    """``OPTIMIZE ... ZORDER BY`` for a plain parquet table: rewrite
+    ``path`` compacted to ``num_files`` files clustered on the Morton
+    key of ``zorder_cols``, through a staged swap — the live table is
+    never overwritten in place, and a row-count parity check aborts
+    the swap leaving it untouched. After the rewrite, parquet min/max
+    stats prune files for predicates on ANY z-ordered column (the
+    bounding-box property pytest-proven in test_layout).
+
+    The maintenance move that keeps a long-lived 100 TB corpus
+    scannable: incremental appends degrade both file count and
+    clustering; this restores them in one pass. Returns
+    ``{rows, files_before, files_after}``.
+    """
+    from vector_indexer_spark.operators.layout import (  # noqa: PLC0415
+        write_zordered,
+    )
+
+    def _pq_files(p: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(p):
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
+
+    staging = f"{path}__optimize__staging"
+    backup = f"{path}__optimize__backup"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)  # recover a crashed earlier swap
+        else:
+            shutil.rmtree(backup)
+    files_before = _pq_files(path)
+    df = spark.read.parquet(path)
+    n_before = df.count()
+    write_zordered(df, staging, zorder_cols, bits=bits, num_files=num_files)
+    n_after = spark.read.parquet(staging).count()
+    if n_after != n_before:
+        shutil.rmtree(staging)
+        raise RuntimeError(
+            f"optimize row-count mismatch: {n_before} -> {n_after};"
+            " staging discarded, live table untouched"
+        )
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return {
+        "rows": n_before,
+        "files_before": files_before,
+        "files_after": _pq_files(path),
+    }
