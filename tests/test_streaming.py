@@ -1207,3 +1207,41 @@ def test_cleaning_pass_composes_with_streaming(spark, tmp_path, documents):
     )
     sq.awaitTermination(120)
     assert spark.sql("SELECT count(*) c FROM stats_live").collect()[0].c == 100
+
+
+def test_versioned_sink_commits_per_batch(spark, tmp_path):
+    from vector_indexer_spark.operators import maintenance as mt
+    from vector_indexer_spark.streaming.cdc import start_versioned_sink
+
+    src = str(tmp_path / "vs_in")
+    tdir = str(tmp_path / "vs_table")
+    ckpt = str(tmp_path / "vs_ckpt")
+    ddl = "doc_id long, text string"
+
+    spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], ddl
+    ).write.mode("append").parquet(src)
+    q = start_versioned_sink(
+        spark.readStream.schema(ddl).parquet(src), tdir, ckpt,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+    v1 = mt.latest_version(tdir)
+    assert v1 >= 1
+    assert mt.read_version(spark, tdir, 1).count() == 2
+
+    # second run, new data -> a NEW version; old one immutable
+    spark.createDataFrame([(2, "gamma")], ddl).write.mode(
+        "append"
+    ).parquet(src)
+    q2 = start_versioned_sink(
+        spark.readStream.schema(ddl).parquet(src), tdir, ckpt,
+        trigger_available_now=True,
+    )
+    q2.awaitTermination(120)
+    v2 = mt.latest_version(tdir)
+    assert v2 == v1 + 1
+    assert mt.read_version(spark, tdir, v2).count() == 1  # the delta
+    assert mt.read_version(spark, tdir, 1).count() == 2   # unchanged
+    hist = mt.history(tdir)
+    assert all(h["note"].startswith("stream-epoch-") for h in hist)

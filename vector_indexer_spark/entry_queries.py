@@ -8979,3 +8979,29 @@ _register(
     FROM documents
     """,
 )
+
+
+# verbatim-shared SQL: GROUP BY ROLLUP with grouping() flags — the
+# grouping-lattice syntax is identical in Spark SQL and DuckDB, so the
+# one query string IS the oracle (dialect-parity lock #4)
+_SQL_IFACE_ROLLUP = """
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY g_flag, g_status, returnflag, linestatus
+"""
+
+
+def _sql_interface_rollup(spark, sf_dir):
+    from vector_indexer_spark.sql import register_corpus_views, sql
+
+    register_corpus_views(spark, sf_dir, tables=["lineitem"])
+    return sql(spark, _SQL_IFACE_ROLLUP)
+
+
+_register("sql_interface_rollup", _sql_interface_rollup, _SQL_IFACE_ROLLUP)

@@ -71,3 +71,47 @@ def start_latest_state(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_versioned_sink(
+    stream_df,
+    table_dir: str,
+    checkpoint_dir: str,
+    *,
+    trigger_available_now: bool = False,
+    note_prefix: str = "stream",
+):
+    """Stream → versioned table: each non-empty micro-batch commits as
+    a NEW immutable version of ``table_dir`` via
+    ``maintenance.write_version`` (foreachBatch — the Structured
+    Streaming escape hatch for sinks with their own transaction
+    protocol). Consumers time-travel to any micro-batch boundary, and
+    a training run can pin "corpus as of version N" while the stream
+    keeps committing ahead of it.
+
+    Exactly-once caveat, stated rather than hidden: foreachBatch is
+    at-least-once across RESTARTS — a batch that committed a version
+    but crashed before the checkpoint advanced will re-commit on
+    recovery as a duplicate version with identical content (the
+    manifest ``note`` carries the epoch id, making such twins visible
+    and reconcilable). Within a healthy run, one batch = one version.
+    """
+    from vector_indexer_spark.operators.maintenance import (  # noqa: PLC0415
+        write_version,
+    )
+
+    def _commit(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_version(
+            batch_df, table_dir, note=f"{note_prefix}-epoch-{epoch_id}"
+        )
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_commit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
