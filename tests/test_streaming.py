@@ -1245,3 +1245,51 @@ def test_versioned_sink_commits_per_batch(spark, tmp_path):
     assert mt.read_version(spark, tdir, 1).count() == 2   # unchanged
     hist = mt.history(tdir)
     assert all(h["note"].startswith("stream-epoch-") for h in hist)
+
+
+def test_streaming_dedup_vs_manifest_matches_batch(spark, tmp_path):
+    """Stream-static anti-join vs the corpus manifest + in-stream
+    state must keep exactly what the batch incremental op keeps."""
+    from vector_indexer_spark.operators.dedup import (
+        content_hash_manifest,
+        dedup_incremental_exact,
+    )
+    from vector_indexer_spark.streaming.dedup import (
+        streaming_dedup_vs_manifest,
+    )
+
+    ddl = "doc_id long, text string"
+    corpus = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta")], ddl
+    )
+    manifest = content_hash_manifest(corpus)
+    delta = [
+        (10, "alpha"),      # corpus dup -> dropped by the anti-join
+        (11, "gamma"),      # fresh -> kept
+        (12, "gamma"),      # in-batch dup -> dropped by state
+        (13, "delta"),      # fresh -> kept
+    ]
+    src = str(tmp_path / "vm_in")
+    out = str(tmp_path / "vm_out")
+    ckpt = str(tmp_path / "vm_ckpt")
+    spark.createDataFrame(delta, ddl).write.parquet(src)
+    q = (
+        streaming_dedup_vs_manifest(
+            spark.readStream.schema(ddl).parquet(src), manifest
+        )
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    batch = sorted(
+        r.doc_id
+        for r in dedup_incremental_exact(
+            spark.createDataFrame(delta, ddl), manifest
+        ).collect()
+    )
+    assert streamed == batch == [11, 13]

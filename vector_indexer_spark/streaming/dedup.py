@@ -312,3 +312,45 @@ def streaming_lsh_candidates(
         "append",
         timeout,
     )
+
+
+def streaming_dedup_vs_manifest(
+    stream_df: DataFrame,
+    manifest: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming twin of ``operators.dedup.dedup_incremental_exact``:
+    drop arriving docs whose content hash exists in the STANDING
+    corpus manifest (a static frame — Structured Streaming plans a
+    stream-static LEFT ANTI join, re-planned per micro-batch), then
+    first-occurrence-dedup the survivors across the stream itself via
+    the keyed-state path of :func:`streaming_dedup`.
+
+    The static side is ``content_hash_manifest`` output; at scale it
+    reads from the manifest table on disk, so new corpus commits are
+    picked up at the next micro-batch without restarting the query.
+    In-stream cross-batch state stays bounded by ``state_ttl_ms``
+    exactly as in :func:`streaming_dedup`.
+    """
+    hashed = stream_df.select(
+        F.sha2(F.col(text_col), 256).alias("content_hash"),
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    m = manifest.select("content_hash")
+    fresh = hashed.join(m, "content_hash", "left_anti")
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return fresh.groupBy("content_hash").applyInPandasWithState(
+        _make_first_seen(state_ttl_ms),
+        OUTPUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        timeout,
+    )
