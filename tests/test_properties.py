@@ -401,3 +401,96 @@ class TestMortonProperties:
                 ((r["z"] >> (2 * b + 1)) & 1) << b for b in range(14)
             )
             assert (x, y) == (r["x"], r["y"])
+
+
+class TestTokenBudgetProperty:
+    @_settings
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(1, 20), st.integers(0, 5)),
+            min_size=0, max_size=30,
+        ),
+        budget=st.integers(0, 120),
+    )
+    def test_matches_greedy_reference(self, sparkm, rows, budget):
+        from vector_indexer_spark.operators.splits import (
+            select_token_budget,
+        )
+
+        data = [
+            (i, ntok, q / 5.0) for i, (ntok, q) in enumerate(rows)
+        ]
+        if not data:
+            return
+        df = sparkm.createDataFrame(
+            data, "doc_id long, n_tokens long, quality double"
+        )
+        expected, cum = set(), 0
+        for did, ntok, q in sorted(data, key=lambda r: (-r[2], r[0])):
+            if cum + ntok > budget:
+                break
+            cum += ntok
+            expected.add(did)
+        got = {
+            r.doc_id
+            for r in select_token_budget(df, budget, bins=7).collect()
+        }
+        # tiny bins force multi-doc tie bins — the cut-bin window path
+        assert got == expected
+
+
+class TestContainmentProperty:
+    @_settings
+    @given(
+        a=st.lists(st.integers(0, 6), min_size=3, max_size=12),
+        b=st.lists(st.integers(0, 6), min_size=3, max_size=12),
+    )
+    def test_bounds_and_symmetry(self, sparkm, a, b):
+        from vector_indexer_spark.operators.dedup import containment_pairs
+
+        ta = " ".join(f"w{x}" for x in a)
+        tb = " ".join(f"w{x}" for x in b)
+        df = sparkm.createDataFrame(
+            [(0, ta), (1, tb)], "doc_id long, text string"
+        )
+        pairs = sparkm.createDataFrame([(0, 1)], "id_a long, id_b long")
+        r = containment_pairs(df, pairs).collect()[0]
+        for v in (r.containment_a, r.containment_b, r.jaccard):
+            assert -1e-12 <= v <= 1.0 + 1e-12
+        # jaccard <= min(containments); identical docs -> all 1.0
+        assert r.jaccard <= min(r.containment_a, r.containment_b) + 1e-12
+        if ta == tb:
+            assert r.jaccard == r.containment_a == r.containment_b == 1.0
+
+
+class TestPagerankProperty:
+    @_settings
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 5)),
+            min_size=1, max_size=15,
+        ),
+        iters=st.integers(0, 3),
+    )
+    def test_matches_reference_recurrence(self, sparkm, edges, iters):
+        from collections import defaultdict
+
+        from vector_indexer_spark.operators.graph import pagerank
+
+        df = sparkm.createDataFrame(
+            list(set(edges)), "src long, dst long"
+        )
+        got = {
+            r.node: r.rank_micros
+            for r in pagerank(df, iterations=iters).collect()
+        }
+        es = sorted(set(edges))
+        nodes = sorted({s for s, _ in es} | {d for _, d in es})
+        deg = Counter(s for s, _ in es)
+        r = {n: 1_000_000 for n in nodes}
+        for _ in range(iters):
+            cin = defaultdict(int)
+            for s, d in es:
+                cin[d] += r[s] // deg[s]
+            r = {n: 150_000 + (85 * cin[n]) // 100 for n in nodes}
+        assert got == r
