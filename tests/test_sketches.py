@@ -407,3 +407,37 @@ def test_hll_trailing_merge_equals_direct_window_sketch(spark):
     # estimates track the true distinct counts
     est = hll_estimate(win1, p=8)
     assert abs(est - 130) / 130 < 0.15
+
+
+def test_cms_trailing_merge_equals_direct_window_sketch(spark):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.sketches import (
+        cms_lookup,
+        cms_table,
+        cms_trailing_merge,
+    )
+
+    rows = [(d, f"k{(i + d) % 5}") for d in range(3) for i in range(40)]
+    df = spark.createDataFrame(rows, "day long, k string")
+    per_day = cms_table(df, "k", depth=2, width=32, group_cols=["day"])
+    trailing = cms_trailing_merge(per_day, bucket_col="day", trailing=2)
+    # window anchored at day 2 covers days {1, 2}: bucket-identical to
+    # sketching those raw rows directly
+    win = trailing.filter(F.col("day") == 2).select("d", "bucket", "cnt")
+    direct = cms_table(
+        df.filter(F.col("day") >= 1), "k", depth=2, width=32
+    )
+    assert sorted(map(tuple, win.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # lookups on the merged window never underestimate the true counts
+    items = spark.createDataFrame([(f"k{i}",) for i in range(5)], "k string")
+    est = {
+        r.k: r.est_count
+        for r in cms_lookup(win, items, "k", depth=2, width=32).collect()
+    }
+    from collections import Counter
+    true = Counter(k for d, k in rows if d >= 1)
+    for k, c in true.items():
+        assert est[k] >= c

@@ -9005,3 +9005,50 @@ def _sql_interface_rollup(spark, sf_dir):
 
 
 _register("sql_interface_rollup", _sql_interface_rollup, _SQL_IFACE_ROLLUP)
+
+
+def _sketch_cms_trailing(spark, sf_dir):
+    """Trailing-3-day event-type frequency sketches per day."""
+    from vector_indexer_spark.operators.sketches import (
+        cms_table,
+        cms_trailing_merge,
+    )
+    from vector_indexer_spark.sources.files import read_events_ns
+
+    ev = read_events_ns(spark, f"{sf_dir}/events.parquet").withColumn(
+        "day", F.expr(f"ts div {_DAY_NS}")
+    )
+    per_day = cms_table(
+        ev, "event_type", depth=2, width=64, group_cols=["day"]
+    )
+    return cms_trailing_merge(per_day, bucket_col="day", trailing=3)
+
+
+def _cms_trailing_sql() -> str:
+    offs = ", ".join(f"({i})" for i in range(3))
+    rows = "\n      UNION ALL ".join(
+        f"SELECT epoch_ns(ts) // {_DAY_NS} AS day, {d} AS d,"
+        f" CAST(concat('0x', substr(md5(concat('{d}:', event_type)), 1, 15))"
+        f" AS BIGINT) % 64 AS bucket FROM events"
+        for d in range(2)
+    )
+    return f"""
+    WITH rows_ AS (
+      {rows}
+    ),
+    perday AS (
+      SELECT day, d, bucket, count(*) AS cnt
+      FROM rows_ GROUP BY 1, 2, 3
+    ),
+    fan AS (
+      SELECT p.day + o.off AS day, p.d, p.bucket, p.cnt
+      FROM perday p CROSS JOIN (VALUES {offs}) o(off)
+    ),
+    anchors AS (SELECT DISTINCT day FROM perday)
+    SELECT f.day, f.d, f.bucket, SUM(f.cnt) AS cnt
+    FROM fan f JOIN anchors USING (day)
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+
+
+_register("sketch_cms_trailing", _sketch_cms_trailing, _cms_trailing_sql())

@@ -146,7 +146,12 @@ def hll_estimate(registers: DataFrame, *, p: int = 12) -> float:
 
 
 def cms_table(
-    df: DataFrame, col: str, *, depth: int = 4, width: int = 1024
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Count-Min sketch table for one column: ``(d, bucket, cnt)`` for
     ``depth`` salted hash rows of ``width`` buckets.
@@ -157,9 +162,14 @@ def cms_table(
     ``depth × width`` rows at any input scale. Lookups take the MIN
     across rows (:func:`cms_lookup`) — an upper bound on the true
     count, tight for heavy keys.
+
+    ``group_cols`` yields a sketch per group (per day / per source),
+    each slice independently mergeable by bucket-wise SUM — the
+    rollup-cube use, mirroring ``hll_registers(group_cols=...)``.
     """
     if depth < 1 or width < 2:
         raise ValueError(f"need depth >= 1, width >= 2: {depth}, {width}")
+    gcols = list(group_cols or [])
     rows = df.filter(F.col(col).isNotNull())
     buckets = F.array(
         *[
@@ -168,10 +178,48 @@ def cms_table(
         ]
     )
     return (
-        rows.select(F.posexplode(buckets).alias("d", "bucket"))
-        .groupBy("d", "bucket")
+        rows.select(*gcols, F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy(*gcols, "d", "bucket")
         .agg(F.count("*").alias("cnt"))
-        .orderBy("d", "bucket")
+        .orderBy(*gcols, "d", "bucket")
+    )
+
+
+def cms_trailing_merge(
+    grouped_cms: DataFrame,
+    *,
+    bucket_col: str,
+    trailing: int,
+    bucket_step: int = 1,
+) -> DataFrame:
+    """Trailing-window Count-Min rollup: for every time bucket, the
+    bucket-wise SUM of the last ``trailing`` per-bucket sketches —
+    "heavy hitters over the trailing 7 days, daily" without touching
+    raw data again (the twin of :func:`hll_trailing_merge`; CMS merges
+    by SUM where HLL merges by MAX). Input is
+    ``cms_table(group_cols=[bucket_col])`` output; each sketch row
+    fans out to its ≤ ``trailing`` windows, then one map-side-combined
+    SUM per (window, d, bucket). Feed any window's slice to
+    :func:`cms_lookup` / :func:`heavy_hitters`.
+    """
+    if trailing < 1:
+        raise ValueError("trailing must be >= 1")
+    if bucket_step < 1:
+        raise ValueError("bucket_step must be >= 1")
+    offs = F.array(*[F.lit(i * bucket_step) for i in range(trailing)])
+    fanned = grouped_cms.select(
+        F.explode(offs).alias("__off"),
+        (F.col(bucket_col) + F.col("__off")).alias(bucket_col),
+        "d",
+        "bucket",
+        "cnt",
+    )
+    anchors = grouped_cms.select(bucket_col).distinct()
+    return (
+        fanned.join(anchors, bucket_col, "left_semi")
+        .groupBy(bucket_col, "d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .orderBy(bucket_col, "d", "bucket")
     )
 
 
