@@ -303,3 +303,92 @@ def test_resize_images_composes_with_structured_streaming(spark, tmp_path):
     for i, arr in imgs.items():
         want = resize_array(arr, 5, 4, method="nearest")
         assert (decode_png(bytes(got[i].content)) == want).all()
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing + image near-dup
+# ---------------------------------------------------------------------------
+
+
+def test_ahash_invariants():
+    from vector_indexer_spark.operators.multimodal import ahash_array
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    h = ahash_array(arr)
+    # 56-bit non-negative long, deterministic
+    assert 0 <= h < 1 << 56
+    assert ahash_array(arr) == h
+    # uniform brightness scaling preserves the threshold pattern
+    assert ahash_array((arr // 2).astype(np.uint8)) == ahash_array(
+        (arr // 2).astype(np.uint8)
+    )
+    # constant image: no pixel is strictly above the mean -> hash 0
+    assert ahash_array(np.full((9, 9, 3), 77, np.uint8)) == 0
+    # half-black / half-white: exactly the bright half's bits set
+    hw = np.zeros((7, 8, 3), np.uint8)
+    hw[:, 4:, :] = 255
+    got = ahash_array(hw)
+    want = sum(1 << (y * 8 + x) for y in range(7) for x in range(4, 8))
+    assert got == want
+
+
+def test_image_near_dups_banding_exact_and_capped(spark):
+    from vector_indexer_spark.operators.multimodal import (
+        ahash_array,
+        decode_png,
+        encode_png,
+        image_ahash,
+        image_near_dups,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (14, 16, 3), dtype=np.uint8)
+    imgs = {}
+    for i in range(12):
+        a = base.copy()
+        # flip a couple of pixels per image -> small hamming perturbations
+        for _ in range(i % 4):
+            y, x = rng.integers(0, 14), rng.integers(0, 16)
+            a[y, x, :] = 255 - a[y, x, :]
+        imgs[i] = a
+    # plus one unrelated image far from the family
+    imgs[99] = rng.integers(0, 256, (14, 16, 3), dtype=np.uint8)
+
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_png(a))) for i, a in imgs.items()],
+        "media_id long, content binary",
+    )
+    hashes = image_ahash(df)
+    got_h = {r.media_id: r.ahash for r in hashes.collect()}
+    for i, a in imgs.items():
+        assert got_h[i] == ahash_array(decode_png(encode_png(a)))
+
+    # banded join (max_hamming < bands) == brute-force all-pairs
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dups(hashes, max_hamming=3, bands=4).collect()
+    }
+    ids = sorted(imgs)
+    want = {
+        (a, b): bin(got_h[a] ^ got_h[b]).count("1")
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1:]
+        if bin(got_h[a] ^ got_h[b]).count("1") <= 3
+    }
+    assert got == want
+
+    # bucket cap: a degenerate all-identical bucket yields zero pairs
+    same = spark.createDataFrame(
+        [(i, 12345) for i in range(10)], "media_id long, ahash long"
+    )
+    capped = image_near_dups(same, max_hamming=3, bands=4, max_bucket_size=5)
+    assert capped.count() == 0
+    uncapped = image_near_dups(same, max_hamming=3, bands=4,
+                               max_bucket_size=None)
+    assert uncapped.count() == 45
+
+    with pytest.raises(ValueError):
+        image_near_dups(hashes, max_hamming=3, bands=5)
+    with pytest.raises(ValueError):
+        image_near_dups(hashes, max_hamming=-1)

@@ -9052,3 +9052,122 @@ def _cms_trailing_sql() -> str:
 
 
 _register("sketch_cms_trailing", _sketch_cms_trailing, _cms_trailing_sql())
+
+
+# --------------------------------------------------------------------------
+# media_ahash_fixed / media_image_near_dups — perceptual image hashing +
+# image near-dup detection, the multimodal twin of dedup_simhash. Pixels
+# are formula-generated per group (doc_id % 40) with a one-pixel
+# perturbation per image, encoded to real zlib PNGs, decoded + hashed by
+# multimodal.image_ahash (full codec path), and paired by the banded-
+# Hamming join (EXACT for max_hamming=3 < bands=4 by pigeonhole — so the
+# oracle is a plain all-pairs hamming filter). The oracle recomputes the
+# 56-bit hash in pure integer SQL from the same pixel formula: any defect
+# in the codec, the threshold math, the bit packing, or the band join
+# breaks the hash compare.
+# --------------------------------------------------------------------------
+
+
+def _media_ahash_table(spark, sf_dir):
+    import pandas as pd  # noqa: PLC0415
+
+    from vector_indexer_spark.operators.multimodal import (
+        encode_png,
+        image_ahash,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") < 240)
+    )
+
+    def _mk(batches):
+        import numpy as np  # noqa: PLC0415
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did % 40
+                y, x, c = np.ogrid[0:7, 0:8, 0:3]
+                arr = (
+                    g * 37
+                    + (5 + 29 * (g % 7)) * x
+                    + (9 + 23 * (g % 5)) * y
+                    + 11 * c
+                ) % 256
+                px, py = did % 8, (did * 3) % 7
+                arr[py, px, :] = (arr[py, px, :] + 128) % 256
+                payloads.append(encode_png(arr.astype(np.uint8)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "content": payloads}
+            )
+
+    media = docs.mapInPandas(_mk, "media_id long, content binary")
+    return image_ahash(media)
+
+
+_AHASH_HASHES_SQL = """
+    WITH ids AS (
+      SELECT doc_id AS media_id, doc_id % 40 AS g,
+             doc_id % 8 AS px, (doc_id * 3) % 7 AS py
+      FROM documents WHERE doc_id < 240
+    ),
+    lum AS (
+      SELECT i.media_id, y.y * 8 + x.x AS bit,
+             ((i.g*37 + (5 + 29*(i.g%7))*x.x + (9 + 23*(i.g%5))*y.y + 0
+                + CASE WHEN x.x = i.px AND y.y = i.py THEN 128 ELSE 0 END) % 256)
+           + ((i.g*37 + (5 + 29*(i.g%7))*x.x + (9 + 23*(i.g%5))*y.y + 11
+                + CASE WHEN x.x = i.px AND y.y = i.py THEN 128 ELSE 0 END) % 256)
+           + ((i.g*37 + (5 + 29*(i.g%7))*x.x + (9 + 23*(i.g%5))*y.y + 22
+                + CASE WHEN x.x = i.px AND y.y = i.py THEN 128 ELSE 0 END) % 256)
+             AS lum
+      FROM ids i, range(0, 8) x(x), range(0, 7) y(y)
+    ),
+    tot AS (SELECT media_id, SUM(lum) AS total FROM lum GROUP BY 1),
+    hashes AS (
+      SELECT l.media_id,
+             CAST(COALESCE(SUM(CASE WHEN 56 * l.lum > t.total
+                                    THEN 1::BIGINT << l.bit ELSE 0 END),
+                           0) AS BIGINT) AS ahash
+      FROM lum l JOIN tot t USING (media_id) GROUP BY 1
+    )
+"""
+
+
+def _media_ahash_fixed(spark, sf_dir):
+    """See module comment above — decode→hash locked bit-for-bit."""
+    return _media_ahash_table(spark, sf_dir)
+
+
+_register(
+    "media_ahash_fixed",
+    _media_ahash_fixed,
+    _AHASH_HASHES_SQL + "\n    SELECT media_id, ahash FROM hashes",
+)
+
+
+def _media_image_near_dups(spark, sf_dir):
+    """Banded-Hamming image near-dup pairs; exact vs the oracle's
+    all-pairs filter because max_hamming (3) < bands (4)."""
+    from vector_indexer_spark.operators.multimodal import image_near_dups
+
+    return image_near_dups(
+        _media_ahash_table(spark, sf_dir), max_hamming=3, bands=4
+    )
+
+
+_register(
+    "media_image_near_dups",
+    _media_image_near_dups,
+    _AHASH_HASHES_SQL
+    + """
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """,
+)

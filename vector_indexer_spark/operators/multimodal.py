@@ -26,7 +26,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -689,3 +689,137 @@ def demux_video_frames(df: DataFrame) -> DataFrame:
         _demux,
         "media_id long, frame_idx int, byte_len long, frame binary",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + image near-duplicate detection.
+#
+# The image twin of text SimHash (dedup.py:simhash): a 56-bit average-
+# hash (aHash) per image, then a banded-Hamming self-join for pairs.
+# This is the standard first-pass image dedup of a multimodal training
+# pipeline (CLIP-style corpora dedupe on a perceptual hash before any
+# embedding model runs).  Integer-exact by construction so the whole
+# decode -> hash -> pair pipeline is oracle-checkable in pure SQL.
+# ---------------------------------------------------------------------------
+
+AHASH_W = 8
+AHASH_H = 7  # 8x7 = 56 bits: fits a signed 64-bit long in both engines
+
+
+def ahash_array(arr: np.ndarray) -> int:
+    """56-bit average-hash of an ``(h, w, c)`` uint8 image, integer-
+    exact: luminance is the per-pixel channel *sum* (monotone in any
+    fixed-weight gray conversion, no float rounding); bit ``y*8 + x``
+    is set iff ``56 * lum > total`` (strict, fraction-free form of
+    ``lum > mean``)."""
+    small = resize_array(arr, AHASH_W, AHASH_H, method="nearest")
+    lum = small.astype(np.int64).sum(axis=2)  # (7, 8)
+    total = int(lum.sum())
+    bits = (lum * (AHASH_W * AHASH_H) > total).astype(np.int64)
+    idx = np.arange(AHASH_H * AHASH_W, dtype=np.int64).reshape(
+        AHASH_H, AHASH_W
+    )
+    return int((bits << idx).sum())
+
+
+def image_ahash(df: DataFrame) -> DataFrame:
+    """``(media_id, ahash)`` over a PNG media table — decode +
+    downsample + threshold inside ``mapInPandas`` Arrow batches;
+    per-image work is embarrassingly parallel, output is 8 bytes/row
+    regardless of image size (the scan never re-reads pixels
+    downstream)."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": [
+                        ahash_array(decode_png(bytes(c)))
+                        for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        _hash, "media_id long, ahash long"
+    )
+
+
+def image_near_dups(
+    hashes: DataFrame,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket_size: int | None = 100_000,
+) -> DataFrame:
+    """Near-duplicate image pairs ``(id_a, id_b, hamming)`` from an
+    :func:`image_ahash` table.
+
+    Candidate generation is banded (the SimHash trick): the 56-bit
+    hash splits into ``bands`` equal bit-bands; only images sharing at
+    least one exact band are compared.  By pigeonhole this is EXACT
+    whenever ``max_hamming < bands`` — any pair within the threshold
+    must agree on some band — so the default (3, 4) returns precisely
+    the all-pairs answer without the all-pairs join.  At 10^9 images
+    the band join shuffles 4 rows/image on 14-bit-band keys and the
+    verify step is ``bit_count(xor)`` codegen on the candidate set
+    only.  ``max_bucket_size`` caps degenerate bands (e.g. the all-
+    black-thumbnail bucket) exactly as
+    :func:`~vector_indexer_spark.operators.dedup.lsh_candidate_pairs`
+    does — the documented recall trade inside pathological buckets.
+    """
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    nbits = AHASH_W * AHASH_H
+    if bands <= 0 or nbits % bands:
+        raise ValueError(f"bands must divide {nbits}")
+    width = nbits // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("ahash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "ahash", "bb.band", "bb.bucket")
+    if max_bucket_size is not None:
+        if max_bucket_size <= 0:
+            raise ValueError("max_bucket_size must be positive")
+        wb = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn(
+            "__bn", F.count("*").over(wb)
+        ).filter(F.col("__bn") <= max_bucket_size).drop("__bn")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
