@@ -1211,3 +1211,65 @@ def test_containment_catches_quote_inclusion(spark):
     assert row.containment_a == 1.0
     assert row.containment_b < 0.5
     assert row.jaccard < 0.5  # Jaccard alone would miss this dup
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup: duplicate spans
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_finds_shared_boilerplate(spark):
+    from vector_indexer_spark.operators.dedup import (
+        duplicate_spans,
+        span_dup_stats,
+    )
+
+    boiler = "all rights reserved contact the legal office"
+    rows = [
+        (0, f"alpha beta gamma {boiler} delta epsilon"),
+        (1, f"zeta eta theta iota {boiler} kappa"),
+        (2, "completely unrelated words without any overlap here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = {
+        (r.doc_id, r.span_start, r.span_end): r.n_grams
+        for r in duplicate_spans(df, k=3, min_df=2).collect()
+    }
+    # boiler is 7 tokens -> 5 grams; doc 0 offset 3, doc 1 offset 4
+    assert spans == {(0, 3, 9): 5, (1, 4, 10): 5}
+
+    stats = {r.doc_id: r for r in span_dup_stats(df, k=3, min_df=2).collect()}
+    assert stats[0].dup_tokens == 7 and stats[0].total_tokens == 12
+    assert stats[1].dup_tokens == 7
+    assert stats[2].dup_tokens == 0 and stats[2].dup_fraction == 0.0
+    assert abs(stats[0].dup_fraction - 7 / 12) < 1e-12
+
+    # identical docs -> one full-doc span each, full coverage
+    two = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], "doc_id long, text string"
+    )
+    full = duplicate_spans(two, k=3, min_df=2).collect()
+    assert {(r.doc_id, r.span_start, r.span_end, r.n_grams) for r in full} == {
+        (0, 0, 4, 3), (1, 0, 4, 3)
+    }
+    fs = span_dup_stats(two, k=3, min_df=2).collect()
+    assert all(r.dup_fraction == 1.0 for r in fs)
+
+    # min_df above corpus multiplicity -> nothing flagged
+    assert duplicate_spans(two, k=3, min_df=3).count() == 0
+
+    # overlapping runs within k-1 tokens are not double-counted
+    # docs share grams "a b c" and "c d e" but not "b c d"
+    ov = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "x a b c y c d e z")],
+        "doc_id long, text string",
+    )
+    st = {r.doc_id: r for r in span_dup_stats(ov, k=3, min_df=2).collect()}
+    assert st[0].dup_tokens == 5  # union of [0,2] and [2,4], not 6
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        duplicate_spans(df, k=0)
+    with _pytest.raises(ValueError):
+        span_dup_stats(df, min_df=0)

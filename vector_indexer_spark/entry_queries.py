@@ -9171,3 +9171,93 @@ _register(
     WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# dedup_duplicate_spans / dedup_span_stats — substring-level dedup (the
+# relational analog of suffix-array repeated-substring mining, Lee et al.
+# 2022): maximal token spans whose every 3-gram occurs in >= 2 distinct
+# docs, plus the per-doc covered-token quality signal. Oracle recomputes
+# gram hashing, document frequency, the islands merge, and exact coverage
+# in pure SQL.
+# --------------------------------------------------------------------------
+
+_SPAN_GRAMS_SQL = """
+    WITH t AS (
+      SELECT doc_id, {toks} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) >= 3 THEN
+          list_transform(range(1, len(toks) - 1),
+            i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+                   h := CAST(concat('0x', substr(md5(concat(toks[i], ' ',
+                          toks[i+1], ' ', toks[i+2])), 1, 8)) AS BIGINT)))
+        ELSE [] END AS gs
+      FROM t
+    ),
+    g AS (SELECT doc_id, unnest(gs, recursive := true) FROM s),
+    df_ AS (
+      SELECT h FROM (SELECT h, doc_id FROM g GROUP BY h, doc_id)
+      GROUP BY h HAVING count(*) >= 2
+    ),
+    flagged AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN df_ USING (h))
+"""
+
+
+def _dedup_duplicate_spans(spark, sf_dir):
+    from vector_indexer_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=3, min_df=2
+    )
+
+
+_register(
+    "dedup_duplicate_spans",
+    _dedup_duplicate_spans,
+    _SPAN_GRAMS_SQL.format(toks=_DD_TOKENS.format(c="text"))
+    + """
+    , runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS grp
+      FROM flagged
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 2 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+
+
+def _dedup_span_stats(spark, sf_dir):
+    from vector_indexer_spark.operators.dedup import span_dup_stats
+
+    return span_dup_stats(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=3, min_df=2
+    )
+
+
+_register(
+    "dedup_span_stats",
+    _dedup_span_stats,
+    _SPAN_GRAMS_SQL.format(toks=_DD_TOKENS.format(c="text"))
+    + """
+    , covered AS (
+      SELECT doc_id, CAST(count(DISTINCT tpos) AS BIGINT) AS dup_tokens
+      FROM (SELECT f.doc_id, unnest(range(f.pos, f.pos + 3)) AS tpos
+            FROM flagged f)
+      GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS total_tokens
+               FROM documents)
+    SELECT t.doc_id, t.total_tokens,
+           COALESCE(c.dup_tokens, 0) AS dup_tokens,
+           CASE WHEN t.total_tokens > 0
+                THEN COALESCE(c.dup_tokens, 0) / t.total_tokens
+                ELSE 0.0 END AS dup_fraction
+    FROM totals t LEFT JOIN covered c USING (doc_id)
+    """.replace("{toks}", _DD_TOKENS.format(c="text")),
+)

@@ -1297,3 +1297,160 @@ def containment_pairs(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level dedup: duplicate-span detection.
+#
+# Doc-level dedup (exact / MinHash / SimHash above) misses the common
+# corpus pathology of SHARED SPANS inside otherwise-unique documents —
+# boilerplate headers, license blocks, quoted threads. The suffix-array
+# method of "Deduplicating Training Data Makes Language Models Better"
+# (Lee et al., 2022) finds repeated substrings; this is its scalable
+# relational analog at token-k-gram granularity: a span is flagged when
+# EVERY k-gram inside it occurs in >= min_df distinct documents.
+# ---------------------------------------------------------------------------
+
+
+def _positioned_gram_hashes(
+    df: DataFrame, *, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(doc_id, pos, h): hash of the k-gram starting at token ``pos``
+    (0-based), built with window ``lead`` like minhash_sig_columns —
+    codegen-friendly, one doc_id shuffle."""
+    from vector_indexer_spark.functions.text import token_hash_expr
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_expr(text_col)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, k)
+    ]
+    return (
+        tok.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .select(
+            "doc_id", "pos", token_hash_expr(F.col("gram")).alias("h")
+        )
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document: ``(doc_id,
+    span_start, span_end, n_grams)`` where tokens ``span_start ..
+    span_end`` (0-based, inclusive) are covered by a maximal run of
+    consecutive k-grams each appearing in >= ``min_df`` distinct docs.
+
+    Physical shape at corpus scale: one doc_id shuffle for gram
+    formation, two map-side-combinable aggregations for document
+    frequency ((h, doc) then (h) — never a count-distinct state blowup),
+    one semi-join of positions against the (small, post-filter)
+    duplicated-gram set, and one per-doc window for the islands merge
+    (``pos - row_number``). No step is quadratic in corpus size; the
+    df-count shuffle key is the gram hash, uniformly distributed by
+    construction.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    grams = _positioned_gram_hashes(df, text_col=text_col, id_col=id_col, k=k)
+    docfreq = (
+        grams.groupBy("h", "doc_id")
+        .agg(F.lit(1).alias("__one"))
+        .groupBy("h")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_df)
+        .select("h")
+    )
+    flagged = grams.join(docfreq, "h", "semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = flagged.withColumn(
+        "__grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy("doc_id", "__grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count("*").cast("long").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
+def span_dup_stats(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span quality signal: ``(doc_id,
+    total_tokens, dup_tokens, dup_fraction)`` — the fraction of tokens
+    covered by at least one duplicated k-gram. The standard filter
+    threshold for span-level contamination (drop or trim docs whose
+    dup_fraction exceeds a budget).
+
+    Coverage is exact even where flagged runs overlap within k-1
+    tokens: each flagged gram explodes into its k covered token
+    indices and coverage is counted distinct per doc (bounded: k x
+    flagged grams, flagged grams <= total grams).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    grams = _positioned_gram_hashes(df, text_col=text_col, id_col=id_col, k=k)
+    docfreq = (
+        grams.groupBy("h", "doc_id")
+        .agg(F.lit(1).alias("__one"))
+        .groupBy("h")
+        .agg(F.count("*").alias("ndocs"))
+        .filter(F.col("ndocs") >= min_df)
+        .select("h")
+    )
+    covered = (
+        grams.join(docfreq, "h", "semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("tpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tpos").alias("dup_tokens"))
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens_expr(text_col)).cast("long").alias("total_tokens"),
+    )
+    return totals.join(covered, "doc_id", "left").select(
+        "doc_id",
+        "total_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+            "dup_tokens"
+        ),
+        F.when(
+            F.col("total_tokens") > 0,
+            F.coalesce(F.col("dup_tokens"), F.lit(0))
+            / F.col("total_tokens"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_fraction"),
+    )
