@@ -139,3 +139,90 @@ def test_connected_components_distributed_path_matches_driver(spark):
         for r in connected_components(edges, max_pairs_driver=5).collect()
     }
     assert driver == distributed == {(i, 0) for i in range(61)}
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN beam search
+# ---------------------------------------------------------------------------
+
+
+def _clustered_vectors(spark, n_clusters=6, per=30, d=8, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 10, (n_clusters, d))
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.5, (per, d)) for c in centers]
+    )
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "id long, values array<float>",
+    )
+
+
+def test_graph_ann_beam_recall_and_invariants(spark):
+    from vector_indexer_spark.operators.graph import (
+        graph_ann_search,
+        knn_graph,
+    )
+    from vector_indexer_spark.operators.knn import knn_exact
+
+    vecs = _clustered_vectors(spark)
+    edges = knn_graph(vecs, 6, symmetric=True)
+    q = vecs.filter(F.col("id") % 37 == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    # one entry per cluster — the coarse seeding HNSW's upper layers
+    # provide; a flat k-NN graph of well-separated clusters is
+    # legitimately disconnected, so navigability needs seeded entries
+    entries = [0, 30, 60, 90, 120, 150]
+    got = graph_ann_search(
+        vecs, edges, q, k=5, beam=12, max_hops=8, entry_ids=entries
+    ).collect()
+    truth = knn_exact(vecs, q, k=5, method="native").collect()
+
+    # contract: contiguous ranks 1..5 per query, dist2 non-decreasing
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, 6))
+        d = [r.dist2 for r in rows]
+        assert d == sorted(d)
+        # self is reachable from anywhere on a connected knn graph
+        assert rows[0].neighbor_id == qid and rows[0].dist2 == 0.0
+
+    # recall vs exact ground truth: generous hops on a 6-NN graph
+    want = {}
+    for r in truth:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        len(want[qid] & {r.neighbor_id for r in rows})
+        for qid, rows in by_q.items()
+    )
+    recall = hits / sum(len(s) for s in want.values())
+    assert recall >= 0.8, recall
+
+    # more hops can only improve (visited set grows monotonically)
+    got2 = graph_ann_search(
+        vecs, edges, q, k=5, beam=12, max_hops=2, entry_ids=entries
+    ).collect()
+    d_sum_8 = sum(r.dist2 for r in got)
+    d_sum_2 = sum(r.dist2 for r in got2)
+    assert d_sum_8 <= d_sum_2 + 1e-9
+
+    # zero hops: results come only from the entry set
+    got0 = graph_ann_search(vecs, edges, q, k=3, beam=4, max_hops=0).collect()
+    assert {r.neighbor_id for r in got0} <= {0, 1, 2, 3}
+
+    # explicit entry points are respected
+    gote = graph_ann_search(
+        vecs, edges, q, k=1, beam=2, max_hops=0, entry_ids=[11, 12]
+    ).collect()
+    assert {r.neighbor_id for r in gote} <= {11, 12}
+
+    with pytest.raises(ValueError):
+        graph_ann_search(vecs, edges, q, k=0)
+    with pytest.raises(ValueError):
+        graph_ann_search(vecs, edges, q, max_hops=-1)

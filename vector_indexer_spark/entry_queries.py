@@ -9261,3 +9261,108 @@ _register(
     FROM totals t LEFT JOIN covered c USING (doc_id)
     """.replace("{toks}", _DD_TOKENS.format(c="text")),
 )
+
+
+# --------------------------------------------------------------------------
+# graph_ann_beam_fixed — graph-based ANN (the HNSW/NSG family's layer-0
+# mechanic): hop-synchronous beam search over a symmetrized 4-NN graph of
+# 256 embeddings, 8 queries, beam 8, 2 hops, top-10. Deterministic by
+# construction (fold-left dist2, (dist2, node) tie rule, hop-synchronous
+# expansion), so the oracle UNROLLS the recurrence hop by hop in plain
+# SQL: graph construction, entry seeding, both beam re-selections, the
+# visited anti-joins, and the final top-k are all recomputed by DuckDB.
+# --------------------------------------------------------------------------
+
+
+def _graph_ann_beam_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.graph import (
+        graph_ann_search,
+        knn_graph,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 256)
+        .select("vec_id", "embedding")
+    )
+    edges = knn_graph(
+        emb, 4, id_col="vec_id", vec_col="embedding", symmetric=True
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return graph_ann_search(
+        emb, edges, q, k=10, beam=8, max_hops=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+def _graph_ann_sql():
+    hop = """
+    beam{n} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM visited{n}) WHERE rn <= 8
+    ),
+    cand{m} AS (
+      SELECT DISTINCT b.query_id, e.dst AS node
+      FROM beam{n} b JOIN edges e ON b.node = e.src
+      ANTI JOIN visited{n} vv ON vv.query_id = b.query_id
+                             AND vv.node = e.dst
+    ),
+    scored{m} AS (
+      SELECT c.query_id, c.node, {d2} AS dist2
+      FROM cand{m} c
+      JOIN vv v ON v.vec_id = c.node
+      JOIN q ON q.query_id = c.query_id
+    ),
+    visited{m} AS (
+      SELECT * FROM visited{n} UNION ALL SELECT * FROM scored{m}
+    )"""
+    d2 = _KNN_DIST2_SQL.replace("v.embedding", "v.embedding").strip()
+    hops = "".join(
+        "," + hop.format(n=n, m=n + 1, d2=d2) for n in range(1, 3)
+    )
+    return f"""
+    WITH vv AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 256),
+    q AS (SELECT vec_id AS query_id, embedding AS query FROM vv
+          WHERE vec_id < 8),
+    pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_reduce(
+               list_transform(range(1, len(a.embedding) + 1),
+                 i -> (CAST(a.embedding[i] AS DOUBLE)
+                        - CAST(b.embedding[i] AS DOUBLE))
+                    * (CAST(a.embedding[i] AS DOUBLE)
+                        - CAST(b.embedding[i] AS DOUBLE))),
+               (acc, x) -> acc + x) AS dist2
+      FROM vv a JOIN vv b ON a.vec_id <> b.vec_id
+    ),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM pairs) WHERE rn <= 4
+    ),
+    edges AS (SELECT src, dst FROM knn
+              UNION SELECT dst AS src, src AS dst FROM knn),
+    entry AS (SELECT vec_id AS node FROM vv ORDER BY vec_id LIMIT 8),
+    visited1 AS (
+      SELECT q.query_id, en.node, {d2} AS dist2
+      FROM q CROSS JOIN entry en
+      JOIN vv v ON v.vec_id = en.node
+    ){hops}
+    SELECT query_id, CAST(rn AS INT) AS rank, node AS neighbor_id, dist2
+    FROM (
+      SELECT query_id, node, dist2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist2, node) AS rn
+      FROM visited3) WHERE rn <= 10
+    """
+
+
+_register("graph_ann_beam_fixed", _graph_ann_beam_fixed, _graph_ann_sql())

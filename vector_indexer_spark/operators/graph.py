@@ -252,3 +252,118 @@ def connected_components(
         F.col("doc_id").alias("node"),
         F.col("canonical_id").alias("component"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-based ANN: beam search over the k-NN graph.
+#
+# The third major ANN family next to the engine's IVF partition pruning
+# and PQ/SQ/BQ quantization tiers: navigable-graph search (the HNSW/
+# NSG family's layer-0 mechanic). Batch-oriented and hop-synchronous —
+# every query advances one hop per Spark job, so a 10k-query batch
+# costs max_hops joins total, not 10k sequential walks.
+# ---------------------------------------------------------------------------
+
+
+def graph_ann_search(
+    vectors: DataFrame,
+    edges: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    beam: int = 8,
+    max_hops: int = 3,
+    entry_ids: list[int] | None = None,
+    id_col: str = "id",
+    vec_col: str = "values",
+) -> DataFrame:
+    """Beam search over a navigable graph: ``(query_id, rank,
+    neighbor_id, dist2)`` top-k per query.
+
+    Semantics (deterministic, oracle-unrollable): the beam starts at
+    ``entry_ids`` (default: the ``beam`` smallest node ids); each hop
+    expands every current beam node's out-edges, drops already-visited
+    candidates, scores the rest, and re-selects the best ``beam``
+    visited nodes by ``(dist2, node)``. After ``max_hops`` hops the
+    best ``k`` visited nodes are returned. Hop-synchronous expansion
+    (whole beam, not just the newest frontier) keeps each hop a single
+    uniform join — and makes the recurrence expressible hop-by-hop in
+    plain SQL, which is how the oracle locks it.
+
+    Scale shape: per hop, one shuffle of (beam x degree) candidate
+    rows per query on the node key to fetch vectors, one broadcast of
+    the query batch, one per-query window for beam re-selection.
+    State between hops is the visited table — bounded by
+    queries x (entry + hops x beam x degree) rows, id+double wide.
+    Distances use the fold-left Catalyst expression (bit-exact, the
+    oracle anchor); candidate sets are beam-sized so the GEMM kernel
+    would be overhead, not win, here.
+    """
+    from vector_indexer_spark.functions.distance import (  # noqa: PLC0415
+        dist2_expr,
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if k < 1 or beam < 1:
+        raise ValueError("k and beam must be >= 1")
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    v = vectors.select(
+        F.col(id_col).alias("node"), F.col(vec_col).alias("vec")
+    )
+    q = queries.select("query_id", "query")
+    e = edges.select(F.col("src").alias("enode"), F.col("dst"))
+
+    if entry_ids is None:
+        # orderBy+limit compiles to TakeOrderedAndProject — a
+        # distributed partial top-k, not a single-partition window.
+        entry = v.select("node").orderBy("node").limit(beam)
+    else:
+        entry = v.sparkSession.createDataFrame(
+            [(int(i),) for i in entry_ids], "node long"
+        )
+
+    def scored(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(v, "node")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id",
+                "node",
+                dist2_expr("query", "vec").alias("dist2"),
+            )
+        )
+
+    visited = scored(q.select("query_id").crossJoin(entry)).persist()
+    wq = Window.partitionBy("query_id").orderBy("dist2", "node")
+    for _ in range(max_hops):
+        beam_df = (
+            visited.withColumn("__r", F.row_number().over(wq))
+            .filter(F.col("__r") <= beam)
+            .select("query_id", "node")
+        )
+        cand = (
+            beam_df.join(e, beam_df["node"] == e["enode"])
+            .select("query_id", F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("query_id", "node"), ["query_id", "node"],
+                  "left_anti")
+        )
+        new = scored(cand)
+        nxt = visited.unionByName(new).persist()
+        if new.isEmpty():
+            nxt.unpersist()
+            break
+        visited.unpersist()
+        visited = nxt
+    out = (
+        visited.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("node").alias("neighbor_id"),
+            "dist2",
+        )
+    )
+    return out
