@@ -226,3 +226,107 @@ def test_graph_ann_beam_recall_and_invariants(spark):
         graph_ann_search(vecs, edges, q, k=0)
     with pytest.raises(ValueError):
         graph_ann_search(vecs, edges, q, max_hops=-1)
+
+
+# ---------------------------------------------------------------------------
+# NN-Descent k-NN graph construction
+# ---------------------------------------------------------------------------
+
+
+def test_nn_descent_converges_to_near_exact_graph(spark):
+    from vector_indexer_spark.operators.graph import (
+        knn_graph,
+        nn_descent_knn_graph,
+    )
+
+    vecs = _clustered_vectors(spark, n_clusters=5, per=40, d=8, seed=11)
+    exact = {
+        (r.src, r.dst)
+        for r in knn_graph(vecs, 5, symmetric=False).collect()
+    }
+    approx_rows = nn_descent_knn_graph(
+        vecs, 5, iterations=4, symmetric=False, return_distances=True
+    ).collect()
+    approx = {(r.src, r.dst) for r in approx_rows}
+
+    # invariants: <=k out-edges per node, contiguous ranks, no self-loops
+    by_src = {}
+    for r in approx_rows:
+        by_src.setdefault(r.src, []).append(r)
+        assert r.src != r.dst
+    for src, rows in by_src.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+        d = [r.dist2 for r in rows]
+        assert d == sorted(d)
+
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+
+    # determinism: an independent run yields the identical edge set
+    again = {
+        (r.src, r.dst)
+        for r in nn_descent_knn_graph(
+            vecs, 5, iterations=4, symmetric=False
+        ).collect()
+    }
+    assert again == approx
+
+
+def test_nn_descent_iterations_improve_distance_mass(spark):
+    from vector_indexer_spark.operators.graph import nn_descent_knn_graph
+
+    vecs = _clustered_vectors(spark, n_clusters=4, per=30, d=6, seed=7)
+
+    def mass(iters):
+        rows = nn_descent_knn_graph(
+            vecs, 4, iterations=iters, symmetric=False,
+            return_distances=True,
+        ).collect()
+        return sum(r.dist2 for r in rows), len(rows)
+
+    m0, n0 = mass(0)
+    m3, n3 = mass(3)
+    # rounds only add/replace-with-closer edges: count grows to n*k,
+    # per-edge distances shrink — with full coverage, total mass at 3
+    # rounds is far below the hash-bucket init even with more edges
+    assert n3 >= n0
+    assert n3 == 120 * 4
+    assert m3 <= m0
+
+
+def test_nn_descent_feeds_graph_ann_search(spark):
+    from vector_indexer_spark.operators.graph import (
+        graph_ann_search,
+        nn_descent_knn_graph,
+    )
+    from vector_indexer_spark.operators.knn import knn_exact
+
+    vecs = _clustered_vectors(spark, n_clusters=4, per=30, d=6, seed=5)
+    edges = nn_descent_knn_graph(vecs, 5, iterations=3, symmetric=True)
+    q = vecs.filter(F.col("id") % 29 == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    entries = [0, 30, 60, 90]
+    got = graph_ann_search(
+        vecs, edges, q, k=3, beam=10, max_hops=6, entry_ids=entries
+    ).collect()
+    truth = knn_exact(vecs, q, k=3, method="native").collect()
+    want = {}
+    for r in truth:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(
+        1 for r in got if r.neighbor_id in want.get(r.query_id, set())
+    )
+    assert hits / sum(len(s) for s in want.values()) >= 0.8
+
+
+def test_nn_descent_error_contracts(spark):
+    from vector_indexer_spark.operators.graph import nn_descent_knn_graph
+
+    vecs = _clustered_vectors(spark, n_clusters=2, per=5, d=4)
+    with pytest.raises(ValueError):
+        nn_descent_knn_graph(vecs, 0)
+    with pytest.raises(ValueError):
+        nn_descent_knn_graph(vecs, 3, iterations=-1)

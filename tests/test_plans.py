@@ -629,3 +629,69 @@ def test_partitioned_rank_filter_gets_window_group_limit(spark, documents):
 
     plan = audit.executed_plan(top_tokens(documents, k=5))
     assert "WindowGroupLimit" in plan
+
+
+def test_olap_q2_broadcast_dim_chain_and_catalog_min(spark):
+    from vector_indexer_spark.operators.olap import min_cost_supplier
+
+    sf = "/root/testdata/sf0.001"
+    df = min_cost_supplier(
+        spark.read.parquet(f"{sf}/part.parquet"),
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+        spark.read.parquet(f"{sf}/nation.parquet"),
+        spark.read.parquet(f"{sf}/region.parquet"),
+    )
+    s = audit.plan_summary(df)
+    # region→nation→supplier chain and the part slice all broadcast;
+    # only the derived catalog groupBy + min-join-back shuffle
+    assert s["broadcasts"] >= 3
+    assert not s["cartesian"]
+    assert any("r_name" in f for f in s["pushed_filters"])
+    assert any("p_size" in f for f in s["pushed_filters"])
+
+
+def test_olap_q12_pushed_year_single_fact_join(spark):
+    from vector_indexer_spark.operators.olap import shipmode_priority
+
+    sf = "/root/testdata/sf0.001"
+    df = shipmode_priority(
+        spark.read.parquet(f"{sf}/orders.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+    )
+    s = audit.plan_summary(df)
+    assert not s["cartesian"]
+    # year(l_shipdate) = 1997 push-translates to a shipdate range
+    assert any("l_shipdate" in f for f in s["pushed_filters"])
+
+
+def test_olap_q16_exclusion_anti_join_broadcasts(spark):
+    from vector_indexer_spark.operators.olap import parts_supplier_counts
+
+    sf = "/root/testdata/sf0.001"
+    df = parts_supplier_counts(
+        spark.read.parquet(f"{sf}/part.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+    )
+    s = audit.plan_summary(df)
+    # the negative-balance exclusion list and the part slice broadcast
+    assert s["broadcasts"] >= 2
+    assert not s["cartesian"]
+    assert any("s_acctbal" in f for f in s["pushed_filters"])
+
+
+def test_olap_q20_dominance_shares_prefiltered_scan(spark):
+    from vector_indexer_spark.operators.olap import excess_stock_suppliers
+
+    sf = "/root/testdata/sf0.001"
+    df = excess_stock_suppliers(
+        spark.read.parquet(f"{sf}/supplier.parquet"),
+        spark.read.parquet(f"{sf}/nation.parquet"),
+        spark.read.parquet(f"{sf}/lineitem.parquet"),
+        spark.read.parquet(f"{sf}/part.parquet"),
+    )
+    s = audit.plan_summary(df)
+    assert s["broadcasts"] >= 2
+    assert not s["cartesian"]
+    assert any("p_name" in f for f in s["pushed_filters"])

@@ -9366,3 +9366,315 @@ def _graph_ann_sql():
 
 
 _register("graph_ann_beam_fixed", _graph_ann_beam_fixed, _graph_ann_sql())
+
+
+# --------------------------------------------------------------------------
+# graph_nn_descent_fixed — NN-Descent approximate k-NN graph construction
+# (Dong et al., WWW 2011), the linear-scale alternative to the O(n^2)
+# exact graph: 192 embeddings, k=4, 2 descent rounds. Deterministic by
+# construction (tri-hash modular-arithmetic init, (dist2, dst) tie rule,
+# set-function rounds), so the oracle replays the whole recurrence in
+# plain SQL: the three bucketings, the init top-k, and both rounds'
+# neighbor-of-neighbor expansion + anti-join + re-selection.
+# --------------------------------------------------------------------------
+
+
+def _graph_nn_descent_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.graph import nn_descent_knn_graph
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    return nn_descent_knn_graph(
+        emb, 4, iterations=2, symmetric=False,
+        id_col="vec_id", vec_col="embedding", return_distances=True,
+    )
+
+
+def _graph_nn_descent_sql():
+    d2 = """
+      list_reduce(
+        list_transform(range(1, len(a.embedding) + 1),
+          i -> (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(c2.embedding[i] AS DOUBLE))
+             * (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(c2.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+    rnd = """,
+    und{r} AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM g{r}
+        UNION ALL SELECT dst AS src, src AS dst FROM g{r})
+    ),
+    cand{r} AS (
+      SELECT DISTINCT u1.src, u2.dst
+      FROM und{r} u1 JOIN und{r} u2 ON u1.dst = u2.src
+      ANTI JOIN g{r} g ON g.src = u1.src AND g.dst = u2.dst
+      WHERE u1.src <> u2.dst
+    ),
+    sc{r} AS (
+      SELECT c.src, c.dst, {d2} AS dist2
+      FROM cand{r} c JOIN vv a ON a.vec_id = c.src
+                     JOIN vv c2 ON c2.vec_id = c.dst
+    ),
+    g{s} AS (
+      SELECT src, dst, dist2 FROM (
+        SELECT src, dst, dist2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM (SELECT * FROM g{r} UNION ALL SELECT * FROM sc{r}))
+      WHERE rn <= 4
+    )"""
+    rounds = "".join(
+        rnd.format(r=r, s=r + 1, d2=d2) for r in range(2)
+    )
+    return f"""
+    WITH vv AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 192),
+    b AS (
+      SELECT vec_id,
+        ((vec_id % 1000003) * 40503 + 7) % 1000003 % 19 AS b1,
+        ((vec_id % 1000003) * 75029 + 13) % 1000003 % 19 AS b2,
+        ((vec_id % 1000003) * 126989 + 29) % 1000003 % 19 AS b3
+      FROM vv
+    ),
+    ip AS (
+      SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+      FROM b x JOIN b y
+        ON (x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+      WHERE x.vec_id <> y.vec_id
+    ),
+    sc_init AS (
+      SELECT c.src, c.dst, {d2} AS dist2
+      FROM ip c JOIN vv a ON a.vec_id = c.src
+                JOIN vv c2 ON c2.vec_id = c.dst
+    ),
+    g0 AS (
+      SELECT src, dst, dist2 FROM (
+        SELECT src, dst, dist2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM sc_init) WHERE rn <= 4
+    ){rounds}
+    SELECT src, dst, CAST(rn AS INT) AS rank, dist2 FROM (
+      SELECT src, dst, dist2,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist2, dst) AS rn
+      FROM g2) WHERE rn <= 4
+    """
+
+
+_register(
+    "graph_nn_descent_fixed",
+    _graph_nn_descent_fixed,
+    _graph_nn_descent_sql(),
+)
+
+
+# --------------------------------------------------------------------------
+# The last five TPC-H shapes (Q2, Q11, Q12, Q16, Q20) — all 22 now
+# declared. Schema adaptations (no partsupp / shipmode columns in the
+# synthetic data) are documented on the operators in operators/olap.py;
+# every oracle recomputes the identical adapted semantics.
+# --------------------------------------------------------------------------
+
+
+def _olap_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: region's cheapest supplier per sized/typed part
+    (correlated-min as groupBy-min + equality join-back)."""
+    from vector_indexer_spark.operators.olap import min_cost_supplier
+
+    return min_cost_supplier(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/region.parquet"),
+    )
+
+
+_register(
+    "olap_q2_min_cost_supplier",
+    _olap_q2_min_cost_supplier,
+    """
+    WITH nat AS (
+      SELECT n_nationkey, n_name FROM nation
+      JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'
+    ),
+    supp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+      JOIN nat ON s_nationkey = n_nationkey
+    ),
+    catalog AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(floor(l_extendedprice / l_quantity * 100)
+                 AS BIGINT)) AS unit_cost_cents
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM supp)
+      GROUP BY 1, 2
+    ),
+    offers AS (
+      SELECT c.*, p.p_name FROM catalog c
+      JOIN part p ON c.l_partkey = p.p_partkey
+      WHERE p.p_size = 11 AND p.p_type = 'ECONOMY'
+    ),
+    best AS (
+      SELECT l_partkey, MIN(unit_cost_cents) AS min_cost
+      FROM offers GROUP BY 1
+    )
+    SELECT CAST(floor(s.s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+           s.s_name, s.n_name,
+           o.l_partkey AS p_partkey, o.p_name, o.unit_cost_cents
+    FROM offers o
+    JOIN best b ON o.l_partkey = b.l_partkey
+               AND o.unit_cost_cents = b.min_cost
+    JOIN supp s ON o.l_suppkey = s.s_suppkey
+    ORDER BY s_acctbal_cents DESC, s.n_name, s.s_name, p_partkey
+    LIMIT 100
+    """,
+)
+
+
+def _olap_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts above a ppm fraction of one nation's
+    traded value (scalar-subquery threshold, integer arithmetic)."""
+    from vector_indexer_spark.operators.olap import important_stock
+
+    return important_stock(
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+    )
+
+
+_register(
+    "olap_q11_important_stock",
+    _olap_q11_important_stock,
+    """
+    WITH nsup AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_0'
+    ),
+    val AS (
+      SELECT l_partkey,
+             SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+               AS value_cents
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM nsup)
+      GROUP BY 1
+    ),
+    total AS (SELECT SUM(value_cents) AS total_cents FROM val)
+    SELECT l_partkey, value_cents FROM val, total
+    WHERE value_cents * 1000000 > total_cents * 2000
+    ORDER BY value_cents DESC, l_partkey
+    """,
+)
+
+
+def _olap_q12_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: high/low priority counts per ship-speed class
+    (ship lag standing in for shipmode)."""
+    from vector_indexer_spark.operators.olap import shipmode_priority
+
+    return shipmode_priority(
+        spark.read.parquet(f"{sf_dir}/orders.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+    )
+
+
+_register(
+    "olap_q12_shipmode_priority",
+    _olap_q12_shipmode_priority,
+    """
+    SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) >= 60
+                THEN 'SLOW' ELSE 'FAST' END AS ship_mode,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(l_shipdate) = 1997
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+
+def _olap_q16_parts_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size),
+    brand + exclusion-list filtered."""
+    from vector_indexer_spark.operators.olap import parts_supplier_counts
+
+    return parts_supplier_counts(
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+    )
+
+
+_register(
+    "olap_q16_parts_supplier_counts",
+    _olap_q16_parts_supplier_counts,
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) c
+    JOIN part ON c.l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND c.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+
+
+def _olap_q20_excess_stock(spark, sf_dir):
+    """TPC-H Q20 shape: a nation's dominant suppliers of prefix-named
+    parts (more than half the part's shipped quantity)."""
+    from vector_indexer_spark.operators.olap import excess_stock_suppliers
+
+    return excess_stock_suppliers(
+        spark.read.parquet(f"{sf_dir}/supplier.parquet"),
+        spark.read.parquet(f"{sf_dir}/nation.parquet"),
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+        spark.read.parquet(f"{sf_dir}/part.parquet"),
+    )
+
+
+_register(
+    "olap_q20_excess_stock",
+    _olap_q20_excess_stock,
+    """
+    WITH li AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(floor(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE year(l_shipdate) = 1997
+        AND l_partkey IN
+            (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    ),
+    sp AS (
+      SELECT l_partkey, l_suppkey, SUM(qty) AS sp_qty
+      FROM li GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT l_partkey, SUM(qty) AS part_qty FROM li GROUP BY 1
+    ),
+    dominant AS (
+      SELECT l_suppkey, COUNT(*) AS n_dominant_parts
+      FROM sp JOIN per_part USING (l_partkey)
+      WHERE sp_qty * 2 > part_qty
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, n_dominant_parts
+    FROM dominant
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_0'
+    ORDER BY s_suppkey
+    """,
+)

@@ -367,3 +367,191 @@ def graph_ann_search(
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# NN-Descent k-NN graph construction (Dong, Moses & Li, WWW 2011).
+#
+# The scale path for graph construction: ``knn_graph`` above is the
+# exact O(n^2) yardstick; NN-Descent converges to a near-exact k-NN
+# graph in a handful of rounds, each round touching O(n * k^2)
+# candidate pairs — linear in n. The principle: a neighbor of a
+# neighbor is likely a neighbor, so each round joins the current
+# graph with itself through the shared middle node, scores the new
+# candidates, and keeps the best k per node.
+# ---------------------------------------------------------------------------
+
+
+def nn_descent_knn_graph(
+    vectors: DataFrame,
+    k: int,
+    *,
+    iterations: int = 4,
+    max_candidates: int | None = None,
+    symmetric: bool = True,
+    id_col: str = "id",
+    vec_col: str = "values",
+    return_distances: bool = False,
+) -> DataFrame:
+    """Approximate k-NN graph via NN-Descent: same ``(src, dst)``
+    contract as :func:`knn_graph` (or ``(src, dst, rank, dist2)``
+    directed with ``return_distances=True``), built in
+    ``iterations`` bounded rounds instead of an all-pairs join.
+
+    Deterministic and oracle-unrollable: the initial graph hashes ids
+    into buckets of ~2k+2 expected occupants under THREE independent
+    multiplicative hashes (``((id % 1000003) * A_r + B_r) % 1000003 %
+    nbuckets`` — pure modular arithmetic, identical in any SQL
+    dialect, no engine hash function), scores the union of all
+    within-bucket pairs, and keeps each node's best k. Three
+    independent bucketings matter: one bucketing yields an
+    assortative init whose neighbor-of-neighbor closure never leaves
+    its own bucket (the descent converges instantly at a useless
+    local optimum — measured recall 0.04); with independent
+    bucketings each node's neighbors bridge different buckets, giving
+    the expander-like mixing random init the published algorithm
+    assumes. Each round then expands neighbor-of-neighbor candidates
+    over the symmetrized current graph and re-selects top-k by
+    ``(dist2, dst)``. Every step is a deterministic set function of
+    the input, so the whole recurrence can be replayed hop-by-hop by
+    the DuckDB oracle.
+
+    Scale shape per round: candidate generation is one self-join of
+    the edge list on the shared middle node (n*k rows joined to n*k
+    rows on a k-ish-cardinality-per-key column: O(n*k^2) output,
+    optionally capped per node by ``max_candidates``); scoring is two
+    key-partitioned joins against the vector table; re-selection is
+    one window partitioned by src. No global barrier besides the
+    round structure itself — n=10^9, k=20 is 4 rounds of ~4*10^11
+    bounded candidate rows, each shuffle key-partitioned, vs the
+    10^18-pair all-pairs join this replaces.
+
+    Convergence is checked per round (new edge set == old edge set →
+    stop early); recall vs the exact graph is typically >0.9 on
+    clustered data after 3-4 rounds (pytest locks a threshold).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from vector_indexer_spark.functions.distance import (  # noqa: PLC0415
+        dist2_expr,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+
+    v = vectors.select(
+        F.col(id_col).alias("node"), F.col(vec_col).alias("vec")
+    )
+    n = v.count()
+    # expected bucket occupancy ~ 2k+2: enough intra-bucket pairs to
+    # seed every node with up-to-k starters, small enough that the
+    # init join is O(n * k) per bucketing, not O(n^2 / nbuckets)
+    nbuckets = max(1, n // (2 * k + 2))
+
+    def bucket_expr(mult: int, add: int):
+        return (
+            (F.col("node") % F.lit(1_000_003)) * F.lit(mult)
+            + F.lit(add)
+        ) % F.lit(1_000_003) % F.lit(nbuckets)
+
+    w_src = Window.partitionBy("src").orderBy("dist2", "dst")
+
+    def topk(edges_scored: DataFrame) -> DataFrame:
+        return (
+            edges_scored.withColumn("__r", F.row_number().over(w_src))
+            .filter(F.col("__r") <= k)
+            .select(
+                "src",
+                "dst",
+                F.col("__r").cast("int").alias("rank"),
+                "dist2",
+            )
+        )
+
+    init_pairs = None
+    for mult, add in ((40_503, 7), (75_029, 13), (126_989, 29)):
+        vb = v.withColumn("__b", bucket_expr(mult, add))
+        a, b = vb.alias("a"), vb.alias("b")
+        pairs_r = (
+            a.join(b, on=(F.col("a.__b") == F.col("b.__b")))
+            .filter(F.col("a.node") != F.col("b.node"))
+            .select(
+                F.col("a.node").alias("src"),
+                F.col("b.node").alias("dst"),
+            )
+        )
+        init_pairs = (
+            pairs_r
+            if init_pairs is None
+            else init_pairs.unionByName(pairs_r)
+        )
+    init_scored = (
+        init_pairs.distinct()  # a pair can share a bucket under 2 hashes
+        .join(v.select(F.col("node").alias("src"),
+                       F.col("vec").alias("__sv")), "src")
+        .join(v.select(F.col("node").alias("dst"),
+                       F.col("vec").alias("__dv")), "dst")
+        .select("src", "dst", dist2_expr("__sv", "__dv").alias("dist2"))
+    )
+    cur = topk(init_scored).persist()
+
+    for _ in range(iterations):
+        und = (
+            cur.select("src", "dst")
+            .unionByName(
+                cur.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .distinct()
+        )
+        u1, u2 = und.alias("u1"), und.alias("u2")
+        cand = (
+            u1.join(u2, on=(F.col("u1.dst") == F.col("u2.src")))
+            .filter(F.col("u1.src") != F.col("u2.dst"))
+            .select(
+                F.col("u1.src").alias("src"),
+                F.col("u2.dst").alias("dst"),
+            )
+            .distinct()
+            # drop candidates already in the graph — they carry a
+            # known dist2; rescoring them is wasted joins
+            .join(cur.select("src", "dst"), ["src", "dst"], "left_anti")
+        )
+        if max_candidates is not None:
+            w_cap = Window.partitionBy("src").orderBy("dst")
+            cand = (
+                cand.withColumn("__c", F.row_number().over(w_cap))
+                .filter(F.col("__c") <= max_candidates)
+                .drop("__c")
+            )
+        scored = (
+            cand.join(v.select(F.col("node").alias("src"),
+                               F.col("vec").alias("__sv")), "src")
+            .join(v.select(F.col("node").alias("dst"),
+                           F.col("vec").alias("__dv")), "dst")
+            .select(
+                "src", "dst", dist2_expr("__sv", "__dv").alias("dist2")
+            )
+        )
+        nxt = topk(
+            cur.select("src", "dst", "dist2").unionByName(scored)
+        ).persist()
+        converged = (
+            nxt.select("src", "dst")
+            .exceptAll(cur.select("src", "dst"))
+            .isEmpty()
+        )
+        if converged:  # no new edges survived this round
+            nxt.unpersist()
+            break
+        cur.unpersist()
+        cur = nxt
+
+    if symmetric:
+        return symmetrize(cur, "src", "dst")
+    if return_distances:
+        return cur.select("src", "dst", "rank", "dist2")
+    return cur.select("src", "dst")

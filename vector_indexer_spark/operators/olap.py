@@ -929,3 +929,268 @@ def revenue_cube(
             "n_items",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The last five TPC-H shapes (Q2, Q11, Q12, Q16, Q20), completing all 22.
+#
+# The synthetic schema has no partsupp table and no
+# l_shipmode/l_commitdate/l_receiptdate columns, so these adapt the
+# published query semantics to what the data carries — each docstring
+# names the divergence. The part-supplier catalog is DERIVED from
+# lineitem (distinct (l_partkey, l_suppkey) with observed unit costs /
+# shipped quantities), which keeps every join-shape and subquery
+# pattern of the originals: correlated min (Q2), scalar-fraction
+# threshold (Q11), two-class pivot counts (Q12), exclusion-list
+# distinct-count (Q16), and the half-of-total dominance test (Q20).
+# ---------------------------------------------------------------------------
+
+
+def min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    *,
+    region_name: str = "ASIA",
+    size: int = 11,
+    type_name: str = "ECONOMY",
+    limit: int = 100,
+) -> DataFrame:
+    """TPC-H Q2 shape: for each part of a given size/type, the
+    region's cheapest supplier (observed min unit cost from lineitem
+    standing in for ps_supplycost — the schema has no partsupp).
+
+    Plan shape: region→nation→supplier is a broadcast dim chain that
+    reduces to a supplier key list BEFORE touching the fact; the
+    derived catalog is one map-side-combined MIN per (part, supplier);
+    the correlated "= min cost over region suppliers of this part"
+    subquery becomes a groupBy-min joined back on equality — two
+    shuffles on the part key, no window over corpus-scale data. Unit
+    cost is floor(extendedprice / quantity * 100) in integer cents —
+    IEEE double division then floor, identical in any engine.
+    """
+    nat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    supp = supplier.join(
+        F.broadcast(nat), supplier.s_nationkey == nat.n_nationkey
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    unit_cents = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * F.lit(100)
+    ).cast("long")
+    catalog = (
+        lineitem.select("l_partkey", "l_suppkey", unit_cents.alias("uc"))
+        .join(F.broadcast(supp.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("uc").alias("unit_cost_cents"))
+    )
+    pts = part.filter(
+        (F.col("p_size") == size) & (F.col("p_type") == type_name)
+    ).select("p_partkey", "p_name")
+    offers = catalog.join(
+        F.broadcast(pts), catalog.l_partkey == pts.p_partkey
+    )
+    best = offers.groupBy("p_partkey").agg(
+        F.min("unit_cost_cents").alias("min_cost_cents")
+    )
+    return (
+        offers.join(best, "p_partkey")
+        .filter(F.col("unit_cost_cents") == F.col("min_cost_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            _cents(F.col("s_acctbal")).alias("s_acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "unit_cost_cents",
+        )
+        .orderBy(
+            F.col("s_acctbal_cents").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(limit)
+    )
+
+
+def important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    *,
+    nation_name: str = "NATION_0",
+    fraction_ppm: int = 2_000,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant fraction of
+    one nation's total traded value (shipped value from lineitem
+    standing in for ps_supplycost*ps_availqty).
+
+    Plan shape: nation→supplier broadcasts to a key list; value per
+    part is one map-side-combined SUM of integer cents; the scalar
+    "fraction of grand total" subquery is a 1-row aggregate
+    cross-joined (broadcast) back — the threshold compare is pure
+    integer arithmetic (value*1e6 > total*ppm), bit-exact across
+    engines.
+    """
+    nsup = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey")
+    val = (
+        lineitem.join(F.broadcast(nsup),
+                      F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    total = val.agg(
+        F.sum("value_cents").alias("total_cents")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.lit(1_000_000)
+            > F.col("total_cents") * F.lit(fraction_ppm)
+        )
+        .select("l_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "l_partkey")
+    )
+
+
+def shipmode_priority(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    *,
+    year: int = 1997,
+    slow_lag_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q12 shape: per ship-speed class, how many high- vs
+    low-priority orders it carried (ship lag from order date standing
+    in for l_shipmode/commitdate/receiptdate, which the schema lacks:
+    lag >= ``slow_lag_days`` is 'SLOW', else 'FAST').
+
+    Plan shape: the ship-year predicate pushes to the lineitem scan;
+    one fact-fact shuffle on orderkey; the priority split is a
+    codegen CASE inside a map-side-combined SUM — the classic
+    conditional-pivot aggregation.
+    """
+    li = lineitem.filter(
+        F.year("l_shipdate") == F.lit(year)
+    ).select("l_orderkey", "l_shipdate")
+    ords = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    mode = F.when(
+        F.datediff("l_shipdate", "o_orderdate") >= slow_lag_days, "SLOW"
+    ).otherwise("FAST")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .select(mode.alias("ship_mode"), high.alias("is_high"))
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+def parts_supplier_counts(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    *,
+    exclude_brand: str = "Brand#1",
+    sizes: tuple[int, ...] = (1, 4, 7, 10, 13, 16, 19, 22),
+) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can provide each
+    (brand, type, size) bucket, excluding one brand and an exclusion
+    list of suppliers (negative account balance standing in for the
+    'customer complaints' LIKE subquery).
+
+    Plan shape: the supplier exclusion list is a broadcast anti-join
+    (it is tiny by construction); the part filter broadcasts onto the
+    derived distinct (part, supplier) catalog; the COUNT(DISTINCT
+    suppkey) groups by part attributes — Spark plans it as two
+    map-side-combined aggregations (partial distinct then count), no
+    row explosion.
+    """
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pts = part.filter(
+        (F.col("p_brand") != exclude_brand)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    catalog = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        catalog.join(F.broadcast(pts),
+                     catalog.l_partkey == pts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def excess_stock_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    *,
+    nation_name: str = "NATION_0",
+    name_prefix: str = "red",
+    year: int = 1997,
+) -> DataFrame:
+    """TPC-H Q20 shape: a nation's suppliers who dominate the supply
+    of some matched part — shipped more than half that part's total
+    shipped quantity in the year (observed shipments standing in for
+    ps_availqty > 0.5 * sum(l_quantity)).
+
+    Plan shape: the part-name prefix reduces to a broadcast key list;
+    per-(part, supplier) and per-part quantity sums share one
+    shuffled aggregation each (integer quantity units, associative);
+    the dominance test is 2*sp_qty > part_qty in pure integer math;
+    the nation filter lands last on an already supplier-sized frame.
+    """
+    pts = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    li = (
+        lineitem.filter(F.year("l_shipdate") == F.lit(year))
+        .join(F.broadcast(pts), F.col("l_partkey") == pts.p_partkey)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.floor("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("sp_qty")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("qty").alias("part_qty"))
+    dominant = (
+        sp.join(per_part, "l_partkey")
+        .filter(F.col("sp_qty") * 2 > F.col("part_qty"))
+        .groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_dominant_parts"))
+    )
+    nsup = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", "s_name")
+    return (
+        dominant.join(nsup, dominant.l_suppkey == nsup.s_suppkey)
+        .select("s_suppkey", "s_name", "n_dominant_parts")
+        .orderBy("s_suppkey")
+    )
