@@ -237,6 +237,45 @@ def _dsir_df(spark, sf_dir):
     return dsir_scores(docs, docs.filter(F.col("source") == "src0"))
 
 
+def _graph_ann_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.graph import (
+        graph_ann_search,
+        knn_graph,
+    )
+
+    sub = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 128)
+        .select("vec_id", "embedding")
+    )
+    edges = knn_graph(sub, 4, id_col="vec_id", vec_col="embedding")
+    q = sub.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return graph_ann_search(
+        sub, edges, q, k=5, beam=4, max_hops=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+def _nn_descent_df(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.graph import nn_descent_knn_graph
+
+    sub = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 128)
+        .select("vec_id", "embedding")
+    )
+    return nn_descent_knn_graph(
+        sub, 4, iterations=1, symmetric=False,
+        id_col="vec_id", vec_col="embedding", return_distances=True,
+    )
+
+
 def _pagerank_df(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -731,6 +770,22 @@ def main():
             "selection -> scan-local split stamp; the stages reuse "
             "one corpus exchange where keys align.",
             _training_mix_df(spark, sf_dir),
+        ),
+        (
+            "Graph-ANN beam search (final hop + top-k)",
+            "Hop-synchronous beam over the k-NN graph: per hop one "
+            "node-key shuffle of beam-by-degree candidate rows, the "
+            "query batch broadcast, visited-set anti-join; shown is "
+            "the accumulated plan after 2 hops.",
+            _graph_ann_df(spark, sf_dir),
+        ),
+        (
+            "NN-Descent k-NN graph (init + 1 round)",
+            "Tri-hash bucket init (three self-joins on modular-hash "
+            "keys), neighbor-of-neighbor expansion, per-src top-k "
+            "window; candidates bounded at n*k^2 per round — the "
+            "linear-scale alternative to the O(n^2) exact graph.",
+            _nn_descent_df(spark, sf_dir),
         ),
     ]
 

@@ -9390,6 +9390,7 @@ def _graph_nn_descent_fixed(spark, sf_dir):
     return nn_descent_knn_graph(
         emb, 4, iterations=2, symmetric=False,
         id_col="vec_id", vec_col="embedding", return_distances=True,
+        early_stop=False,  # fixed budget; a converged set is a fixed point
     )
 
 

@@ -392,6 +392,7 @@ def nn_descent_knn_graph(
     id_col: str = "id",
     vec_col: str = "values",
     return_distances: bool = False,
+    early_stop: bool = True,
 ) -> DataFrame:
     """Approximate k-NN graph via NN-Descent: same ``(src, dst)``
     contract as :func:`knn_graph` (or ``(src, dst, rank, dist2)``
@@ -539,14 +540,20 @@ def nn_descent_knn_graph(
         nxt = topk(
             cur.select("src", "dst", "dist2").unionByName(scored)
         ).persist()
-        converged = (
-            nxt.select("src", "dst")
-            .exceptAll(cur.select("src", "dst"))
-            .isEmpty()
-        )
-        if converged:  # no new edges survived this round
-            nxt.unpersist()
-            break
+        # early_stop trades one exceptAll job per round for skipping
+        # the remaining rounds once the edge set stops changing; the
+        # OUTPUT is identical either way (a converged set is a fixed
+        # point of the round function), so callers on a fixed round
+        # budget can turn the check off
+        if early_stop:
+            converged = (
+                nxt.select("src", "dst")
+                .exceptAll(cur.select("src", "dst"))
+                .isEmpty()
+            )
+            if converged:  # no new edges survived this round
+                nxt.unpersist()
+                break
         cur.unpersist()
         cur = nxt
 
