@@ -692,6 +692,67 @@ def main() -> None:
         extras["media_images_per_sec"] = round(n_img / dt, 1)
         media.unpersist()
 
+    # --- graph-ANN section: the third ANN family next to IVF pruning
+    # and PQ/SQ/BQ quantization. NN-Descent graph build (linear-scale,
+    # O(n*k^2) candidates/round — never the O(n^2) exact build) feeding
+    # hop-synchronous beam search; recall measured vs the exact GEMM
+    # scan on the same query batch. ids are cluster-round-robin, so
+    # entries 0..63 seed one node per cluster (the coarse layer HNSW's
+    # upper levels provide). ---
+    if os.environ.get("BENCH_GRAPH", "1") == "1":
+        from vector_indexer_spark.operators.graph import (
+            graph_ann_search,
+            nn_descent_knn_graph,
+        )
+        from vector_indexer_spark.sources.files import (
+            generate_clustered_vectors,
+        )
+
+        n_g = int(os.environ.get("BENCH_GRAPH_N", "20000"))
+        gvec = (
+            generate_clustered_vectors(
+                spark, n_g, 32, n_clusters=64, seed=7
+            )
+            .drop("true_cluster")
+            .cache()
+        )
+        gvec.count()
+        t0 = time.perf_counter()
+        gedges = nn_descent_knn_graph(
+            gvec, 8, iterations=3, early_stop=False
+        ).persist()
+        extras["graph_n_edges"] = gedges.count()
+        extras["graph_build_sec"] = round(time.perf_counter() - t0, 3)
+        extras["graph_n"] = n_g
+
+        gq = (
+            gvec.filter((F.col("id") >= 1000) & (F.col("id") < 1064))
+            .select(
+                F.col("id").alias("query_id"), F.col("values").alias("query")
+            )
+            .cache()
+        )
+        gq.count()
+        t0 = time.perf_counter()
+        got = graph_ann_search(
+            gvec, gedges, gq, k=10, beam=24, max_hops=6,
+            entry_ids=list(range(64)),
+        ).persist()
+        got.count()
+        extras["graph_search_sec"] = round(time.perf_counter() - t0, 3)
+
+        truth = knn_exact(gvec, gq, k=10, method="native")
+        hits = (
+            got.select("query_id", "neighbor_id")
+            .join(
+                truth.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .count()
+        )
+        extras["graph_ann_recall_at_10"] = round(hits / (64 * 10), 4)
+        got.unpersist(), gedges.unpersist(), gvec.unpersist(), gq.unpersist()
+
     results = {k: round(v, 4) for k, v in results.items()}
     print(
         json.dumps(

@@ -327,3 +327,28 @@ def test_nn_descent_error_contracts(spark):
         nn_descent_knn_graph(vecs, 0)
     with pytest.raises(ValueError):
         nn_descent_knn_graph(vecs, 3, iterations=-1)
+
+
+def test_nn_descent_arrow_native_bitexact(spark):
+    from vector_indexer_spark.operators.graph import nn_descent_knn_graph
+
+    vecs = _clustered_vectors(spark, n_clusters=3, per=20, d=6, seed=9)
+    kwargs = dict(
+        iterations=1, symmetric=False, return_distances=True,
+        early_stop=False,
+    )
+    nat = {
+        (r.src, r.dst, r.rank, r.dist2)
+        for r in nn_descent_knn_graph(vecs, 4, method="native", **kwargs)
+        .collect()
+    }
+    arr = {
+        (r.src, r.dst, r.rank, r.dist2)
+        for r in nn_descent_knn_graph(vecs, 4, method="arrow", **kwargs)
+        .collect()
+    }
+    # bit-identical doubles: same fold-left IEEE sequence per pair
+    assert nat == arr
+
+    with pytest.raises(ValueError):
+        nn_descent_knn_graph(vecs, 4, method="simd")

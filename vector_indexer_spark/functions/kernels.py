@@ -289,3 +289,26 @@ def chunked_topk(
             best_d = np.take_along_axis(md, order, axis=1)
             best_i = np.take_along_axis(mi, order, axis=1)
     return best_d, best_i
+
+
+def rowwise_dist2_foldexact(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-row squared L2 between PAIRED rows of two (n, d) arrays,
+    float64, accumulated column-by-column: ``acc += (a_j - b_j)^2``
+    for j = 0..d-1.
+
+    This is the exact fold-left order of
+    ``functions.distance.dist2_expr`` (and of every DuckDB oracle's
+    ``list_reduce``), just vectorized ACROSS rows — each row's sum is
+    the identical IEEE operation sequence, so results are
+    bit-identical to the native fold expression, with none of the
+    GEMM blocking caveats of :func:`pairwise_dist2`. Use for
+    candidate-PAIR scoring (NN-Descent rounds, verify stages) where
+    the shape is (pair rows), not (queries x corpus).
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    acc = np.zeros(a.shape[0])
+    for j in range(a.shape[1]):
+        d = a[:, j] - b[:, j]
+        acc += d * d
+    return acc
