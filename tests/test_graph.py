@@ -212,9 +212,14 @@ def test_graph_ann_beam_recall_and_invariants(spark):
     d_sum_2 = sum(r.dist2 for r in got2)
     assert d_sum_8 <= d_sum_2 + 1e-9
 
-    # zero hops: results come only from the entry set
+    # zero hops: results come only from the default (hash-spread)
+    # entry set — bottom-`beam` ids under the multiplicative hash
+    n_nodes = vecs.count()
+    hashes = sorted(
+        range(n_nodes), key=lambda i: ((i % 1000003) * 40503 + 7) % 1000003
+    )
     got0 = graph_ann_search(vecs, edges, q, k=3, beam=4, max_hops=0).collect()
-    assert {r.neighbor_id for r in got0} <= {0, 1, 2, 3}
+    assert {r.neighbor_id for r in got0} <= set(hashes[:4])
 
     # explicit entry points are respected
     gote = graph_ann_search(

@@ -202,3 +202,27 @@ class TestHierarchicalProbeRanking:
         assert hi.shape == (len(q), 8)
         flat_d, flat_i = topk_per_row(pairwise_dist2(q, cents), 8)
         np.testing.assert_array_equal(hi, flat_i)
+
+
+def test_rowwise_dist2_foldexact_matches_sequential_fold():
+    import numpy as np
+
+    from vector_indexer_spark.functions.kernels import (
+        rowwise_dist2_foldexact,
+    )
+
+    rng = np.random.default_rng(4)
+    # float32 inputs with wildly mixed magnitudes so summation ORDER
+    # matters: any reassociation (GEMM blocking, numpy pairwise sum)
+    # would flip low bits somewhere in 500 rows
+    a = (rng.normal(0, 1, (500, 33)) * 10.0 ** rng.integers(
+        -6, 6, (500, 33))).astype(np.float32)
+    b = (rng.normal(0, 1, (500, 33)) * 10.0 ** rng.integers(
+        -6, 6, (500, 33))).astype(np.float32)
+    got = rowwise_dist2_foldexact(a, b)
+    for i in range(500):
+        acc = 0.0
+        for j in range(33):
+            d = float(a[i, j]) - float(b[i, j])
+            acc += d * d
+        assert got[i] == acc  # bit-identical, not approx

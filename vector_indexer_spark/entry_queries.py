@@ -9350,7 +9350,9 @@ def _graph_ann_sql():
     ),
     edges AS (SELECT src, dst FROM knn
               UNION SELECT dst AS src, src AS dst FROM knn),
-    entry AS (SELECT vec_id AS node FROM vv ORDER BY vec_id LIMIT 8),
+    entry AS (SELECT vec_id AS node FROM vv
+              ORDER BY ((vec_id % 1000003) * 40503 + 7) % 1000003, vec_id
+              LIMIT 8),
     visited1 AS (
       SELECT q.query_id, en.node, {d2} AS dist2
       FROM q CROSS JOIN entry en

@@ -285,7 +285,8 @@ def graph_ann_search(
     neighbor_id, dist2)`` top-k per query.
 
     Semantics (deterministic, oracle-unrollable): the beam starts at
-    ``entry_ids`` (default: the ``beam`` smallest node ids); each hop
+    ``entry_ids`` (default: the ``beam`` nodes with the smallest
+    multiplicative hash — a deterministic spread sample); each hop
     expands every current beam node's out-edges, drops already-visited
     candidates, scores the rest, and re-selects the best ``beam``
     visited nodes by ``(dist2, node)``. After ``max_hops`` hops the
@@ -319,9 +320,22 @@ def graph_ann_search(
     e = edges.select(F.col("src").alias("enode"), F.col("dst"))
 
     if entry_ids is None:
-        # orderBy+limit compiles to TakeOrderedAndProject — a
-        # distributed partial top-k, not a single-partition window.
-        entry = v.select("node").orderBy("node").limit(beam)
+        # default entries: bottom-`beam` by a multiplicative hash — a
+        # deterministic SPREAD sample (consecutive ids are usually
+        # cluster-mates; hash order decorrelates entry placement from
+        # insertion order). orderBy+limit compiles to
+        # TakeOrderedAndProject — a distributed partial top-k, not a
+        # single-partition window; the hash is the same pure modular
+        # arithmetic the NN-Descent init uses, so the oracle replays it.
+        h = (
+            (F.col("node") % F.lit(1_000_003)) * F.lit(40_503) + F.lit(7)
+        ) % F.lit(1_000_003)
+        entry = (
+            v.select("node", h.alias("__h"))
+            .orderBy("__h", "node")
+            .limit(beam)
+            .select("node")
+        )
     else:
         entry = v.sparkSession.createDataFrame(
             [(int(i),) for i in entry_ids], "node long"
