@@ -1,0 +1,112 @@
+"""Two-layer graph index: build/load parity contract + end-to-end
+recall with NO manual entry seeding (the point of the coarse layer)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators.graph_index import (
+    GRAPH_FORMAT_VERSION,
+    build_graph_index,
+    load_graph_index,
+    search_graph_index,
+)
+
+
+def _clustered_vectors(spark, n_clusters=6, per=30, d=8, seed=3):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 10, (n_clusters, d))
+    pts = np.concatenate([c + rng.normal(0, 0.5, (per, d)) for c in centers])
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "id long, values array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def gidx(spark, tmp_path_factory):
+    vecs = _clustered_vectors(spark, n_clusters=6, per=30, d=8, seed=3)
+    path = str(tmp_path_factory.mktemp("gidx") / "graph_index")
+    idx = build_graph_index(
+        vecs, path, k=6, coarse_k=3, iterations=2, coarse_size=24
+    )
+    return idx, vecs
+
+
+def test_build_meta_and_layout(gidx, spark):
+    idx, vecs = gidx
+    assert idx.dimension == 8
+    assert idx.n_vectors == 180
+    assert idx.coarse_size == 24
+    assert os.path.exists(os.path.join(idx.path, "meta.json"))
+    # layer-0: symmetrized, no self-loops, every node has out-edges
+    e = idx.edges(spark)
+    assert e.filter(F.col("src") == F.col("dst")).count() == 0
+    assert e.select("src").distinct().count() == 180
+    # coarse layer: edges only among the sampled nodes
+    cn = {r.node for r in idx.coarse_nodes(spark).collect()}
+    assert len(cn) == 24
+    ce = idx.coarse_edges(spark)
+    assert {r.src for r in ce.collect()} <= cn
+    assert {r.dst for r in ce.collect()} <= cn
+
+
+def test_load_roundtrip_and_error_contract(gidx, tmp_path):
+    idx, _ = gidx
+    loaded = load_graph_index(idx.path)
+    assert loaded == idx
+    with pytest.raises(FileNotFoundError, match="meta.json missing"):
+        load_graph_index(str(tmp_path / "nope"))
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "meta.json").write_text(json.dumps({"version": 99}))
+    with pytest.raises(ValueError, match="version"):
+        load_graph_index(str(bad))
+
+
+def test_two_layer_search_recall_without_seeding(gidx, spark):
+    from vector_indexer_spark.operators.knn import knn_exact
+
+    idx, vecs = gidx
+    # queries spread across all 6 clusters; NO entry_ids anywhere —
+    # the coarse layer must route each query to its neighborhood
+    q = vecs.filter(F.col("id") % 13 == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    got = search_graph_index(
+        spark, idx, vecs, q, k=5, beam=12, max_hops=4,
+        entry_fanout=6, coarse_beam=8, coarse_hops=4,
+    ).collect()
+    truth = knn_exact(vecs, q, k=5, method="native").collect()
+    want = {}
+    for r in truth:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    # contract: contiguous ranks, sorted dist2, self found at rank 1
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[0].neighbor_id == qid and rows[0].dist2 == 0.0
+    hits = sum(
+        len(want[qid] & {r.neighbor_id for r in rows})
+        for qid, rows in by_q.items()
+    )
+    recall = hits / sum(len(s) for s in want.values())
+    assert recall >= 0.85, recall
+
+
+def test_build_error_contracts(spark, tmp_path):
+    vecs = _clustered_vectors(spark, n_clusters=2, per=4, d=4)
+    with pytest.raises(ValueError, match="k and coarse_k"):
+        build_graph_index(vecs, str(tmp_path / "x"), k=0)
+    empty = vecs.filter(F.col("id") < 0)
+    with pytest.raises(ValueError, match="zero vectors"):
+        build_graph_index(empty, str(tmp_path / "y"))

@@ -9681,3 +9681,206 @@ _register(
     ORDER BY s_suppkey
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# graph_index_search_fixed — the ENTIRE two-layer graph index, build and
+# search, replayed by one SQL oracle: NN-Descent layer-0 (tri-hash init +
+# 1 round), hash-spread coarse sample (16 of 192), exact coarse 2-NN
+# graph, layer-1 beam search (2 hops, global hash-spread entries), and
+# the per-query-seeded layer-0 beam search (2 hops, top-10). Every stage
+# is a deterministic set function, so the composition is too — this is
+# the HNSW-shaped index's end-to-end correctness lock.
+# --------------------------------------------------------------------------
+
+
+def _graph_index_search_fixed(spark, sf_dir):
+    import tempfile
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        search_graph_index,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    idx = build_graph_index(
+        emb,
+        tempfile.mkdtemp(prefix="gidx_oracle_") + "/gidx",
+        k=4,
+        coarse_k=2,
+        iterations=1,
+        coarse_size=16,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index(
+        spark, idx, emb, q,
+        k=10, beam=6, max_hops=2,
+        entry_fanout=4, coarse_beam=4, coarse_hops=2,
+    )
+
+
+def _graph_index_sql():
+    d2_pair = """
+      list_reduce(
+        list_transform(range(1, len(a.embedding) + 1),
+          i -> (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(c2.embedding[i] AS DOUBLE))
+             * (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(c2.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+    d2_q = """
+      list_reduce(
+        list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST(q.query[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))
+             * (CAST(q.query[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+    def beam_hops(tag, edges, first, hops, beam):
+        """Hop CTE chain: {tag}_visited1 = `first`; each hop expands
+        `edges`, anti-joins visited, scores vs vv, re-selects."""
+        out = f",\n    {tag}_visited1 AS ({first})"
+        for n in range(1, hops + 1):
+            out += f""",
+    {tag}_beam{n} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM {tag}_visited{n}) WHERE rn <= {beam}
+    ),
+    {tag}_cand{n + 1} AS (
+      SELECT DISTINCT b.query_id, e.dst AS node
+      FROM {tag}_beam{n} b JOIN {edges} e ON b.node = e.src
+      ANTI JOIN {tag}_visited{n} vv ON vv.query_id = b.query_id
+                                   AND vv.node = e.dst
+    ),
+    {tag}_scored{n + 1} AS (
+      SELECT c.query_id, c.node, {d2_q} AS dist2
+      FROM {tag}_cand{n + 1} c
+      JOIN vv v ON v.vec_id = c.node
+      JOIN q ON q.query_id = c.query_id
+    ),
+    {tag}_visited{n + 1} AS (
+      SELECT * FROM {tag}_visited{n}
+      UNION ALL SELECT * FROM {tag}_scored{n + 1}
+    )"""
+        return out
+
+    # layer-1 entries: global hash-spread bottom-4 AMONG the coarse set
+    l1_first = f"""
+      SELECT q.query_id, en.node, {d2_q} AS dist2
+      FROM q CROSS JOIN (
+        SELECT node FROM coarse
+        ORDER BY ((node % 1000003) * 40503 + 7) % 1000003, node
+        LIMIT 4) en
+      JOIN vv v ON v.vec_id = en.node"""
+    # layer-0 entries: each query's coarse top-4 (dist2 carried over)
+    l0_first = """
+      SELECT query_id, node, dist2 FROM (
+        SELECT query_id, node, dist2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM l1_visited3) WHERE rn <= 4"""
+
+    return f"""
+    WITH vv AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 192),
+    q AS (SELECT vec_id AS query_id, embedding AS query FROM vv
+          WHERE vec_id < 8),
+    -- === layer-0 NN-Descent graph: k=4, tri-hash init, 1 round ===
+    b AS (
+      SELECT vec_id,
+        ((vec_id % 1000003) * 40503 + 7) % 1000003 % 19 AS b1,
+        ((vec_id % 1000003) * 75029 + 13) % 1000003 % 19 AS b2,
+        ((vec_id % 1000003) * 126989 + 29) % 1000003 % 19 AS b3
+      FROM vv
+    ),
+    ip AS (
+      SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+      FROM b x JOIN b y
+        ON (x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+      WHERE x.vec_id <> y.vec_id
+    ),
+    sc_init AS (
+      SELECT c.src, c.dst, {d2_pair} AS dist2
+      FROM ip c JOIN vv a ON a.vec_id = c.src
+                JOIN vv c2 ON c2.vec_id = c.dst
+    ),
+    g0 AS (
+      SELECT src, dst, dist2 FROM (
+        SELECT src, dst, dist2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM sc_init) WHERE rn <= 4
+    ),
+    und0 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM g0
+        UNION ALL SELECT dst AS src, src AS dst FROM g0)
+    ),
+    cand0 AS (
+      SELECT DISTINCT u1.src, u2.dst
+      FROM und0 u1 JOIN und0 u2 ON u1.dst = u2.src
+      ANTI JOIN g0 g ON g.src = u1.src AND g.dst = u2.dst
+      WHERE u1.src <> u2.dst
+    ),
+    sc0 AS (
+      SELECT c.src, c.dst, {d2_pair} AS dist2
+      FROM cand0 c JOIN vv a ON a.vec_id = c.src
+                   JOIN vv c2 ON c2.vec_id = c.dst
+    ),
+    g1 AS (
+      SELECT src, dst, dist2 FROM (
+        SELECT src, dst, dist2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM (SELECT * FROM g0 UNION ALL SELECT * FROM sc0))
+      WHERE rn <= 4
+    ),
+    edges0 AS (SELECT src, dst FROM g1
+               UNION SELECT dst AS src, src AS dst FROM g1),
+    -- === coarse layer: hash-spread 16, exact 2-NN graph ===
+    coarse AS (
+      SELECT vec_id AS node FROM vv
+      ORDER BY ((vec_id % 1000003) * 40503 + 7) % 1000003, vec_id
+      LIMIT 16
+    ),
+    cpairs AS (
+      SELECT a.vec_id AS src, c2.vec_id AS dst, {d2_pair} AS dist2
+      FROM vv a JOIN coarse ca ON a.vec_id = ca.node
+      JOIN vv c2 JOIN coarse cb ON c2.vec_id = cb.node
+        ON a.vec_id <> c2.vec_id
+    ),
+    cknn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM cpairs) WHERE rn <= 2
+    ),
+    cedges AS (SELECT src, dst FROM cknn
+               UNION SELECT dst AS src, src AS dst FROM cknn)
+    {beam_hops("l1", "cedges", l1_first, 2, 4)}
+    {beam_hops("l0", "edges0", l0_first, 2, 6)}
+    SELECT query_id, CAST(rn AS INT) AS rank, node AS neighbor_id, dist2
+    FROM (
+      SELECT query_id, node, dist2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist2, node) AS rn
+      FROM l0_visited3) WHERE rn <= 10
+    """
+
+
+_register(
+    "graph_index_search_fixed",
+    _graph_index_search_fixed,
+    _graph_index_sql(),
+)

@@ -278,6 +278,7 @@ def graph_ann_search(
     beam: int = 8,
     max_hops: int = 3,
     entry_ids: list[int] | None = None,
+    entry_df: DataFrame | None = None,
     id_col: str = "id",
     vec_col: str = "values",
 ) -> DataFrame:
@@ -286,7 +287,9 @@ def graph_ann_search(
 
     Semantics (deterministic, oracle-unrollable): the beam starts at
     ``entry_ids`` (default: the ``beam`` nodes with the smallest
-    multiplicative hash — a deterministic spread sample); each hop
+    multiplicative hash — a deterministic spread sample), or — for
+    PER-QUERY seeding — at ``entry_df`` ``(query_id, node)`` rows (the
+    coarse layer's shortlist in the two-layer index); each hop
     expands every current beam node's out-edges, drops already-visited
     candidates, scores the rest, and re-selects the best ``beam``
     visited nodes by ``(dist2, node)``. After ``max_hops`` hops the
@@ -319,7 +322,9 @@ def graph_ann_search(
     q = queries.select("query_id", "query")
     e = edges.select(F.col("src").alias("enode"), F.col("dst"))
 
-    if entry_ids is None:
+    if entry_df is not None:
+        seed = entry_df.select("query_id", "node").distinct()
+    elif entry_ids is None:
         # default entries: bottom-`beam` by a multiplicative hash — a
         # deterministic SPREAD sample (consecutive ids are usually
         # cluster-mates; hash order decorrelates entry placement from
@@ -340,6 +345,8 @@ def graph_ann_search(
         entry = v.sparkSession.createDataFrame(
             [(int(i),) for i in entry_ids], "node long"
         )
+    if entry_df is None:
+        seed = q.select("query_id").crossJoin(entry)
 
     def scored(cand: DataFrame) -> DataFrame:
         return (
@@ -358,7 +365,7 @@ def graph_ann_search(
     # even with the data cached (measured 10s -> 45s -> ~200s per hop
     # at 20k nodes). Checkpointing truncates to a constant-size
     # LogicalRDD each hop; the hop cost is then the actual joins.
-    visited = scored(q.select("query_id").crossJoin(entry)).localCheckpoint()
+    visited = scored(seed).localCheckpoint()
     n_vis = visited.count()
     wq = Window.partitionBy("query_id").orderBy("dist2", "node")
     for _ in range(max_hops):

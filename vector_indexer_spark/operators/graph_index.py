@@ -1,0 +1,269 @@
+"""Persisted two-layer navigable-graph ANN index (HNSW-shaped).
+
+The third ANN family's INDEX surface, mirroring the IVF index's
+build/load/search contract (operators/index_build.py — the reference's
+save/load shape, src/ivf_index.rs:36-41 / api.rs): a graph index is
+two Parquet edge tables plus a small JSON meta sidecar.
+
+- **Layer 0** — a symmetrized NN-Descent k-NN graph over every vector
+  (graph.nn_descent_knn_graph: O(n·k²) candidates per round, never the
+  O(n²) exact build).
+- **Layer 1 (coarse)** — a deterministic hash-spread sample of
+  ~``coarse_size`` nodes (bottom-m under the engine's multiplicative
+  hash — the same spread sample beam search uses for default entries)
+  with its own exact-or-descent k-NN graph. This plays the role of
+  HNSW's upper levels: search walks the coarse graph first, and each
+  query's coarse top-``entry_fanout`` becomes its PER-QUERY entry set
+  into layer 0 — no manual ``entry_ids`` seeding needed, which is what
+  makes the index a drop-in batch ANN surface.
+
+Scale shape: build is two NN-Descent runs (the coarse one over √n-ish
+nodes is negligible); search is two hop-synchronous beam searches —
+every hop one node-key shuffle of (beam × degree) candidate rows per
+query, the query batch broadcast, state localCheckpoint-truncated per
+hop (constant logical-plan size; see graph.py). Vectors stay wherever
+the caller keeps them — the index holds edges only (k·n ids + doubles),
+~1/16th the bytes of the vector table at d=128, so the edge tables can
+be co-partitioned with the corpus (bucket both by the node key) without
+touching the vector layout.
+
+Everything is deterministic (tri-hash NN-Descent init, (dist2, node)
+tie rules, hash-spread sampling) — two builds over the same input are
+byte-identical, and the component recurrences are each locked by their
+own DuckDB oracles (graph_nn_descent_fixed, graph_ann_beam_fixed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GRAPH_FORMAT_VERSION = 1
+
+_HASH_P = 1_000_003
+_HASH_A = 40_503
+_HASH_B = 7
+
+
+def _spread_hash(col):
+    return ((col % F.lit(_HASH_P)) * F.lit(_HASH_A) + F.lit(_HASH_B)) % F.lit(
+        _HASH_P
+    )
+
+
+@dataclass
+class GraphIndex:
+    path: str
+    dimension: int
+    k: int
+    coarse_k: int
+    n_vectors: int
+    coarse_size: int
+    iterations: int
+    id_col: str
+    vec_col: str
+
+    def edges(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "edges"))
+
+    def coarse_edges(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "coarse_edges"))
+
+    def coarse_nodes(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(os.path.join(self.path, "coarse_nodes"))
+
+
+def build_graph_index(
+    vectors: DataFrame,
+    path: str,
+    *,
+    k: int = 8,
+    coarse_k: int = 4,
+    iterations: int = 3,
+    coarse_size: int | None = None,
+    id_col: str = "id",
+    vec_col: str = "values",
+    method: str = "arrow",
+) -> GraphIndex:
+    """Build and persist the two-layer graph index.
+
+    ``coarse_size`` defaults to ``max(64, ceil(sqrt(n)))`` — HNSW's
+    level-population shape (each level ~1/e of the one below collapses,
+    for two layers, to a √n-ish coarse set). The coarse sample is the
+    bottom-``coarse_size`` nodes under the multiplicative hash: a
+    deterministic spread sample, stable under appends that keep ids
+    (a node enters/leaves the sample only if the id set changes).
+    """
+    from vector_indexer_spark.operators.graph import (  # noqa: PLC0415
+        nn_descent_knn_graph,
+    )
+
+    if k < 1 or coarse_k < 1:
+        raise ValueError("k and coarse_k must be >= 1")
+    v = vectors.select(
+        F.col(id_col).alias("node"), F.col(vec_col).alias("vec")
+    )
+    first = v.select(F.size("vec").alias("d")).first()
+    if first is None:
+        raise ValueError("cannot build a graph index over zero vectors")
+    dimension = int(first["d"])
+    n = v.count()
+    if coarse_size is None:
+        coarse_size = max(64, int(n**0.5) + 1)
+    coarse_size = min(coarse_size, n)
+
+    edges = nn_descent_knn_graph(
+        vectors, k, iterations=iterations, symmetric=True,
+        id_col=id_col, vec_col=vec_col, method=method, early_stop=False,
+    )
+
+    coarse = (
+        v.select("node", _spread_hash(F.col("node")).alias("__h"))
+        .orderBy("__h", "node")
+        .limit(coarse_size)
+        .select("node")
+    )
+    coarse_vec = v.join(F.broadcast(coarse), "node").select(
+        F.col("node").alias(id_col), F.col("vec").alias(vec_col)
+    )
+    if coarse_size <= 4096:
+        # √n-sized layer: the exact O(m²) graph is cheaper than
+        # descent rounds and strictly better quality
+        from vector_indexer_spark.operators.graph import (  # noqa: PLC0415
+            knn_graph,
+        )
+
+        cedges = knn_graph(
+            coarse_vec, coarse_k, id_col=id_col, vec_col=vec_col,
+            symmetric=True,
+        )
+    else:
+        cedges = nn_descent_knn_graph(
+            coarse_vec, coarse_k, iterations=iterations, symmetric=True,
+            id_col=id_col, vec_col=vec_col, method=method,
+            early_stop=False,
+        )
+    edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
+    cedges.write.mode("overwrite").parquet(
+        os.path.join(path, "coarse_edges")
+    )
+    coarse.write.mode("overwrite").parquet(
+        os.path.join(path, "coarse_nodes")
+    )
+    meta = {
+        "version": GRAPH_FORMAT_VERSION,
+        "kind": "two_layer_graph",
+        "dimension": dimension,
+        "k": k,
+        "coarse_k": coarse_k,
+        "n_vectors": n,
+        "coarse_size": coarse_size,
+        "iterations": iterations,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    return GraphIndex(
+        path=path,
+        dimension=dimension,
+        k=k,
+        coarse_k=coarse_k,
+        n_vectors=n,
+        coarse_size=coarse_size,
+        iterations=iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def load_graph_index(path: str) -> GraphIndex:
+    """Reopen a persisted graph index (S6-shaped error contract:
+    missing path / wrong version raise with actionable messages)."""
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(f"no graph index at {path!r} (meta.json missing)")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("version") != GRAPH_FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported graph index version {meta.get('version')!r}"
+        )
+    return GraphIndex(
+        path=path,
+        dimension=int(meta["dimension"]),
+        k=int(meta["k"]),
+        coarse_k=int(meta["coarse_k"]),
+        n_vectors=int(meta["n_vectors"]),
+        coarse_size=int(meta["coarse_size"]),
+        iterations=int(meta["iterations"]),
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )
+
+
+def search_graph_index(
+    spark: SparkSession,
+    index: GraphIndex,
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    beam: int = 16,
+    max_hops: int = 4,
+    entry_fanout: int = 8,
+    coarse_beam: int = 8,
+    coarse_hops: int = 4,
+) -> DataFrame:
+    """Two-layer batched ANN search: ``(query_id, rank, neighbor_id,
+    dist2)`` top-k per query, no entry seeding required.
+
+    Layer 1 beam-searches the coarse graph (hash-spread default
+    entries over a √n-sized node set — cheap and global); each query's
+    coarse top-``entry_fanout`` seeds its PRIVATE layer-0 beam via
+    ``entry_df``. The expensive layer-0 walk therefore starts next to
+    the answer — ``max_hops`` stays small and per-hop candidate counts
+    stay (beam × degree)-bounded regardless of corpus size.
+    """
+    from vector_indexer_spark.operators.graph import (  # noqa: PLC0415
+        graph_ann_search,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    v = vectors.select(
+        F.col(index.id_col).alias("node"), F.col(index.vec_col).alias("vec")
+    )
+    coarse_vec = v.join(
+        F.broadcast(index.coarse_nodes(spark)), "node"
+    ).select(
+        F.col("node").alias(index.id_col), F.col("vec").alias(index.vec_col)
+    )
+    coarse_hits = graph_ann_search(
+        coarse_vec,
+        index.coarse_edges(spark),
+        queries,
+        k=entry_fanout,
+        beam=coarse_beam,
+        max_hops=coarse_hops,
+        id_col=index.id_col,
+        vec_col=index.vec_col,
+    )
+    entry_df = coarse_hits.select(
+        "query_id", F.col("neighbor_id").alias("node")
+    )
+    return graph_ann_search(
+        vectors,
+        index.edges(spark),
+        queries,
+        k=k,
+        beam=beam,
+        max_hops=max_hops,
+        entry_df=entry_df,
+        id_col=index.id_col,
+        vec_col=index.vec_col,
+    )
