@@ -700,9 +700,9 @@ def main() -> None:
     # entries 0..63 seed one node per cluster (the coarse layer HNSW's
     # upper levels provide). ---
     if os.environ.get("BENCH_GRAPH", "1") == "1":
-        from vector_indexer_spark.operators.graph import (
-            graph_ann_search,
-            nn_descent_knn_graph,
+        from vector_indexer_spark.operators.graph_index import (
+            build_graph_index,
+            search_graph_index,
         )
         from vector_indexer_spark.sources.files import (
             generate_clustered_vectors,
@@ -718,12 +718,11 @@ def main() -> None:
         )
         gvec.count()
         t0 = time.perf_counter()
-        gedges = nn_descent_knn_graph(
-            gvec, 8, iterations=3, early_stop=False
-        ).persist()
-        extras["graph_n_edges"] = gedges.count()
+        gpath = tempfile.mkdtemp(prefix="bench_graph_") + "/gidx"
+        gidx = build_graph_index(gvec, gpath, k=8, iterations=3)
         extras["graph_build_sec"] = round(time.perf_counter() - t0, 3)
         extras["graph_n"] = n_g
+        extras["graph_coarse_size"] = gidx.coarse_size
 
         gq = (
             gvec.filter((F.col("id") >= 1000) & (F.col("id") < 1064))
@@ -733,10 +732,11 @@ def main() -> None:
             .cache()
         )
         gq.count()
+        # the full index surface: coarse-layer routing, no entry seeding
         t0 = time.perf_counter()
-        got = graph_ann_search(
-            gvec, gedges, gq, k=10, beam=24, max_hops=6,
-            entry_ids=list(range(64)),
+        got = search_graph_index(
+            spark, gidx, gvec, gq, k=10, beam=24, max_hops=6,
+            entry_fanout=8, coarse_beam=12, coarse_hops=8,
         ).persist()
         got.count()
         extras["graph_search_sec"] = round(time.perf_counter() - t0, 3)
@@ -751,7 +751,7 @@ def main() -> None:
             .count()
         )
         extras["graph_ann_recall_at_10"] = round(hits / (64 * 10), 4)
-        got.unpersist(), gedges.unpersist(), gvec.unpersist(), gq.unpersist()
+        got.unpersist(), gvec.unpersist(), gq.unpersist()
 
     results = {k: round(v, 4) for k, v in results.items()}
     print(
