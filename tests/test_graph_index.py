@@ -110,3 +110,91 @@ def test_build_error_contracts(spark, tmp_path):
     empty = vecs.filter(F.col("id") < 0)
     with pytest.raises(ValueError, match="zero vectors"):
         build_graph_index(empty, str(tmp_path / "y"))
+
+
+def test_add_and_compact_roundtrip(spark, tmp_path):
+    from vector_indexer_spark.operators.graph_index import (
+        add_to_graph_index,
+        compact_graph_index,
+        load_graph_index,
+    )
+    from vector_indexer_spark.operators.knn import knn_exact
+
+    base = _clustered_vectors(spark, n_clusters=4, per=25, d=6, seed=21)
+    # the insert batch: a shifted copy of cluster members with new ids
+    newv = base.filter(F.col("id") % 10 == 0).select(
+        (F.col("id") + 1000).alias("id"),
+        F.transform("values", lambda x: x + F.lit(0.25)).alias("values"),
+    )
+    path = str(tmp_path / "gidx")
+    idx = build_graph_index(
+        base, path, k=5, coarse_k=3, iterations=2, coarse_size=20
+    )
+    n0 = idx.n_vectors
+    added = add_to_graph_index(spark, idx, base, newv)
+    assert added == 10
+    assert load_graph_index(path).n_vectors == n0 + 10
+
+    combined = base.unionByName(newv)
+    e = idx.edges(spark)
+    new_ids = {r.id for r in newv.select("id").collect()}
+    # appended in both directions + batch-internal connectivity
+    srcs = {r.src for r in e.collect()}
+    assert new_ids <= srcs
+    fwd = e.filter(F.col("src").isin(*new_ids) & ~F.col("dst").isin(*new_ids))
+    rev = e.filter(F.col("dst").isin(*new_ids) & ~F.col("src").isin(*new_ids))
+    assert fwd.count() > 0 and rev.count() > 0
+
+    # inserted points are now findable through the live index
+    q = newv.select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    got = search_graph_index(
+        spark, idx, combined, q, k=3, beam=10, max_hops=4,
+        entry_fanout=6, coarse_beam=8, coarse_hops=6,
+    ).collect()
+    truth = knn_exact(combined, q, k=3, method="native").collect()
+    want = {}
+    for r in truth:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for r in got if r.neighbor_id in want[r.query_id])
+    assert hits / sum(len(s) for s in want.values()) >= 0.8
+    # every inserted point finds itself at rank 1
+    self_hits = {r.query_id for r in got if r.rank == 1 and r.neighbor_id == r.query_id}
+    assert self_hits == new_ids
+
+    # compaction: degree bounded, search quality preserved
+    n_before, n_after = compact_graph_index(
+        spark, idx, combined, max_degree=6
+    )
+    assert n_after <= n_before
+    deg = (
+        idx.edges(spark).groupBy("src").count()
+        .agg(F.max("count")).first()[0]
+    )
+    assert deg <= 6
+    got2 = search_graph_index(
+        spark, idx, combined, q, k=3, beam=10, max_hops=4,
+        entry_fanout=6, coarse_beam=8, coarse_hops=6,
+    ).collect()
+    hits2 = sum(1 for r in got2 if r.neighbor_id in want[r.query_id])
+    assert hits2 / sum(len(s) for s in want.values()) >= 0.8
+
+    with pytest.raises(ValueError, match="max_degree"):
+        compact_graph_index(spark, idx, combined, max_degree=0)
+
+
+def test_add_empty_batch_is_noop(spark, tmp_path):
+    from vector_indexer_spark.operators.graph_index import (
+        add_to_graph_index,
+    )
+
+    base = _clustered_vectors(spark, n_clusters=2, per=10, d=4, seed=5)
+    idx = build_graph_index(
+        base, str(tmp_path / "g2"), k=3, coarse_k=2, iterations=1,
+        coarse_size=8,
+    )
+    n_edges = idx.edges(spark).count()
+    assert add_to_graph_index(spark, idx, base, base.filter("id < 0")) == 0
+    assert idx.edges(spark).count() == n_edges
+    assert idx.n_vectors == 20

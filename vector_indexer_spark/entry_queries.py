@@ -9884,3 +9884,263 @@ _register(
     _graph_index_search_fixed,
     _graph_index_sql(),
 )
+
+
+# --------------------------------------------------------------------------
+# graph_index_add_search — the graph index's INSERT path proven
+# end-to-end by one SQL replay: build (192 vectors), batched insert of 8
+# new vectors (the insert-search over the live index, the reverse edges,
+# and the batch-internal k-NN graph — at batch size 8 the tri-hash init
+# collapses to one bucket, so NN-Descent's init is already the exact
+# 4-NN and the rounds are a fixed point), then a verification search
+# over the combined graph with mixed old/new queries. A wrong insert
+# edge anywhere changes some query's visited set and breaks the hash.
+# --------------------------------------------------------------------------
+
+_GIDX_ADD_CACHE: dict = {}
+
+
+def _graph_index_add_search(spark, sf_dir):
+    import tempfile
+
+    from vector_indexer_spark.operators.graph_index import (
+        add_to_graph_index,
+        build_graph_index,
+        search_graph_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 192).select("vec_id", "embedding")
+    newv = emb.filter(
+        (F.col("vec_id") >= 192) & (F.col("vec_id") < 200)
+    ).select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    if sf_dir not in _GIDX_ADD_CACHE:
+        idx = build_graph_index(
+            base,
+            tempfile.mkdtemp(prefix="gidx_add_") + "/gidx",
+            k=4,
+            coarse_k=2,
+            iterations=1,
+            coarse_size=16,
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+        add_to_graph_index(
+            spark, idx, base, newv,
+            beam=6, max_hops=2, entry_fanout=4,
+            coarse_beam=4, coarse_hops=2, batch_iterations=1,
+        )
+        _GIDX_ADD_CACHE[sf_dir] = idx
+    idx = _GIDX_ADD_CACHE[sf_dir]
+    combined = base.unionByName(newv)
+    q = combined.filter(
+        F.col("vec_id").isin(0, 1, 2, 3, 10_192, 10_197)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index(
+        spark, idx, combined, q,
+        k=10, beam=6, max_hops=2,
+        entry_fanout=4, coarse_beam=4, coarse_hops=2,
+    )
+
+
+def _graph_index_add_sql():
+    d2_pair = """
+      list_reduce(
+        list_transform(range(1, len(a.embedding) + 1),
+          i -> (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(c2.embedding[i] AS DOUBLE))
+             * (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(c2.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+    def d2_q(qtab):
+        return f"""
+      list_reduce(
+        list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST({qtab}.query[i] AS DOUBLE)
+                 - CAST(v.embedding[i] AS DOUBLE))
+             * (CAST({qtab}.query[i] AS DOUBLE)
+                 - CAST(v.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+    def beam_hops(tag, qtab, vtab, edges, first, hops, beam):
+        out = f",\n    {tag}_visited1 AS ({first})"
+        for n in range(1, hops + 1):
+            out += f""",
+    {tag}_beam{n} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM {tag}_visited{n}) WHERE rn <= {beam}
+    ),
+    {tag}_cand{n + 1} AS (
+      SELECT DISTINCT b.query_id, e.dst AS node
+      FROM {tag}_beam{n} b JOIN {edges} e ON b.node = e.src
+      ANTI JOIN {tag}_visited{n} vs ON vs.query_id = b.query_id
+                                   AND vs.node = e.dst
+    ),
+    {tag}_scored{n + 1} AS (
+      SELECT c.query_id, c.node, {d2_q(qtab)} AS dist2
+      FROM {tag}_cand{n + 1} c
+      JOIN {vtab} v ON v.vec_id = c.node
+      JOIN {qtab} ON {qtab}.query_id = c.query_id
+    ),
+    {tag}_visited{n + 1} AS (
+      SELECT * FROM {tag}_visited{n}
+      UNION ALL SELECT * FROM {tag}_scored{n + 1}
+    )"""
+        return out
+
+    def two_layer(tag, qtab, vtab, edges, fanout):
+        """Layer-1 beam (coarse, 2 hops, beam 4) feeding a per-query-
+        seeded layer-0 beam (2 hops, beam 6) over `edges`."""
+        l1_first = f"""
+      SELECT {qtab}.query_id, en.node, {d2_q(qtab)} AS dist2
+      FROM {qtab} CROSS JOIN (
+        SELECT node FROM coarse
+        ORDER BY ((node % 1000003) * 40503 + 7) % 1000003, node
+        LIMIT 4) en
+      JOIN {vtab} v ON v.vec_id = en.node"""
+        l0_first = f"""
+      SELECT query_id, node, dist2 FROM (
+        SELECT query_id, node, dist2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM {tag}_c_visited3) WHERE rn <= {fanout}"""
+        return beam_hops(
+            f"{tag}_c", qtab, vtab, "cedges", l1_first, 2, 4
+        ) + beam_hops(f"{tag}_f", qtab, vtab, edges, l0_first, 2, 6)
+
+    return f"""
+    WITH vv0 AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id < 192),
+    nv AS (SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
+           WHERE vec_id >= 192 AND vec_id < 200),
+    vv AS (SELECT * FROM vv0 UNION ALL SELECT * FROM nv),
+    -- === layer-0 NN-Descent over the 192 originals (k=4, 1 round) ===
+    b AS (
+      SELECT vec_id,
+        ((vec_id % 1000003) * 40503 + 7) % 1000003 % 19 AS b1,
+        ((vec_id % 1000003) * 75029 + 13) % 1000003 % 19 AS b2,
+        ((vec_id % 1000003) * 126989 + 29) % 1000003 % 19 AS b3
+      FROM vv0
+    ),
+    ip AS (
+      SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+      FROM b x JOIN b y
+        ON (x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+      WHERE x.vec_id <> y.vec_id
+    ),
+    sc_init AS (
+      SELECT c.src, c.dst, {d2_pair} AS dist2
+      FROM ip c JOIN vv0 a ON a.vec_id = c.src
+                JOIN vv0 c2 ON c2.vec_id = c.dst
+    ),
+    g0 AS (
+      SELECT src, dst, dist2 FROM (
+        SELECT src, dst, dist2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM sc_init) WHERE rn <= 4
+    ),
+    und0 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM g0
+        UNION ALL SELECT dst AS src, src AS dst FROM g0)
+    ),
+    cand0 AS (
+      SELECT DISTINCT u1.src, u2.dst
+      FROM und0 u1 JOIN und0 u2 ON u1.dst = u2.src
+      ANTI JOIN g0 g ON g.src = u1.src AND g.dst = u2.dst
+      WHERE u1.src <> u2.dst
+    ),
+    sc0 AS (
+      SELECT c.src, c.dst, {d2_pair} AS dist2
+      FROM cand0 c JOIN vv0 a ON a.vec_id = c.src
+                   JOIN vv0 c2 ON c2.vec_id = c.dst
+    ),
+    g1 AS (
+      SELECT src, dst, dist2 FROM (
+        SELECT src, dst, dist2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM (SELECT * FROM g0 UNION ALL SELECT * FROM sc0))
+      WHERE rn <= 4
+    ),
+    edges0 AS (SELECT src, dst FROM g1
+               UNION SELECT dst AS src, src AS dst FROM g1),
+    -- === coarse layer over the originals (fixed on insert) ===
+    coarse AS (
+      SELECT vec_id AS node FROM vv0
+      ORDER BY ((vec_id % 1000003) * 40503 + 7) % 1000003, vec_id
+      LIMIT 16
+    ),
+    cpairs AS (
+      SELECT a.vec_id AS src, c2.vec_id AS dst, {d2_pair} AS dist2
+      FROM vv0 a JOIN coarse ca ON a.vec_id = ca.node
+      JOIN vv0 c2 JOIN coarse cb ON c2.vec_id = cb.node
+        ON a.vec_id <> c2.vec_id
+    ),
+    cknn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM cpairs) WHERE rn <= 2
+    ),
+    cedges AS (SELECT src, dst FROM cknn
+               UNION SELECT dst AS src, src AS dst FROM cknn),
+    -- === the insert's own search: new vectors as queries ===
+    qa AS (SELECT vec_id AS query_id, embedding AS query FROM nv)
+    {two_layer("ins", "qa", "vv0", "edges0", 4)},
+    hits AS (
+      SELECT query_id AS src, node AS dst FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM ins_f_visited3) WHERE rn <= 4
+    ),
+    -- batch-internal graph: 8 nodes -> single hash bucket -> the
+    -- NN-Descent init already scores all pairs (exact 4-NN fixed point)
+    npairs AS (
+      SELECT a.vec_id AS src, c2.vec_id AS dst, {d2_pair} AS dist2
+      FROM nv a JOIN nv c2 ON a.vec_id <> c2.vec_id
+    ),
+    nknn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM npairs) WHERE rn <= 4
+    ),
+    internal AS (SELECT src, dst FROM nknn
+                 UNION SELECT dst AS src, src AS dst FROM nknn),
+    new_edges AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM hits
+        UNION ALL SELECT dst AS src, src AS dst FROM hits
+        UNION ALL SELECT src, dst FROM internal)
+    ),
+    edges1 AS (SELECT src, dst FROM edges0
+               UNION ALL SELECT src, dst FROM new_edges),
+    -- === verification search over the combined graph ===
+    qb AS (SELECT vec_id AS query_id, embedding AS query FROM vv
+           WHERE vec_id IN (0, 1, 2, 3, 10192, 10197))
+    {two_layer("ver", "qb", "vv", "edges1", 4)}
+    SELECT query_id, CAST(rn AS INT) AS rank, node AS neighbor_id, dist2
+    FROM (
+      SELECT query_id, node, dist2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist2, node) AS rn
+      FROM ver_f_visited3) WHERE rn <= 10
+    """
+
+
+_register(
+    "graph_index_add_search",
+    _graph_index_add_search,
+    _graph_index_add_sql(),
+)

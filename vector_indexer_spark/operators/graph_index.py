@@ -267,3 +267,184 @@ def search_graph_index(
         id_col=index.id_col,
         vec_col=index.vec_col,
     )
+
+
+def add_to_graph_index(
+    spark: SparkSession,
+    index: GraphIndex,
+    vectors: DataFrame,
+    new_vectors: DataFrame,
+    *,
+    beam: int = 16,
+    max_hops: int = 4,
+    entry_fanout: int = 8,
+    coarse_beam: int = 8,
+    coarse_hops: int = 4,
+    batch_iterations: int = 2,
+) -> int:
+    """Batched insert — the HNSW insert operation, append-only.
+
+    Each new node's ``k`` nearest EXISTING nodes come from one
+    two-layer search over the live index (the same routing a query
+    takes); edges are appended in both directions, plus a NN-Descent
+    k-NN graph WITHIN the batch (batched insertion's stand-in for
+    HNSW's later-inserts-see-earlier-inserts: without it a batch
+    landing in a new region would be internally disconnected). The
+    live edge table is never read or rewritten — appends only, the
+    same discipline as the IVF tier's ``add_vectors`` — so degree
+    grows until :func:`compact_graph_index` re-prunes; the coarse
+    layer is FIXED on insert (new nodes are findable through layer-0
+    edges; a rebuild refreshes the sample — HNSW's upper layers also
+    gain nodes only probabilistically).
+
+    ``vectors`` is the EXISTING corpus (pre-insert); the caller owns
+    appending ``new_vectors`` to its vector table. Returns the number
+    of vectors added. Ids must be disjoint from the existing corpus.
+    """
+    from vector_indexer_spark.operators.graph import (  # noqa: PLC0415
+        nn_descent_knn_graph,
+    )
+
+    idc, vcc = index.id_col, index.vec_col
+    n_new = new_vectors.count()
+    if n_new == 0:
+        return 0
+    q = new_vectors.select(
+        F.col(idc).alias("query_id"), F.col(vcc).alias("query")
+    )
+    hits = search_graph_index(
+        spark, index, vectors, q,
+        k=index.k, beam=beam, max_hops=max_hops,
+        entry_fanout=entry_fanout, coarse_beam=coarse_beam,
+        coarse_hops=coarse_hops,
+    ).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    cross = hits.unionByName(
+        hits.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if n_new > 1:
+        internal = nn_descent_knn_graph(
+            new_vectors,
+            min(index.k, n_new - 1),
+            iterations=batch_iterations,
+            symmetric=True,
+            id_col=idc,
+            vec_col=vcc,
+            early_stop=False,
+        )
+        new_edges = cross.unionByName(internal).distinct()
+    else:
+        new_edges = cross.distinct()
+    new_edges.write.mode("append").parquet(os.path.join(index.path, "edges"))
+
+    index.n_vectors += n_new
+    meta_path = os.path.join(index.path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["n_vectors"] = index.n_vectors
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    return n_new
+
+
+def compact_graph_index(
+    spark: SparkSession,
+    index: GraphIndex,
+    vectors: DataFrame,
+    *,
+    max_degree: int | None = None,
+    method: str = "arrow",
+) -> tuple[int, int]:
+    """Re-prune the edge table to ``max_degree`` (default ``2*k``)
+    out-edges per node by ``(dist2, dst)`` — the counterpart of the
+    IVF tier's ``compact_index`` after append-only inserts.
+
+    One pass: rescore every edge (arrow fold-exact pair kernel — the
+    edge table holds ids only, so distances are recomputed against
+    the CURRENT vector table), per-src top-``max_degree`` window,
+    staged write + atomic swap (live table untouched on failure).
+    Pruning is per-direction, so the result may be asymmetric —
+    exactly HNSW's post-prune state; beam search walks out-edges and
+    is unaffected. Returns ``(edges_before, edges_after)``.
+    """
+    import shutil  # noqa: PLC0415
+
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from vector_indexer_spark.operators.graph import (  # noqa: PLC0415
+        nn_descent_knn_graph,  # noqa: F401 (same scoring contract)
+    )
+    from vector_indexer_spark.functions.distance import (  # noqa: PLC0415
+        dist2_expr,
+    )
+
+    if max_degree is None:
+        max_degree = 2 * index.k
+    if max_degree < 1:
+        raise ValueError("max_degree must be >= 1")
+    src_dir = os.path.join(index.path, "edges")
+    edges = spark.read.parquet(src_dir).distinct()
+    n_before = edges.count()
+    v = vectors.select(
+        F.col(index.id_col).alias("node"), F.col(index.vec_col).alias("vec")
+    )
+    joined = edges.join(
+        v.select(F.col("node").alias("src"), F.col("vec").alias("__sv")),
+        "src",
+    ).join(
+        v.select(F.col("node").alias("dst"), F.col("vec").alias("__dv")),
+        "dst",
+    )
+    if method == "native":
+        scored = joined.select(
+            "src", "dst", dist2_expr("__sv", "__dv").alias("dist2")
+        )
+    else:
+
+        def _score(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from vector_indexer_spark.functions.kernels import (  # noqa: PLC0415
+                rowwise_dist2_foldexact,
+            )
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "src": pdf["src"],
+                        "dst": pdf["dst"],
+                        "dist2": rowwise_dist2_foldexact(
+                            np.stack(pdf["__sv"].to_numpy()),
+                            np.stack(pdf["__dv"].to_numpy()),
+                        ),
+                    }
+                )
+
+        scored = joined.mapInPandas(
+            _score, "src long, dst long, dist2 double"
+        )
+    w = Window.partitionBy("src").orderBy("dist2", "dst")
+    pruned = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= max_degree)
+        .select("src", "dst")
+    )
+    staging = f"{src_dir}__compact__staging"
+    backup = f"{src_dir}__compact__backup"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    if os.path.exists(backup):
+        if not os.path.exists(src_dir):
+            os.rename(backup, src_dir)  # recover a crashed prior swap
+        else:
+            shutil.rmtree(backup)
+    pruned.write.mode("overwrite").parquet(staging)
+    n_after = spark.read.parquet(staging).count()
+    os.rename(src_dir, backup)
+    os.rename(staging, src_dir)
+    shutil.rmtree(backup)
+    return n_before, n_after
