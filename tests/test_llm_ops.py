@@ -1273,3 +1273,51 @@ def test_duplicate_spans_finds_shared_boilerplate(spark):
         duplicate_spans(df, k=0)
     with _pytest.raises(ValueError):
         span_dup_stats(df, min_df=0)
+
+
+def test_embedding_near_dups_arrow_native_bitexact(spark, embeddings):
+    from vector_indexer_spark.operators.dedup import embedding_near_dups
+
+    sub = embeddings.limit(120)
+    kwargs = dict(block_col=None, threshold=0.0, max_block_size=None)
+    nat = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dups(sub, method="native", **kwargs)
+        .collect()
+    }
+    arr = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in embedding_near_dups(sub, method="arrow", **kwargs)
+        .collect()
+    }
+    assert nat == arr  # bit-identical doubles
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        embedding_near_dups(sub, method="simd", **kwargs)
+
+
+def test_rowwise_cosine_foldexact_matches_sequential_fold():
+    import math
+
+    import numpy as np
+
+    from vector_indexer_spark.functions.kernels import (
+        rowwise_cosine_foldexact,
+    )
+
+    rng = np.random.default_rng(7)
+    a = (rng.normal(0, 1, (300, 17)) * 10.0 ** rng.integers(
+        -5, 5, (300, 17))).astype(np.float32)
+    b = (rng.normal(0, 1, (300, 17)) * 10.0 ** rng.integers(
+        -5, 5, (300, 17))).astype(np.float32)
+    got = rowwise_cosine_foldexact(a, b)
+    for i in range(300):
+        dot = na = nb = 0.0
+        for j in range(17):
+            x, y = float(a[i, j]), float(b[i, j])
+            dot += x * y
+            na += x * x
+            nb += y * y
+        assert got[i] == dot / (math.sqrt(na) * math.sqrt(nb))

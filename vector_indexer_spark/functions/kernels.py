@@ -312,3 +312,27 @@ def rowwise_dist2_foldexact(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         d = a[:, j] - b[:, j]
         acc += d * d
     return acc
+
+
+def rowwise_cosine_foldexact(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-row cosine similarity between PAIRED rows of two (n, d)
+    arrays, float64 — the exact operation sequence of
+    ``functions.distance.cosine_expr`` (fold-left dot and fold-left
+    squared norms, then ``dot / (sqrt(na) * sqrt(nb))``), vectorized
+    ACROSS rows. Bit-identical to the native expression and the DuckDB
+    oracles; no GEMM reassociation. The pair-scoring twin of
+    :func:`rowwise_dist2_foldexact` for the cosine-based dedup /
+    similarity verify stages.
+    """
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    n = a.shape[0]
+    dot = np.zeros(n)
+    na = np.zeros(n)
+    nb = np.zeros(n)
+    for j in range(a.shape[1]):
+        x, y = a[:, j], b[:, j]
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / (np.sqrt(na) * np.sqrt(nb))

@@ -549,6 +549,7 @@ def embedding_near_dups(
     block_col: str | None = "label",
     threshold: float = 0.9,
     max_block_size: int | None = 100_000,
+    method: str = "arrow",
 ) -> DataFrame:
     """Cosine near-duplicate pairs within a blocking key.
 
@@ -566,6 +567,13 @@ def embedding_near_dups(
     ``max_bucket_size``. The trade is recall inside the pathological
     block only (cross-sub-block pairs are not compared); normal-sized
     blocks are untouched. ``None`` disables (tests only).
+
+    ``method='arrow'`` (default) scores the joined pairs with
+    ``kernels.rowwise_cosine_foldexact`` — bit-identical to the
+    ``'native'`` ``cosine_expr`` fold (same IEEE sequence, column-wise
+    vectorized; interpreted HOF folds measured ~10x slower on
+    multi-million-pair frames). Requires integer-typed ids; the
+    registered oracle runs the arrow path, proving its exactness.
     """
     sel = df.select(
         F.col(id_col).alias("vid"),
@@ -588,20 +596,54 @@ def embedding_near_dups(
                 "#", F.col("blk").cast("string"), sub.cast("string")
             ),
         )
+    if method not in ("arrow", "native"):
+        raise ValueError("method must be 'arrow' or 'native'")
     a, b = sel.alias("a"), sel.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.vid") < F.col("b.vid")),
-        )
-        .select(
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    )
+    if method == "native":
+        scored = pairs.select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
             cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
         )
-        .filter(F.col("cosine") >= threshold)
-    )
+    else:
+        proj = pairs.select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            F.col("a.vec").alias("__va"),
+            F.col("b.vec").alias("__vb"),
+        )
+
+        def _score(batches):
+            import numpy as np  # noqa: PLC0415
+            import pandas as pd  # noqa: PLC0415
+
+            from vector_indexer_spark.functions.kernels import (  # noqa: PLC0415
+                rowwise_cosine_foldexact,
+            )
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "id_a": pdf["id_a"],
+                        "id_b": pdf["id_b"],
+                        "cosine": rowwise_cosine_foldexact(
+                            np.stack(pdf["__va"].to_numpy()),
+                            np.stack(pdf["__vb"].to_numpy()),
+                        ),
+                    }
+                )
+
+        scored = proj.mapInPandas(
+            _score, "id_a long, id_b long, cosine double"
+        )
+    return scored.filter(F.col("cosine") >= threshold)
 
 
 # ---------------------------------------------------------------------------
