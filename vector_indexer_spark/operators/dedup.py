@@ -596,54 +596,63 @@ def embedding_near_dups(
                 "#", F.col("blk").cast("string"), sub.cast("string")
             ),
         )
-    if method not in ("arrow", "native"):
-        raise ValueError("method must be 'arrow' or 'native'")
     a, b = sel.alias("a"), sel.alias("b")
-    pairs = a.join(
+    proj = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
         & (F.col("a.vid") < F.col("b.vid")),
+    ).select(
+        F.col("a.vid").alias("id_a"),
+        F.col("b.vid").alias("id_b"),
+        F.col("a.vec").alias("__va"),
+        F.col("b.vec").alias("__vb"),
     )
+    return cosine_score_pairs(proj, method=method).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def cosine_score_pairs(proj: DataFrame, *, method: str = "arrow") -> DataFrame:
+    """Score ``(id_a, id_b, __va, __vb)`` pair rows → ``(id_a, id_b,
+    cosine)``. The shared verify-stage scorer: ``'native'`` is the
+    fold-left ``cosine_expr`` Catalyst expression, ``'arrow'`` (the
+    scale default) is ``kernels.rowwise_cosine_foldexact`` — the SAME
+    IEEE operation sequence vectorized across rows, bit-identical
+    output (interpreted HOF folds measured ~10x slower on
+    multi-million-pair frames). Arrow requires integer-typed ids.
+    """
+    if method not in ("arrow", "native"):
+        raise ValueError("method must be 'arrow' or 'native'")
     if method == "native":
-        scored = pairs.select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
-        )
-    else:
-        proj = pairs.select(
-            F.col("a.vid").alias("id_a"),
-            F.col("b.vid").alias("id_b"),
-            F.col("a.vec").alias("__va"),
-            F.col("b.vec").alias("__vb"),
+        return proj.select(
+            "id_a",
+            "id_b",
+            cosine_expr(F.col("__va"), F.col("__vb")).alias("cosine"),
         )
 
-        def _score(batches):
-            import numpy as np  # noqa: PLC0415
-            import pandas as pd  # noqa: PLC0415
+    def _score(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
 
-            from vector_indexer_spark.functions.kernels import (  # noqa: PLC0415
-                rowwise_cosine_foldexact,
+        from vector_indexer_spark.functions.kernels import (  # noqa: PLC0415
+            rowwise_cosine_foldexact,
+        )
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"],
+                    "id_b": pdf["id_b"],
+                    "cosine": rowwise_cosine_foldexact(
+                        np.stack(pdf["__va"].to_numpy()),
+                        np.stack(pdf["__vb"].to_numpy()),
+                    ),
+                }
             )
 
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "id_a": pdf["id_a"],
-                        "id_b": pdf["id_b"],
-                        "cosine": rowwise_cosine_foldexact(
-                            np.stack(pdf["__va"].to_numpy()),
-                            np.stack(pdf["__vb"].to_numpy()),
-                        ),
-                    }
-                )
-
-        scored = proj.mapInPandas(
-            _score, "id_a long, id_b long, cosine double"
-        )
-    return scored.filter(F.col("cosine") >= threshold)
+    return proj.mapInPandas(_score, "id_a long, id_b long, cosine double")
 
 
 # ---------------------------------------------------------------------------

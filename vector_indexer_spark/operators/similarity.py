@@ -275,10 +275,14 @@ def cosine_near_dup_rhp(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket_size: int | None = 100_000,
+    method: str = "arrow",
 ) -> DataFrame:
     """Embedding near-dup pairs via RHP blocking + exact cosine verify:
     ``(id_a, id_b, cosine)`` with ``cosine >= threshold``. The exact
-    cosine runs only on LSH candidates — never all pairs."""
+    cosine runs only on LSH candidates — never all pairs; the verify
+    scoring is the shared fold-exact arrow kernel by default
+    (``dedup.cosine_score_pairs`` — bit-identical to the native fold,
+    ~10x on candidate-pair frames at scale)."""
     if hyperplanes is None:
         hyperplanes = sample_hyperplanes(
             df, id_col=id_col, vec_col=vec_col
@@ -291,22 +295,21 @@ def cosine_near_dup_rhp(
         vec_col=vec_col,
         max_bucket_size=max_bucket_size,
     )
+    from vector_indexer_spark.operators.dedup import (  # noqa: PLC0415
+        cosine_score_pairs,
+    )
+
     a = df.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
     )
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
     )
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            cosine_expr("__va", "__vb").alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    proj = pairs.join(a, "id_a").join(b, "id_b").select(
+        "id_a", "id_b", "__va", "__vb"
+    )
+    return cosine_score_pairs(proj, method=method).filter(
+        F.col("cosine") >= threshold
     )
 
 
