@@ -198,3 +198,53 @@ def test_add_empty_batch_is_noop(spark, tmp_path):
     assert add_to_graph_index(spark, idx, base, base.filter("id < 0")) == 0
     assert idx.edges(spark).count() == n_edges
     assert idx.n_vectors == 20
+
+
+def test_delete_tombstones_then_compact(spark, tmp_path):
+    from vector_indexer_spark.operators.graph_index import (
+        compact_graph_index,
+        delete_from_graph_index,
+        load_graph_index,
+    )
+
+    base = _clustered_vectors(spark, n_clusters=3, per=20, d=6, seed=13)
+    path = str(tmp_path / "gdel")
+    idx = build_graph_index(
+        base, path, k=4, coarse_k=2, iterations=2, coarse_size=12
+    )
+    doomed_ids = {0, 5, 21}
+    doomed = base.filter(F.col("id").isin(*doomed_ids)).select("id")
+    assert delete_from_graph_index(spark, idx, doomed) == 3
+    assert idx.n_vectors == 57
+    assert load_graph_index(path).n_vectors == 57
+    # re-deleting is a no-op
+    assert delete_from_graph_index(spark, idx, doomed) == 0
+    assert idx.n_vectors == 57
+
+    # soft state: edges untouched, but deleted never appear in results
+    q = base.filter(F.col("id").isin(1, 6, 22)).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    got = search_graph_index(
+        spark, idx, base, q, k=5, beam=10, max_hops=4,
+        entry_fanout=4, coarse_beam=6, coarse_hops=4,
+    ).collect()
+    assert {r.neighbor_id for r in got} & doomed_ids == set()
+    # live neighbors still found (self at rank 1)
+    assert {r.query_id for r in got if r.rank == 1 and r.neighbor_id == r.query_id} == {1, 6, 22}
+
+    # compaction physically removes tombstoned nodes everywhere
+    live = base.filter(~F.col("id").isin(*doomed_ids))
+    compact_graph_index(spark, idx, live, max_degree=8)
+    e = idx.edges(spark)
+    nodes_in_edges = {r.src for r in e.collect()} | {r.dst for r in e.collect()}
+    assert nodes_in_edges & doomed_ids == set()
+    assert {r.node for r in idx.coarse_nodes(spark).collect()} & doomed_ids == set()
+    assert not os.path.exists(os.path.join(path, "deleted"))
+    # post-compaction search over the live table still works
+    got2 = search_graph_index(
+        spark, idx, live, q, k=5, beam=10, max_hops=4,
+        entry_fanout=4, coarse_beam=6, coarse_hops=4,
+    ).collect()
+    assert {r.neighbor_id for r in got2} & doomed_ids == set()
+    assert len({r.query_id for r in got2}) == 3

@@ -10144,3 +10144,65 @@ _register(
     _graph_index_add_search,
     _graph_index_add_sql(),
 )
+
+
+# --------------------------------------------------------------------------
+# graph_index_delete_search — soft-delete semantics oracle-locked: after
+# tombstoning 3 nodes the SAME two-layer replay applies, except the
+# tombstoned ids are filtered from the visited set BEFORE the final
+# top-k (they remain traversable waypoints — exactly the HNSW
+# mark-deleted behavior the operator implements).
+# --------------------------------------------------------------------------
+
+_GIDX_DEL_CACHE: dict = {}
+
+
+def _graph_index_delete_search(spark, sf_dir):
+    import tempfile
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        delete_from_graph_index,
+        search_graph_index,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    if sf_dir not in _GIDX_DEL_CACHE:
+        idx = build_graph_index(
+            emb,
+            tempfile.mkdtemp(prefix="gidx_del_") + "/gidx",
+            k=4,
+            coarse_k=2,
+            iterations=1,
+            coarse_size=16,
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+        doomed = spark.createDataFrame(
+            [(3,), (17,), (99,)], "vec_id long"
+        )
+        delete_from_graph_index(spark, idx, doomed)
+        _GIDX_DEL_CACHE[sf_dir] = idx
+    idx = _GIDX_DEL_CACHE[sf_dir]
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index(
+        spark, idx, emb, q,
+        k=10, beam=6, max_hops=2,
+        entry_fanout=4, coarse_beam=4, coarse_hops=2,
+    )
+
+
+_register(
+    "graph_index_delete_search",
+    _graph_index_delete_search,
+    _graph_index_sql().replace(
+        "FROM l0_visited3) WHERE rn <= 10",
+        "FROM l0_visited3 WHERE node NOT IN (3, 17, 99)) WHERE rn <= 10",
+    ),
+)

@@ -279,11 +279,14 @@ def graph_ann_search(
     max_hops: int = 3,
     entry_ids: list[int] | None = None,
     entry_df: DataFrame | None = None,
+    exclude_ids: DataFrame | None = None,
     id_col: str = "id",
     vec_col: str = "values",
 ) -> DataFrame:
     """Beam search over a navigable graph: ``(query_id, rank,
-    neighbor_id, dist2)`` top-k per query.
+    neighbor_id, dist2)`` top-k per query. ``exclude_ids`` (a
+    ``node``-column frame, e.g. deletion tombstones) is filtered from
+    RESULTS only — excluded nodes remain traversable waypoints.
 
     Semantics (deterministic, oracle-unrollable): the beam starts at
     ``entry_ids`` (default: the ``beam`` nodes with the smallest
@@ -388,6 +391,14 @@ def graph_ann_search(
         if n_nxt == n_vis:
             break
         visited, n_vis = nxt, n_nxt
+    if exclude_ids is not None:
+        # soft-deleted nodes stay TRAVERSABLE (waypoints above) but
+        # never appear in results — the HNSW tombstone semantic
+        visited = visited.join(
+            F.broadcast(exclude_ids.select("node").distinct()),
+            "node",
+            "left_anti",
+        )
     out = (
         visited.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= k)

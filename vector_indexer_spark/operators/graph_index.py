@@ -264,6 +264,7 @@ def search_graph_index(
         beam=beam,
         max_hops=max_hops,
         entry_df=entry_df,
+        exclude_ids=_tombstones(spark, index),
         id_col=index.id_col,
         vec_col=index.vec_col,
     )
@@ -386,6 +387,15 @@ def compact_graph_index(
     src_dir = os.path.join(index.path, "edges")
     edges = spark.read.parquet(src_dir).distinct()
     n_before = edges.count()
+    # physically remove tombstoned nodes: their edges here, their
+    # coarse membership below, the tombstone table after the swap
+    dead = _tombstones(spark, index)
+    if dead is not None:
+        dead_src = dead.select(F.col("node").alias("src"))
+        dead_dst = dead.select(F.col("node").alias("dst"))
+        edges = edges.join(F.broadcast(dead_src), "src", "left_anti").join(
+            F.broadcast(dead_dst), "dst", "left_anti"
+        )
     v = vectors.select(
         F.col(index.id_col).alias("node"), F.col(index.vec_col).alias("vec")
     )
@@ -447,4 +457,87 @@ def compact_graph_index(
     os.rename(src_dir, backup)
     os.rename(staging, src_dir)
     shutil.rmtree(backup)
+    if dead is not None:
+        cdir = os.path.join(index.path, "coarse_nodes")
+        cedir = os.path.join(index.path, "coarse_edges")
+        cn = spark.read.parquet(cdir).join(
+            F.broadcast(dead), "node", "left_anti"
+        )
+        ce = (
+            spark.read.parquet(cedir)
+            .join(
+                F.broadcast(dead.select(F.col("node").alias("src"))),
+                "src",
+                "left_anti",
+            )
+            .join(
+                F.broadcast(dead.select(F.col("node").alias("dst"))),
+                "dst",
+                "left_anti",
+            )
+            .select("src", "dst")
+        )
+        for df, d in ((cn, cdir), (ce, cedir)):
+            stg = f"{d}__compact__staging"
+            if os.path.exists(stg):
+                shutil.rmtree(stg)
+            df.write.mode("overwrite").parquet(stg)
+            bak = f"{d}__compact__backup"
+            if os.path.exists(bak):
+                shutil.rmtree(bak)
+            os.rename(d, bak)
+            os.rename(stg, d)
+            shutil.rmtree(bak)
+        shutil.rmtree(os.path.join(index.path, "deleted"))
+        index.coarse_size = spark.read.parquet(cdir).count()
+        meta_path = os.path.join(index.path, "meta.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["coarse_size"] = index.coarse_size
+        with open(meta_path, "w") as f:
+            json.dump(meta, f, indent=2)
     return n_before, n_after
+
+
+def _tombstones(spark: SparkSession, index: GraphIndex) -> DataFrame | None:
+    """The deletion tombstone table ``(node)``, or None when empty."""
+    p = os.path.join(index.path, "deleted")
+    if not os.path.exists(p):
+        return None
+    return spark.read.parquet(p).select("node").distinct()
+
+
+def delete_from_graph_index(
+    spark: SparkSession,
+    index: GraphIndex,
+    doomed: DataFrame,
+) -> int:
+    """Soft delete — the HNSW tombstone semantic: deleted nodes stay
+    TRAVERSABLE (removing waypoints would tear holes in the graph's
+    navigability) but are excluded from every search result from the
+    next query on. Appends ids to the ``deleted`` tombstone table —
+    the edge table is untouched until :func:`compact_graph_index`
+    physically removes tombstoned nodes, their edges, and their coarse
+    membership. Returns the number of NEW tombstones written.
+
+    The caller's vector table must keep the doomed rows until
+    compaction: searches still score deleted nodes as waypoints.
+    """
+    ids = doomed.select(
+        F.col(index.id_col).alias("node")
+    ).distinct()
+    prior = _tombstones(spark, index)
+    if prior is not None:
+        ids = ids.join(prior, "node", "left_anti")
+    n = ids.count()
+    if n == 0:
+        return 0
+    ids.write.mode("append").parquet(os.path.join(index.path, "deleted"))
+    index.n_vectors -= n
+    meta_path = os.path.join(index.path, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["n_vectors"] = index.n_vectors
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    return n
