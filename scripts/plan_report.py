@@ -276,6 +276,35 @@ def _nn_descent_df(spark, sf_dir):
     )
 
 
+def _graph_index_df(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        search_graph_index,
+    )
+
+    sub = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 128)
+        .select("vec_id", "embedding")
+    )
+    idx = build_graph_index(
+        sub, tempfile.mkdtemp() + "/gidx", k=4, coarse_k=2,
+        iterations=1, coarse_size=12,
+        id_col="vec_id", vec_col="embedding",
+    )
+    q = sub.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index(
+        spark, idx, sub, q, k=5, beam=4, max_hops=2,
+        entry_fanout=3, coarse_beam=4, coarse_hops=2,
+    )
+
+
 def _pagerank_df(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -778,6 +807,15 @@ def main():
             "query batch broadcast, visited-set anti-join; shown is "
             "the accumulated plan after 2 hops.",
             _graph_ann_df(spark, sf_dir),
+        ),
+        (
+            "Two-layer graph index search (coarse routing + seeded beam)",
+            "The persisted HNSW-shaped index: coarse-layer beam over "
+            "the hash-spread sample routes each query; its per-query "
+            "shortlist seeds the layer-0 beam (entry_df). State frames "
+            "are localCheckpoint-truncated per hop — constant plan "
+            "size; shown is the final accumulated plan.",
+            _graph_index_df(spark, sf_dir),
         ),
         (
             "NN-Descent k-NN graph (init + 1 round)",
