@@ -248,3 +248,73 @@ def test_delete_tombstones_then_compact(spark, tmp_path):
     ).collect()
     assert {r.neighbor_id for r in got2} & doomed_ids == set()
     assert len({r.query_id for r in got2}) == 3
+
+
+def test_streaming_ingest_matches_sequential_batch_adds(spark, tmp_path):
+    """Stream twin ≡ batch twin: two micro-batches through the stream
+    produce the identical edge table as two sequential
+    add_to_graph_index calls (everything is deterministic)."""
+    from vector_indexer_spark.operators.graph_index import (
+        add_to_graph_index,
+    )
+    from vector_indexer_spark.streaming.graph import (
+        start_graph_index_ingest,
+    )
+
+    base = _clustered_vectors(spark, n_clusters=3, per=20, d=6, seed=31)
+    b1 = base.filter(F.col("id") % 7 == 0).select(
+        (F.col("id") + 500).alias("id"),
+        F.transform("values", lambda x: x + F.lit(0.1))
+        .cast("array<float>")
+        .alias("values"),
+    )
+    b2 = base.filter(F.col("id") % 11 == 3).select(
+        (F.col("id") + 900).alias("id"),
+        F.transform("values", lambda x: x - F.lit(0.1))
+        .cast("array<float>")
+        .alias("values"),
+    )
+    kwargs = dict(
+        beam=8, max_hops=3, entry_fanout=4, coarse_beam=6,
+        coarse_hops=3, batch_iterations=1,
+    )
+
+    # --- batch twin: two sequential adds ---
+    bpath = str(tmp_path / "batch_gidx")
+    bidx = build_graph_index(
+        base, bpath, k=4, coarse_k=2, iterations=1, coarse_size=12
+    )
+    v1 = base
+    add_to_graph_index(spark, bidx, v1, b1, **kwargs)
+    v2 = v1.unionByName(b1)
+    add_to_graph_index(spark, bidx, v2, b2, **kwargs)
+    want = {(r.src, r.dst) for r in bidx.edges(spark).collect()}
+
+    # --- streaming twin: same batches as two availableNow runs ---
+    spath = str(tmp_path / "stream_gidx")
+    sidx = build_graph_index(
+        base, spath, k=4, coarse_k=2, iterations=1, coarse_size=12
+    )
+    vecs_dir = str(tmp_path / "vectors")
+    src = str(tmp_path / "stream_in")
+    ckpt = str(tmp_path / "ckpt")
+    base.write.parquet(vecs_dir)
+
+    def run(batch_df):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "id long, values array<float>"
+        ).parquet(src)
+        q = start_graph_index_ingest(
+            sidx, stream, vecs_dir, ckpt,
+            trigger_available_now=True, **kwargs,
+        )
+        q.awaitTermination(180)
+
+    run(b1)
+    run(b2)
+    got = {(r.src, r.dst) for r in sidx.edges(spark).collect()}
+    assert got == want
+    # the canonical vector table grew with both batches
+    assert spark.read.parquet(vecs_dir).count() == 60 + b1.count() + b2.count()
+    assert sidx.n_vectors == 60 + b1.count() + b2.count()
