@@ -10206,3 +10206,47 @@ _register(
         "FROM l0_visited3 WHERE node NOT IN (3, 17, 99)) WHERE rn <= 10",
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# ivf_range_search_full — the radius-query surface (all neighbors with
+# dist2 <= r2, no rank cut) proven end-to-end on a REAL built index at
+# FULL probe: exact by construction, so the result must bit-match the
+# brute-force radius filter regardless of where training put the
+# centroids — the range twin of ivf_add_search_fixed's methodology.
+# --------------------------------------------------------------------------
+
+_RANGE_IDX_CACHE: dict = {}
+
+
+def _ivf_range_search_full(spark, sf_dir):
+    import tempfile
+
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.operators.search import range_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _RANGE_IDX_CACHE:
+        vec = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        path = tempfile.mkdtemp(prefix="ivf_range_entry_") + "/index"
+        _RANGE_IDX_CACHE[sf_dir] = build_index(vec, path, nlist=16, seed=42)
+    idx = _RANGE_IDX_CACHE[sf_dir]
+    q = emb.filter(F.col("vec_id").isin(5, 250, 495)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return range_search(spark, idx, q, radius2=2.0, n_probe=idx.nlist)
+
+
+_register(
+    "ivf_range_search_full",
+    _ivf_range_search_full,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS query
+               FROM embeddings WHERE vec_id IN (5, 250, 495))
+    SELECT q.query_id, v.vec_id AS neighbor_id, {_KNN_DIST2_SQL} AS dist2
+    FROM embeddings v CROSS JOIN q
+    WHERE {_KNN_DIST2_SQL} <= 2.0
+    """,
+)
