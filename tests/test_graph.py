@@ -357,3 +357,49 @@ def test_nn_descent_arrow_native_bitexact(spark):
 
     with pytest.raises(ValueError):
         nn_descent_knn_graph(vecs, 4, method="simd")
+
+
+def test_nn_descent_reverse_degree_cap(spark):
+    """ρ-sampling guard: a planted hub (every point near one medoid
+    direction) still yields full-k, deterministic output with the cap
+    on, and quality stays close to the uncapped run."""
+    import numpy as np
+
+    from vector_indexer_spark.operators.graph import nn_descent_knn_graph
+
+    rng = np.random.default_rng(17)
+    # hub topology: all points within a thin cone — nearest-neighbor
+    # lists concentrate on the same few central points
+    base = rng.normal(0, 0.05, (80, 6)) + np.linspace(0, 1, 80)[:, None]
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(base)],
+        "id long, values array<float>",
+    )
+    kwargs = dict(
+        iterations=2, symmetric=False, return_distances=True,
+        early_stop=False,
+    )
+    capped_rows = nn_descent_knn_graph(
+        vecs, 4, max_reverse_degree=8, **kwargs
+    ).collect()
+    uncapped = {
+        (r.src, r.dst)
+        for r in nn_descent_knn_graph(vecs, 4, **kwargs).collect()
+    }
+    capped = {(r.src, r.dst) for r in capped_rows}
+    # contract holds under the cap: k edges per node, ranks contiguous
+    by_src = {}
+    for r in capped_rows:
+        by_src.setdefault(r.src, []).append(r.rank)
+    assert len(by_src) == 80
+    assert all(sorted(v) == list(range(1, 5)) for v in by_src.values())
+    # the cap trades a bounded amount of candidate coverage
+    assert len(capped & uncapped) / len(uncapped) >= 0.7
+    # determinism under the cap
+    again = {
+        (r.src, r.dst)
+        for r in nn_descent_knn_graph(
+            vecs, 4, max_reverse_degree=8, **kwargs
+        ).collect()
+    }
+    assert again == capped

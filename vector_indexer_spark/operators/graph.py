@@ -431,6 +431,7 @@ def nn_descent_knn_graph(
     *,
     iterations: int = 4,
     max_candidates: int | None = None,
+    max_reverse_degree: int | None = None,
     symmetric: bool = True,
     id_col: str = "id",
     vec_col: str = "values",
@@ -464,7 +465,13 @@ def nn_descent_knn_graph(
     Scale shape per round: candidate generation is one self-join of
     the edge list on the shared middle node (n*k rows joined to n*k
     rows on a k-ish-cardinality-per-key column: O(n*k^2) output,
-    optionally capped per node by ``max_candidates``); scoring is two
+    optionally capped per node by ``max_candidates``).
+    ``max_reverse_degree`` is the published ρ-sampling guard for HUB
+    skew: a node with in-degree D contributes D² candidate rows from
+    one join key; the cap bounds every node's symmetrized degree at
+    ``k + max_reverse_degree`` via a deterministic hash-ordered
+    sample — set it (e.g. 2-4x k) on corpora with medoid/boilerplate
+    hubs. Scoring is two
     key-partitioned joins against the vector table; re-selection is
     one window partitioned by src. No global barrier besides the
     round structure itself — n=10^9, k=20 is 4 rounds of ~4*10^11
@@ -601,6 +608,28 @@ def nn_descent_knn_graph(
             )
             .distinct()
         )
+        if max_reverse_degree is not None:
+            # ρ-sampling (Dong et al. §2.3), deterministic: a HUB node
+            # (huge in-degree — a cluster medoid, a boilerplate
+            # embedding) makes the middle-node self-join below emit
+            # degree² candidate rows from ONE key. Cap each node's
+            # und out-degree at k + max_reverse_degree, keeping the k
+            # forward edges plus the hash-smallest reverse neighbors
+            # (hash order = an unbiased deterministic sample; dst
+            # order would bias toward low ids).
+            w_rev = Window.partitionBy("src").orderBy(
+                (
+                    (F.col("dst") % F.lit(1_000_003)) * F.lit(40_503)
+                    + F.lit(7)
+                )
+                % F.lit(1_000_003),
+                "dst",
+            )
+            und = (
+                und.withColumn("__u", F.row_number().over(w_rev))
+                .filter(F.col("__u") <= k + max_reverse_degree)
+                .drop("__u")
+            )
         u1, u2 = und.alias("u1"), und.alias("u2")
         cand = (
             u1.join(u2, on=(F.col("u1.dst") == F.col("u2.src")))
