@@ -318,3 +318,27 @@ def test_streaming_ingest_matches_sequential_batch_adds(spark, tmp_path):
     # the canonical vector table grew with both batches
     assert spark.read.parquet(vecs_dir).count() == 60 + b1.count() + b2.count()
     assert sidx.n_vectors == 60 + b1.count() + b2.count()
+
+
+def test_graph_index_stats_report(gidx, spark):
+    from vector_indexer_spark.operators.graph_index import (
+        graph_index_stats,
+    )
+
+    idx, _ = gidx
+    rep = {
+        (r.section, r.key): r.value
+        for r in graph_index_stats(spark, idx).collect()
+    }
+    assert rep[("edges", "n_edges")] == idx.edges(spark).count()
+    # symmetric build: every edge's reverse exists
+    assert rep[("edges", "reciprocity_milli")] == 1000
+    assert rep[("edges", "n_nodes_with_out")] == 180
+    assert rep[("edges", "min_out_degree")] >= 1
+    assert (
+        rep[("edges", "min_out_degree")]
+        <= rep[("edges", "avg_out_degree_milli")] // 1000 + 1
+    )
+    assert rep[("coarse", "n_coarse_nodes")] == 24
+    assert rep[("meta", "n_vectors")] == 180
+    assert rep[("deleted", "n_tombstones")] == 0

@@ -10250,3 +10250,95 @@ _register(
     WHERE {_KNN_DIST2_SQL} <= 2.0
     """,
 )
+
+
+# --------------------------------------------------------------------------
+# graph_index_stats_fixed — the graph-index ANALYZE profiler locked by a
+# replay oracle: DuckDB rebuilds the same NN-Descent layer-0 + exact
+# coarse graph and recomputes every report row (degree min/max/avg in
+# integer milli-units, edge reciprocity, coarse/meta/tombstone counts).
+# The graph twin of ivf_cluster_stats_fixed.
+# --------------------------------------------------------------------------
+
+_GIDX_STATS_CACHE: dict = {}
+
+
+def _graph_index_stats_fixed(spark, sf_dir):
+    import tempfile
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        graph_index_stats,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    if sf_dir not in _GIDX_STATS_CACHE:
+        _GIDX_STATS_CACHE[sf_dir] = build_graph_index(
+            emb,
+            tempfile.mkdtemp(prefix="gidx_stats_") + "/gidx",
+            k=4,
+            coarse_k=2,
+            iterations=1,
+            coarse_size=16,
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+    return graph_index_stats(spark, _GIDX_STATS_CACHE[sf_dir])
+
+
+def _graph_index_stats_sql():
+    # reuse the add oracle's graph-construction prefix (everything up
+    # to `cedges` — vv0/nv/vv, the NN-Descent replay, coarse sample,
+    # exact coarse graph), then aggregate the report instead of
+    # searching; unused CTEs (nv, vv) are pruned by DuckDB
+    prefix = _graph_index_add_sql().split(
+        "-- === the insert's own search"
+    )[0]
+    assert prefix.rstrip().endswith(","), "unexpected oracle prefix shape"
+    return f"""{prefix}
+    deg AS (SELECT src, count(*) AS d FROM edges0 GROUP BY src),
+    agg AS (
+      SELECT count(*) AS nodes, MIN(d) AS dmin, MAX(d) AS dmax,
+             SUM(d) AS dsum
+      FROM deg
+    ),
+    recip AS (
+      SELECT count(*) AS n FROM (
+        SELECT src, dst FROM edges0
+        INTERSECT
+        SELECT dst AS src, src AS dst FROM edges0)
+    )
+    SELECT * FROM (
+      SELECT 'edges' AS section, 'n_edges' AS key,
+             CAST(dsum AS BIGINT) AS value FROM agg
+      UNION ALL SELECT 'edges', 'n_nodes_with_out',
+             CAST(nodes AS BIGINT) FROM agg
+      UNION ALL SELECT 'edges', 'min_out_degree',
+             CAST(dmin AS BIGINT) FROM agg
+      UNION ALL SELECT 'edges', 'max_out_degree',
+             CAST(dmax AS BIGINT) FROM agg
+      UNION ALL SELECT 'edges', 'avg_out_degree_milli',
+             CAST((dsum * 1000) // nodes AS BIGINT) FROM agg
+      UNION ALL SELECT 'edges', 'reciprocity_milli',
+             CAST((recip.n * 1000) // agg.dsum AS BIGINT)
+             FROM recip, agg
+      UNION ALL SELECT 'coarse', 'n_coarse_nodes',
+             CAST(count(*) AS BIGINT) FROM coarse
+      UNION ALL SELECT 'coarse', 'n_coarse_edges',
+             CAST(count(*) AS BIGINT) FROM cedges
+      UNION ALL SELECT 'meta', 'n_vectors', CAST(192 AS BIGINT)
+      UNION ALL SELECT 'meta', 'k', CAST(4 AS BIGINT)
+      UNION ALL SELECT 'deleted', 'n_tombstones', CAST(0 AS BIGINT)
+    )
+    """
+
+
+_register(
+    "graph_index_stats_fixed",
+    _graph_index_stats_fixed,
+    _graph_index_stats_sql(),
+)

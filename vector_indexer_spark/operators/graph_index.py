@@ -541,3 +541,61 @@ def delete_from_graph_index(
     with open(meta_path, "w") as f:
         json.dump(meta, f, indent=2)
     return n
+
+
+def graph_index_stats(spark: SparkSession, index: GraphIndex) -> DataFrame:
+    """ANALYZE-style health report for a graph index: one tall
+    ``(section, key, value)`` frame (all values exact integers —
+    ratios in milli-units via integer division, so the report is
+    bit-reproducible and oracle-checkable; the graph twin of the IVF
+    tier's cluster-stats profiler).
+
+    Sections: ``edges`` (count, covered nodes, out-degree min/max/avg,
+    reciprocity — fraction of edges whose reverse exists; 1000 right
+    after a symmetric build, drifting down after compaction prunes or
+    appends), ``coarse`` (sample + edge counts), ``meta`` (live vector
+    count, k), ``deleted`` (pending tombstones). Everything is
+    aggregate-sized: two edge scans, no joins wider than edge ⋈ edge
+    on the reversed key.
+    """
+    e = index.edges(spark).select("src", "dst")
+    deg = e.groupBy("src").agg(F.count("*").alias("d"))
+    deg_stats = deg.agg(
+        F.count("*").alias("nodes"),
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.sum("d").alias("dsum"),
+    ).first()
+    n_edges = int(deg_stats["dsum"] or 0)
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n_recip = e.intersect(rev).count()
+    n_coarse = index.coarse_nodes(spark).count()
+    n_cedges = index.coarse_edges(spark).count()
+    dead = _tombstones(spark, index)
+    n_dead = 0 if dead is None else dead.count()
+    rows = [
+        ("edges", "n_edges", n_edges),
+        ("edges", "n_nodes_with_out", int(deg_stats["nodes"] or 0)),
+        ("edges", "min_out_degree", int(deg_stats["dmin"] or 0)),
+        ("edges", "max_out_degree", int(deg_stats["dmax"] or 0)),
+        (
+            "edges",
+            "avg_out_degree_milli",
+            (n_edges * 1000) // int(deg_stats["nodes"])
+            if deg_stats["nodes"]
+            else 0,
+        ),
+        (
+            "edges",
+            "reciprocity_milli",
+            (n_recip * 1000) // n_edges if n_edges else 0,
+        ),
+        ("coarse", "n_coarse_nodes", n_coarse),
+        ("coarse", "n_coarse_edges", n_cedges),
+        ("meta", "n_vectors", index.n_vectors),
+        ("meta", "k", index.k),
+        ("deleted", "n_tombstones", n_dead),
+    ]
+    return spark.createDataFrame(
+        rows, "section string, key string, value long"
+    )
