@@ -736,7 +736,7 @@ def main() -> None:
         t0 = time.perf_counter()
         got = search_graph_index(
             spark, gidx, gvec, gq, k=10, beam=24, max_hops=6,
-            entry_fanout=8, coarse_beam=12, coarse_hops=8,
+            entry_fanout=8,
         ).persist()
         got.count()
         extras["graph_search_sec"] = round(time.perf_counter() - t0, 3)

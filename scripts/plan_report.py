@@ -292,7 +292,7 @@ def _graph_index_df(spark, sf_dir):
         .select("vec_id", "embedding")
     )
     idx = build_graph_index(
-        sub, tempfile.mkdtemp() + "/gidx", k=4, coarse_k=2,
+        sub, tempfile.mkdtemp() + "/gidx", k=4,
         iterations=1, coarse_size=12,
         id_col="vec_id", vec_col="embedding",
     )
@@ -301,7 +301,7 @@ def _graph_index_df(spark, sf_dir):
     )
     return search_graph_index(
         spark, idx, sub, q, k=5, beam=4, max_hops=2,
-        entry_fanout=3, coarse_beam=4, coarse_hops=2,
+        entry_fanout=3,
     )
 
 

@@ -34,7 +34,7 @@ def gidx(spark, tmp_path_factory):
     vecs = _clustered_vectors(spark, n_clusters=6, per=30, d=8, seed=3)
     path = str(tmp_path_factory.mktemp("gidx") / "graph_index")
     idx = build_graph_index(
-        vecs, path, k=6, coarse_k=3, iterations=2, coarse_size=24
+        vecs, path, k=6, iterations=2, coarse_size=24
     )
     return idx, vecs
 
@@ -49,12 +49,10 @@ def test_build_meta_and_layout(gidx, spark):
     e = idx.edges(spark)
     assert e.filter(F.col("src") == F.col("dst")).count() == 0
     assert e.select("src").distinct().count() == 180
-    # coarse layer: edges only among the sampled nodes
+    # coarse layer: a plain node-id sample of the corpus
     cn = {r.node for r in idx.coarse_nodes(spark).collect()}
     assert len(cn) == 24
-    ce = idx.coarse_edges(spark)
-    assert {r.src for r in ce.collect()} <= cn
-    assert {r.dst for r in ce.collect()} <= cn
+    assert cn <= {r.id for r in vecs.select("id").collect()}
 
 
 def test_load_roundtrip_and_error_contract(gidx, tmp_path):
@@ -81,7 +79,7 @@ def test_two_layer_search_recall_without_seeding(gidx, spark):
     )
     got = search_graph_index(
         spark, idx, vecs, q, k=5, beam=12, max_hops=4,
-        entry_fanout=6, coarse_beam=8, coarse_hops=4,
+        entry_fanout=6
     ).collect()
     truth = knn_exact(vecs, q, k=5, method="native").collect()
     want = {}
@@ -105,7 +103,7 @@ def test_two_layer_search_recall_without_seeding(gidx, spark):
 
 def test_build_error_contracts(spark, tmp_path):
     vecs = _clustered_vectors(spark, n_clusters=2, per=4, d=4)
-    with pytest.raises(ValueError, match="k and coarse_k"):
+    with pytest.raises(ValueError, match="k must be"):
         build_graph_index(vecs, str(tmp_path / "x"), k=0)
     empty = vecs.filter(F.col("id") < 0)
     with pytest.raises(ValueError, match="zero vectors"):
@@ -128,7 +126,7 @@ def test_add_and_compact_roundtrip(spark, tmp_path):
     )
     path = str(tmp_path / "gidx")
     idx = build_graph_index(
-        base, path, k=5, coarse_k=3, iterations=2, coarse_size=20
+        base, path, k=5, iterations=2, coarse_size=20
     )
     n0 = idx.n_vectors
     added = add_to_graph_index(spark, idx, base, newv)
@@ -151,7 +149,7 @@ def test_add_and_compact_roundtrip(spark, tmp_path):
     )
     got = search_graph_index(
         spark, idx, combined, q, k=3, beam=10, max_hops=4,
-        entry_fanout=6, coarse_beam=8, coarse_hops=6,
+        entry_fanout=6
     ).collect()
     truth = knn_exact(combined, q, k=3, method="native").collect()
     want = {}
@@ -175,7 +173,7 @@ def test_add_and_compact_roundtrip(spark, tmp_path):
     assert deg <= 6
     got2 = search_graph_index(
         spark, idx, combined, q, k=3, beam=10, max_hops=4,
-        entry_fanout=6, coarse_beam=8, coarse_hops=6,
+        entry_fanout=6
     ).collect()
     hits2 = sum(1 for r in got2 if r.neighbor_id in want[r.query_id])
     assert hits2 / sum(len(s) for s in want.values()) >= 0.8
@@ -191,7 +189,7 @@ def test_add_empty_batch_is_noop(spark, tmp_path):
 
     base = _clustered_vectors(spark, n_clusters=2, per=10, d=4, seed=5)
     idx = build_graph_index(
-        base, str(tmp_path / "g2"), k=3, coarse_k=2, iterations=1,
+        base, str(tmp_path / "g2"), k=3, iterations=1,
         coarse_size=8,
     )
     n_edges = idx.edges(spark).count()
@@ -210,7 +208,7 @@ def test_delete_tombstones_then_compact(spark, tmp_path):
     base = _clustered_vectors(spark, n_clusters=3, per=20, d=6, seed=13)
     path = str(tmp_path / "gdel")
     idx = build_graph_index(
-        base, path, k=4, coarse_k=2, iterations=2, coarse_size=12
+        base, path, k=4, iterations=2, coarse_size=12
     )
     doomed_ids = {0, 5, 21}
     doomed = base.filter(F.col("id").isin(*doomed_ids)).select("id")
@@ -227,7 +225,7 @@ def test_delete_tombstones_then_compact(spark, tmp_path):
     )
     got = search_graph_index(
         spark, idx, base, q, k=5, beam=10, max_hops=4,
-        entry_fanout=4, coarse_beam=6, coarse_hops=4,
+        entry_fanout=4
     ).collect()
     assert {r.neighbor_id for r in got} & doomed_ids == set()
     # live neighbors still found (self at rank 1)
@@ -244,7 +242,7 @@ def test_delete_tombstones_then_compact(spark, tmp_path):
     # post-compaction search over the live table still works
     got2 = search_graph_index(
         spark, idx, live, q, k=5, beam=10, max_hops=4,
-        entry_fanout=4, coarse_beam=6, coarse_hops=4,
+        entry_fanout=4
     ).collect()
     assert {r.neighbor_id for r in got2} & doomed_ids == set()
     assert len({r.query_id for r in got2}) == 3
@@ -275,14 +273,13 @@ def test_streaming_ingest_matches_sequential_batch_adds(spark, tmp_path):
         .alias("values"),
     )
     kwargs = dict(
-        beam=8, max_hops=3, entry_fanout=4, coarse_beam=6,
-        coarse_hops=3, batch_iterations=1,
+        beam=8, max_hops=3, entry_fanout=4, batch_iterations=1,
     )
 
     # --- batch twin: two sequential adds ---
     bpath = str(tmp_path / "batch_gidx")
     bidx = build_graph_index(
-        base, bpath, k=4, coarse_k=2, iterations=1, coarse_size=12
+        base, bpath, k=4, iterations=1, coarse_size=12
     )
     v1 = base
     add_to_graph_index(spark, bidx, v1, b1, **kwargs)
@@ -293,7 +290,7 @@ def test_streaming_ingest_matches_sequential_batch_adds(spark, tmp_path):
     # --- streaming twin: same batches as two availableNow runs ---
     spath = str(tmp_path / "stream_gidx")
     sidx = build_graph_index(
-        base, spath, k=4, coarse_k=2, iterations=1, coarse_size=12
+        base, spath, k=4, iterations=1, coarse_size=12
     )
     vecs_dir = str(tmp_path / "vectors")
     src = str(tmp_path / "stream_in")
@@ -342,3 +339,65 @@ def test_graph_index_stats_report(gidx, spark):
     assert rep[("coarse", "n_coarse_nodes")] == 24
     assert rep[("meta", "n_vectors")] == 180
     assert rep[("deleted", "n_tombstones")] == 0
+
+
+def test_cosine_metric_index(spark, tmp_path):
+    """Cosine metric: same direction at different magnitudes are
+    near-duplicates under cosine but far under L2 — the cosine index
+    must find them; an L2 index on the same data must not."""
+    import numpy as np
+
+    from vector_indexer_spark.operators.graph_index import (
+        load_graph_index,
+    )
+    from vector_indexer_spark.operators.similarity import cosine_topk
+
+    rng = np.random.default_rng(23)
+    dirs = rng.normal(0, 1, (12, 6))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    rows = []
+    i = 0
+    for d in dirs:  # 10 points per ray at magnitudes 1..10
+        for mag in range(1, 11):
+            rows.append(
+                (i, [float(x) for x in d * mag + rng.normal(0, 0.01, 6)])
+            )
+            i += 1
+    vecs = spark.createDataFrame(rows, "id long, values array<float>")
+
+    path = str(tmp_path / "gcos")
+    # 12 near-identical cliques: the coarse layer must cover every
+    # ray or its queries cannot route (disconnected-clique data is the
+    # worst case for sampled entry layers) — use a generous sample
+    idx = build_graph_index(
+        vecs, path, k=6, iterations=3, coarse_size=60,
+        metric="cosine",
+    )
+    assert load_graph_index(path).metric == "cosine"
+
+    q = vecs.filter(F.col("id") % 10 == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    got = search_graph_index(
+        spark, idx, vecs, q, k=5, beam=12, max_hops=5,
+        entry_fanout=6
+    ).collect()
+    truth = cosine_topk(
+        vecs, q, 5, id_col="id", vec_col="values",
+        query_id_col="query_id", query_col="query",
+    ).collect()
+    want = {}
+    for r in truth:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(1 for r in got if r.neighbor_id in want[r.query_id])
+    recall = hits / sum(len(s) for s in want.values())
+    assert recall >= 0.8, recall
+    # each query's cosine neighborhood is its own ray (ids i..i+9):
+    # the cosine index returns ray-mates, not magnitude-mates
+    same_ray = sum(
+        1 for r in got if r.neighbor_id // 10 == r.query_id // 10
+    )
+    assert same_ray / len(got) >= 0.8
+
+    with pytest.raises(ValueError, match="metric"):
+        build_graph_index(vecs, str(tmp_path / "bad"), metric="dot")

@@ -9711,7 +9711,6 @@ def _graph_index_search_fixed(spark, sf_dir):
         emb,
         tempfile.mkdtemp(prefix="gidx_oracle_") + "/gidx",
         k=4,
-        coarse_k=2,
         iterations=1,
         coarse_size=16,
         id_col="vec_id",
@@ -9723,7 +9722,7 @@ def _graph_index_search_fixed(spark, sf_dir):
     return search_graph_index(
         spark, idx, emb, q,
         k=10, beam=6, max_hops=2,
-        entry_fanout=4, coarse_beam=4, coarse_hops=2,
+        entry_fanout=4,
     )
 
 
@@ -9774,21 +9773,19 @@ def _graph_index_sql():
     )"""
         return out
 
-    # layer-1 entries: global hash-spread bottom-4 AMONG the coarse set
-    l1_first = f"""
-      SELECT q.query_id, en.node, {d2_q} AS dist2
-      FROM q CROSS JOIN (
-        SELECT node FROM coarse
-        ORDER BY ((node % 1000003) * 40503 + 7) % 1000003, node
-        LIMIT 4) en
-      JOIN vv v ON v.vec_id = en.node"""
-    # layer-0 entries: each query's coarse top-4 (dist2 carried over)
-    l0_first = """
+    # layer-0 entries: the coarse sample ranked EXACTLY per query,
+    # top-entry_fanout(4) by (dist2, node) — the routing semantics of
+    # search_graph_index (knn_exact over the coarse node-id sample)
+    l0_first = f"""
       SELECT query_id, node, dist2 FROM (
         SELECT query_id, node, dist2,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY dist2, node) AS rn
-        FROM l1_visited3) WHERE rn <= 4"""
+        FROM (
+          SELECT q.query_id, ca.node, {d2_q} AS dist2
+          FROM q CROSS JOIN coarse ca
+          JOIN vv v ON v.vec_id = ca.node
+        )) WHERE rn <= 4"""
 
     return f"""
     WITH vv AS (SELECT vec_id, embedding FROM embeddings
@@ -9847,28 +9844,12 @@ def _graph_index_sql():
     ),
     edges0 AS (SELECT src, dst FROM g1
                UNION SELECT dst AS src, src AS dst FROM g1),
-    -- === coarse layer: hash-spread 16, exact 2-NN graph ===
+    -- === coarse layer: hash-spread node-id sample of 16 ===
     coarse AS (
       SELECT vec_id AS node FROM vv
       ORDER BY ((vec_id % 1000003) * 40503 + 7) % 1000003, vec_id
       LIMIT 16
-    ),
-    cpairs AS (
-      SELECT a.vec_id AS src, c2.vec_id AS dst, {d2_pair} AS dist2
-      FROM vv a JOIN coarse ca ON a.vec_id = ca.node
-      JOIN vv c2 JOIN coarse cb ON c2.vec_id = cb.node
-        ON a.vec_id <> c2.vec_id
-    ),
-    cknn AS (
-      SELECT src, dst FROM (
-        SELECT src, dst,
-               row_number() OVER (PARTITION BY src
-                                  ORDER BY dist2, dst) AS rn
-        FROM cpairs) WHERE rn <= 2
-    ),
-    cedges AS (SELECT src, dst FROM cknn
-               UNION SELECT dst AS src, src AS dst FROM cknn)
-    {beam_hops("l1", "cedges", l1_first, 2, 4)}
+    )
     {beam_hops("l0", "edges0", l0_first, 2, 6)}
     SELECT query_id, CAST(rn AS INT) AS rank, node AS neighbor_id, dist2
     FROM (
@@ -9919,7 +9900,6 @@ def _graph_index_add_search(spark, sf_dir):
             base,
             tempfile.mkdtemp(prefix="gidx_add_") + "/gidx",
             k=4,
-            coarse_k=2,
             iterations=1,
             coarse_size=16,
             id_col="vec_id",
@@ -9928,7 +9908,7 @@ def _graph_index_add_search(spark, sf_dir):
         add_to_graph_index(
             spark, idx, base, newv,
             beam=6, max_hops=2, entry_fanout=4,
-            coarse_beam=4, coarse_hops=2, batch_iterations=1,
+            batch_iterations=1,
         )
         _GIDX_ADD_CACHE[sf_dir] = idx
     idx = _GIDX_ADD_CACHE[sf_dir]
@@ -9941,7 +9921,7 @@ def _graph_index_add_search(spark, sf_dir):
     return search_graph_index(
         spark, idx, combined, q,
         k=10, beam=6, max_hops=2,
-        entry_fanout=4, coarse_beam=4, coarse_hops=2,
+        entry_fanout=4,
     )
 
 
@@ -9995,24 +9975,20 @@ def _graph_index_add_sql():
         return out
 
     def two_layer(tag, qtab, vtab, edges, fanout):
-        """Layer-1 beam (coarse, 2 hops, beam 4) feeding a per-query-
-        seeded layer-0 beam (2 hops, beam 6) over `edges`."""
-        l1_first = f"""
-      SELECT {qtab}.query_id, en.node, {d2_q(qtab)} AS dist2
-      FROM {qtab} CROSS JOIN (
-        SELECT node FROM coarse
-        ORDER BY ((node % 1000003) * 40503 + 7) % 1000003, node
-        LIMIT 4) en
-      JOIN {vtab} v ON v.vec_id = en.node"""
+        """Exact coarse routing (the coarse sample ranked per query,
+        top-`fanout` by (dist2, node) — search_graph_index semantics)
+        feeding a per-query-seeded layer-0 beam (2 hops, beam 6)."""
         l0_first = f"""
       SELECT query_id, node, dist2 FROM (
         SELECT query_id, node, dist2,
                row_number() OVER (PARTITION BY query_id
                                   ORDER BY dist2, node) AS rn
-        FROM {tag}_c_visited3) WHERE rn <= {fanout}"""
-        return beam_hops(
-            f"{tag}_c", qtab, vtab, "cedges", l1_first, 2, 4
-        ) + beam_hops(f"{tag}_f", qtab, vtab, edges, l0_first, 2, 6)
+        FROM (
+          SELECT {qtab}.query_id, ca.node, {d2_q(qtab)} AS dist2
+          FROM {qtab} CROSS JOIN coarse ca
+          JOIN {vtab} v ON v.vec_id = ca.node
+        )) WHERE rn <= {fanout}"""
+        return beam_hops(f"{tag}_f", qtab, vtab, edges, l0_first, 2, 6)
 
     return f"""
     WITH vv0 AS (SELECT vec_id, embedding FROM embeddings
@@ -10078,21 +10054,6 @@ def _graph_index_add_sql():
       ORDER BY ((vec_id % 1000003) * 40503 + 7) % 1000003, vec_id
       LIMIT 16
     ),
-    cpairs AS (
-      SELECT a.vec_id AS src, c2.vec_id AS dst, {d2_pair} AS dist2
-      FROM vv0 a JOIN coarse ca ON a.vec_id = ca.node
-      JOIN vv0 c2 JOIN coarse cb ON c2.vec_id = cb.node
-        ON a.vec_id <> c2.vec_id
-    ),
-    cknn AS (
-      SELECT src, dst FROM (
-        SELECT src, dst,
-               row_number() OVER (PARTITION BY src
-                                  ORDER BY dist2, dst) AS rn
-        FROM cpairs) WHERE rn <= 2
-    ),
-    cedges AS (SELECT src, dst FROM cknn
-               UNION SELECT dst AS src, src AS dst FROM cknn),
     -- === the insert's own search: new vectors as queries ===
     qa AS (SELECT vec_id AS query_id, embedding AS query FROM nv)
     {two_layer("ins", "qa", "vv0", "edges0", 4)},
@@ -10176,7 +10137,6 @@ def _graph_index_delete_search(spark, sf_dir):
             emb,
             tempfile.mkdtemp(prefix="gidx_del_") + "/gidx",
             k=4,
-            coarse_k=2,
             iterations=1,
             coarse_size=16,
             id_col="vec_id",
@@ -10194,7 +10154,7 @@ def _graph_index_delete_search(spark, sf_dir):
     return search_graph_index(
         spark, idx, emb, q,
         k=10, beam=6, max_hops=2,
-        entry_fanout=4, coarse_beam=4, coarse_hops=2,
+        entry_fanout=4,
     )
 
 
@@ -10281,7 +10241,6 @@ def _graph_index_stats_fixed(spark, sf_dir):
             emb,
             tempfile.mkdtemp(prefix="gidx_stats_") + "/gidx",
             k=4,
-            coarse_k=2,
             iterations=1,
             coarse_size=16,
             id_col="vec_id",
@@ -10328,8 +10287,6 @@ def _graph_index_stats_sql():
              FROM recip, agg
       UNION ALL SELECT 'coarse', 'n_coarse_nodes',
              CAST(count(*) AS BIGINT) FROM coarse
-      UNION ALL SELECT 'coarse', 'n_coarse_edges',
-             CAST(count(*) AS BIGINT) FROM cedges
       UNION ALL SELECT 'meta', 'n_vectors', CAST(192 AS BIGINT)
       UNION ALL SELECT 'meta', 'k', CAST(4 AS BIGINT)
       UNION ALL SELECT 'deleted', 'n_tombstones', CAST(0 AS BIGINT)

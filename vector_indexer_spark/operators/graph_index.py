@@ -3,29 +3,31 @@
 The third ANN family's INDEX surface, mirroring the IVF index's
 build/load/search contract (operators/index_build.py — the reference's
 save/load shape, src/ivf_index.rs:36-41 / api.rs): a graph index is
-two Parquet edge tables plus a small JSON meta sidecar.
+one Parquet edge table, one coarse node-id table, and a small JSON
+meta sidecar.
 
 - **Layer 0** — a symmetrized NN-Descent k-NN graph over every vector
   (graph.nn_descent_knn_graph: O(n·k²) candidates per round, never the
   O(n²) exact build).
 - **Layer 1 (coarse)** — a deterministic hash-spread sample of
-  ~``coarse_size`` nodes (bottom-m under the engine's multiplicative
-  hash — the same spread sample beam search uses for default entries)
-  with its own exact-or-descent k-NN graph. This plays the role of
-  HNSW's upper levels: search walks the coarse graph first, and each
-  query's coarse top-``entry_fanout`` becomes its PER-QUERY entry set
-  into layer 0 — no manual ``entry_ids`` seeding needed, which is what
-  makes the index a drop-in batch ANN surface.
+  ~``coarse_size`` node IDS (bottom-m under the engine's
+  multiplicative hash). Search ranks the sample EXACTLY per query —
+  the same cost discipline IVF pays for probe ranking at equal nlist —
+  and each query's coarse top-``entry_fanout`` becomes its PER-QUERY
+  entry set into layer 0: no manual ``entry_ids`` seeding, no coarse
+  graph to maintain, and routing that cannot fragment on
+  disconnected-clique corpora (a walked coarse layer can — measured;
+  see search_graph_index).
 
-Scale shape: build is two NN-Descent runs (the coarse one over √n-ish
-nodes is negligible); search is two hop-synchronous beam searches —
-every hop one node-key shuffle of (beam × degree) candidate rows per
-query, the query batch broadcast, state localCheckpoint-truncated per
-hop (constant logical-plan size; see graph.py). Vectors stay wherever
-the caller keeps them — the index holds edges only (k·n ids + doubles),
-~1/16th the bytes of the vector table at d=128, so the edge tables can
-be co-partitioned with the corpus (bucket both by the node key) without
-touching the vector layout.
+Scale shape: build is one NN-Descent run plus a TakeOrdered sample;
+search is one exact √n-sized ranking plus a hop-synchronous layer-0
+beam — every hop one node-key shuffle of (beam × degree) candidate
+rows per query, the query batch broadcast, state
+localCheckpoint-truncated per hop (constant logical-plan size; see
+graph.py). Vectors stay wherever the caller keeps them — the index
+holds edges only (k·n ids), ~1/16th the bytes of the vector table at
+d=128, so the edge table can be co-partitioned with the corpus
+(bucket both by the node key) without touching the vector layout.
 
 Everything is deterministic (tri-hash NN-Descent init, (dist2, node)
 tie rules, hash-spread sampling) — two builds over the same input are
@@ -42,7 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-GRAPH_FORMAT_VERSION = 1
+GRAPH_FORMAT_VERSION = 2
 
 _HASH_P = 1_000_003
 _HASH_A = 40_503
@@ -60,18 +62,15 @@ class GraphIndex:
     path: str
     dimension: int
     k: int
-    coarse_k: int
     n_vectors: int
     coarse_size: int
     iterations: int
     id_col: str
     vec_col: str
+    metric: str = "l2"
 
     def edges(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "edges"))
-
-    def coarse_edges(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.path, "coarse_edges"))
 
     def coarse_nodes(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "coarse_nodes"))
@@ -82,14 +81,21 @@ def build_graph_index(
     path: str,
     *,
     k: int = 8,
-    coarse_k: int = 4,
     iterations: int = 3,
     coarse_size: int | None = None,
     id_col: str = "id",
     vec_col: str = "values",
     method: str = "arrow",
+    metric: str = "l2",
 ) -> GraphIndex:
     """Build and persist the two-layer graph index.
+
+    ``metric='cosine'`` L2-normalizes the vectors before every build
+    and search step (on unit vectors dist2 = 2 - 2·cos, monotone in
+    cosine, so top-k by dist2 IS cosine top-k); ``dist2`` outputs are
+    then on the normalized vectors. The raw vector table is passed
+    unchanged everywhere — normalization is internal and idempotent
+    per call, never persisted.
 
     ``coarse_size`` defaults to ``max(64, ceil(sqrt(n)))`` — HNSW's
     level-population shape (each level ~1/e of the one below collapses,
@@ -97,13 +103,24 @@ def build_graph_index(
     bottom-``coarse_size`` nodes under the multiplicative hash: a
     deterministic spread sample, stable under appends that keep ids
     (a node enters/leaves the sample only if the id set changes).
+    The sample is a plain node-id table — search ranks it EXACTLY per
+    query (see :func:`search_graph_index`), so the index stores no
+    coarse graph at all.
     """
     from vector_indexer_spark.operators.graph import (  # noqa: PLC0415
         nn_descent_knn_graph,
     )
 
-    if k < 1 or coarse_k < 1:
-        raise ValueError("k and coarse_k must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if metric not in ("l2", "cosine"):
+        raise ValueError("metric must be 'l2' or 'cosine'")
+    if metric == "cosine":
+        from vector_indexer_spark.operators.similarity import (  # noqa: PLC0415
+            normalize_vectors,
+        )
+
+        vectors = normalize_vectors(vectors, vec_col=vec_col)
     v = vectors.select(
         F.col(id_col).alias("node"), F.col(vec_col).alias("vec")
     )
@@ -127,30 +144,7 @@ def build_graph_index(
         .limit(coarse_size)
         .select("node")
     )
-    coarse_vec = v.join(F.broadcast(coarse), "node").select(
-        F.col("node").alias(id_col), F.col("vec").alias(vec_col)
-    )
-    if coarse_size <= 4096:
-        # √n-sized layer: the exact O(m²) graph is cheaper than
-        # descent rounds and strictly better quality
-        from vector_indexer_spark.operators.graph import (  # noqa: PLC0415
-            knn_graph,
-        )
-
-        cedges = knn_graph(
-            coarse_vec, coarse_k, id_col=id_col, vec_col=vec_col,
-            symmetric=True,
-        )
-    else:
-        cedges = nn_descent_knn_graph(
-            coarse_vec, coarse_k, iterations=iterations, symmetric=True,
-            id_col=id_col, vec_col=vec_col, method=method,
-            early_stop=False,
-        )
     edges.write.mode("overwrite").parquet(os.path.join(path, "edges"))
-    cedges.write.mode("overwrite").parquet(
-        os.path.join(path, "coarse_edges")
-    )
     coarse.write.mode("overwrite").parquet(
         os.path.join(path, "coarse_nodes")
     )
@@ -159,12 +153,12 @@ def build_graph_index(
         "kind": "two_layer_graph",
         "dimension": dimension,
         "k": k,
-        "coarse_k": coarse_k,
         "n_vectors": n,
         "coarse_size": coarse_size,
         "iterations": iterations,
         "id_col": id_col,
         "vec_col": vec_col,
+        "metric": metric,
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f, indent=2)
@@ -172,12 +166,12 @@ def build_graph_index(
         path=path,
         dimension=dimension,
         k=k,
-        coarse_k=coarse_k,
         n_vectors=n,
         coarse_size=coarse_size,
         iterations=iterations,
         id_col=id_col,
         vec_col=vec_col,
+        metric=metric,
     )
 
 
@@ -197,12 +191,12 @@ def load_graph_index(path: str) -> GraphIndex:
         path=path,
         dimension=int(meta["dimension"]),
         k=int(meta["k"]),
-        coarse_k=int(meta["coarse_k"]),
         n_vectors=int(meta["n_vectors"]),
         coarse_size=int(meta["coarse_size"]),
         iterations=int(meta["iterations"]),
         id_col=meta["id_col"],
         vec_col=meta["vec_col"],
+        metric=meta.get("metric", "l2"),
     )
 
 
@@ -216,25 +210,41 @@ def search_graph_index(
     beam: int = 16,
     max_hops: int = 4,
     entry_fanout: int = 8,
-    coarse_beam: int = 8,
-    coarse_hops: int = 4,
+    coarse_method: str = "native",
 ) -> DataFrame:
     """Two-layer batched ANN search: ``(query_id, rank, neighbor_id,
     dist2)`` top-k per query, no entry seeding required.
 
-    Layer 1 beam-searches the coarse graph (hash-spread default
-    entries over a √n-sized node set — cheap and global); each query's
-    coarse top-``entry_fanout`` seeds its PRIVATE layer-0 beam via
-    ``entry_df``. The expensive layer-0 walk therefore starts next to
-    the answer — ``max_hops`` stays small and per-hop candidate counts
-    stay (beam × degree)-bounded regardless of corpus size.
+    The coarse layer is ranked EXACTLY per query (one brute-force pass
+    over the √n-sized sample — the identical cost discipline IVF pays
+    for probe ranking at the same nlist): each query's coarse
+    top-``entry_fanout`` seeds its PRIVATE layer-0 beam via
+    ``entry_df``. Exact routing is the robustness lesson a coarse BEAM
+    search failed: on disconnected-clique corpora (many near-identical
+    groups) the coarse graph fragments like the base graph, and a
+    walked layer 1 strands every query whose group its few global
+    entries miss — measured recall 0.5 on a 12-ray fixture, 0.92 with
+    exact routing (only genuinely-uncovered groups remain dark). The
+    layer-0 walk then starts next to the answer — ``max_hops`` stays
+    small and per-hop candidate counts stay (beam × degree)-bounded
+    regardless of corpus size. ``coarse_method='arrow'`` routes the
+    coarse ranking through the GEMM kernel for very large samples
+    (last-ulp tie caveat, kernels.pairwise_dist2).
     """
     from vector_indexer_spark.operators.graph import (  # noqa: PLC0415
         graph_ann_search,
     )
+    from vector_indexer_spark.operators.knn import knn_exact  # noqa: PLC0415
 
     if k < 1:
         raise ValueError("k must be >= 1")
+    if index.metric == "cosine":
+        from vector_indexer_spark.operators.similarity import (  # noqa: PLC0415
+            normalize_vectors,
+        )
+
+        vectors = normalize_vectors(vectors, vec_col=index.vec_col)
+        queries = normalize_vectors(queries, vec_col="query")
     v = vectors.select(
         F.col(index.id_col).alias("node"), F.col(index.vec_col).alias("vec")
     )
@@ -243,15 +253,13 @@ def search_graph_index(
     ).select(
         F.col("node").alias(index.id_col), F.col("vec").alias(index.vec_col)
     )
-    coarse_hits = graph_ann_search(
+    coarse_hits = knn_exact(
         coarse_vec,
-        index.coarse_edges(spark),
         queries,
         k=entry_fanout,
-        beam=coarse_beam,
-        max_hops=coarse_hops,
         id_col=index.id_col,
         vec_col=index.vec_col,
+        method=coarse_method,
     )
     entry_df = coarse_hits.select(
         "query_id", F.col("neighbor_id").alias("node")
@@ -279,8 +287,6 @@ def add_to_graph_index(
     beam: int = 16,
     max_hops: int = 4,
     entry_fanout: int = 8,
-    coarse_beam: int = 8,
-    coarse_hops: int = 4,
     batch_iterations: int = 2,
 ) -> int:
     """Batched insert — the HNSW insert operation, append-only.
@@ -316,8 +322,7 @@ def add_to_graph_index(
     hits = search_graph_index(
         spark, index, vectors, q,
         k=index.k, beam=beam, max_hops=max_hops,
-        entry_fanout=entry_fanout, coarse_beam=coarse_beam,
-        coarse_hops=coarse_hops,
+        entry_fanout=entry_fanout,
     ).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
@@ -325,8 +330,17 @@ def add_to_graph_index(
         hits.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     if n_new > 1:
+        batch_for_graph = new_vectors
+        if index.metric == "cosine":
+            from vector_indexer_spark.operators.similarity import (  # noqa: PLC0415
+                normalize_vectors,
+            )
+
+            batch_for_graph = normalize_vectors(
+                new_vectors, vec_col=vcc
+            )
         internal = nn_descent_knn_graph(
-            new_vectors,
+            batch_for_graph,
             min(index.k, n_new - 1),
             iterations=batch_iterations,
             symmetric=True,
@@ -384,6 +398,12 @@ def compact_graph_index(
         max_degree = 2 * index.k
     if max_degree < 1:
         raise ValueError("max_degree must be >= 1")
+    if index.metric == "cosine":
+        from vector_indexer_spark.operators.similarity import (  # noqa: PLC0415
+            normalize_vectors,
+        )
+
+        vectors = normalize_vectors(vectors, vec_col=index.vec_col)
     src_dir = os.path.join(index.path, "edges")
     edges = spark.read.parquet(src_dir).distinct()
     n_before = edges.count()
@@ -459,35 +479,19 @@ def compact_graph_index(
     shutil.rmtree(backup)
     if dead is not None:
         cdir = os.path.join(index.path, "coarse_nodes")
-        cedir = os.path.join(index.path, "coarse_edges")
         cn = spark.read.parquet(cdir).join(
             F.broadcast(dead), "node", "left_anti"
         )
-        ce = (
-            spark.read.parquet(cedir)
-            .join(
-                F.broadcast(dead.select(F.col("node").alias("src"))),
-                "src",
-                "left_anti",
-            )
-            .join(
-                F.broadcast(dead.select(F.col("node").alias("dst"))),
-                "dst",
-                "left_anti",
-            )
-            .select("src", "dst")
-        )
-        for df, d in ((cn, cdir), (ce, cedir)):
-            stg = f"{d}__compact__staging"
-            if os.path.exists(stg):
-                shutil.rmtree(stg)
-            df.write.mode("overwrite").parquet(stg)
-            bak = f"{d}__compact__backup"
-            if os.path.exists(bak):
-                shutil.rmtree(bak)
-            os.rename(d, bak)
-            os.rename(stg, d)
+        stg = f"{cdir}__compact__staging"
+        if os.path.exists(stg):
+            shutil.rmtree(stg)
+        cn.write.mode("overwrite").parquet(stg)
+        bak = f"{cdir}__compact__backup"
+        if os.path.exists(bak):
             shutil.rmtree(bak)
+        os.rename(cdir, bak)
+        os.rename(stg, cdir)
+        shutil.rmtree(bak)
         shutil.rmtree(os.path.join(index.path, "deleted"))
         index.coarse_size = spark.read.parquet(cdir).count()
         meta_path = os.path.join(index.path, "meta.json")
@@ -553,7 +557,7 @@ def graph_index_stats(spark: SparkSession, index: GraphIndex) -> DataFrame:
     Sections: ``edges`` (count, covered nodes, out-degree min/max/avg,
     reciprocity — fraction of edges whose reverse exists; 1000 right
     after a symmetric build, drifting down after compaction prunes or
-    appends), ``coarse`` (sample + edge counts), ``meta`` (live vector
+    appends), ``coarse`` (sample size), ``meta`` (live vector
     count, k), ``deleted`` (pending tombstones). Everything is
     aggregate-sized: two edge scans, no joins wider than edge ⋈ edge
     on the reversed key.
@@ -570,7 +574,6 @@ def graph_index_stats(spark: SparkSession, index: GraphIndex) -> DataFrame:
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     n_recip = e.intersect(rev).count()
     n_coarse = index.coarse_nodes(spark).count()
-    n_cedges = index.coarse_edges(spark).count()
     dead = _tombstones(spark, index)
     n_dead = 0 if dead is None else dead.count()
     rows = [
@@ -591,7 +594,6 @@ def graph_index_stats(spark: SparkSession, index: GraphIndex) -> DataFrame:
             (n_recip * 1000) // n_edges if n_edges else 0,
         ),
         ("coarse", "n_coarse_nodes", n_coarse),
-        ("coarse", "n_coarse_edges", n_cedges),
         ("meta", "n_vectors", index.n_vectors),
         ("meta", "k", index.k),
         ("deleted", "n_tombstones", n_dead),

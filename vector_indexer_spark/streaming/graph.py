@@ -43,8 +43,6 @@ def start_graph_index_ingest(
     beam: int = 16,
     max_hops: int = 4,
     entry_fanout: int = 8,
-    coarse_beam: int = 8,
-    coarse_hops: int = 4,
     batch_iterations: int = 2,
     trigger_available_now: bool = False,
 ):
@@ -67,7 +65,6 @@ def start_graph_index_ingest(
         add_to_graph_index(
             spark, index, vectors, batch,
             beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
-            coarse_beam=coarse_beam, coarse_hops=coarse_hops,
             batch_iterations=batch_iterations,
         )
         batch.write.mode("append").parquet(vectors_path)
