@@ -695,3 +695,36 @@ def test_olap_q20_dominance_shares_prefiltered_scan(spark):
     assert s["broadcasts"] >= 2
     assert not s["cartesian"]
     assert any("p_name" in f for f in s["pushed_filters"])
+
+
+def test_graph_index_search_no_cartesian_broadcast_queries(spark, tmp_path):
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        search_graph_index,
+    )
+
+    sub = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 50)
+        .select("vec_id", "embedding")
+    )
+    idx = build_graph_index(
+        sub, str(tmp_path / "gidx"), k=3, iterations=1, coarse_size=10,
+        id_col="vec_id", vec_col="embedding",
+    )
+    q = sub.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    out = search_graph_index(
+        spark, idx, sub, q, k=3, beam=4, max_hops=1, entry_fanout=3
+    )
+    s = audit.plan_summary(out)
+    plan = audit.executed_plan(out)
+    # the iterative state is localCheckpoint-truncated, so the FINAL
+    # plan must be rooted at a materialized RDD scan (constant-size
+    # plan regardless of hops — the discipline that keeps driver-side
+    # Catalyst analysis from going exponential), with only the final
+    # per-query window + rank filter on top
+    assert "ExistingRDD" in plan
+    assert not s["cartesian"]
+    assert s["shuffles"] <= 1  # the final query_id window exchange
