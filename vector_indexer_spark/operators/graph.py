@@ -16,9 +16,12 @@ complement: exact hop DISTANCES for bounded neighborhoods (k-hop
 ego nets, near-dup blast radius, graph-ANN walks).
 
 Scale shape per iteration: frontier ⋈ edges shuffles on the node key;
-the visited set joins as an anti-join on the same key. Frontiers are
-persisted and unpersisted per round; at 1000 executors the cost is
-``max_hops`` shuffles of frontier-sized (not graph-sized) data.
+the visited set joins as an anti-join on the same key. Iterative state
+is eagerly localCheckpoint-ed per round — NOT merely persisted: the
+state frame appears 2-4x in each next round's tree, so without plan
+truncation driver-side Catalyst analysis grows exponentially even with
+the data cached (measured; see BASELINE.md). At 1000 executors the
+cost is ``max_hops`` shuffles of frontier-sized (not graph-sized) data.
 """
 
 from __future__ import annotations
