@@ -401,3 +401,27 @@ def test_cosine_metric_index(spark, tmp_path):
 
     with pytest.raises(ValueError, match="metric"):
         build_graph_index(vecs, str(tmp_path / "bad"), metric="dot")
+
+
+def test_filtered_search_restricts_results_not_traversal(gidx, spark):
+    idx, vecs = gidx
+    q = vecs.filter(F.col("id") % 31 == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    allowed = vecs.filter(F.col("id") % 3 == 0).select("id")
+    got = search_graph_index(
+        spark, idx, vecs, q, k=5, beam=12, max_hops=4,
+        entry_fanout=6, filter_ids=allowed,
+    ).collect()
+    assert got, "filtered search returned nothing"
+    assert all(r.neighbor_id % 3 == 0 for r in got)
+    # ranks stay contiguous after the filter (applied BEFORE top-k)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    # unfiltered search on the same queries finds disallowed ids too
+    full = search_graph_index(
+        spark, idx, vecs, q, k=5, beam=12, max_hops=4, entry_fanout=6
+    ).collect()
+    assert any(r.neighbor_id % 3 != 0 for r in full)

@@ -10299,3 +10299,59 @@ _register(
     _graph_index_stats_fixed,
     _graph_index_stats_sql(),
 )
+
+
+# --------------------------------------------------------------------------
+# graph_index_filtered_search — attribute-filtered ANN on the graph
+# index (the post-filter-during-search strategy): results restricted to
+# even vec_ids, traversal unrestricted — the same replay as the search
+# oracle with the allowed-set semi-filter applied before the final
+# top-k. The graph twin of ivf_search_filtered_fixed.
+# --------------------------------------------------------------------------
+
+_GIDX_FILT_CACHE: dict = {}
+
+
+def _graph_index_filtered_search(spark, sf_dir):
+    import tempfile
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        search_graph_index,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    if sf_dir not in _GIDX_FILT_CACHE:
+        _GIDX_FILT_CACHE[sf_dir] = build_graph_index(
+            emb,
+            tempfile.mkdtemp(prefix="gidx_filt_") + "/gidx",
+            k=4,
+            iterations=1,
+            coarse_size=16,
+            id_col="vec_id",
+            vec_col="embedding",
+        )
+    idx = _GIDX_FILT_CACHE[sf_dir]
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    allowed = emb.filter(F.col("vec_id") % 2 == 0).select("vec_id")
+    return search_graph_index(
+        spark, idx, emb, q,
+        k=10, beam=6, max_hops=2, entry_fanout=4,
+        filter_ids=allowed,
+    )
+
+
+_register(
+    "graph_index_filtered_search",
+    _graph_index_filtered_search,
+    _graph_index_sql().replace(
+        "FROM l0_visited3) WHERE rn <= 10",
+        "FROM l0_visited3 WHERE node % 2 = 0) WHERE rn <= 10",
+    ),
+)

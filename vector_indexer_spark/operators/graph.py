@@ -283,6 +283,7 @@ def graph_ann_search(
     entry_ids: list[int] | None = None,
     entry_df: DataFrame | None = None,
     exclude_ids: DataFrame | None = None,
+    include_ids: DataFrame | None = None,
     id_col: str = "id",
     vec_col: str = "values",
 ) -> DataFrame:
@@ -290,6 +291,11 @@ def graph_ann_search(
     neighbor_id, dist2)`` top-k per query. ``exclude_ids`` (a
     ``node``-column frame, e.g. deletion tombstones) is filtered from
     RESULTS only — excluded nodes remain traversable waypoints.
+    ``include_ids`` is the attribute-filtered-ANN complement: results
+    restricted to an allowed node set, traversal unrestricted (the
+    post-filter-during-search strategy — walking only the filtered
+    subgraph would fragment it; raise ``k``/``beam`` for very
+    selective filters).
 
     Semantics (deterministic, oracle-unrollable): the beam starts at
     ``entry_ids`` (default: the ``beam`` nodes with the smallest
@@ -401,6 +407,16 @@ def graph_ann_search(
             F.broadcast(exclude_ids.select("node").distinct()),
             "node",
             "left_anti",
+        )
+    if include_ids is not None:
+        # attribute filter: same traversal, results restricted — a
+        # semi-join before the final top-k (broadcast when the allowed
+        # set is a pushed-down key list; swap to a shuffled semi-join
+        # upstream for corpus-sized predicates)
+        visited = visited.join(
+            F.broadcast(include_ids.select("node").distinct()),
+            "node",
+            "left_semi",
         )
     out = (
         visited.withColumn("rank", F.row_number().over(wq))

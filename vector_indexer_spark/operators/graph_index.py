@@ -211,9 +211,18 @@ def search_graph_index(
     max_hops: int = 4,
     entry_fanout: int = 8,
     coarse_method: str = "native",
+    filter_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Two-layer batched ANN search: ``(query_id, rank, neighbor_id,
     dist2)`` top-k per query, no entry seeding required.
+
+    ``filter_ids`` (a one-column frame of allowed ids) is the
+    attribute-filtered-ANN surface — the graph twin of
+    ``search_index``'s ``filter_expr``: results are restricted to the
+    allowed set while TRAVERSAL stays unrestricted (walking only the
+    filtered subgraph would fragment it; raise ``k``/``beam`` for very
+    selective filters). Materialize the predicate to a key list
+    upstream (pushed-down scan of the attribute table).
 
     The coarse layer is ranked EXACTLY per query (one brute-force pass
     over the √n-sized sample — the identical cost discipline IVF pays
@@ -264,6 +273,14 @@ def search_graph_index(
     entry_df = coarse_hits.select(
         "query_id", F.col("neighbor_id").alias("node")
     )
+    include_df = None
+    if filter_ids is not None:
+        col0 = (
+            index.id_col
+            if index.id_col in filter_ids.columns
+            else filter_ids.columns[0]
+        )
+        include_df = filter_ids.select(F.col(col0).alias("node"))
     return graph_ann_search(
         vectors,
         index.edges(spark),
@@ -273,6 +290,7 @@ def search_graph_index(
         max_hops=max_hops,
         entry_df=entry_df,
         exclude_ids=_tombstones(spark, index),
+        include_ids=include_df,
         id_col=index.id_col,
         vec_col=index.vec_col,
     )
