@@ -1321,3 +1321,35 @@ def test_rowwise_cosine_foldexact_matches_sequential_fold():
             na += x * x
             nb += y * y
         assert got[i] == dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def test_embedding_near_dups_graph_finds_planted_pairs(spark):
+    import numpy as np
+
+    from vector_indexer_spark.operators.dedup import (
+        embedding_near_dups_graph,
+    )
+
+    rng = np.random.default_rng(41)
+    base = rng.normal(0, 10, (60, 8)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # plant 5 near-dups: tiny perturbations of existing points
+    for j in range(5):
+        rows.append(
+            (100 + j, [float(x) + 0.001 for x in base[j * 7]])
+        )
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_near_dups_graph(
+        vecs, threshold2=0.01, k=4, iterations=3,
+        id_col="vec_id", vec_col="embedding",
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert {(j * 7, 100 + j) for j in range(5)} <= pairs
+    # nothing else is that close in a spread Gaussian cloud
+    assert len(pairs) == 5
+    assert all(r.dist2 <= 0.01 for r in got)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold2"):
+        embedding_near_dups_graph(vecs, threshold2=-1.0)

@@ -10355,3 +10355,48 @@ _register(
         "FROM l0_visited3 WHERE node % 2 = 0) WHERE rn <= 10",
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# dedup_near_dup_graph — near-dup mining straight from the NN-Descent
+# graph (the third blocking strategy next to cluster blocking and RHP
+# banding: the approximate k-NN graph IS an ANN self-join, so near-dup
+# pairs are a distance filter over its edges — no banding parameters).
+# Oracle = the NN-Descent replay + the same filter/collapse.
+# --------------------------------------------------------------------------
+
+
+def _dedup_near_dup_graph(spark, sf_dir):
+    from vector_indexer_spark.operators.dedup import (
+        embedding_near_dups_graph,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    return embedding_near_dups_graph(
+        emb, threshold2=1.4, k=4, iterations=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+_register(
+    "dedup_near_dup_graph",
+    _dedup_near_dup_graph,
+    _graph_nn_descent_sql().replace(
+        """SELECT src, dst, CAST(rn AS INT) AS rank, dist2 FROM (
+      SELECT src, dst, dist2,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist2, dst) AS rn
+      FROM g2) WHERE rn <= 4""",
+        """SELECT DISTINCT LEAST(src, dst) AS id_a,
+           GREATEST(src, dst) AS id_b, dist2
+    FROM (
+      SELECT src, dst, dist2,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist2, dst) AS rn
+      FROM g2) WHERE rn <= 4 AND dist2 <= 1.4""",
+    ),
+)

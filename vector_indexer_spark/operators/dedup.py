@@ -1505,3 +1505,54 @@ def span_dup_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_fraction"),
     )
+
+
+def embedding_near_dups_graph(
+    df: DataFrame,
+    *,
+    threshold2: float,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "arrow",
+) -> DataFrame:
+    """Embedding near-duplicate pairs mined from the NN-Descent k-NN
+    graph: ``(id_a, id_b, dist2)`` with ``dist2 <= threshold2`` and
+    ``id_a < id_b``.
+
+    The third near-dup blocking strategy next to cluster blocking
+    (:func:`embedding_near_dups`) and RHP banding
+    (similarity.cosine_near_dup_rhp): the approximate k-NN graph IS an
+    ANN join of the corpus with itself, so near-dup mining is a filter
+    over its edges — no banding/bucket parameters to tune, and recall
+    is the graph's k-NN recall (a true near-dup closer than the k-th
+    neighbor is found by construction once the descent converges).
+    Cost is the O(n·k²)-per-round graph build — every stage one
+    bounded key-partitioned join (operators/graph.py).
+
+    Misses pairs beyond each point's k nearest — pick ``k`` above the
+    expected duplicate-cluster size (a doc with more than k dups
+    yields a connected GROUP through shared members even when not all
+    pairwise edges survive; resolve with resolve_duplicate_groups).
+    """
+    from vector_indexer_spark.operators.graph import (  # noqa: PLC0415
+        nn_descent_knn_graph,
+    )
+
+    if threshold2 < 0:
+        raise ValueError("threshold2 must be non-negative")
+    edges = nn_descent_knn_graph(
+        df, k, iterations=iterations, symmetric=False,
+        id_col=id_col, vec_col=vec_col, return_distances=True,
+        early_stop=False, method=method,
+    )
+    return (
+        edges.filter(F.col("dist2") <= F.lit(float(threshold2)))
+        .select(
+            F.least("src", "dst").alias("id_a"),
+            F.greatest("src", "dst").alias("id_b"),
+            "dist2",
+        )
+        .distinct()  # both directions of a mutual pair collapse
+    )
