@@ -10400,3 +10400,67 @@ _register(
       FROM g2) WHERE rn <= 4 AND dist2 <= 1.4""",
     ),
 )
+
+
+# --------------------------------------------------------------------------
+# pipeline_graph_dedup — the graph-family dedup pipeline composed end to
+# end and replayed by one SQL: NN-Descent graph build → edge distance
+# filter (near-dup pairs) → duplicate-group resolution (transitive
+# closure, min-id canonical). DuckDB recomputes the whole chain — the
+# descent recurrence, the pair mining, and a recursive-CTE closure.
+# --------------------------------------------------------------------------
+
+
+def _pipeline_graph_dedup(spark, sf_dir):
+    from vector_indexer_spark.operators.dedup import (
+        embedding_near_dups_graph,
+        resolve_duplicate_groups,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    pairs = embedding_near_dups_graph(
+        emb, threshold2=1.4, k=4, iterations=2,
+        id_col="vec_id", vec_col="embedding",
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    return resolve_duplicate_groups(nodes, pairs, id_col="doc_id")
+
+
+_register(
+    "pipeline_graph_dedup",
+    _pipeline_graph_dedup,
+    _graph_nn_descent_sql()
+    .replace("\n    WITH vv AS", "\n    WITH RECURSIVE vv AS", 1)
+    .replace(
+        """SELECT src, dst, CAST(rn AS INT) AS rank, dist2 FROM (
+      SELECT src, dst, dist2,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist2, dst) AS rn
+      FROM g2) WHERE rn <= 4""",
+        """,
+    prs AS (
+      SELECT DISTINCT LEAST(src, dst) AS id_a,
+             GREATEST(src, dst) AS id_b
+      FROM (
+        SELECT src, dst, dist2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM g2) WHERE rn <= 4 AND dist2 <= 1.4
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    reach AS (
+      SELECT vec_id AS node, vec_id AS reached FROM vv
+      UNION
+      SELECT r.node, u.dst FROM reach r JOIN und u ON u.src = r.reached
+    )
+    SELECT node AS doc_id, MIN(reached) AS canonical_id
+    FROM reach GROUP BY 1""",
+    ),
+)
