@@ -732,26 +732,42 @@ def main() -> None:
             .cache()
         )
         gq.count()
-        # the full index surface: coarse-layer routing, no entry seeding
-        t0 = time.perf_counter()
-        got = search_graph_index(
-            spark, gidx, gvec, gq, k=10, beam=24, max_hops=6,
-            entry_fanout=8,
-        ).persist()
-        got.count()
-        extras["graph_search_sec"] = round(time.perf_counter() - t0, 3)
-
-        truth = knn_exact(gvec, gq, k=10, method="native")
-        hits = (
-            got.select("query_id", "neighbor_id")
-            .join(
-                truth.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
+        # the full index surface: coarse-layer routing, no entry
+        # seeding. Beam sweep = the recall/latency knob (HNSW's
+        # ef-search analog; the graph twin of the nprobe sweep): the
+        # SAME graph, wider beam → higher recall, measured per round.
+        truth = knn_exact(gvec, gq, k=10, method="native").persist()
+        truth.count()
+        sweep = []
+        for b, hops, fan in ((8, 4, 4), (24, 6, 8), (48, 8, 16)):
+            t0 = time.perf_counter()
+            got = search_graph_index(
+                spark, gidx, gvec, gq, k=10, beam=b, max_hops=hops,
+                entry_fanout=fan,
+            ).persist()
+            got.count()
+            dt = round(time.perf_counter() - t0, 3)
+            hits = (
+                got.select("query_id", "neighbor_id")
+                .join(
+                    truth.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                )
+                .count()
             )
-            .count()
-        )
-        extras["graph_ann_recall_at_10"] = round(hits / (64 * 10), 4)
-        got.unpersist(), gvec.unpersist(), gq.unpersist()
+            got.unpersist()
+            sweep.append(
+                {
+                    "beam": b,
+                    "hops": hops,
+                    "sec": dt,
+                    "recall_at_10": round(hits / (64 * 10), 4),
+                }
+            )
+        extras["graph_beam_sweep"] = sweep
+        extras["graph_search_sec"] = sweep[1]["sec"]
+        extras["graph_ann_recall_at_10"] = sweep[1]["recall_at_10"]
+        truth.unpersist(), gvec.unpersist(), gq.unpersist()
 
     results = {k: round(v, 4) for k, v in results.items()}
     print(
