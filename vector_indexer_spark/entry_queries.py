@@ -9393,6 +9393,8 @@ def _graph_nn_descent_fixed(spark, sf_dir):
         emb, 4, iterations=2, symmetric=False,
         id_col="vec_id", vec_col="embedding", return_distances=True,
         early_stop=False,  # fixed budget; a converged set is a fixed point
+        max_reverse_degree=None,  # oracle replays the pure recurrence;
+        # the capped default is locked by graph_nn_descent_capped_fixed
     )
 
 
@@ -9473,6 +9475,119 @@ _register(
     "graph_nn_descent_fixed",
     _graph_nn_descent_fixed,
     _graph_nn_descent_sql(),
+)
+
+
+# --------------------------------------------------------------------------
+# graph_nn_descent_capped_fixed — the ρ-sampling hub guard (Dong et al.
+# §2.3, max_reverse_degree — the engine's DEFAULT at 4·k) locked by its
+# own SQL replay: one descent round with every node's symmetrized
+# out-degree capped at k + max_reverse_degree = 6 (binding on this
+# fixture) via the deterministic hash-ordered sample. A wrong cap order,
+# an off-by-one in the keep count, or a biased sample all change the
+# candidate set and break the hash.
+# --------------------------------------------------------------------------
+
+
+def _graph_nn_descent_capped_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.graph import nn_descent_knn_graph
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    return nn_descent_knn_graph(
+        emb, 4, iterations=1, symmetric=False,
+        id_col="vec_id", vec_col="embedding", return_distances=True,
+        early_stop=False, max_reverse_degree=2,
+    )
+
+
+def _graph_nn_descent_capped_sql():
+    d2 = """
+      list_reduce(
+        list_transform(range(1, len(a.embedding) + 1),
+          i -> (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(c2.embedding[i] AS DOUBLE))
+             * (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(c2.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+    return f"""
+    WITH vv AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 192),
+    b AS (
+      SELECT vec_id,
+        ((vec_id % 1000003) * 40503 + 7) % 1000003 % 19 AS b1,
+        ((vec_id % 1000003) * 75029 + 13) % 1000003 % 19 AS b2,
+        ((vec_id % 1000003) * 126989 + 29) % 1000003 % 19 AS b3
+      FROM vv
+    ),
+    ip AS (
+      SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+      FROM b x JOIN b y
+        ON (x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+      WHERE x.vec_id <> y.vec_id
+    ),
+    sc_init AS (
+      SELECT c.src, c.dst, {d2} AS dist2
+      FROM ip c JOIN vv a ON a.vec_id = c.src
+                JOIN vv c2 ON c2.vec_id = c.dst
+    ),
+    g0 AS (
+      SELECT src, dst, dist2 FROM (
+        SELECT src, dst, dist2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM sc_init) WHERE rn <= 4
+    ),
+    und0 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM g0
+        UNION ALL SELECT dst AS src, src AS dst FROM g0)
+    ),
+    -- the hub guard: keep each node's hash-smallest k + cap = 6
+    -- symmetrized out-edges (deterministic unbiased sample)
+    undc0 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (
+                 PARTITION BY src
+                 ORDER BY ((dst % 1000003) * 40503 + 7) % 1000003, dst
+               ) AS rn
+        FROM und0) WHERE rn <= 6
+    ),
+    cand0 AS (
+      SELECT DISTINCT u1.src, u2.dst
+      FROM undc0 u1 JOIN undc0 u2 ON u1.dst = u2.src
+      ANTI JOIN g0 g ON g.src = u1.src AND g.dst = u2.dst
+      WHERE u1.src <> u2.dst
+    ),
+    sc0 AS (
+      SELECT c.src, c.dst, {d2} AS dist2
+      FROM cand0 c JOIN vv a ON a.vec_id = c.src
+                   JOIN vv c2 ON c2.vec_id = c.dst
+    ),
+    g1 AS (
+      SELECT src, dst, dist2 FROM (
+        SELECT src, dst, dist2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM (SELECT * FROM g0 UNION ALL SELECT * FROM sc0))
+      WHERE rn <= 4
+    )
+    SELECT src, dst, CAST(rn AS INT) AS rank, dist2 FROM (
+      SELECT src, dst, dist2,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist2, dst) AS rn
+      FROM g1) WHERE rn <= 4
+    """
+
+
+_register(
+    "graph_nn_descent_capped_fixed",
+    _graph_nn_descent_capped_fixed,
+    _graph_nn_descent_capped_sql(),
 )
 
 
@@ -9715,6 +9830,7 @@ def _graph_index_search_fixed(spark, sf_dir):
         coarse_size=16,
         id_col="vec_id",
         vec_col="embedding",
+        max_reverse_degree=None,  # oracle replays the pure recurrence
     )
     q = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
@@ -9904,6 +10020,7 @@ def _graph_index_add_search(spark, sf_dir):
             coarse_size=16,
             id_col="vec_id",
             vec_col="embedding",
+            max_reverse_degree=None,  # oracle replays the pure recurrence
         )
         add_to_graph_index(
             spark, idx, base, newv,
@@ -10141,6 +10258,7 @@ def _graph_index_delete_search(spark, sf_dir):
             coarse_size=16,
             id_col="vec_id",
             vec_col="embedding",
+            max_reverse_degree=None,  # oracle replays the pure recurrence
         )
         doomed = spark.createDataFrame(
             [(3,), (17,), (99,)], "vec_id long"
@@ -10245,6 +10363,7 @@ def _graph_index_stats_fixed(spark, sf_dir):
             coarse_size=16,
             id_col="vec_id",
             vec_col="embedding",
+            max_reverse_degree=None,  # oracle replays the pure recurrence
         )
     return graph_index_stats(spark, _GIDX_STATS_CACHE[sf_dir])
 
@@ -10274,6 +10393,8 @@ def _graph_index_stats_sql():
     SELECT * FROM (
       SELECT 'edges' AS section, 'n_edges' AS key,
              CAST(dsum AS BIGINT) AS value FROM agg
+      -- fresh symmetric build writes a distinct edge set: 0 dup rows
+      UNION ALL SELECT 'edges', 'n_duplicate_edge_rows', CAST(0 AS BIGINT)
       UNION ALL SELECT 'edges', 'n_nodes_with_out',
              CAST(nodes AS BIGINT) FROM agg
       UNION ALL SELECT 'edges', 'min_out_degree',
@@ -10290,6 +10411,13 @@ def _graph_index_stats_sql():
       UNION ALL SELECT 'meta', 'n_vectors', CAST(192 AS BIGINT)
       UNION ALL SELECT 'meta', 'k', CAST(4 AS BIGINT)
       UNION ALL SELECT 'deleted', 'n_tombstones', CAST(0 AS BIGINT)
+      -- health flags: a fresh build has zero staleness everywhere
+      UNION ALL SELECT 'health', 'appends_since_coarse_refresh',
+             CAST(0 AS BIGINT)
+      UNION ALL SELECT 'health', 'coarse_stale_milli', CAST(0 AS BIGINT)
+      UNION ALL SELECT 'health', 'tombstone_milli', CAST(0 AS BIGINT)
+      UNION ALL SELECT 'health', 'duplicate_edge_milli', CAST(0 AS BIGINT)
+      UNION ALL SELECT 'health', 'needs_compaction', CAST(0 AS BIGINT)
     )
     """
 
@@ -10334,6 +10462,7 @@ def _graph_index_filtered_search(spark, sf_dir):
             coarse_size=16,
             id_col="vec_id",
             vec_col="embedding",
+            max_reverse_degree=None,  # oracle replays the pure recurrence
         )
     idx = _GIDX_FILT_CACHE[sf_dir]
     q = emb.filter(F.col("vec_id") < 8).select(
@@ -10379,6 +10508,7 @@ def _dedup_near_dup_graph(spark, sf_dir):
     return embedding_near_dups_graph(
         emb, threshold2=1.4, k=4, iterations=2,
         id_col="vec_id", vec_col="embedding",
+        max_reverse_degree=None,  # oracle replays the pure recurrence
     )
 
 
@@ -10425,6 +10555,7 @@ def _pipeline_graph_dedup(spark, sf_dir):
     pairs = embedding_near_dups_graph(
         emb, threshold2=1.4, k=4, iterations=2,
         id_col="vec_id", vec_col="embedding",
+        max_reverse_degree=None,  # oracle replays the pure recurrence
     )
     nodes = emb.select(F.col("vec_id").alias("doc_id"))
     return resolve_duplicate_groups(nodes, pairs, id_col="doc_id")

@@ -1516,6 +1516,7 @@ def embedding_near_dups_graph(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "arrow",
+    max_reverse_degree: int | None | str = "auto",
 ) -> DataFrame:
     """Embedding near-duplicate pairs mined from the NN-Descent k-NN
     graph: ``(id_a, id_b, dist2)`` with ``dist2 <= threshold2`` and
@@ -1546,6 +1547,9 @@ def embedding_near_dups_graph(
         df, k, iterations=iterations, symmetric=False,
         id_col=id_col, vec_col=vec_col, return_distances=True,
         early_stop=False, method=method,
+        # hub guard passthrough — near-dup corpora are exactly the
+        # boilerplate-hub case; "auto" = 4*k (graph.py), None = off
+        max_reverse_degree=max_reverse_degree,
     )
     return (
         edges.filter(F.col("dist2") <= F.lit(float(threshold2)))

@@ -450,7 +450,7 @@ def nn_descent_knn_graph(
     *,
     iterations: int = 4,
     max_candidates: int | None = None,
-    max_reverse_degree: int | None = None,
+    max_reverse_degree: int | None | str = "auto",
     symmetric: bool = True,
     id_col: str = "id",
     vec_col: str = "values",
@@ -489,8 +489,11 @@ def nn_descent_knn_graph(
     skew: a node with in-degree D contributes D² candidate rows from
     one join key; the cap bounds every node's symmetrized degree at
     ``k + max_reverse_degree`` via a deterministic hash-ordered
-    sample — set it (e.g. 2-4x k) on corpora with medoid/boilerplate
-    hubs. Scoring is two
+    sample. Default ``"auto"`` = ``4·k`` — on a deduped-web corpus
+    (exactly this engine's target) medoid/boilerplate hubs are the
+    norm, so the guard is ON by default; pass ``None`` to disable
+    (the small-fixture oracle queries do, to keep their SQL replays
+    the pure published recurrence). Scoring is two
     key-partitioned joins against the vector table; re-selection is
     one window partitioned by src. No global barrier besides the
     round structure itself — n=10^9, k=20 is 4 rounds of ~4*10^11
@@ -521,6 +524,14 @@ def nn_descent_knn_graph(
         raise ValueError("iterations must be >= 0")
     if method not in ("arrow", "native"):
         raise ValueError("method must be 'arrow' or 'native'")
+    if max_reverse_degree == "auto":
+        max_reverse_degree = 4 * k
+    elif isinstance(max_reverse_degree, str):
+        raise ValueError(
+            "max_reverse_degree must be an int, None, or 'auto'"
+        )
+    if max_reverse_degree is not None and max_reverse_degree < 1:
+        raise ValueError("max_reverse_degree must be >= 1")
 
     v = vectors.select(
         F.col(id_col).alias("node"), F.col(vec_col).alias("vec")

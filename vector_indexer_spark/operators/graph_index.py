@@ -68,12 +68,52 @@ class GraphIndex:
     id_col: str
     vec_col: str
     metric: str = "l2"
+    # resolved NN-Descent guards, recorded at build time so inserts
+    # reuse the same discipline (None = guard off, e.g. oracle fixtures)
+    max_reverse_degree: int | None = None
+    max_candidates: int | None = None
+    # n_vectors when the coarse routing sample was last (re)computed —
+    # build and compact refresh it; appends don't (HNSW's upper layers
+    # also gain nodes only on rebuild). Stats derive staleness from it.
+    coarse_refreshed_at_n: int | None = None
 
     def edges(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "edges"))
 
     def coarse_nodes(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(os.path.join(self.path, "coarse_nodes"))
+
+    def _meta_dict(self) -> dict:
+        return {
+            "version": GRAPH_FORMAT_VERSION,
+            "kind": "two_layer_graph",
+            "dimension": self.dimension,
+            "k": self.k,
+            "n_vectors": self.n_vectors,
+            "coarse_size": self.coarse_size,
+            "iterations": self.iterations,
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "metric": self.metric,
+            "max_reverse_degree": self.max_reverse_degree,
+            "max_candidates": self.max_candidates,
+            "coarse_refreshed_at_n": self.coarse_refreshed_at_n,
+        }
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    """Atomic meta.json write: tmp file + os.rename, the same
+    atomic-pointer discipline as maintenance.write_version and the
+    edge-table staged swap — a crash mid-write must never truncate
+    meta.json (load_graph_index would raise on json.load and the
+    whole index would be unloadable)."""
+    meta_path = os.path.join(path, "meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, meta_path)
 
 
 def build_graph_index(
@@ -87,6 +127,8 @@ def build_graph_index(
     vec_col: str = "values",
     method: str = "arrow",
     metric: str = "l2",
+    max_reverse_degree: int | None | str = "auto",
+    max_candidates: int | None = None,
 ) -> GraphIndex:
     """Build and persist the two-layer graph index.
 
@@ -106,6 +148,15 @@ def build_graph_index(
     The sample is a plain node-id table — search ranks it EXACTLY per
     query (see :func:`search_graph_index`), so the index stores no
     coarse graph at all.
+
+    ``max_reverse_degree`` / ``max_candidates`` are NN-Descent's hub
+    guards (graph.nn_descent_knn_graph): ``"auto"`` resolves to
+    ``4·k`` — without it a medoid/boilerplate hub with in-degree D
+    emits D² candidate rows from one join key in the descent's
+    middle-node self-join, exactly the skew a deduped-web corpus
+    produces. The RESOLVED values are recorded in meta.json so
+    :func:`add_to_graph_index` applies the same discipline to batch-
+    internal graphs; pass ``None`` to disable (oracle fixtures do).
     """
     from vector_indexer_spark.operators.graph import (  # noqa: PLC0415
         nn_descent_knn_graph,
@@ -115,6 +166,12 @@ def build_graph_index(
         raise ValueError("k must be >= 1")
     if metric not in ("l2", "cosine"):
         raise ValueError("metric must be 'l2' or 'cosine'")
+    if max_reverse_degree == "auto":
+        max_reverse_degree = 4 * k
+    elif isinstance(max_reverse_degree, str):
+        raise ValueError(
+            "max_reverse_degree must be an int, None, or 'auto'"
+        )
     if metric == "cosine":
         from vector_indexer_spark.operators.similarity import (  # noqa: PLC0415
             normalize_vectors,
@@ -136,6 +193,8 @@ def build_graph_index(
     edges = nn_descent_knn_graph(
         vectors, k, iterations=iterations, symmetric=True,
         id_col=id_col, vec_col=vec_col, method=method, early_stop=False,
+        max_reverse_degree=max_reverse_degree,
+        max_candidates=max_candidates,
     )
 
     coarse = (
@@ -148,21 +207,7 @@ def build_graph_index(
     coarse.write.mode("overwrite").parquet(
         os.path.join(path, "coarse_nodes")
     )
-    meta = {
-        "version": GRAPH_FORMAT_VERSION,
-        "kind": "two_layer_graph",
-        "dimension": dimension,
-        "k": k,
-        "n_vectors": n,
-        "coarse_size": coarse_size,
-        "iterations": iterations,
-        "id_col": id_col,
-        "vec_col": vec_col,
-        "metric": metric,
-    }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
-    return GraphIndex(
+    index = GraphIndex(
         path=path,
         dimension=dimension,
         k=k,
@@ -172,7 +217,12 @@ def build_graph_index(
         id_col=id_col,
         vec_col=vec_col,
         metric=metric,
+        max_reverse_degree=max_reverse_degree,
+        max_candidates=max_candidates,
+        coarse_refreshed_at_n=n,
     )
+    _write_meta(path, index._meta_dict())
+    return index
 
 
 def load_graph_index(path: str) -> GraphIndex:
@@ -187,6 +237,9 @@ def load_graph_index(path: str) -> GraphIndex:
         raise ValueError(
             f"unsupported graph index version {meta.get('version')!r}"
         )
+    mrd = meta.get("max_reverse_degree")
+    mc = meta.get("max_candidates")
+    crn = meta.get("coarse_refreshed_at_n")
     return GraphIndex(
         path=path,
         dimension=int(meta["dimension"]),
@@ -197,6 +250,9 @@ def load_graph_index(path: str) -> GraphIndex:
         id_col=meta["id_col"],
         vec_col=meta["vec_col"],
         metric=meta.get("metric", "l2"),
+        max_reverse_degree=None if mrd is None else int(mrd),
+        max_candidates=None if mc is None else int(mc),
+        coarse_refreshed_at_n=None if crn is None else int(crn),
     )
 
 
@@ -365,6 +421,10 @@ def add_to_graph_index(
             id_col=idc,
             vec_col=vcc,
             early_stop=False,
+            # the guards recorded at build time apply to every batch-
+            # internal graph too (None = guard off, oracle fixtures)
+            max_reverse_degree=index.max_reverse_degree,
+            max_candidates=index.max_candidates,
         )
         new_edges = cross.unionByName(internal).distinct()
     else:
@@ -372,12 +432,7 @@ def add_to_graph_index(
     new_edges.write.mode("append").parquet(os.path.join(index.path, "edges"))
 
     index.n_vectors += n_new
-    meta_path = os.path.join(index.path, "meta.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
-    meta["n_vectors"] = index.n_vectors
-    with open(meta_path, "w") as f:
-        json.dump(meta, f, indent=2)
+    _write_meta(index.path, index._meta_dict())
     return n_new
 
 
@@ -388,6 +443,7 @@ def compact_graph_index(
     *,
     max_degree: int | None = None,
     method: str = "arrow",
+    coarse_size: int | None = None,
 ) -> tuple[int, int]:
     """Re-prune the edge table to ``max_degree`` (default ``2*k``)
     out-edges per node by ``(dist2, dst)`` — the counterpart of the
@@ -400,6 +456,15 @@ def compact_graph_index(
     Pruning is per-direction, so the result may be asymmetric —
     exactly HNSW's post-prune state; beam search walks out-edges and
     is unaffected. Returns ``(edges_before, edges_after)``.
+
+    Compaction also REFRESHES the coarse routing layer: the
+    hash-spread sample is recomputed over the LIVE id set at
+    ``coarse_size`` (default ``max(64, ceil(sqrt(n_live)))``) — one
+    TakeOrdered over ids. Inserts never touch the coarse layer, so
+    after heavy append traffic routing would otherwise stay
+    √n_original while layer 0 grows: entry points drift away from new
+    regions and recall decays invisibly. Refreshing here restores
+    routing parity with a fresh build over the same data.
     """
     import shutil  # noqa: PLC0415
 
@@ -495,29 +560,40 @@ def compact_graph_index(
     os.rename(src_dir, backup)
     os.rename(staging, src_dir)
     shutil.rmtree(backup)
+
+    # refresh the coarse routing sample over the LIVE id set — appends
+    # never touch it, so without this the routing layer stays
+    # √n_original forever (recall decays invisibly under append traffic)
+    live = v.select("node")
     if dead is not None:
-        cdir = os.path.join(index.path, "coarse_nodes")
-        cn = spark.read.parquet(cdir).join(
-            F.broadcast(dead), "node", "left_anti"
-        )
-        stg = f"{cdir}__compact__staging"
-        if os.path.exists(stg):
-            shutil.rmtree(stg)
-        cn.write.mode("overwrite").parquet(stg)
-        bak = f"{cdir}__compact__backup"
-        if os.path.exists(bak):
-            shutil.rmtree(bak)
-        os.rename(cdir, bak)
-        os.rename(stg, cdir)
+        live = live.join(F.broadcast(dead), "node", "left_anti")
+    n_live = live.count()
+    if coarse_size is None:
+        coarse_size = max(64, int(n_live**0.5) + 1)
+    coarse_size = min(coarse_size, n_live)
+    coarse = (
+        live.select("node", _spread_hash(F.col("node")).alias("__h"))
+        .orderBy("__h", "node")
+        .limit(coarse_size)
+        .select("node")
+    )
+    cdir = os.path.join(index.path, "coarse_nodes")
+    stg = f"{cdir}__compact__staging"
+    if os.path.exists(stg):
+        shutil.rmtree(stg)
+    coarse.write.mode("overwrite").parquet(stg)
+    bak = f"{cdir}__compact__backup"
+    if os.path.exists(bak):
         shutil.rmtree(bak)
+    os.rename(cdir, bak)
+    os.rename(stg, cdir)
+    shutil.rmtree(bak)
+    if dead is not None:
         shutil.rmtree(os.path.join(index.path, "deleted"))
-        index.coarse_size = spark.read.parquet(cdir).count()
-        meta_path = os.path.join(index.path, "meta.json")
-        with open(meta_path) as f:
-            meta = json.load(f)
-        meta["coarse_size"] = index.coarse_size
-        with open(meta_path, "w") as f:
-            json.dump(meta, f, indent=2)
+    index.coarse_size = coarse_size
+    index.n_vectors = n_live
+    index.coarse_refreshed_at_n = n_live
+    _write_meta(index.path, index._meta_dict())
     return n_before, n_after
 
 
@@ -556,12 +632,7 @@ def delete_from_graph_index(
         return 0
     ids.write.mode("append").parquet(os.path.join(index.path, "deleted"))
     index.n_vectors -= n
-    meta_path = os.path.join(index.path, "meta.json")
-    with open(meta_path) as f:
-        meta = json.load(f)
-    meta["n_vectors"] = index.n_vectors
-    with open(meta_path, "w") as f:
-        json.dump(meta, f, indent=2)
+    _write_meta(index.path, index._meta_dict())
     return n
 
 
@@ -572,15 +643,37 @@ def graph_index_stats(spark: SparkSession, index: GraphIndex) -> DataFrame:
     bit-reproducible and oracle-checkable; the graph twin of the IVF
     tier's cluster-stats profiler).
 
-    Sections: ``edges`` (count, covered nodes, out-degree min/max/avg,
-    reciprocity — fraction of edges whose reverse exists; 1000 right
-    after a symmetric build, drifting down after compaction prunes or
-    appends), ``coarse`` (sample size), ``meta`` (live vector
-    count, k), ``deleted`` (pending tombstones). Everything is
+    Sections: ``edges`` (DISTINCT count, covered nodes, out-degree
+    min/max/avg, reciprocity — fraction of edges whose reverse exists;
+    1000 right after a symmetric build, drifting down after compaction
+    prunes or appends; plus ``n_duplicate_edge_rows``, the bag-minus-set
+    surplus that accumulates across appends since each insert batch
+    only dedups internally), ``coarse`` (sample size), ``meta`` (live
+    vector count, k), ``deleted`` (pending tombstones), and ``health``
+    — the staleness flags maintenance acts on:
+
+    - ``appends_since_coarse_refresh``: live vectors added since the
+      coarse sample was last computed (build or compaction). The
+      routing layer does NOT grow on insert, so this is the recall-
+      decay exposure.
+    - ``coarse_stale_milli``: that same exposure as a fraction of the
+      live corpus (milli-units).
+    - ``tombstone_milli``: pending tombstones / live vectors.
+    - ``duplicate_edge_milli``: duplicate edge rows / distinct edges.
+    - ``needs_compaction``: 1 when any of the above crosses its
+      threshold (coarse staleness ≥ 30%, tombstones ≥ 10%, duplicate
+      rows ≥ 10%) — the boolean a maintenance scheduler polls.
+
+    Degree/reciprocity stats are computed on the DEDUPLICATED edge
+    set: duplicate rows from append batches are bookkeeping, not
+    topology (bag semantics skewed avg_out_degree vs the set-semantic
+    reciprocity intersect on any appended index). Everything is
     aggregate-sized: two edge scans, no joins wider than edge ⋈ edge
     on the reversed key.
     """
-    e = index.edges(spark).select("src", "dst")
+    e_raw = index.edges(spark).select("src", "dst")
+    e = e_raw.distinct()
+    n_raw = e_raw.count()
     deg = e.groupBy("src").agg(F.count("*").alias("d"))
     deg_stats = deg.agg(
         F.count("*").alias("nodes"),
@@ -589,13 +682,30 @@ def graph_index_stats(spark: SparkSession, index: GraphIndex) -> DataFrame:
         F.sum("d").alias("dsum"),
     ).first()
     n_edges = int(deg_stats["dsum"] or 0)
+    n_dup = n_raw - n_edges
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     n_recip = e.intersect(rev).count()
     n_coarse = index.coarse_nodes(spark).count()
     dead = _tombstones(spark, index)
     n_dead = 0 if dead is None else dead.count()
+    n_vec = max(index.n_vectors, 1)
+    refreshed_at = (
+        index.coarse_refreshed_at_n
+        if index.coarse_refreshed_at_n is not None
+        else index.n_vectors
+    )
+    appended = max(index.n_vectors - refreshed_at, 0)
+    coarse_stale_milli = (appended * 1000) // n_vec
+    tombstone_milli = (n_dead * 1000) // n_vec
+    dup_milli = (n_dup * 1000) // n_edges if n_edges else 0
+    needs_compaction = int(
+        coarse_stale_milli >= 300
+        or tombstone_milli >= 100
+        or dup_milli >= 100
+    )
     rows = [
         ("edges", "n_edges", n_edges),
+        ("edges", "n_duplicate_edge_rows", n_dup),
         ("edges", "n_nodes_with_out", int(deg_stats["nodes"] or 0)),
         ("edges", "min_out_degree", int(deg_stats["dmin"] or 0)),
         ("edges", "max_out_degree", int(deg_stats["dmax"] or 0)),
@@ -615,6 +725,11 @@ def graph_index_stats(spark: SparkSession, index: GraphIndex) -> DataFrame:
         ("meta", "n_vectors", index.n_vectors),
         ("meta", "k", index.k),
         ("deleted", "n_tombstones", n_dead),
+        ("health", "appends_since_coarse_refresh", appended),
+        ("health", "coarse_stale_milli", coarse_stale_milli),
+        ("health", "tombstone_milli", tombstone_milli),
+        ("health", "duplicate_edge_milli", dup_milli),
+        ("health", "needs_compaction", needs_compaction),
     ]
     return spark.createDataFrame(
         rows, "section string, key string, value long"
