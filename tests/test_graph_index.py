@@ -566,3 +566,65 @@ def test_meta_writes_are_atomic_and_crash_safe(spark, tmp_path):
     assert meta["n_vectors"] == 40
     assert meta["coarse_refreshed_at_n"] == 40
     assert not os.path.exists(tmp)
+
+
+def test_streaming_ingest_replay_is_idempotent(spark, tmp_path):
+    """ADVICE r5: foreachBatch is at-least-once — a replayed
+    micro-batch must NOT re-append its vectors (duplicate vector rows
+    previously produced duplicate scored rows, letting one neighbor
+    consume two of a query's k result ranks). The sink now anti-joins
+    the batch against already-landed ids; re-delivering an ingested
+    batch is a provable no-op, and search ranks stay duplicate-free."""
+    from vector_indexer_spark.streaming.graph import (
+        start_graph_index_ingest,
+    )
+
+    base = _clustered_vectors(spark, n_clusters=3, per=20, d=6, seed=61)
+    batch = base.filter(F.col("id") % 6 == 0).select(
+        (F.col("id") + 700).alias("id"),
+        F.transform("values", lambda x: x + F.lit(0.2))
+        .cast("array<float>")
+        .alias("values"),
+    )
+    path = str(tmp_path / "g_replay")
+    idx = build_graph_index(base, path, k=4, iterations=1, coarse_size=12)
+    vecs_dir = str(tmp_path / "vectors")
+    src = str(tmp_path / "stream_in")
+    base.write.parquet(vecs_dir)
+    batch.write.mode("append").parquet(src)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "id long, values array<float>"
+        ).parquet(src)
+        q = start_graph_index_ingest(
+            idx, stream, vecs_dir, ckpt,
+            beam=8, max_hops=3, entry_fanout=4, batch_iterations=1,
+            trigger_available_now=True,
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "ckpt1"))
+    n_vec = spark.read.parquet(vecs_dir).count()
+    n_edges = idx.edges(spark).count()
+    n_meta = idx.n_vectors
+    # re-deliver the identical batch (fresh checkpoint = the sink sees
+    # it again, exactly the at-least-once replay shape)
+    run(str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(vecs_dir).count() == n_vec
+    assert idx.edges(spark).count() == n_edges
+    assert idx.n_vectors == n_meta
+
+    # and the search surface: one result row per (query, rank), no
+    # neighbor repeated within a query
+    q = batch.select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    got = search_graph_index(
+        spark, idx, spark.read.parquet(vecs_dir), q,
+        k=5, beam=10, max_hops=3, entry_fanout=4,
+    ).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert all(len(v) == len(set(v)) for v in per_q.values())

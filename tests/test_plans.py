@@ -728,3 +728,28 @@ def test_graph_index_search_no_cartesian_broadcast_queries(spark, tmp_path):
     assert "ExistingRDD" in plan
     assert not s["cartesian"]
     assert s["shuffles"] <= 1  # the final query_id window exchange
+
+
+def test_pagerank_plan_truncated_per_iteration(spark):
+    """Round-5 verdict nit: pagerank's per-iteration plan grew linearly
+    (and `nodes` was persisted without unpersist). The rank frame is
+    now localCheckpoint-ed each round, so the RETURNED plan must be
+    rooted at a materialized RDD scan — constant size regardless of
+    iteration count — with no shuffles left above it."""
+    from vector_indexer_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 50) for i in range(50)]
+        + [(i, (i * 13 + 3) % 50) for i in range(50)],
+        "src long, dst long",
+    )
+    out = pagerank(edges, iterations=4)
+    plan = audit.executed_plan(out)
+    assert "ExistingRDD" in plan
+    s = audit.plan_summary(out)
+    assert s["shuffles"] == 0
+    # values are the integer-exact recurrence regardless of plan shape:
+    # total mass conserved-or-dropped means every rank >= base share
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.rank_micros >= 150_000 for r in rows)

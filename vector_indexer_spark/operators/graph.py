@@ -182,11 +182,18 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
     )
+    # eager localCheckpoint, the engine-wide iterative-state discipline
+    # (see bfs_hops/graph_ann_search): `nodes` and `rank` each appear
+    # 2x in every iteration's tree, so without plan truncation the
+    # logical plan doubles per round and driver-side Catalyst analysis
+    # grows exponentially even with the data cached. Checkpointing
+    # also replaces the old persist() (which leaked — nothing ever
+    # unpersisted it).
     nodes = (
         e.select(F.col("__s").alias("node"))
         .union(e.select(F.col("__d").alias("node")))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     outdeg = e.groupBy(F.col("__s").alias("node")).agg(
         F.count("*").alias("__deg")
@@ -218,6 +225,7 @@ def pagerank(
                     + F.expr(f"({damping_pct} * __in) div 100")
                 ).alias("rank_micros"),
             )
+            .localCheckpoint()
         )
     return rank
 
@@ -369,6 +377,13 @@ def graph_ann_search(
                 "node",
                 dist2_expr("query", "vec").alias("dist2"),
             )
+            # duplicate vector-id rows (e.g. an at-least-once ingest
+            # replay that slipped past upstream dedup) would otherwise
+            # waste beam slots mid-walk AND let one neighbor consume
+            # two of a query's k result ranks; with unique ids this is
+            # a no-op on an already-bounded frame. Dups carry identical
+            # vectors, so dropping by key is deterministic.
+            .dropDuplicates(["query_id", "node"])
         )
 
     # eager localCheckpoint, NOT persist: `visited` appears 3x in every

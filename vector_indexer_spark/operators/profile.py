@@ -205,6 +205,11 @@ def psi_by_slice(
         raise ValueError("n_bins must be >= 1")
     if not lo < hi:
         raise ValueError("need lo < hi")
+    # NULL values would fall into a NULL bin the dense grid drops while
+    # still counting toward the marginal denominator — biasing every
+    # smoothed q downward. Exclude them up front so counts, totals and
+    # n_all all describe the same (non-null) population.
+    df = df.filter(F.col(value_col).isNotNull())
     v = F.col(value_col).cast("double")
     width = (hi - lo) / n_bins
     bin_id = (

@@ -16,10 +16,13 @@ read of the vector path (re-planned each micro-batch, so concurrent
 compactions are picked up live). Degree growth across many batches is
 bounded by periodic :func:`~...graph_index.compact_graph_index`.
 
-Exactly-once caveat (same as the IVF ingest twin): a micro-batch
-retried after a sink-side crash re-appends; the appends are
-idempotent-by-content (duplicate edges are dedup'd by compaction, a
-duplicate vector row by the caller's dedup discipline).
+Exactly-once: foreachBatch is at-least-once, so a micro-batch retried
+after a sink-side crash is RE-DELIVERED. The sink anti-joins the batch
+against ids already in the vector table before doing anything — a
+replayed batch whose rows all landed becomes a no-op, so neither
+duplicate vector rows nor duplicate result ranks can be produced
+(duplicate EDGES from a crash in the edges-then-vectors window remain
+possible and are dedup'd by compaction; search tolerates them).
 """
 
 from __future__ import annotations
@@ -27,6 +30,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from vector_indexer_spark.operators.graph_index import (
     GraphIndex,
@@ -62,6 +66,21 @@ def start_graph_index_ingest(
         spark = batch_df.sparkSession
         batch = batch_df.select(index.id_col, index.vec_col)
         vectors = spark.read.parquet(vectors_path)
+        # at-least-once replay guard: drop rows whose ids already
+        # landed (a retried micro-batch otherwise re-appends the
+        # vectors, and duplicate vector rows produce duplicate scored
+        # rows downstream). Both joins broadcast the BATCH side — the
+        # corpus never shuffles; its id column scans once per batch.
+        seen = vectors.select(index.id_col).join(
+            F.broadcast(batch.select(index.id_col).distinct()),
+            index.id_col,
+            "left_semi",
+        )
+        batch = batch.join(
+            F.broadcast(seen), index.id_col, "left_anti"
+        )
+        if batch.isEmpty():
+            return
         add_to_graph_index(
             spark, index, vectors, batch,
             beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
