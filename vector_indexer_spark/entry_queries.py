@@ -10225,6 +10225,84 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# graph_streaming_ingest_oracle — the STREAMING graph-maintenance twin
+# (streaming/graph.py foreachBatch -> add_to_graph_index) run as a real
+# streaming query (availableNow, one micro-batch) and locked by the SAME
+# SQL replay as the batch insert path: stream-ingesting the 8 new
+# vectors must land the identical edges a sequential add_to_graph_index
+# lands, so the verification search bit-matches _graph_index_add_sql.
+# The composed streaming+graph check VERDICT r5 #9 asked for — the
+# graph-family analog of streaming_asof_oracle's batch-equivalence.
+# --------------------------------------------------------------------------
+
+_GIDX_STREAM_CACHE: dict = {}
+
+
+def _graph_streaming_ingest_oracle(spark, sf_dir):
+    import tempfile
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        search_graph_index,
+    )
+    from vector_indexer_spark.streaming.graph import (
+        start_graph_index_ingest,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 192).select("vec_id", "embedding")
+    newv = emb.filter(
+        (F.col("vec_id") >= 192) & (F.col("vec_id") < 200)
+    ).select((F.col("vec_id") + 10_000).alias("vec_id"), "embedding")
+    if sf_dir not in _GIDX_STREAM_CACHE:
+        work = tempfile.mkdtemp(prefix="gidx_stream_entry_")
+        idx = build_graph_index(
+            base,
+            f"{work}/gidx",
+            k=4,
+            iterations=1,
+            coarse_size=16,
+            id_col="vec_id",
+            vec_col="embedding",
+            max_reverse_degree=None,  # oracle replays the pure recurrence
+        )
+        vecs_dir, src, ckpt = f"{work}/vectors", f"{work}/in", f"{work}/ckpt"
+        base.write.parquet(vecs_dir)
+        # one file -> availableNow forms a single micro-batch, the same
+        # shape as the sequential add the oracle replays
+        newv.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<float>"
+        ).parquet(src)
+        q = start_graph_index_ingest(
+            idx, stream, vecs_dir, ckpt,
+            beam=6, max_hops=2, entry_fanout=4, batch_iterations=1,
+            trigger_available_now=True,
+        )
+        q.awaitTermination(300)
+        _GIDX_STREAM_CACHE[sf_dir] = (idx, vecs_dir)
+    idx, vecs_dir = _GIDX_STREAM_CACHE[sf_dir]
+    combined = spark.read.parquet(vecs_dir)
+    q = combined.filter(
+        F.col("vec_id").isin(0, 1, 2, 3, 10_192, 10_197)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index(
+        spark, idx, combined, q,
+        k=10, beam=6, max_hops=2,
+        entry_fanout=4,
+    )
+
+
+_register(
+    "graph_streaming_ingest_oracle",
+    _graph_streaming_ingest_oracle,
+    _graph_index_add_sql(),
+)
+
+
+# --------------------------------------------------------------------------
 # graph_index_delete_search — soft-delete semantics oracle-locked: after
 # tombstoning 3 nodes the SAME two-layer replay applies, except the
 # tombstoned ids are filtered from the visited set BEFORE the final
