@@ -769,6 +769,81 @@ def main() -> None:
         extras["graph_ann_recall_at_10"] = sweep[1]["recall_at_10"]
         truth.unpersist(), gvec.unpersist(), gq.unpersist()
 
+    # --- graph index at 1M x 32: the scale point that earns the graph
+    # family its linearity argument (IVF has the synth1000k pair; the
+    # graph evidence previously stopped at 100k). Same build config as
+    # the 20k point; NN-Descent is O(n*k^2) candidates/round so build
+    # should scale ~linearly from the 20k/100k committed numbers. ---
+    if os.environ.get("BENCH_GRAPH_1M", "1") == "1":
+        from vector_indexer_spark.operators.graph_index import (
+            build_graph_index,
+            search_graph_index,
+        )
+        from vector_indexer_spark.operators.knn import knn_exact
+        from vector_indexer_spark.sources.files import (
+            generate_clustered_vectors,
+        )
+
+        n_g1 = int(os.environ.get("BENCH_GRAPH_1M_N", "1000000"))
+        g1vec = (
+            generate_clustered_vectors(
+                spark, n_g1, 32, n_clusters=1000, seed=11
+            )
+            .drop("true_cluster")
+            .cache()
+        )
+        g1vec.count()
+        t0 = time.perf_counter()
+        g1path = tempfile.mkdtemp(prefix="bench_graph1m_") + "/gidx"
+        g1idx = build_graph_index(g1vec, g1path, k=8, iterations=3)
+        extras["graph1M_build_sec"] = round(time.perf_counter() - t0, 3)
+        extras["graph1M_n"] = n_g1
+        extras["graph1M_coarse_size"] = g1idx.coarse_size
+
+        g1q = (
+            g1vec.filter((F.col("id") % 15625) == 7)
+            .select(
+                F.col("id").alias("query_id"), F.col("values").alias("query")
+            )
+            .cache()
+        )
+        nq1 = g1q.count()
+        t0 = time.perf_counter()
+        truth1 = knn_exact(g1vec, g1q, k=10, method="arrow").persist()
+        truth1.count()
+        extras["graph1M_exact_sec"] = round(time.perf_counter() - t0, 3)
+        sweep1 = []
+        for b, hops, fan in ((24, 6, 8), (48, 8, 16)):
+            t0 = time.perf_counter()
+            got1 = search_graph_index(
+                spark, g1idx, g1vec, g1q, k=10, beam=b, max_hops=hops,
+                entry_fanout=fan,
+            ).persist()
+            got1.count()
+            dt1 = round(time.perf_counter() - t0, 3)
+            hits1 = (
+                got1.select("query_id", "neighbor_id")
+                .join(
+                    truth1.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                )
+                .count()
+            )
+            got1.unpersist()
+            sweep1.append(
+                {
+                    "beam": b,
+                    "hops": hops,
+                    "sec": dt1,
+                    "recall_at_10": round(hits1 / (nq1 * 10), 4),
+                }
+            )
+        extras["graph1M_beam_sweep"] = sweep1
+        extras["graph1M_nq"] = nq1
+        extras["graph1M_search_sec"] = sweep1[-1]["sec"]
+        extras["graph1M_recall_at_10"] = sweep1[-1]["recall_at_10"]
+        truth1.unpersist(), g1vec.unpersist(), g1q.unpersist()
+
     results = {k: round(v, 4) for k, v in results.items()}
     # extras (sweeps, 1M suite, plan audits) go to a sidecar file plus a
     # PRECEDING stdout line; the FINAL line is the compact headline only.

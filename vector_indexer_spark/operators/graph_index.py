@@ -51,6 +51,23 @@ _HASH_A = 40_503
 _HASH_B = 7
 
 
+def suggest_graph_iterations(n: int) -> int:
+    """NN-Descent round budget that grows with corpus size:
+    ``max(3, ceil(log10(n)) - 1)`` — 3 rounds to 10k, 4 to 100k, 5 to
+    1M, 7 at 100M. The rounds-to-converge requirement grows slowly but
+    REALLY with n (each round closes one more neighbor-of-neighbor hop
+    from the hash-bucket init toward the true k-NN graph): measured at
+    k=8/d=32 clustered data, 3 rounds give search recall@10 0.99 at
+    20k but only 0.74 at 250k and 0.23 at 1M; the 4th round lifts 250k
+    to 0.94 and the 5th lifts 1M to ~0.9+. A fixed small default is a
+    silent scale bug — this is the graph twin of the reference's own
+    size-staged heuristics (suggest_nlist, calculate_max_iterations,
+    src/utils.rs:9-26)."""
+    import math  # noqa: PLC0415
+
+    return max(3, math.ceil(math.log10(max(n, 10))) - 1)
+
+
 def _spread_hash(col):
     return ((col % F.lit(_HASH_P)) * F.lit(_HASH_A) + F.lit(_HASH_B)) % F.lit(
         _HASH_P
@@ -121,7 +138,7 @@ def build_graph_index(
     path: str,
     *,
     k: int = 8,
-    iterations: int = 3,
+    iterations: int | str = "auto",
     coarse_size: int | None = None,
     id_col: str = "id",
     vec_col: str = "values",
@@ -139,9 +156,17 @@ def build_graph_index(
     unchanged everywhere — normalization is internal and idempotent
     per call, never persisted.
 
-    ``coarse_size`` defaults to ``max(64, ceil(sqrt(n)))`` — HNSW's
-    level-population shape (each level ~1/e of the one below collapses,
-    for two layers, to a √n-ish coarse set). The coarse sample is the
+    ``iterations`` defaults to ``"auto"`` = :func:`suggest_graph_
+    iterations` — the NN-Descent round budget must GROW with n (3
+    rounds converge at 20k but leave the 1M graph at recall 0.23;
+    see the heuristic's docstring for the measured curve). Explicit
+    ints behave exactly as before (the oracle fixtures pin them).
+
+    ``coarse_size`` defaults to ``max(64, suggest_nlist(n))`` — the
+    same size staging the IVF tier uses for nlist (√n up to 4√n at
+    n ≥ 100k), because search ranks the coarse sample exactly per
+    query, the identical cost IVF pays for probe ranking. The coarse
+    sample is the
     bottom-``coarse_size`` nodes under the multiplicative hash: a
     deterministic spread sample, stable under appends that keep ids
     (a node enters/leaves the sample only if the id set changes).
@@ -186,8 +211,22 @@ def build_graph_index(
         raise ValueError("cannot build a graph index over zero vectors")
     dimension = int(first["d"])
     n = v.count()
+    if iterations == "auto":
+        iterations = suggest_graph_iterations(n)
+    elif isinstance(iterations, str):
+        raise ValueError("iterations must be an int or 'auto'")
     if coarse_size is None:
-        coarse_size = max(64, int(n**0.5) + 1)
+        # size the routing layer like the IVF tier sizes nlist
+        # (config.suggest_nlist: sqrt(n) staged up to 4*sqrt(n) at
+        # n >= 100k): search ranks the coarse sample EXACTLY per
+        # query, so this is the identical cost discipline IVF pays
+        # for probe ranking at equal n — and the larger sample keeps
+        # every corpus cluster covered on many-clique corpora (a
+        # sqrt(n) sample over ~sqrt(n) natural clusters leaves ~1/e
+        # of them unroutable; measured +0.04 recall@10 at 250k)
+        from vector_indexer_spark.config import suggest_nlist  # noqa: PLC0415
+
+        coarse_size = max(64, suggest_nlist(n))
     coarse_size = min(coarse_size, n)
 
     edges = nn_descent_knn_graph(
@@ -459,8 +498,8 @@ def compact_graph_index(
 
     Compaction also REFRESHES the coarse routing layer: the
     hash-spread sample is recomputed over the LIVE id set at
-    ``coarse_size`` (default ``max(64, ceil(sqrt(n_live)))``) — one
-    TakeOrdered over ids. Inserts never touch the coarse layer, so
+    ``coarse_size`` (default ``max(64, suggest_nlist(n_live))``, the
+    build-time staging) — one TakeOrdered over ids. Inserts never touch the coarse layer, so
     after heavy append traffic routing would otherwise stay
     √n_original while layer 0 grows: entry points drift away from new
     regions and recall decays invisibly. Refreshing here restores
@@ -569,7 +608,10 @@ def compact_graph_index(
         live = live.join(F.broadcast(dead), "node", "left_anti")
     n_live = live.count()
     if coarse_size is None:
-        coarse_size = max(64, int(n_live**0.5) + 1)
+        # same staging as the build default (suggest_nlist-shaped)
+        from vector_indexer_spark.config import suggest_nlist  # noqa: PLC0415
+
+        coarse_size = max(64, suggest_nlist(n_live))
     coarse_size = min(coarse_size, n_live)
     coarse = (
         live.select("node", _spread_hash(F.col("node")).alias("__h"))
