@@ -795,8 +795,12 @@ def main() -> None:
         g1vec.count()
         t0 = time.perf_counter()
         g1path = tempfile.mkdtemp(prefix="bench_graph1m_") + "/gidx"
-        g1idx = build_graph_index(g1vec, g1path, k=8, iterations=3)
+        # engine defaults on purpose: iterations='auto' (5 rounds at 1M
+        # — 3 rounds leave recall at 0.23, see BASELINE round-6) and
+        # the suggest_nlist-staged coarse layer (4000 at 1M)
+        g1idx = build_graph_index(g1vec, g1path, k=8)
         extras["graph1M_build_sec"] = round(time.perf_counter() - t0, 3)
+        extras["graph1M_iterations"] = g1idx.iterations
         extras["graph1M_n"] = n_g1
         extras["graph1M_coarse_size"] = g1idx.coarse_size
 
