@@ -657,3 +657,63 @@ def test_auto_iterations_and_coarse_scale_with_n(spark, tmp_path):
         build_graph_index(
             base, str(tmp_path / "g_bad"), k=4, iterations="forever"
         )
+
+
+def test_sq_traversal_with_exact_refine(spark, tmp_path):
+    """DiskANN-shaped quantized search: beam-walk on SQ8
+    reconstructions (1/4 the traversal bytes), exact refine of the
+    shortlist. Refined recall must track the full-precision search
+    closely and beat the unrefined quantized ranking; refined
+    distances must be TRUE distances."""
+    from vector_indexer_spark.operators.graph_index import (
+        search_graph_index_sq,
+    )
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.sq import sq_encode, sq_train
+
+    vecs = _clustered_vectors(spark, n_clusters=5, per=40, d=8, seed=71)
+    idx = build_graph_index(
+        vecs, str(tmp_path / "g_sq"), k=5, iterations=2
+    )
+    model = sq_train(vecs, vec_col="values")
+    codes = sq_encode(vecs, model, id_col="id", vec_col="values")
+
+    q = vecs.filter(F.col("id") % 17 == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    truth = knn_exact(vecs, q, k=5, method="native").collect()
+    want = {}
+    true_d = {}
+    for r in truth:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+        true_d[(r.query_id, r.neighbor_id)] = r.dist2
+
+    kwargs = dict(k=5, beam=12, max_hops=4, entry_fanout=6)
+    refined = search_graph_index_sq(
+        spark, idx, codes, q, model, vectors=vecs, refine_factor=4,
+        **kwargs,
+    ).collect()
+    quant_only = search_graph_index_sq(
+        spark, idx, codes, q, model, **kwargs
+    ).collect()
+    full = search_graph_index(spark, idx, vecs, q, **kwargs).collect()
+
+    def recall(rows):
+        hits = sum(1 for r in rows if r.neighbor_id in want[r.query_id])
+        return hits / sum(len(s) for s in want.values())
+
+    r_ref, r_q, r_full = recall(refined), recall(quant_only), recall(full)
+    assert r_ref >= r_full - 0.05, (r_ref, r_full)
+    assert r_ref >= r_q, (r_ref, r_q)
+    assert r_ref >= 0.85, r_ref
+    # refined dist2 is the TRUE fold-exact distance, not the
+    # quantized approximation
+    for r in refined:
+        key = (r.query_id, r.neighbor_id)
+        if key in true_d:
+            assert r.dist2 == true_d[key]
+
+    with pytest.raises(ValueError, match="refine_factor"):
+        search_graph_index_sq(
+            spark, idx, codes, q, model, refine_factor=0, **kwargs
+        )

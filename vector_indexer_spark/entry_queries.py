@@ -10565,6 +10565,187 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# graph_index_sq_search_fixed — the DiskANN-shaped quantized traversal
+# (search_graph_index_sq): beam-walk the two-layer index entirely on SQ8
+# reconstructions, take a refine_factor*k shortlist by approximate
+# distance, exact-rescore it against the raw vectors. One SQL replay
+# covers the WHOLE chain: NN-Descent graph on raw vectors, per-dim SQ
+# min/max + round-half-up encode + affine reconstruct, coarse routing
+# and both beam hops scored on reconstructions, and the final exact
+# refine — a wrong bit anywhere (quantizer tie rule, shortlist cut,
+# refine rescore) breaks the hash.
+# --------------------------------------------------------------------------
+
+_GIDX_SQ_CACHE: dict = {}
+
+
+def _graph_index_sq_search_fixed(spark, sf_dir):
+    import tempfile
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        search_graph_index_sq,
+    )
+    from vector_indexer_spark.operators.sq import sq_encode, sq_train
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    if sf_dir not in _GIDX_SQ_CACHE:
+        idx = build_graph_index(
+            emb,
+            tempfile.mkdtemp(prefix="gidx_sq_") + "/gidx",
+            k=4,
+            iterations=1,
+            coarse_size=16,
+            id_col="vec_id",
+            vec_col="embedding",
+            max_reverse_degree=None,  # oracle replays the pure recurrence
+        )
+        model = sq_train(emb, vec_col="embedding")
+        _GIDX_SQ_CACHE[sf_dir] = (idx, model)
+    idx, model = _GIDX_SQ_CACHE[sf_dir]
+    codes = sq_encode(emb, model, id_col="vec_id", vec_col="embedding")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index_sq(
+        spark, idx, codes, q, model,
+        k=5, beam=6, max_hops=2, entry_fanout=4,
+        refine_factor=2, vectors=emb,
+    )
+
+
+def _graph_index_sq_sql():
+    # distance of a raw query against the RECONSTRUCTED table vq
+    d2_qr = """
+      list_reduce(
+        list_transform(range(1, len(v.rvec) + 1),
+          i -> (CAST(q.query[i] AS DOUBLE) - v.rvec[i])
+             * (CAST(q.query[i] AS DOUBLE) - v.rvec[i])),
+        (acc, x) -> acc + x)"""
+    # distance of a raw query against the RAW table (the refine stage)
+    d2_qv = """
+      list_reduce(
+        list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST(q.query[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))
+             * (CAST(q.query[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+    hops = ""
+    for n in (1, 2):
+        hops += f""",
+    sq_beam{n} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM sq_visited{n}) WHERE rn <= 6
+    ),
+    sq_cand{n + 1} AS (
+      SELECT DISTINCT b.query_id, e.dst AS node
+      FROM sq_beam{n} b JOIN edges0 e ON b.node = e.src
+      ANTI JOIN sq_visited{n} vs ON vs.query_id = b.query_id
+                                AND vs.node = e.dst
+    ),
+    sq_scored{n + 1} AS (
+      SELECT c.query_id, c.node, {d2_qr} AS dist2
+      FROM sq_cand{n + 1} c
+      JOIN vq v ON v.vec_id = c.node
+      JOIN q ON q.query_id = c.query_id
+    ),
+    sq_visited{n + 1} AS (
+      SELECT * FROM sq_visited{n}
+      UNION ALL SELECT * FROM sq_scored{n + 1}
+    )"""
+
+    # reuse the graph-construction prefix of the plain search oracle
+    # (vv/q, the NN-Descent replay, edges0) verbatim, then swap in the
+    # quantized machinery from the coarse layer down
+    base = _graph_index_sql()
+    head = base.split("    -- === coarse layer")[0]
+    assert head.rstrip().endswith(","), "unexpected oracle prefix shape"
+    return f"""{head}    -- === coarse layer: hash-spread node-id sample of 16 ===
+    coarse AS (
+      SELECT vec_id AS node FROM vv
+      ORDER BY ((vec_id % 1000003) * 40503 + 7) % 1000003, vec_id
+      LIMIT 16
+    ),
+    -- === SQ8 model over the raw corpus: per-dim min/max ===
+    sqstats AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+        SELECT unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                 AS val,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM vv)
+      GROUP BY pos
+    ),
+    sqmodel AS (
+      SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+      FROM sqstats
+    ),
+    -- encode (round-half-up via floor(u + 0.5), clamp [0,255]) then
+    -- reconstruct: rvec = mn + code * (mx - mn)/255
+    enc AS (
+      SELECT v.vec_id,
+             list_transform(range(1, len(v.embedding) + 1), i ->
+               CASE WHEN m.mx[i] = m.mn[i] THEN 0
+                    ELSE CAST(least(255, greatest(0,
+                         CAST(floor((CAST(v.embedding[i] AS DOUBLE) - m.mn[i])
+                              / ((m.mx[i] - m.mn[i]) / 255.0) + 0.5) AS INT)
+                         )) AS INT)
+               END) AS codes
+      FROM vv v CROSS JOIN sqmodel m
+    ),
+    vq AS (
+      SELECT e.vec_id,
+             list_transform(range(1, len(e.codes) + 1), i ->
+               m.mn[i] + CAST(e.codes[i] AS DOUBLE)
+                       * ((m.mx[i] - m.mn[i]) / 255.0)) AS rvec
+      FROM enc e CROSS JOIN sqmodel m
+    ),
+    -- === coarse routing on reconstructions: per-query top-4 ===
+    sq_visited1 AS (
+      SELECT query_id, node, dist2 FROM (
+        SELECT query_id, node, dist2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM (
+          SELECT q.query_id, ca.node, {d2_qr} AS dist2
+          FROM q CROSS JOIN coarse ca
+          JOIN vq v ON v.vec_id = ca.node
+        )) WHERE rn <= 4
+    ){hops},
+    -- === quantized shortlist: refine_factor * k = 10 ===
+    shortlist AS (
+      SELECT query_id, node AS neighbor_id FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM sq_visited3) WHERE rn <= 10
+    )
+    -- === exact refine against the RAW vectors: top-5 ===
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, dist2 FROM (
+      SELECT s.query_id, s.neighbor_id, {d2_qv} AS dist2,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY {d2_qv}, s.neighbor_id) AS rn
+      FROM shortlist s
+      JOIN vv v ON v.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id
+    ) WHERE rn <= 5
+    """
+
+
+_register(
+    "graph_index_sq_search_fixed",
+    _graph_index_sq_search_fixed,
+    _graph_index_sq_sql(),
+)
+
+
+# --------------------------------------------------------------------------
 # dedup_near_dup_graph — near-dup mining straight from the NN-Descent
 # graph (the third blocking strategy next to cluster blocking and RHP
 # banding: the approximate k-NN graph IS an ANN self-join, so near-dup

@@ -391,6 +391,87 @@ def search_graph_index(
     )
 
 
+def search_graph_index_sq(
+    spark: SparkSession,
+    index: GraphIndex,
+    codes: DataFrame,
+    queries: DataFrame,
+    model,
+    *,
+    k: int = 10,
+    beam: int = 16,
+    max_hops: int = 4,
+    entry_fanout: int = 8,
+    refine_factor: int = 4,
+    vectors: DataFrame | None = None,
+    code_col: str = "codes",
+    coarse_method: str = "native",
+    filter_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Quantized graph traversal with exact refine — the DiskANN shape
+    (Subramanya et al., NeurIPS 2019: walk the graph on compressed
+    vectors held in memory, re-rank the shortlist against full
+    precision): the two-layer beam search runs entirely on SQ8
+    RECONSTRUCTIONS (``model`` is an :class:`~...sq.SQModel`;
+    ``codes`` is ``(id_col, code_col ARRAY<INT>)`` from ``sq_encode``
+    — 1/4 the vector bytes at float32, so a 100 TB corpus' traversal
+    working set drops to ~25 TB), producing a per-query shortlist of
+    ``refine_factor·k`` candidates; when ``vectors`` (the raw table)
+    is given, the shortlist is exact-rescored by ``refine_topk`` — a
+    broadcast of the tiny candidate set against the big table, which
+    never shuffles — and the top-``k`` by TRUE distance returned.
+    With ``vectors=None`` the quantized top-``k`` is returned as-is
+    (``dist2`` is then the approximate distance).
+
+    Composition, not new machinery: reconstruction is the SQ tier's
+    affine expression (scan-local Catalyst, no UDF), traversal is
+    :func:`search_graph_index` unchanged (tombstones and
+    ``filter_ids`` apply to the shortlist, hence to the refined
+    result), refine is the shared Faiss-``RFlat``-shaped stage every
+    compressed tier here uses. Deterministic end to end, so the whole
+    chain is locked by one SQL replay (graph_index_sq_search_fixed).
+    """
+    from vector_indexer_spark.operators.pq import refine_topk  # noqa: PLC0415
+    from vector_indexer_spark.operators.sq import (  # noqa: PLC0415
+        reconstruct_expr,
+    )
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if refine_factor < 1:
+        raise ValueError("refine_factor must be >= 1")
+    # sq_encode normalizes its id column to "id"; accept either that
+    # or the index's own id column name
+    code_id = index.id_col if index.id_col in codes.columns else "id"
+    recon = codes.select(
+        F.col(code_id).alias(index.id_col),
+        reconstruct_expr(code_col, model).alias(index.vec_col),
+    )
+    shortlist_k = k if vectors is None else refine_factor * k
+    hits = search_graph_index(
+        spark, index, recon, queries,
+        k=shortlist_k, beam=beam, max_hops=max_hops,
+        entry_fanout=entry_fanout, coarse_method=coarse_method,
+        filter_ids=filter_ids,
+    )
+    if vectors is None:
+        return hits
+    if index.metric == "cosine":
+        # refine must rank by the index metric: on unit vectors
+        # dist2 = 2 - 2*cos, so normalize both sides first (the same
+        # internal, never-persisted normalization the search applies)
+        from vector_indexer_spark.operators.similarity import (  # noqa: PLC0415
+            normalize_vectors,
+        )
+
+        vectors = normalize_vectors(vectors, vec_col=index.vec_col)
+        queries = normalize_vectors(queries, vec_col="query")
+    return refine_topk(
+        hits, vectors, queries, k,
+        id_col=index.id_col, vec_col=index.vec_col,
+    )
+
+
 def add_to_graph_index(
     spark: SparkSession,
     index: GraphIndex,
