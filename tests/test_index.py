@@ -975,3 +975,43 @@ def test_per_cluster_query_returns_same_cluster_majority(spark, tmp_path):
         ).alias("f")
     ).collect()[0]["f"]
     assert frac >= 0.9, frac
+
+
+def test_meta_rewrites_are_atomic_across_tiers(spark, tmp_path):
+    """ADVICE r5 (graph tier) generalized: EVERY index tier's meta
+    sidecar rewrite now goes through atomic_write_json (tmp + fsync +
+    rename) — a garbage .tmp from a crashed prior writer must never
+    poison the live meta, and the sidecar stays loadable after every
+    bookkeeping op."""
+    import json
+    import os
+
+    from vector_indexer_spark.operators.index_build import (
+        add_vectors,
+        build_index,
+        load_index,
+        refresh_meta_count,
+    )
+    from vector_indexer_spark.sources.files import generate_vectors
+
+    vec = generate_vectors(spark, 300, 8, seed=5)
+    path = str(tmp_path / "ivf_atomic")
+    idx = build_index(vec, path, nlist=6, seed=3)
+    # simulate a crashed mid-write from a prior process
+    tmp = idx.meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write('{"version": 99, "garb')
+    batch = vec.filter(F.col("id") < 20).select(
+        (F.col("id") + 10_000).alias("id"),
+        (F.col("external_id") + 10_000).alias("external_id"),
+        "values",
+        "ts",
+    )
+    add_vectors(spark, idx, batch)
+    assert not os.path.exists(tmp)
+    assert load_index(spark, path).n_vectors == 320
+    out = refresh_meta_count(spark, idx)
+    assert out["drift"] == 0
+    meta = json.load(open(idx.meta_path))
+    assert meta["n_vectors"] == 320
+    assert not os.path.exists(tmp)

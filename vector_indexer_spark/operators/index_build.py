@@ -35,6 +35,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vector_indexer_spark.ioutil import atomic_write_json
 from vector_indexer_spark.config import (
     SUPER_KMEANS_ITERS,
     calculate_max_iterations,
@@ -581,8 +582,7 @@ def add_vectors(
     with open(index.meta_path) as f:
         meta = json.load(f)
     meta["n_vectors"] = int(meta["n_vectors"]) + n_new
-    with open(index.meta_path, "w") as f:
-        json.dump(meta, f, indent=2)
+    atomic_write_json(index.meta_path, meta)
     index.n_vectors = meta["n_vectors"]
     return {
         "n_added": n_new,
@@ -606,8 +606,7 @@ def refresh_meta_count(spark: SparkSession, index: IvfIndex) -> dict:
         meta = json.load(f)
     drift = actual - int(meta["n_vectors"])
     meta["n_vectors"] = actual
-    with open(index.meta_path, "w") as f:
-        json.dump(meta, f, indent=2)
+    atomic_write_json(index.meta_path, meta)
     index.n_vectors = actual
     return {"n_vectors": actual, "drift": drift}
 

@@ -50,6 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from vector_indexer_spark.ioutil import atomic_write_json
 from vector_indexer_spark.functions.kernels import stack_arrays, topk_per_row
 from vector_indexer_spark.operators.kmeans import (
     KMEANS_INIT_SAMPLE_CAP,
@@ -870,7 +871,6 @@ def add_vectors_ivfpq(
     with open(meta_path) as f:
         meta = json.load(f)
     meta["n_vectors"] = int(meta["n_vectors"]) + n_new
-    with open(meta_path, "w") as f:
-        json.dump(meta, f, indent=2)
+    atomic_write_json(meta_path, meta)
     index.n_vectors = meta["n_vectors"]
     return {"n_added": n_new, "n_vectors": index.n_vectors}

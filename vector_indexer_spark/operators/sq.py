@@ -43,6 +43,8 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_indexer_spark.ioutil import atomic_write_json
+
 SQ_FORMAT_VERSION = 1
 SQ_LEVELS = 255  # 8-bit codes: 0..255
 
@@ -916,7 +918,6 @@ def add_vectors_ivfsq(
     with open(meta_path) as fh:
         meta = json.load(fh)
     meta["n_vectors"] = int(meta["n_vectors"]) + n_new
-    with open(meta_path, "w") as fh:
-        json.dump(meta, fh, indent=2)
+    atomic_write_json(meta_path, meta)
     index.n_vectors = meta["n_vectors"]
     return {"n_added": n_new, "n_vectors": index.n_vectors}
