@@ -767,6 +767,55 @@ def main() -> None:
         extras["graph_beam_sweep"] = sweep
         extras["graph_search_sec"] = sweep[1]["sec"]
         extras["graph_ann_recall_at_10"] = sweep[1]["recall_at_10"]
+
+        # quantized traversal + exact refine (DiskANN shape): same
+        # index, walk on SQ8 reconstructions, refine the shortlist
+        from vector_indexer_spark.operators.graph_index import (
+            search_graph_index_sq,
+        )
+        from vector_indexer_spark.operators.sq import sq_encode, sq_train
+
+        sqm = sq_train(gvec, vec_col="values")
+        gcodes = sq_encode(gvec, sqm).cache()
+        gcodes.count()
+        t0 = time.perf_counter()
+        gotq = search_graph_index_sq(
+            spark, gidx, gcodes, gq, sqm, k=10, beam=24, max_hops=6,
+            entry_fanout=8, refine_factor=4, vectors=gvec,
+        ).persist()
+        gotq.count()
+        extras["graph_sq_search_sec"] = round(time.perf_counter() - t0, 3)
+        hits_q = (
+            gotq.select("query_id", "neighbor_id")
+            .join(
+                truth.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .count()
+        )
+        extras["graph_sq_recall_at_10"] = round(hits_q / (64 * 10), 4)
+        # the quantizer's own ceiling: brute-force SQ8 top-10 with no
+        # graph and no refine. On this wide-range synthetic the global
+        # affine grid is coarse relative to cluster spread, so THIS is
+        # the number the quantized traversal should be judged against
+        # (graph+refine beats it; the full-precision gap is quantizer
+        # fidelity, not traversal loss — BASELINE round-6)
+        from vector_indexer_spark.operators.sq import sq_search
+
+        gotb = sq_search(gcodes, sqm, gq, 10).persist()
+        gotb.count()
+        hits_b = (
+            gotb.select("query_id", "neighbor_id")
+            .join(
+                truth.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+            )
+            .count()
+        )
+        extras["graph_sq_brute_ceiling_recall"] = round(
+            hits_b / (64 * 10), 4
+        )
+        gotb.unpersist(), gotq.unpersist(), gcodes.unpersist()
         truth.unpersist(), gvec.unpersist(), gq.unpersist()
 
     # --- graph index at 1M x 32: the scale point that earns the graph

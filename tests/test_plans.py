@@ -753,3 +753,45 @@ def test_pagerank_plan_truncated_per_iteration(spark):
     rows = out.collect()
     assert len(rows) == 50
     assert all(r.rank_micros >= 150_000 for r in rows)
+
+
+def test_graph_sq_refine_broadcasts_shortlist(spark, tmp_path):
+    """Quantized traversal + exact refine: the refine stage must
+    BROADCAST the tiny (nq x refine_factor*k) candidate set against the
+    raw vector table — the big side never shuffles — and the traversal
+    itself stays checkpoint-truncated with no cartesian products."""
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        search_graph_index_sq,
+    )
+    from vector_indexer_spark.operators.sq import sq_encode, sq_train
+
+    sub = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(F.col("vec_id") < 50)
+        .select("vec_id", "embedding")
+    )
+    idx = build_graph_index(
+        sub, str(tmp_path / "gsq"), k=3, iterations=1, coarse_size=10,
+        id_col="vec_id", vec_col="embedding",
+    )
+    model = sq_train(sub, vec_col="embedding")
+    codes = sq_encode(sub, model, id_col="vec_id", vec_col="embedding")
+    q = sub.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    out = search_graph_index_sq(
+        spark, idx, codes, q, model,
+        k=3, beam=4, max_hops=1, entry_fanout=3,
+        refine_factor=2, vectors=sub,
+    )
+    s = audit.plan_summary(out)
+    plan = audit.executed_plan(out)
+    assert "ExistingRDD" in plan  # traversal state is checkpoint-rooted
+    assert not s["cartesian"]
+    assert s["broadcasts"] >= 2  # shortlist + query batch
+    # exactly two query-batch-sized exchanges: the shortlist's own
+    # per-query ranking window and the refine window. The raw vector
+    # scan joins against BROADCAST candidates without shuffling — no
+    # corpus-sized exchange anywhere.
+    assert s["shuffles"] <= 2

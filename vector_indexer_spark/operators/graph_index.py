@@ -430,6 +430,19 @@ def search_graph_index_sq(
     result), refine is the shared Faiss-``RFlat``-shaped stage every
     compressed tier here uses. Deterministic end to end, so the whole
     chain is locked by one SQL replay (graph_index_sq_search_fixed).
+
+    Fidelity caveat (measured, BASELINE round-6): recall tracks the
+    QUANTIZER, not the traversal. Flat SQ8 spends its 8 bits on the
+    corpus' GLOBAL per-dim range; when natural clusters are tight
+    relative to that range the quantization noise floor swamps
+    within-cluster distance differences — brute-force SQ8 itself drops
+    to ~0.3 recall@10 on the wide-range synthetic, and this operator
+    then BEATS its own quantizer's ceiling (~0.66: the shortlist +
+    exact refine recover ordering brute quantized scoring cannot).
+    Raise ``refine_factor`` toward the expected cluster size when the
+    quantizer is coarse, or use a residual tier (IVF-SQ encodes
+    residuals after centroid subtraction — range = cluster spread —
+    which is why ``search_ivfsq_index`` holds 0.98+ on the same data).
     """
     from vector_indexer_spark.operators.pq import refine_topk  # noqa: PLC0415
     from vector_indexer_spark.operators.sq import (  # noqa: PLC0415
