@@ -717,3 +717,73 @@ def test_sq_traversal_with_exact_refine(spark, tmp_path):
         search_graph_index_sq(
             spark, idx, codes, q, model, refine_factor=0, **kwargs
         )
+
+
+def test_pq_traversal_trained_codebooks_beat_flat_sq(spark, tmp_path):
+    """PQ codebooks are trained on the value distribution, so they keep
+    resolution inside natural clusters where flat SQ8's global grid
+    goes coarse: on a WIDE-RANGE clustered fixture the PQ traversal's
+    recall must beat the SQ traversal's and land near full precision."""
+    import numpy as np
+
+    from vector_indexer_spark.operators.graph_index import (
+        search_graph_index_pq,
+        search_graph_index_sq,
+    )
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.pq import pq_encode, pq_train
+    from vector_indexer_spark.operators.sq import sq_encode, sq_train
+
+    rng = np.random.default_rng(83)
+    # tight clusters, wide global range — the flat-SQ worst case
+    centers = rng.normal(0, 300, (10, 8))
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.5, (30, 8)) for c in centers]
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(pts)],
+        "id long, values array<float>",
+    )
+    idx = build_graph_index(
+        vecs, str(tmp_path / "g_pq"), k=5, iterations=2
+    )
+    q = vecs.filter(F.col("id") % 23 == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    truth = knn_exact(vecs, q, k=5, method="native").collect()
+    want = {}
+    for r in truth:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        hits = sum(1 for r in rows if r.neighbor_id in want[r.query_id])
+        return hits / sum(len(s) for s in want.values())
+
+    kwargs = dict(
+        k=5, beam=12, max_hops=4, entry_fanout=6, refine_factor=4,
+        vectors=vecs,
+    )
+    pqm = pq_train(vecs, m=4, ksub=32, seed=11)
+    pq_codes = pq_encode(vecs, pqm)
+    r_pq = recall(
+        search_graph_index_pq(spark, idx, pq_codes, q, pqm, **kwargs)
+        .collect()
+    )
+    sqm = sq_train(vecs, vec_col="values")
+    sq_codes = sq_encode(vecs, sqm)
+    r_sq = recall(
+        search_graph_index_sq(spark, idx, sq_codes, q, sqm, **kwargs)
+        .collect()
+    )
+    assert r_pq >= 0.9, (r_pq, r_sq)
+    assert r_pq > r_sq, (r_pq, r_sq)
+
+    with pytest.raises(ValueError, match="dimension"):
+        bad = pq_train(
+            vecs.select("id", F.slice("values", 1, 4).alias("values")),
+            m=2, ksub=8, seed=1,
+        )
+        bad_codes = pq_encode(
+            vecs.select("id", F.slice("values", 1, 4).alias("values")), bad
+        )
+        search_graph_index_pq(spark, idx, bad_codes, q, bad, **kwargs)

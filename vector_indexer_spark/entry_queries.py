@@ -10745,6 +10745,48 @@ _register(
 )
 
 
+def _graph_index_pq_search_trained(spark, sf_dir):
+    """The PQ twin of the quantized traversal (search_graph_index_pq):
+    trained per-subspace codebooks — DiskANN's own quantizer — walked
+    over the same two-layer index with exact refine. k-means codebooks
+    are RNG-trained, so this is a rows-only declaration (the
+    engine-wide trained/fixed split); the SQ variant above carries the
+    bit-exact SQL replay of the identical chain, and pytest locks the
+    PQ path's recall above the flat-SQ ceiling."""
+    import tempfile
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        search_graph_index_pq,
+    )
+    from vector_indexer_spark.operators.pq import pq_encode, pq_train
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    if sf_dir not in _GIDX_SQ_CACHE:  # same fixture index as the SQ twin
+        _graph_index_sq_search_fixed(spark, sf_dir)
+    idx, _ = _GIDX_SQ_CACHE[sf_dir]
+    pqm = pq_train(emb, vec_col="embedding", m=4, ksub=16, seed=9)
+    codes = pq_encode(emb, pqm, id_col="vec_id", vec_col="embedding")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index_pq(
+        spark, idx, codes, q, pqm,
+        k=5, beam=6, max_hops=2, entry_fanout=4,
+        refine_factor=2, vectors=emb,
+    )
+
+
+_register(
+    "graph_index_pq_search_trained",
+    _graph_index_pq_search_trained,
+)
+
+
 # --------------------------------------------------------------------------
 # dedup_near_dup_graph — near-dup mining straight from the NN-Descent
 # graph (the third blocking strategy next to cluster blocking and RHP

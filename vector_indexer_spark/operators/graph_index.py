@@ -444,15 +444,10 @@ def search_graph_index_sq(
     residuals after centroid subtraction — range = cluster spread —
     which is why ``search_ivfsq_index`` holds 0.98+ on the same data).
     """
-    from vector_indexer_spark.operators.pq import refine_topk  # noqa: PLC0415
     from vector_indexer_spark.operators.sq import (  # noqa: PLC0415
         reconstruct_expr,
     )
 
-    if k < 1:
-        raise ValueError("k must be >= 1")
-    if refine_factor < 1:
-        raise ValueError("refine_factor must be >= 1")
     # sq_encode normalizes its id column to "id"; accept either that
     # or the index's own id column name
     code_id = index.id_col if index.id_col in codes.columns else "id"
@@ -460,9 +455,120 @@ def search_graph_index_sq(
         F.col(code_id).alias(index.id_col),
         reconstruct_expr(code_col, model).alias(index.vec_col),
     )
+    return search_graph_index_compressed(
+        spark, index, recon, queries,
+        k=k, beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
+        refine_factor=refine_factor, vectors=vectors,
+        coarse_method=coarse_method, filter_ids=filter_ids,
+    )
+
+
+def search_graph_index_pq(
+    spark: SparkSession,
+    index: GraphIndex,
+    codes: DataFrame,
+    queries: DataFrame,
+    model,
+    *,
+    k: int = 10,
+    beam: int = 16,
+    max_hops: int = 4,
+    entry_fanout: int = 8,
+    refine_factor: int = 4,
+    vectors: DataFrame | None = None,
+    code_col: str = "codes",
+    coarse_method: str = "native",
+    filter_ids: DataFrame | None = None,
+) -> DataFrame:
+    """PQ-codes graph traversal with exact refine — the same DiskANN
+    shape as :func:`search_graph_index_sq` with the quantizer DiskANN
+    itself uses: ``model`` is a trained :class:`~...pq.PQModel`,
+    ``codes`` is ``(id, codes ARRAY<INT>)`` from ``pq_encode``
+    (m bytes per vector — at m=8, d=128 that is 1/64 the raw float32
+    bytes). PQ's per-subspace codebooks are TRAINED on the value
+    distribution, so they keep resolution inside natural clusters
+    where flat SQ8's global affine grid goes coarse (the fidelity
+    caveat on the SQ variant) — the trained twin of that oracle-locked
+    path (k-means codebooks are RNG-trained, so this one is checked by
+    pytest recall bounds rather than a SQL replay, the engine-wide
+    trained/fixed split).
+
+    Decode is ``mapInPandas`` with the codebooks broadcast (a
+    codebook-literal Catalyst expression would put m·ksub·dsub doubles
+    in the plan); everything downstream is
+    :func:`search_graph_index_compressed`.
+    """
+    from vector_indexer_spark.functions.kernels import (  # noqa: PLC0415
+        stack_arrays,
+    )
+
+    code_id = index.id_col if index.id_col in codes.columns else "id"
+    d = model.dimension
+    bcb = spark.sparkContext.broadcast(model.codebooks)
+    idc, vcc = index.id_col, index.vec_col
+
+    def _decode(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        cb = bcb.value
+        m, _, dsub = cb.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = stack_arrays(pdf[code_col]).astype(np.int64)
+            out = np.empty((cmat.shape[0], m * dsub), dtype=np.float64)
+            for j in range(m):
+                out[:, j * dsub : (j + 1) * dsub] = cb[j][cmat[:, j]]
+            yield pd.DataFrame(
+                {idc: pdf[code_id].to_numpy(), vcc: list(out)}
+            )
+
+    recon = codes.select(code_id, code_col).mapInPandas(
+        _decode, f"{idc} long, {vcc} array<double>"
+    )
+    if model.dimension != index.dimension:
+        raise ValueError(
+            f"PQ dimension {d} != index dimension {index.dimension}"
+        )
+    return search_graph_index_compressed(
+        spark, index, recon, queries,
+        k=k, beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
+        refine_factor=refine_factor, vectors=vectors,
+        coarse_method=coarse_method, filter_ids=filter_ids,
+    )
+
+
+def search_graph_index_compressed(
+    spark: SparkSession,
+    index: GraphIndex,
+    recon_vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    beam: int = 16,
+    max_hops: int = 4,
+    entry_fanout: int = 8,
+    refine_factor: int = 4,
+    vectors: DataFrame | None = None,
+    coarse_method: str = "native",
+    filter_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Quantizer-generic core of the compressed traversal:
+    ``recon_vectors`` is ANY approximate reconstruction of the corpus
+    (``(id_col, vec_col)`` — SQ affine, PQ codebook lookup, OPQ
+    rotation+PQ, a distilled embedding …). Traversal + shortlist run
+    on it; ``vectors`` (raw) triggers the exact refine. See the SQ/PQ
+    adapters for the persisted-codes entry points."""
+    from vector_indexer_spark.operators.pq import refine_topk  # noqa: PLC0415
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if refine_factor < 1:
+        raise ValueError("refine_factor must be >= 1")
     shortlist_k = k if vectors is None else refine_factor * k
     hits = search_graph_index(
-        spark, index, recon, queries,
+        spark, index, recon_vectors, queries,
         k=shortlist_k, beam=beam, max_hops=max_hops,
         entry_fanout=entry_fanout, coarse_method=coarse_method,
         filter_ids=filter_ids,
