@@ -398,68 +398,3 @@ def test_orc_roundtrip_identical(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, src.collect())
     )
-
-
-def _write_ivecs(path, mat):
-    with open(path, "wb") as f:
-        for row in mat:
-            f.write(struct.pack("<i", len(row)))
-            f.write(np.asarray(row, dtype=np.int32).tobytes())
-
-
-def test_fvecs_end_to_end_sift_shape(spark, tmp_path):
-    """The reference's SIFT1M workflow end to end (bench/faiss_bench_
-    official/bench_all_ivf.py:88-156): base vectors arrive as .fvecs,
-    queries as .fvecs, ground truth as .ivecs; build an IVF index from
-    the files, sweep n_probe, and check recall@10 against the .ivecs
-    truth — monotone in n_probe and EXACT at full probe. This is the
-    first thing a real user with SIFT-format data on disk does."""
-    from vector_indexer_spark.api import build
-
-    rng = np.random.default_rng(29)
-    d, k = 16, 10
-    centers = rng.normal(0, 8, (12, d))
-    xb = np.concatenate(
-        [c + rng.normal(0, 0.6, (150, d)) for c in centers]
-    ).astype(np.float32)
-    xq = (
-        xb[rng.choice(len(xb), 24, replace=False)]
-        + rng.normal(0, 0.2, (24, d))
-    ).astype(np.float32)
-
-    # exact ground truth (float64 accumulation, ties by id — argsort
-    # on (dist2, id) lexicographic, the engine tie rule)
-    d2 = (
-        (xb.astype(np.float64) ** 2).sum(1)[None, :]
-        - 2.0 * xq.astype(np.float64) @ xb.astype(np.float64).T
-        + (xq.astype(np.float64) ** 2).sum(1)[:, None]
-    )
-    gt = np.argsort(d2, axis=1, kind="stable")[:, :k].astype(np.int32)
-
-    base_p = str(tmp_path / "base.fvecs")
-    query_p = str(tmp_path / "query.fvecs")
-    gt_p = str(tmp_path / "gt.ivecs")
-    _write_fvecs(base_p, xb)
-    _write_fvecs(query_p, xq)
-    _write_ivecs(gt_p, gt)
-
-    # --- the user workflow: files -> index -> sweep ---
-    xb_in = read_fvecs(base_p)
-    xq_in = read_fvecs(query_p)
-    gt_in = read_ivecs(gt_p)
-    idx = build(
-        xb_in, str(tmp_path / "ivf"), spark=spark, seed=7, nlist=16
-    )
-
-    def recall_at(n_probe):
-        _, I = idx.search(xq_in, k=k, n_probe=n_probe)
-        hits = sum(
-            len(set(I[q]) & set(gt_in[q].tolist())) for q in range(len(xq_in))
-        )
-        return hits / (len(xq_in) * k)
-
-    sweep = [recall_at(p) for p in (1, 4, 16)]
-    assert sweep == sorted(sweep), sweep  # the nprobe knob is monotone
-    assert sweep[0] >= 0.3, sweep
-    # full probe scans every cluster: IVF == exact, recall 1.0
-    assert sweep[-1] == 1.0, sweep
