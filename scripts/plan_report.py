@@ -305,6 +305,38 @@ def _graph_index_df(spark, sf_dir):
     )
 
 
+def _graph_sq_df(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        search_graph_index_sq,
+    )
+    from vector_indexer_spark.operators.sq import sq_encode, sq_train
+
+    sub = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 128)
+        .select("vec_id", "embedding")
+    )
+    idx = build_graph_index(
+        sub, tempfile.mkdtemp() + "/gidx_sq", k=4,
+        iterations=1, coarse_size=12,
+        id_col="vec_id", vec_col="embedding",
+    )
+    model = sq_train(sub, vec_col="embedding")
+    codes = sq_encode(sub, model, id_col="vec_id", vec_col="embedding")
+    q = sub.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index_sq(
+        spark, idx, codes, q, model, k=5, beam=4, max_hops=2,
+        entry_fanout=3, refine_factor=2, vectors=sub,
+    )
+
+
 def _pagerank_df(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -784,7 +816,10 @@ def main():
             "Integer-exact PageRank (3 iterations)",
             "One rank-table shuffle + map-side-combined SUM per "
             "round; integer micros with true `div`, so no float "
-            "reassociation anywhere.",
+            "reassociation anywhere. The rank frame is "
+            "localCheckpoint-ed per round (r6), so the returned plan "
+            "is a constant-size materialized-RDD scan regardless of "
+            "iteration count.",
             _pagerank_df(spark, sf_dir),
         ),
         (
@@ -816,6 +851,15 @@ def main():
             "are localCheckpoint-truncated per hop — constant plan "
             "size; shown is the final accumulated plan.",
             _graph_index_df(spark, sf_dir),
+        ),
+        (
+            "Quantized graph traversal + exact refine (DiskANN shape)",
+            "Beam-walk on SQ8 reconstructions (scan-local affine "
+            "Catalyst expression), refine_factor*k shortlist BROADCAST "
+            "against the raw vector table for the exact re-rank — the "
+            "big side never shuffles; both exchanges are "
+            "query-batch-sized windows.",
+            _graph_sq_df(spark, sf_dir),
         ),
         (
             "NN-Descent k-NN graph (init + 1 round)",
