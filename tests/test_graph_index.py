@@ -787,3 +787,74 @@ def test_pq_traversal_trained_codebooks_beat_flat_sq(spark, tmp_path):
             vecs.select("id", F.slice("values", 1, 4).alias("values")), bad
         )
         search_graph_index_pq(spark, idx, bad_codes, q, bad, **kwargs)
+
+
+def test_merge_graph_indexes_stitches_partition_builds(spark, tmp_path):
+    """Distributed-build story: two per-partition indexes built in
+    parallel merge into one searchable index — src edges reused
+    verbatim, coarse routing recomputed over the union, cross-links
+    bridging the subgraphs, tombstones carried. Mixed-region recall
+    must track a fresh build over the combined corpus."""
+    from vector_indexer_spark.operators.graph_index import (
+        delete_from_graph_index,
+        merge_graph_indexes,
+    )
+    from vector_indexer_spark.operators.knn import knn_exact
+
+    a = _region_vectors(spark, 0, 120, 0.0, seed=91)
+    b = _region_vectors(spark, 5000, 120, 12.0, seed=97)
+    combined = a.unionByName(b)
+    ia = build_graph_index(a, str(tmp_path / "ga"), k=5, iterations=2)
+    ib = build_graph_index(b, str(tmp_path / "gb"), k=5, iterations=2)
+    # a tombstone on the src side must survive the merge
+    delete_from_graph_index(spark, ib, b.filter(F.col("id") == 5003).select("id"))
+
+    out = merge_graph_indexes(spark, ia, ib, a, b)
+    assert out["n_added"] == 119  # src n_vectors post-delete
+    assert out["n_vectors"] == 239
+    assert out["n_cross_links"] > 0
+    assert load_graph_index(ia.path).n_vectors == 239
+    coarse = {r.node for r in ia.coarse_nodes(spark).collect()}
+    assert any(n >= 5000 for n in coarse) and any(n < 120 for n in coarse)
+
+    q = combined.filter(F.col("id") % 37 == 1).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    truth = knn_exact(combined, q, k=5, method="native").collect()
+    want = {}
+    for r in truth:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(index):
+        got = search_graph_index(
+            spark, index, combined, q, k=5, beam=12, max_hops=4,
+            entry_fanout=6,
+        ).collect()
+        assert all(r.neighbor_id != 5003 for r in got)  # tombstone holds
+        return (
+            sum(1 for r in got if r.neighbor_id in want[r.query_id])
+            / sum(len(s) for s in want.values())
+        )
+
+    fresh = build_graph_index(
+        combined.filter(F.col("id") != 5003).unionByName(
+            combined.filter(F.col("id") == 5003)
+        ),
+        str(tmp_path / "g_fresh_m"), k=5, iterations=2,
+    )
+    delete_from_graph_index(
+        spark, fresh, combined.filter(F.col("id") == 5003).select("id")
+    )
+    r_merged, r_fresh = recall(ia), recall(fresh)
+    assert r_merged >= r_fresh - 0.1, (r_merged, r_fresh)
+    assert r_merged >= 0.8, r_merged
+
+    # contracts: disjoint ids, matching dimension/metric
+    with pytest.raises(ValueError, match="disjoint"):
+        merge_graph_indexes(spark, ia, ib, combined, b)
+    bad_dim = build_graph_index(
+        a.select("id", F.slice("values", 1, 4).alias("values")),
+        str(tmp_path / "g_dim"), k=3, iterations=1,
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        merge_graph_indexes(spark, ia, bad_dim, a, a)

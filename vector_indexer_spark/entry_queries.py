@@ -10787,6 +10787,66 @@ _register(
 )
 
 
+_GIDX_MERGE_CACHE: dict = {}
+
+
+def _graph_index_merge_search(spark, sf_dir):
+    """Two per-partition graph indexes merged (src edges reused,
+    cross-links via each side's coarse sample, coarse routing
+    recomputed over the union — operators.graph_index.
+    merge_graph_indexes, the graph twin of IVF merge_indexes /
+    Faiss merge_from), then searched with mixed-region queries.
+    Deterministic end to end but the SQL replay would compose two
+    NN-Descent builds + 2·√n routing searches — declared rows-only;
+    the recall-vs-fresh-build and tombstone-carry invariants are
+    pytest-locked (test_merge_graph_indexes_stitches_partition_builds)
+    and every component recurrence carries its own bit-exact oracle
+    above."""
+    import tempfile
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        merge_graph_indexes,
+        search_graph_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") < 96).select("vec_id", "embedding")
+    b = emb.filter(
+        (F.col("vec_id") >= 96) & (F.col("vec_id") < 192)
+    ).select("vec_id", "embedding")
+    if sf_dir not in _GIDX_MERGE_CACHE:
+        work = tempfile.mkdtemp(prefix="gidx_merge_")
+        ia = build_graph_index(
+            a, f"{work}/ga", k=4, iterations=1, coarse_size=12,
+            id_col="vec_id", vec_col="embedding",
+        )
+        ib = build_graph_index(
+            b, f"{work}/gb", k=4, iterations=1, coarse_size=12,
+            id_col="vec_id", vec_col="embedding",
+        )
+        merge_graph_indexes(
+            spark, ia, ib, a, b, beam=6, max_hops=2, entry_fanout=4,
+        )
+        _GIDX_MERGE_CACHE[sf_dir] = ia
+    idx = _GIDX_MERGE_CACHE[sf_dir]
+    combined = a.unionByName(b)
+    q = combined.filter(
+        F.col("vec_id").isin(0, 1, 100, 101, 50, 150)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index(
+        spark, idx, combined, q, k=10, beam=6, max_hops=2, entry_fanout=4,
+    )
+
+
+_register(
+    "graph_index_merge_search",
+    _graph_index_merge_search,
+)
+
+
 # --------------------------------------------------------------------------
 # dedup_near_dup_graph — near-dup mining straight from the NN-Descent
 # graph (the third blocking strategy next to cluster blocking and RHP

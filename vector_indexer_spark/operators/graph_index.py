@@ -675,6 +675,153 @@ def add_to_graph_index(
     return n_new
 
 
+def merge_graph_indexes(
+    spark: SparkSession,
+    dst: GraphIndex,
+    src: GraphIndex,
+    dst_vectors: DataFrame,
+    src_vectors: DataFrame,
+    *,
+    beam: int = 16,
+    max_hops: int = 4,
+    entry_fanout: int = 8,
+    coarse_size: int | None = None,
+) -> dict:
+    """Absorb ``src`` into ``dst`` (the graph twin of IVF
+    ``merge_indexes`` / Faiss ``merge_from``) — the operation that
+    makes DISTRIBUTED graph construction practical: build one index
+    per data partition in parallel (each NN-Descent run touches only
+    its shard), then merge. Unlike routing every src row through
+    :func:`add_to_graph_index` (which would re-derive src's internal
+    k-NN structure from scratch), the merge REUSES src's edge table
+    verbatim — those are valid near-neighbor edges among src nodes —
+    and pays only for stitching:
+
+    1. src's edges append to dst's edge table unchanged.
+    2. CROSS-LINKS bridge the two subgraphs: every node of src's
+       coarse sample searches the dst index for ``dst.k`` neighbors
+       and vice versa — 2·O(√n) bounded two-layer searches, edges
+       appended in both directions. Routing makes most queries enter
+       on their own side; cross-links let the beam cross where the
+       corpora actually interleave.
+    3. The coarse routing sample is recomputed over the UNION of live
+       ids (same hash-spread bottom-m, ``suggest_nlist`` staging) so
+       both regions are routable — without this, src's region would be
+       as dark as the stale-coarse append case compaction fixes.
+    4. src's tombstones carry over.
+
+    ``src`` is left untouched; delete its directory when done. Id
+    spaces must be disjoint (checked — one key-only join, the same
+    guard as ``add_vectors``); dimension and metric must match.
+    ``dst_vectors``/``src_vectors`` are the two corpora (the caller
+    owns unioning its canonical vector table). Returns
+    ``{n_added, n_cross_links, n_vectors, coarse_size}``.
+    """
+    if src.dimension != dst.dimension:
+        raise ValueError(
+            f"dimension mismatch: src {src.dimension} != dst {dst.dimension}"
+        )
+    if src.metric != dst.metric:
+        raise ValueError(
+            f"metric mismatch: src {src.metric!r} != dst {dst.metric!r}"
+        )
+    idc, vcc = dst.id_col, dst.vec_col
+    dv = dst_vectors.select(F.col(idc).alias("node"), F.col(vcc))
+    sv = src_vectors.select(
+        F.col(src.id_col).alias("node"), F.col(src.vec_col).alias(vcc)
+    )
+    n_overlap = dv.select("node").join(sv.select("node"), "node").count()
+    if n_overlap:
+        raise ValueError(
+            f"{n_overlap} ids present in both indexes — id spaces must "
+            "be disjoint (the merge_from contract)"
+        )
+
+    # 2. cross-links FIRST, while each side's index still routes its
+    # own corpus cleanly (searches run against the pre-merge tables)
+    def _cross(sample_idx, from_vectors, into_idx, into_vectors):
+        qs = from_vectors.join(
+            F.broadcast(sample_idx.coarse_nodes(spark)), "node"
+        ).select(
+            F.col("node").alias("query_id"), F.col(vcc).alias("query")
+        )
+        hits = search_graph_index(
+            spark, into_idx, into_vectors.select(
+                F.col("node").alias(into_idx.id_col),
+                F.col(vcc).alias(into_idx.vec_col),
+            ), qs,
+            k=into_idx.k, beam=beam, max_hops=max_hops,
+            entry_fanout=entry_fanout,
+        ).select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+        return hits.unionByName(
+            hits.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    links = (
+        _cross(src, sv, dst, dv)
+        .unionByName(_cross(dst, dv, src, sv))
+        .distinct()
+    )
+    n_links = links.count()
+
+    # 1. + 2. land together: src edges + cross-links into dst
+    src.edges(spark).select("src", "dst").unionByName(links).write.mode(
+        "append"
+    ).parquet(os.path.join(dst.path, "edges"))
+
+    # 4. tombstones carry over
+    src_dead = _tombstones(spark, src)
+    if src_dead is not None:
+        src_dead.write.mode("append").parquet(
+            os.path.join(dst.path, "deleted")
+        )
+
+    # 3. coarse refresh over the union of live ids
+    live = dv.select("node").unionByName(sv.select("node"))
+    dst_dead = _tombstones(spark, dst)
+    if dst_dead is not None:
+        live = live.join(F.broadcast(dst_dead), "node", "left_anti")
+    n_live = live.count()
+    if coarse_size is None:
+        from vector_indexer_spark.config import suggest_nlist  # noqa: PLC0415
+
+        coarse_size = max(64, suggest_nlist(n_live))
+    coarse_size = min(coarse_size, n_live)
+    coarse = (
+        live.select("node", _spread_hash(F.col("node")).alias("__h"))
+        .orderBy("__h", "node")
+        .limit(coarse_size)
+        .select("node")
+    )
+    import shutil  # noqa: PLC0415
+
+    cdir = os.path.join(dst.path, "coarse_nodes")
+    stg = f"{cdir}__merge__staging"
+    if os.path.exists(stg):
+        shutil.rmtree(stg)
+    coarse.write.mode("overwrite").parquet(stg)
+    bak = f"{cdir}__merge__backup"
+    if os.path.exists(bak):
+        shutil.rmtree(bak)
+    os.rename(cdir, bak)
+    os.rename(stg, cdir)
+    shutil.rmtree(bak)
+
+    n_added = src.n_vectors
+    dst.n_vectors += n_added
+    dst.coarse_size = coarse_size
+    dst.coarse_refreshed_at_n = dst.n_vectors
+    _write_meta(dst.path, dst._meta_dict())
+    return {
+        "n_added": n_added,
+        "n_cross_links": n_links,
+        "n_vectors": dst.n_vectors,
+        "coarse_size": coarse_size,
+    }
+
+
 def compact_graph_index(
     spark: SparkSession,
     index: GraphIndex,
