@@ -10847,6 +10847,47 @@ _register(
 )
 
 
+def _sources_jsonl_roundtrip(spark, sf_dir):
+    """JSONL round-trip fidelity as an ORACLE row: write 500 documents
+    through the line-JSON sink (gzip), read them back through the
+    schema-enforced reader (no inference pre-pass, DROPMALFORMED), and
+    the result must hash-match the parquet originals — proving the
+    interchange format the rest of the training-data world speaks is
+    lossless through this engine (sources/files.py:read/
+    write_documents_jsonl; the pytest covers corrupt-line auditing,
+    this covers value fidelity)."""
+    import tempfile
+
+    from vector_indexer_spark.sources.files import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 500)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_rt_") + "/docs"
+    write_documents_jsonl(docs, out, partitions=4)
+    return read_documents_jsonl(
+        spark,
+        out,
+        schema="doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+
+
+_register(
+    "sources_jsonl_roundtrip",
+    _sources_jsonl_roundtrip,
+    """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id < 500
+    """,
+)
+
+
 # --------------------------------------------------------------------------
 # dedup_near_dup_graph — near-dup mining straight from the NN-Descent
 # graph (the third blocking strategy next to cluster blocking and RHP
