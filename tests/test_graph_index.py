@@ -858,3 +858,62 @@ def test_merge_graph_indexes_stitches_partition_builds(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dimension"):
         merge_graph_indexes(spark, ia, bad_dim, a, a)
+
+
+def test_opq_traversal_decodes_to_original_space(spark, tmp_path):
+    """OPQ adapter: decode lifts reconstructions back through the
+    orthogonal rotation, so traversal scores in the corpus' own
+    coordinates — recall must land near full precision and at or above
+    the plain-PQ adapter at the same code budget."""
+    import numpy as np
+
+    from vector_indexer_spark.operators.graph_index import (
+        search_graph_index_opq,
+        search_graph_index_pq,
+    )
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.opq import opq_encode, opq_train
+    from vector_indexer_spark.operators.pq import pq_encode, pq_train
+
+    rng = np.random.default_rng(101)
+    centers = rng.normal(0, 300, (10, 8))
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.5, (30, 8)) for c in centers]
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(pts)],
+        "id long, values array<float>",
+    )
+    idx = build_graph_index(
+        vecs, str(tmp_path / "g_opq"), k=5, iterations=2
+    )
+    q = vecs.filter(F.col("id") % 23 == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    truth = knn_exact(vecs, q, k=5, method="native").collect()
+    want = {}
+    for r in truth:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        hits = sum(1 for r in rows if r.neighbor_id in want[r.query_id])
+        return hits / sum(len(s) for s in want.values())
+
+    kwargs = dict(
+        k=5, beam=12, max_hops=4, entry_fanout=6, refine_factor=4,
+        vectors=vecs,
+    )
+    om = opq_train(vecs, m=4, ksub=32, seed=11)
+    ocodes = opq_encode(vecs, om)
+    r_opq = recall(
+        search_graph_index_opq(spark, idx, ocodes, q, om, **kwargs)
+        .collect()
+    )
+    pm = pq_train(vecs, m=4, ksub=32, seed=11)
+    pcodes = pq_encode(vecs, pm)
+    r_pq = recall(
+        search_graph_index_pq(spark, idx, pcodes, q, pm, **kwargs)
+        .collect()
+    )
+    assert r_opq >= 0.9, (r_opq, r_pq)
+    assert r_opq >= r_pq - 0.05, (r_opq, r_pq)

@@ -10787,6 +10787,43 @@ _register(
 )
 
 
+def _graph_index_opq_search_trained(spark, sf_dir):
+    """OPQ twin of the quantized traversal: learned orthogonal
+    rotation + PQ in the rotated space, decoded back to the original
+    coordinates for the walk (exact inverse — R is orthogonal).
+    Rows-only like the PQ twin (k-means codebooks are RNG-trained);
+    the SQ variant carries the bit-exact SQL replay of the chain."""
+    from vector_indexer_spark.operators.graph_index import (
+        search_graph_index_opq,
+    )
+    from vector_indexer_spark.operators.opq import opq_encode, opq_train
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    if sf_dir not in _GIDX_SQ_CACHE:  # same fixture index as the SQ twin
+        _graph_index_sq_search_fixed(spark, sf_dir)
+    idx, _ = _GIDX_SQ_CACHE[sf_dir]
+    om = opq_train(emb, vec_col="embedding", m=4, ksub=16, seed=9)
+    codes = opq_encode(emb, om, id_col="vec_id", vec_col="embedding")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index_opq(
+        spark, idx, codes, q, om,
+        k=5, beam=6, max_hops=2, entry_fanout=4,
+        refine_factor=2, vectors=emb,
+    )
+
+
+_register(
+    "graph_index_opq_search_trained",
+    _graph_index_opq_search_trained,
+)
+
+
 _GIDX_MERGE_CACHE: dict = {}
 
 

@@ -539,6 +539,76 @@ def search_graph_index_pq(
     )
 
 
+def search_graph_index_opq(
+    spark: SparkSession,
+    index: GraphIndex,
+    codes: DataFrame,
+    queries: DataFrame,
+    model,
+    *,
+    k: int = 10,
+    beam: int = 16,
+    max_hops: int = 4,
+    entry_fanout: int = 8,
+    refine_factor: int = 4,
+    vectors: DataFrame | None = None,
+    code_col: str = "codes",
+    coarse_method: str = "native",
+    filter_ids: DataFrame | None = None,
+) -> DataFrame:
+    """OPQ-codes graph traversal with exact refine: ``model`` is an
+    :class:`~...opq.OPQModel` (learned orthogonal rotation + PQ in the
+    rotated space); decode lifts each reconstruction BACK to the
+    original space (``pq_recon @ R + μ`` — exact inverse because R is
+    orthogonal), so queries stay raw and the traversal scores in the
+    corpus' own coordinates. The rotation's balanced per-subspace
+    variance is what OPQ buys over plain PQ at the same code budget;
+    everything downstream is :func:`search_graph_index_compressed`.
+    """
+    from vector_indexer_spark.functions.kernels import (  # noqa: PLC0415
+        stack_arrays,
+    )
+
+    if model.dimension != index.dimension:
+        raise ValueError(
+            f"OPQ dimension {model.dimension} != index dimension "
+            f"{index.dimension}"
+        )
+    code_id = index.id_col if index.id_col in codes.columns else "id"
+    bstate = spark.sparkContext.broadcast(
+        (model.rotation, model.mean, model.pq.codebooks)
+    )
+    idc, vcc = index.id_col, index.vec_col
+
+    def _decode(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        rot, mean, cb = bstate.value
+        m, _, dsub = cb.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = stack_arrays(pdf[code_col]).astype(np.int64)
+            rv = np.empty((cmat.shape[0], m * dsub), dtype=np.float64)
+            for j in range(m):
+                rv[:, j * dsub : (j + 1) * dsub] = cb[j][cmat[:, j]]
+            orig = rv @ rot + mean  # exact inverse of (x-mean) @ rot.T
+            yield pd.DataFrame(
+                {idc: pdf[code_id].to_numpy(), vcc: list(orig)}
+            )
+
+    recon = codes.select(code_id, code_col).mapInPandas(
+        _decode, f"{idc} long, {vcc} array<double>"
+    )
+    return search_graph_index_compressed(
+        spark, index, recon, queries,
+        k=k, beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
+        refine_factor=refine_factor, vectors=vectors,
+        coarse_method=coarse_method, filter_ids=filter_ids,
+    )
+
+
 def search_graph_index_compressed(
     spark: SparkSession,
     index: GraphIndex,
