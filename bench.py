@@ -700,123 +700,127 @@ def main() -> None:
     # entries 0..63 seed one node per cluster (the coarse layer HNSW's
     # upper levels provide). ---
     if os.environ.get("BENCH_GRAPH", "1") == "1":
-        from vector_indexer_spark.operators.graph_index import (
-            build_graph_index,
-            search_graph_index,
-        )
-        from vector_indexer_spark.sources.files import (
-            generate_clustered_vectors,
-        )
-
-        n_g = int(os.environ.get("BENCH_GRAPH_N", "20000"))
-        gvec = (
-            generate_clustered_vectors(
-                spark, n_g, 32, n_clusters=64, seed=7
+        # a failed section must never cost the round its artifact
+        try:
+            from vector_indexer_spark.operators.graph_index import (
+                build_graph_index,
+                search_graph_index,
             )
-            .drop("true_cluster")
-            .cache()
-        )
-        gvec.count()
-        t0 = time.perf_counter()
-        gpath = tempfile.mkdtemp(prefix="bench_graph_") + "/gidx"
-        gidx = build_graph_index(gvec, gpath, k=8, iterations=3)
-        extras["graph_build_sec"] = round(time.perf_counter() - t0, 3)
-        extras["graph_n"] = n_g
-        extras["graph_coarse_size"] = gidx.coarse_size
-
-        gq = (
-            gvec.filter((F.col("id") >= 1000) & (F.col("id") < 1064))
-            .select(
-                F.col("id").alias("query_id"), F.col("values").alias("query")
+            from vector_indexer_spark.sources.files import (
+                generate_clustered_vectors,
             )
-            .cache()
-        )
-        gq.count()
-        # the full index surface: coarse-layer routing, no entry
-        # seeding. Beam sweep = the recall/latency knob (HNSW's
-        # ef-search analog; the graph twin of the nprobe sweep): the
-        # SAME graph, wider beam → higher recall, measured per round.
-        truth = knn_exact(gvec, gq, k=10, method="native").persist()
-        truth.count()
-        sweep = []
-        for b, hops, fan in ((8, 4, 4), (24, 6, 8), (48, 8, 16)):
+
+            n_g = int(os.environ.get("BENCH_GRAPH_N", "20000"))
+            gvec = (
+                generate_clustered_vectors(
+                    spark, n_g, 32, n_clusters=64, seed=7
+                )
+                .drop("true_cluster")
+                .cache()
+            )
+            gvec.count()
             t0 = time.perf_counter()
-            got = search_graph_index(
-                spark, gidx, gvec, gq, k=10, beam=b, max_hops=hops,
-                entry_fanout=fan,
+            gpath = tempfile.mkdtemp(prefix="bench_graph_") + "/gidx"
+            gidx = build_graph_index(gvec, gpath, k=8, iterations=3)
+            extras["graph_build_sec"] = round(time.perf_counter() - t0, 3)
+            extras["graph_n"] = n_g
+            extras["graph_coarse_size"] = gidx.coarse_size
+
+            gq = (
+                gvec.filter((F.col("id") >= 1000) & (F.col("id") < 1064))
+                .select(
+                    F.col("id").alias("query_id"), F.col("values").alias("query")
+                )
+                .cache()
+            )
+            gq.count()
+            # the full index surface: coarse-layer routing, no entry
+            # seeding. Beam sweep = the recall/latency knob (HNSW's
+            # ef-search analog; the graph twin of the nprobe sweep): the
+            # SAME graph, wider beam → higher recall, measured per round.
+            truth = knn_exact(gvec, gq, k=10, method="native").persist()
+            truth.count()
+            sweep = []
+            for b, hops, fan in ((8, 4, 4), (24, 6, 8), (48, 8, 16)):
+                t0 = time.perf_counter()
+                got = search_graph_index(
+                    spark, gidx, gvec, gq, k=10, beam=b, max_hops=hops,
+                    entry_fanout=fan,
+                ).persist()
+                got.count()
+                dt = round(time.perf_counter() - t0, 3)
+                hits = (
+                    got.select("query_id", "neighbor_id")
+                    .join(
+                        truth.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"],
+                    )
+                    .count()
+                )
+                got.unpersist()
+                sweep.append(
+                    {
+                        "beam": b,
+                        "hops": hops,
+                        "sec": dt,
+                        "recall_at_10": round(hits / (64 * 10), 4),
+                    }
+                )
+            extras["graph_beam_sweep"] = sweep
+            extras["graph_search_sec"] = sweep[1]["sec"]
+            extras["graph_ann_recall_at_10"] = sweep[1]["recall_at_10"]
+
+            # quantized traversal + exact refine (DiskANN shape): same
+            # index, walk on SQ8 reconstructions, refine the shortlist
+            from vector_indexer_spark.operators.graph_index import (
+                search_graph_index_sq,
+            )
+            from vector_indexer_spark.operators.sq import sq_encode, sq_train
+
+            sqm = sq_train(gvec, vec_col="values")
+            gcodes = sq_encode(gvec, sqm).cache()
+            gcodes.count()
+            t0 = time.perf_counter()
+            gotq = search_graph_index_sq(
+                spark, gidx, gcodes, gq, sqm, k=10, beam=24, max_hops=6,
+                entry_fanout=8, refine_factor=4, vectors=gvec,
             ).persist()
-            got.count()
-            dt = round(time.perf_counter() - t0, 3)
-            hits = (
-                got.select("query_id", "neighbor_id")
+            gotq.count()
+            extras["graph_sq_search_sec"] = round(time.perf_counter() - t0, 3)
+            hits_q = (
+                gotq.select("query_id", "neighbor_id")
                 .join(
                     truth.select("query_id", "neighbor_id"),
                     ["query_id", "neighbor_id"],
                 )
                 .count()
             )
-            got.unpersist()
-            sweep.append(
-                {
-                    "beam": b,
-                    "hops": hops,
-                    "sec": dt,
-                    "recall_at_10": round(hits / (64 * 10), 4),
-                }
-            )
-        extras["graph_beam_sweep"] = sweep
-        extras["graph_search_sec"] = sweep[1]["sec"]
-        extras["graph_ann_recall_at_10"] = sweep[1]["recall_at_10"]
+            extras["graph_sq_recall_at_10"] = round(hits_q / (64 * 10), 4)
+            # the quantizer's own ceiling: brute-force SQ8 top-10 with no
+            # graph and no refine. On this wide-range synthetic the global
+            # affine grid is coarse relative to cluster spread, so THIS is
+            # the number the quantized traversal should be judged against
+            # (graph+refine beats it; the full-precision gap is quantizer
+            # fidelity, not traversal loss — BASELINE round-6)
+            from vector_indexer_spark.operators.sq import sq_search
 
-        # quantized traversal + exact refine (DiskANN shape): same
-        # index, walk on SQ8 reconstructions, refine the shortlist
-        from vector_indexer_spark.operators.graph_index import (
-            search_graph_index_sq,
-        )
-        from vector_indexer_spark.operators.sq import sq_encode, sq_train
-
-        sqm = sq_train(gvec, vec_col="values")
-        gcodes = sq_encode(gvec, sqm).cache()
-        gcodes.count()
-        t0 = time.perf_counter()
-        gotq = search_graph_index_sq(
-            spark, gidx, gcodes, gq, sqm, k=10, beam=24, max_hops=6,
-            entry_fanout=8, refine_factor=4, vectors=gvec,
-        ).persist()
-        gotq.count()
-        extras["graph_sq_search_sec"] = round(time.perf_counter() - t0, 3)
-        hits_q = (
-            gotq.select("query_id", "neighbor_id")
-            .join(
-                truth.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
+            gotb = sq_search(gcodes, sqm, gq, 10).persist()
+            gotb.count()
+            hits_b = (
+                gotb.select("query_id", "neighbor_id")
+                .join(
+                    truth.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                )
+                .count()
             )
-            .count()
-        )
-        extras["graph_sq_recall_at_10"] = round(hits_q / (64 * 10), 4)
-        # the quantizer's own ceiling: brute-force SQ8 top-10 with no
-        # graph and no refine. On this wide-range synthetic the global
-        # affine grid is coarse relative to cluster spread, so THIS is
-        # the number the quantized traversal should be judged against
-        # (graph+refine beats it; the full-precision gap is quantizer
-        # fidelity, not traversal loss — BASELINE round-6)
-        from vector_indexer_spark.operators.sq import sq_search
-
-        gotb = sq_search(gcodes, sqm, gq, 10).persist()
-        gotb.count()
-        hits_b = (
-            gotb.select("query_id", "neighbor_id")
-            .join(
-                truth.select("query_id", "neighbor_id"),
-                ["query_id", "neighbor_id"],
+            extras["graph_sq_brute_ceiling_recall"] = round(
+                hits_b / (64 * 10), 4
             )
-            .count()
-        )
-        extras["graph_sq_brute_ceiling_recall"] = round(
-            hits_b / (64 * 10), 4
-        )
-        gotb.unpersist(), gotq.unpersist(), gcodes.unpersist()
-        truth.unpersist(), gvec.unpersist(), gq.unpersist()
+            gotb.unpersist(), gotq.unpersist(), gcodes.unpersist()
+            truth.unpersist(), gvec.unpersist(), gq.unpersist()
+        except Exception as e:  # noqa: BLE001
+            extras["graph_section_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # --- graph index at 1M x 32: the scale point that earns the graph
     # family its linearity argument (IVF has the synth1000k pair; the
@@ -824,78 +828,81 @@ def main() -> None:
     # the 20k point; NN-Descent is O(n*k^2) candidates/round so build
     # should scale ~linearly from the 20k/100k committed numbers. ---
     if os.environ.get("BENCH_GRAPH_1M", "1") == "1":
-        from vector_indexer_spark.operators.graph_index import (
-            build_graph_index,
-            search_graph_index,
-        )
-        from vector_indexer_spark.operators.knn import knn_exact
-        from vector_indexer_spark.sources.files import (
-            generate_clustered_vectors,
-        )
-
-        n_g1 = int(os.environ.get("BENCH_GRAPH_1M_N", "1000000"))
-        g1vec = (
-            generate_clustered_vectors(
-                spark, n_g1, 32, n_clusters=1000, seed=11
+        try:
+            from vector_indexer_spark.operators.graph_index import (
+                build_graph_index,
+                search_graph_index,
             )
-            .drop("true_cluster")
-            .cache()
-        )
-        g1vec.count()
-        t0 = time.perf_counter()
-        g1path = tempfile.mkdtemp(prefix="bench_graph1m_") + "/gidx"
-        # engine defaults on purpose: iterations='auto' (5 rounds at 1M
-        # — 3 rounds leave recall at 0.23, see BASELINE round-6) and
-        # the suggest_nlist-staged coarse layer (4000 at 1M)
-        g1idx = build_graph_index(g1vec, g1path, k=8)
-        extras["graph1M_build_sec"] = round(time.perf_counter() - t0, 3)
-        extras["graph1M_iterations"] = g1idx.iterations
-        extras["graph1M_n"] = n_g1
-        extras["graph1M_coarse_size"] = g1idx.coarse_size
-
-        g1q = (
-            g1vec.filter((F.col("id") % 15625) == 7)
-            .select(
-                F.col("id").alias("query_id"), F.col("values").alias("query")
+            from vector_indexer_spark.operators.knn import knn_exact
+            from vector_indexer_spark.sources.files import (
+                generate_clustered_vectors,
             )
-            .cache()
-        )
-        nq1 = g1q.count()
-        t0 = time.perf_counter()
-        truth1 = knn_exact(g1vec, g1q, k=10, method="arrow").persist()
-        truth1.count()
-        extras["graph1M_exact_sec"] = round(time.perf_counter() - t0, 3)
-        sweep1 = []
-        for b, hops, fan in ((24, 6, 8), (48, 8, 16)):
-            t0 = time.perf_counter()
-            got1 = search_graph_index(
-                spark, g1idx, g1vec, g1q, k=10, beam=b, max_hops=hops,
-                entry_fanout=fan,
-            ).persist()
-            got1.count()
-            dt1 = round(time.perf_counter() - t0, 3)
-            hits1 = (
-                got1.select("query_id", "neighbor_id")
-                .join(
-                    truth1.select("query_id", "neighbor_id"),
-                    ["query_id", "neighbor_id"],
+
+            n_g1 = int(os.environ.get("BENCH_GRAPH_1M_N", "1000000"))
+            g1vec = (
+                generate_clustered_vectors(
+                    spark, n_g1, 32, n_clusters=1000, seed=11
                 )
-                .count()
+                .drop("true_cluster")
+                .cache()
             )
-            got1.unpersist()
-            sweep1.append(
-                {
-                    "beam": b,
-                    "hops": hops,
-                    "sec": dt1,
-                    "recall_at_10": round(hits1 / (nq1 * 10), 4),
-                }
+            g1vec.count()
+            t0 = time.perf_counter()
+            g1path = tempfile.mkdtemp(prefix="bench_graph1m_") + "/gidx"
+            # engine defaults on purpose: iterations='auto' (5 rounds at 1M
+            # — 3 rounds leave recall at 0.23, see BASELINE round-6) and
+            # the suggest_nlist-staged coarse layer (4000 at 1M)
+            g1idx = build_graph_index(g1vec, g1path, k=8)
+            extras["graph1M_build_sec"] = round(time.perf_counter() - t0, 3)
+            extras["graph1M_iterations"] = g1idx.iterations
+            extras["graph1M_n"] = n_g1
+            extras["graph1M_coarse_size"] = g1idx.coarse_size
+
+            g1q = (
+                g1vec.filter((F.col("id") % 15625) == 7)
+                .select(
+                    F.col("id").alias("query_id"), F.col("values").alias("query")
+                )
+                .cache()
             )
-        extras["graph1M_beam_sweep"] = sweep1
-        extras["graph1M_nq"] = nq1
-        extras["graph1M_search_sec"] = sweep1[-1]["sec"]
-        extras["graph1M_recall_at_10"] = sweep1[-1]["recall_at_10"]
-        truth1.unpersist(), g1vec.unpersist(), g1q.unpersist()
+            nq1 = g1q.count()
+            t0 = time.perf_counter()
+            truth1 = knn_exact(g1vec, g1q, k=10, method="arrow").persist()
+            truth1.count()
+            extras["graph1M_exact_sec"] = round(time.perf_counter() - t0, 3)
+            sweep1 = []
+            for b, hops, fan in ((24, 6, 8), (48, 8, 16)):
+                t0 = time.perf_counter()
+                got1 = search_graph_index(
+                    spark, g1idx, g1vec, g1q, k=10, beam=b, max_hops=hops,
+                    entry_fanout=fan,
+                ).persist()
+                got1.count()
+                dt1 = round(time.perf_counter() - t0, 3)
+                hits1 = (
+                    got1.select("query_id", "neighbor_id")
+                    .join(
+                        truth1.select("query_id", "neighbor_id"),
+                        ["query_id", "neighbor_id"],
+                    )
+                    .count()
+                )
+                got1.unpersist()
+                sweep1.append(
+                    {
+                        "beam": b,
+                        "hops": hops,
+                        "sec": dt1,
+                        "recall_at_10": round(hits1 / (nq1 * 10), 4),
+                    }
+                )
+            extras["graph1M_beam_sweep"] = sweep1
+            extras["graph1M_nq"] = nq1
+            extras["graph1M_search_sec"] = sweep1[-1]["sec"]
+            extras["graph1M_recall_at_10"] = sweep1[-1]["recall_at_10"]
+            truth1.unpersist(), g1vec.unpersist(), g1q.unpersist()
+        except Exception as e:  # noqa: BLE001
+            extras["graph1M_section_error"] = f"{type(e).__name__}: {e}"[:300]
 
     results = {k: round(v, 4) for k, v in results.items()}
     # extras (sweeps, 1M suite, plan audits) go to a sidecar file plus a
