@@ -313,384 +313,399 @@ def main() -> None:
     # the scale where nlist≈4k pruning physically pays; the sf tables
     # are far too small to exercise it) ---
     if os.environ.get("BENCH_SYNTH", "1") == "1":
-        from vector_indexer_spark.sources.files import generate_clustered_vectors
+        try:
+            from vector_indexer_spark.sources.files import generate_clustered_vectors
 
-        # Gaussian-clustered corpus (the reference's own evaluation
-        # distribution — uniform data defeats any IVF, reference or ours)
-        n_synth = int(os.environ.get("BENCH_SYNTH_N", "1000000"))
-        d_synth, nq_synth = 128, 256
-        slabel = f"synth{n_synth // 1000}k"
-        synth = generate_clustered_vectors(
-            spark, n_synth, d_synth, n_clusters=256, seed=42
-        ).drop("true_cluster").cache()
-        synth.count()
-        # Query batch drawn from a bounded region (16 of 256 true
-        # clusters): each query's probe set is tiny relative to nlist,
-        # which is the workload IVF exists for. (A batch spread across
-        # every cluster forces a full scan on ANY IVF engine — its
-        # per-query advantage shows in per-query-cost terms, reference
-        # bench methodology, not batch-union terms.)
-        sq = (
-            synth.filter(F.col("id") % 256 < 16)
-            .limit(nq_synth)
-            .select(F.col("id").alias("query_id"), F.col("values").alias("query"))
-            .cache()
-        )
-        sq.count()
+            # Gaussian-clustered corpus (the reference's own evaluation
+            # distribution — uniform data defeats any IVF, reference or ours)
+            n_synth = int(os.environ.get("BENCH_SYNTH_N", "1000000"))
+            d_synth, nq_synth = 128, 256
+            slabel = f"synth{n_synth // 1000}k"
+            synth = generate_clustered_vectors(
+                spark, n_synth, d_synth, n_clusters=256, seed=42
+            ).drop("true_cluster").cache()
+            synth.count()
+            # Query batch drawn from a bounded region (16 of 256 true
+            # clusters): each query's probe set is tiny relative to nlist,
+            # which is the workload IVF exists for. (A batch spread across
+            # every cluster forces a full scan on ANY IVF engine — its
+            # per-query advantage shows in per-query-cost terms, reference
+            # bench methodology, not batch-union terms.)
+            sq = (
+                synth.filter(F.col("id") % 256 < 16)
+                .limit(nq_synth)
+                .select(F.col("id").alias("query_id"), F.col("values").alias("query"))
+                .cache()
+            )
+            sq.count()
 
-        t0 = time.perf_counter()
-        spath = tempfile.mkdtemp(prefix="bench_synth_") + "/index"
-        sidx = build_index(synth, spath, seed=42, mode="minibatch")
-        extras["synth_build_sec"] = round(time.perf_counter() - t0, 3)
-        extras["synth_nlist"] = sidx.nlist
-        extras["synth_n"] = n_synth
-        sidx_vec = sidx.vectors(spark).coalesce(32).cache()
-        sidx_vec.count()
+            t0 = time.perf_counter()
+            spath = tempfile.mkdtemp(prefix="bench_synth_") + "/index"
+            sidx = build_index(synth, spath, seed=42, mode="minibatch")
+            extras["synth_build_sec"] = round(time.perf_counter() - t0, 3)
+            extras["synth_nlist"] = sidx.nlist
+            extras["synth_n"] = n_synth
+            sidx_vec = sidx.vectors(spark).coalesce(32).cache()
+            sidx_vec.count()
 
-        # min_duration 30s: a single exact pass costs ~4-8s at n=1M, so
-        # the default 6s window yields ONE pair iteration and the
-        # "median"/min are a single noisy sample (observed 1.3x-18x
-        # speedup swings between runs); ~4+ iterations stabilize it.
-        (
-            results[f"{slabel}_exact_256q"],
-            results[f"{slabel}_ivf_256q"],
-        ) = timed_pair(
-            lambda: knn_exact(synth, sq, k=10).count(),
-            lambda: search_index(
-                spark, sidx, sq, k=10, n_probe=16, vectors=sidx_vec
-            ).count(),
-            f"{slabel}_exact_256q",
-            f"{slabel}_ivf_256q",
-            min_duration=30.0,
-        )
-        extras["synth_ann_speedup"] = round(
-            MIN_TIMES.get(f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"])
-            / MIN_TIMES.get(f"{slabel}_ivf_256q", results[f"{slabel}_ivf_256q"]),
-            3,
-        )
-        sexact = knn_exact(synth, sq, k=10)
-        extras["synth_recall_at_10_nprobe16"] = round(
-            calculate_recall(
-                search_index(
+            # min_duration 30s: a single exact pass costs ~4-8s at n=1M, so
+            # the default 6s window yields ONE pair iteration and the
+            # "median"/min are a single noisy sample (observed 1.3x-18x
+            # speedup swings between runs); ~4+ iterations stabilize it.
+            (
+                results[f"{slabel}_exact_256q"],
+                results[f"{slabel}_ivf_256q"],
+            ) = timed_pair(
+                lambda: knn_exact(synth, sq, k=10).count(),
+                lambda: search_index(
                     spark, sidx, sq, k=10, n_probe=16, vectors=sidx_vec
-                ),
-                sexact,
-                10,
-            ),
-            4,
-        )
-
-        # Residual IVF-SQ at the same scale: the compressed tier that
-        # SURVIVES this distribution. Flat SQ8 is useless here (global
-        # per-dim ranges span all 256 cluster centers, so the cell size
-        # dwarfs within-cluster separations — measured recall@10 0.05);
-        # quantizing residuals x − c(x) shrinks the ranges to cluster
-        # noise. Reuses the flat index's centroids/assignments — only
-        # the encode pass and the pruned compressed search are new.
-        if os.environ.get("BENCH_SYNTH_SQ", "1") == "1":
-            from vector_indexer_spark.operators.sq import (
-                ivfsq_encode,
-                ivfsq_search,
-                ivfsq_train,
-            )
-
-            cents_df = spark.createDataFrame(
-                [
-                    (int(i), [float(x) for x in sidx.centroids[i]])
-                    for i in range(sidx.nlist)
-                ],
-                "centroid_id long, cvec array<float>",
-            )
-            kw = dict(id_col="id", vec_col="values")
-            t0 = time.perf_counter()
-            sqm = ivfsq_train(sidx_vec, cents_df, **kw)
-            extras["synth_ivfsq_train_sec"] = round(
-                time.perf_counter() - t0, 3
-            )
-            t0 = time.perf_counter()
-            scodes = ivfsq_encode(sidx_vec, cents_df, sqm, **kw)
-            scodes = scodes.coalesce(32).cache()
-            scodes.count()
-            extras["synth_ivfsq_encode_sec"] = round(
-                time.perf_counter() - t0, 3
-            )
-            results[f"{slabel}_ivfsq_256q"] = timed(
-                lambda: ivfsq_search(
-                    scodes, cents_df, sqm, sq, k=10, n_probe=16
                 ).count(),
-                min_duration=12.0,
-                key=f"{slabel}_ivfsq_256q",
+                f"{slabel}_exact_256q",
+                f"{slabel}_ivf_256q",
+                min_duration=30.0,
             )
-            # wins even against a cached corpus: the probe mask prunes
-            # the decode set to ~nprobe/nlist of rows and the codes
-            # column ships 4x fewer bytes through Arrow (measured 27x
-            # vs exact at n=1M, recall 0.987); the byte advantage only
-            # grows in the I/O-bound regime.
-            extras["synth_ivfsq_speedup_vs_exact"] = round(
-                MIN_TIMES.get(
-                    f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"]
-                )
-                / MIN_TIMES.get(
-                    f"{slabel}_ivfsq_256q", results[f"{slabel}_ivfsq_256q"]
-                ),
+            extras["synth_ann_speedup"] = round(
+                MIN_TIMES.get(f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"])
+                / MIN_TIMES.get(f"{slabel}_ivf_256q", results[f"{slabel}_ivf_256q"]),
                 3,
             )
-            extras["synth_ivfsq_recall_at_10_nprobe16"] = round(
+            sexact = knn_exact(synth, sq, k=10)
+            extras["synth_recall_at_10_nprobe16"] = round(
                 calculate_recall(
-                    ivfsq_search(
-                        scodes, cents_df, sqm, sq, k=10, n_probe=16
+                    search_index(
+                        spark, sidx, sq, k=10, n_probe=16, vectors=sidx_vec
                     ),
                     sexact,
                     10,
                 ),
                 4,
             )
-            scodes.unpersist()
 
-        synth.unpersist()
-        sidx_vec.unpersist()
-
-    # --- nprobe sweep, reference methodology: the reference bench
-    # default configuration (n=100k d=128 unclustered synthetic,
-    # docker-compose.bench.yml:28-30; uniform components per the
-    # reference's own generator, src/utils.rs:34-79), k=100, reporting
-    # R@1/R@10/R@100 where R@r = fraction of queries whose TRUE nearest
-    # neighbor appears in the returned top-r (bench_all_ivf.py:336-350,
-    # 591-596; sweep values 600-605, docker-compose.bench.yml:32).
-    # Unclustered data is the hard case for any IVF — recall is
-    # genuinely < 1 at low nprobe, so the curve shows the trade-off
-    # (the clustered 1M section above saturates recall by design).
-    if os.environ.get("BENCH_SWEEP", "1") == "1":
-        from vector_indexer_spark.sources.files import generate_vectors
-
-        n_swp, nq_swp, d_swp = (
-            int(os.environ.get("BENCH_SWEEP_N", "100000")),
-            256,
-            128,
-        )
-        corpus = generate_vectors(spark, n_swp + nq_swp, d_swp, seed=7).cache()
-        base = corpus.filter(F.col("id") < n_swp)
-        swq = (
-            corpus.filter(F.col("id") >= n_swp)
-            .select(F.col("id").alias("query_id"), F.col("values").alias("query"))
-            .cache()
-        )
-        corpus.count(), swq.count()
-        wpath = tempfile.mkdtemp(prefix="bench_sweep_") + "/index"
-        widx = build_index(base, wpath, seed=42, mode="minibatch")
-        extras["sweep_nlist"] = widx.nlist
-        extras["sweep_n"] = n_swp
-        widx_vec = widx.vectors(spark).coalesce(32).cache()
-        widx_vec.count()
-
-        gt1 = knn_exact(base, swq, k=1).toPandas()  # true NN per query
-        true_nn = dict(zip(gt1.query_id, gt1.neighbor_id))
-        # stabilize the search path before the sweep: the first probe
-        # values measured otherwise absorb the JIT/GC warm-up tail and
-        # read slower than larger nprobe (measured 7.4s at nprobe=1 vs
-        # 1.3s at nprobe=2 without this)
-        prev = float("inf")
-        for _ in range(6):
-            t0 = time.perf_counter()
-            search_index(spark, widx, swq, k=100, n_probe=8, vectors=widx_vec).count()
-            dt = time.perf_counter() - t0
-            if dt > prev * 0.7:
-                break
-            prev = dt
-        sweep: dict[str, dict] = {}
-        for p in (1, 2, 4, 8, 16, 32, 64):
-            fn = lambda: search_index(  # noqa: E731
-                spark, widx, swq, k=100, n_probe=p, vectors=widx_vec
-            )
-            res = fn().toPandas()  # also the warm-up run
-            t_runs = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                fn().count()
-                t_runs.append(time.perf_counter() - t0)
-            sec = min(t_runs)
-            # NOTE: with exact (non-quantized) candidate scoring the
-            # true NN, when its cluster is probed, always ranks 1 —
-            # nothing in the candidate set can out-score it — so
-            # R@1 = R@10 = R@100 is the EXPECTED shape here (in the
-            # reference harness the three diverge only for quantized
-            # variants whose ADC scores reorder candidates).
-            found_rank = {
-                q: int(r)
-                for q, n, r in zip(res.query_id, res.neighbor_id, res["rank"])
-                if true_nn.get(q) == n
-            }
-            nq_run = len(true_nn)
-            sweep[str(p)] = {
-                "sec": round(sec, 4),
-                "qps": round(nq_run / sec, 1),
-                **{
-                    f"r{r}": round(
-                        sum(
-                            1
-                            for q in true_nn
-                            if found_rank.get(q, 10**9) <= r
-                        )
-                        / nq_run,
-                        4,
-                    )
-                    for r in (1, 10, 100)
-                },
-            }
-        extras["nprobe_sweep"] = sweep
-        corpus.unpersist()
-        swq.unpersist()
-        widx_vec.unpersist()
-
-    # --- dedup at 1M docs: the LSH bucket-cap scale claim measured,
-    # not argued (the sf0.1 corpus is only ~10k docs). Deterministic
-    # scan-local synthetic corpus: ~30-token docs from a 5k-word
-    # vocabulary; every id % 100 == 1 doc is a near-dup of its
-    # predecessor (same token stream + one extra token), so the
-    # banded-LSH path has real work to find at every scale.
-    if os.environ.get("BENCH_DEDUP1M", "1") == "1":
-        # section isolation: the preceding 1M ANN sections leave the
-        # executor heap pressured (the identical LSH call runs 15 s
-        # cold / 4.4 s warm in a fresh JVM but ~30 s placed here, and
-        # this hygiene step recovers only part of that — see
-        # BASELINE.md's position-sensitivity note). Drop stale cached
-        # blocks and nudge GC so the number leans toward the operator,
-        # not the neighbor.
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        n_docs = int(os.environ.get("BENCH_DEDUP_N", "1000000"))
-        base = spark.range(n_docs).withColumn(
-            "src_id",
-            F.when(
-                (F.col("id") % 100 == 1) & (F.col("id") > 0),
-                F.col("id") - 1,
-            ).otherwise(F.col("id")),
-        )
-        words = [
-            F.concat(
-                F.lit("w"),
-                F.pmod(
-                    F.xxhash64(F.col("src_id") * F.lit(31) + F.lit(i)),
-                    F.lit(5000),
-                ).cast("string"),
-            )
-            for i in range(30)
-        ]
-        docs1m = base.select(
-            F.col("id").alias("doc_id"),
-            F.when(
-                F.col("src_id") == F.col("id"),
-                F.concat_ws(" ", *words),
-            )
-            .otherwise(F.concat_ws(" ", *words, F.lit("extra")))
-            .alias("text"),
-        ).persist()
-        docs1m.count()
-        t0 = time.perf_counter()
-        n_pairs = dedup.lsh_candidate_pairs(docs1m).count()
-        extras["dedup1M_sec"] = round(time.perf_counter() - t0, 3)
-        extras["dedup1M_n_docs"] = n_docs
-        extras["dedup1M_pairs"] = int(n_pairs)
-
-        # incremental dedup: a 1% delta against the other 99% as the
-        # standing corpus. Per-batch cost must be delta-shaped — the
-        # corpus participates only through its banded-signature
-        # manifest (prebuilt+persisted here, as in production where it
-        # is amortized across every future batch).
-        corpus_side = docs1m.filter(F.col("doc_id") % 100 != 1)
-        delta_side = docs1m.filter(F.col("doc_id") % 100 == 1)
-        manifest = dedup.banded_signatures(corpus_side).persist()
-        manifest.count()
-        t0 = time.perf_counter()
-        n_incr = dedup.incremental_lsh_candidates(
-            delta_side, manifest
-        ).count()
-        extras["dedup1M_incr_sec"] = round(time.perf_counter() - t0, 3)
-        extras["dedup1M_incr_matches"] = int(n_incr)
-        manifest.unpersist()
-
-        # sketch scan at 1M rows: HLL registers + estimate vs the
-        # exact distinct — one map-side agg against a full distinct
-        # shuffle, the trade the sketch exists for
-        from vector_indexer_spark.operators.sketches import (
-            hll_estimate,
-            hll_registers,
-        )
-
-        t0 = time.perf_counter()
-        regs = hll_registers(docs1m, "text", p=12)
-        est = hll_estimate(regs, p=12)
-        extras["hll1M_sec"] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        exact = docs1m.select("text").distinct().count()
-        extras["hll1M_exact_distinct_sec"] = round(
-            time.perf_counter() - t0, 3
-        )
-        extras["hll1M_rel_err"] = round(abs(est - exact) / exact, 4)
-
-        # scan-local text ops at 1M docs: docs/sec for the corpus-
-        # cleaning pass (stats + lang-id + Gopher rules in one scan) —
-        # the number that multiplies by executors at 100 TB
-        t0 = time.perf_counter()
-        text_analysis.gopher_quality(
-            text_analysis.text_stats(docs1m).join(docs1m, "doc_id")
-        ).agg(F.sum("passes")).collect()
-        dt = time.perf_counter() - t0
-        extras["text1M_clean_sec"] = round(dt, 3)
-        extras["text1M_docs_per_sec"] = round(n_docs / dt)
-        docs1m.unpersist()
-
-    # --- multimodal decode throughput: 50k synthetic PNGs decoded +
-    # bilinear-resized to 32x32 through the full mapInPandas codec
-    # path (pure-Python inflate + unfilter + NumPy resample + deflate).
-    # The per-image work is embarrassingly parallel; this measures the
-    # pipeline's per-core image rate, the number that scales linearly
-    # with executors at 100 TB.
-    if os.environ.get("BENCH_MEDIA", "1") == "1":
-        from vector_indexer_spark.operators.multimodal import (
-            encode_png,
-            resize_images,
-        )
-
-        n_img = int(os.environ.get("BENCH_MEDIA_N", "50000"))
-
-        def _mk_png(batches):
-            import numpy as np  # noqa: PLC0415
-            import pandas as pd  # noqa: PLC0415
-
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                payloads = []
-                for mid in pdf["id"]:
-                    mid = int(mid)
-                    h, w = 40 + mid % 25, 40 + (mid * 7) % 25
-                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
-                    payloads.append(
-                        encode_png(
-                            ((mid + 3 * x + 7 * y + c) % 256).astype(
-                                np.uint8
-                            )
-                        )
-                    )
-                yield pd.DataFrame(
-                    {"media_id": pdf["id"], "content": payloads}
+            # Residual IVF-SQ at the same scale: the compressed tier that
+            # SURVIVES this distribution. Flat SQ8 is useless here (global
+            # per-dim ranges span all 256 cluster centers, so the cell size
+            # dwarfs within-cluster separations — measured recall@10 0.05);
+            # quantizing residuals x − c(x) shrinks the ranges to cluster
+            # noise. Reuses the flat index's centroids/assignments — only
+            # the encode pass and the pruned compressed search are new.
+            if os.environ.get("BENCH_SYNTH_SQ", "1") == "1":
+                from vector_indexer_spark.operators.sq import (
+                    ivfsq_encode,
+                    ivfsq_search,
+                    ivfsq_train,
                 )
 
-        media = (
-            spark.range(n_img)
-            .repartition(32)
-            .mapInPandas(_mk_png, "media_id long, content binary")
-            .persist()
-        )
-        media.count()  # materialize: time decode+resize, not generation
-        t0 = time.perf_counter()
-        resize_images(media, 32, 32, method="bilinear").count()
-        dt = time.perf_counter() - t0
-        extras["media_resize_sec"] = round(dt, 3)
-        extras["media_resize_n_images"] = n_img
-        extras["media_images_per_sec"] = round(n_img / dt, 1)
-        media.unpersist()
+                cents_df = spark.createDataFrame(
+                    [
+                        (int(i), [float(x) for x in sidx.centroids[i]])
+                        for i in range(sidx.nlist)
+                    ],
+                    "centroid_id long, cvec array<float>",
+                )
+                kw = dict(id_col="id", vec_col="values")
+                t0 = time.perf_counter()
+                sqm = ivfsq_train(sidx_vec, cents_df, **kw)
+                extras["synth_ivfsq_train_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                t0 = time.perf_counter()
+                scodes = ivfsq_encode(sidx_vec, cents_df, sqm, **kw)
+                scodes = scodes.coalesce(32).cache()
+                scodes.count()
+                extras["synth_ivfsq_encode_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                results[f"{slabel}_ivfsq_256q"] = timed(
+                    lambda: ivfsq_search(
+                        scodes, cents_df, sqm, sq, k=10, n_probe=16
+                    ).count(),
+                    min_duration=12.0,
+                    key=f"{slabel}_ivfsq_256q",
+                )
+                # wins even against a cached corpus: the probe mask prunes
+                # the decode set to ~nprobe/nlist of rows and the codes
+                # column ships 4x fewer bytes through Arrow (measured 27x
+                # vs exact at n=1M, recall 0.987); the byte advantage only
+                # grows in the I/O-bound regime.
+                extras["synth_ivfsq_speedup_vs_exact"] = round(
+                    MIN_TIMES.get(
+                        f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"]
+                    )
+                    / MIN_TIMES.get(
+                        f"{slabel}_ivfsq_256q", results[f"{slabel}_ivfsq_256q"]
+                    ),
+                    3,
+                )
+                extras["synth_ivfsq_recall_at_10_nprobe16"] = round(
+                    calculate_recall(
+                        ivfsq_search(
+                            scodes, cents_df, sqm, sq, k=10, n_probe=16
+                        ),
+                        sexact,
+                        10,
+                    ),
+                    4,
+                )
+                scodes.unpersist()
+
+            synth.unpersist()
+            sidx_vec.unpersist()
+
+        # --- nprobe sweep, reference methodology: the reference bench
+        # default configuration (n=100k d=128 unclustered synthetic,
+        # docker-compose.bench.yml:28-30; uniform components per the
+        # reference's own generator, src/utils.rs:34-79), k=100, reporting
+        # R@1/R@10/R@100 where R@r = fraction of queries whose TRUE nearest
+        # neighbor appears in the returned top-r (bench_all_ivf.py:336-350,
+        # 591-596; sweep values 600-605, docker-compose.bench.yml:32).
+        # Unclustered data is the hard case for any IVF — recall is
+        # genuinely < 1 at low nprobe, so the curve shows the trade-off
+        # (the clustered 1M section above saturates recall by design).
+        except Exception as e:  # noqa: BLE001
+            extras["synth_section_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    if os.environ.get("BENCH_SWEEP", "1") == "1":
+        try:
+            from vector_indexer_spark.sources.files import generate_vectors
+
+            n_swp, nq_swp, d_swp = (
+                int(os.environ.get("BENCH_SWEEP_N", "100000")),
+                256,
+                128,
+            )
+            corpus = generate_vectors(spark, n_swp + nq_swp, d_swp, seed=7).cache()
+            base = corpus.filter(F.col("id") < n_swp)
+            swq = (
+                corpus.filter(F.col("id") >= n_swp)
+                .select(F.col("id").alias("query_id"), F.col("values").alias("query"))
+                .cache()
+            )
+            corpus.count(), swq.count()
+            wpath = tempfile.mkdtemp(prefix="bench_sweep_") + "/index"
+            widx = build_index(base, wpath, seed=42, mode="minibatch")
+            extras["sweep_nlist"] = widx.nlist
+            extras["sweep_n"] = n_swp
+            widx_vec = widx.vectors(spark).coalesce(32).cache()
+            widx_vec.count()
+
+            gt1 = knn_exact(base, swq, k=1).toPandas()  # true NN per query
+            true_nn = dict(zip(gt1.query_id, gt1.neighbor_id))
+            # stabilize the search path before the sweep: the first probe
+            # values measured otherwise absorb the JIT/GC warm-up tail and
+            # read slower than larger nprobe (measured 7.4s at nprobe=1 vs
+            # 1.3s at nprobe=2 without this)
+            prev = float("inf")
+            for _ in range(6):
+                t0 = time.perf_counter()
+                search_index(spark, widx, swq, k=100, n_probe=8, vectors=widx_vec).count()
+                dt = time.perf_counter() - t0
+                if dt > prev * 0.7:
+                    break
+                prev = dt
+            sweep: dict[str, dict] = {}
+            for p in (1, 2, 4, 8, 16, 32, 64):
+                fn = lambda: search_index(  # noqa: E731
+                    spark, widx, swq, k=100, n_probe=p, vectors=widx_vec
+                )
+                res = fn().toPandas()  # also the warm-up run
+                t_runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn().count()
+                    t_runs.append(time.perf_counter() - t0)
+                sec = min(t_runs)
+                # NOTE: with exact (non-quantized) candidate scoring the
+                # true NN, when its cluster is probed, always ranks 1 —
+                # nothing in the candidate set can out-score it — so
+                # R@1 = R@10 = R@100 is the EXPECTED shape here (in the
+                # reference harness the three diverge only for quantized
+                # variants whose ADC scores reorder candidates).
+                found_rank = {
+                    q: int(r)
+                    for q, n, r in zip(res.query_id, res.neighbor_id, res["rank"])
+                    if true_nn.get(q) == n
+                }
+                nq_run = len(true_nn)
+                sweep[str(p)] = {
+                    "sec": round(sec, 4),
+                    "qps": round(nq_run / sec, 1),
+                    **{
+                        f"r{r}": round(
+                            sum(
+                                1
+                                for q in true_nn
+                                if found_rank.get(q, 10**9) <= r
+                            )
+                            / nq_run,
+                            4,
+                        )
+                        for r in (1, 10, 100)
+                    },
+                }
+            extras["nprobe_sweep"] = sweep
+            corpus.unpersist()
+            swq.unpersist()
+            widx_vec.unpersist()
+
+        # --- dedup at 1M docs: the LSH bucket-cap scale claim measured,
+        # not argued (the sf0.1 corpus is only ~10k docs). Deterministic
+        # scan-local synthetic corpus: ~30-token docs from a 5k-word
+        # vocabulary; every id % 100 == 1 doc is a near-dup of its
+        # predecessor (same token stream + one extra token), so the
+        # banded-LSH path has real work to find at every scale.
+        except Exception as e:  # noqa: BLE001
+            extras["sweep_section_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    if os.environ.get("BENCH_DEDUP1M", "1") == "1":
+        try:
+            # section isolation: the preceding 1M ANN sections leave the
+            # executor heap pressured (the identical LSH call runs 15 s
+            # cold / 4.4 s warm in a fresh JVM but ~30 s placed here, and
+            # this hygiene step recovers only part of that — see
+            # BASELINE.md's position-sensitivity note). Drop stale cached
+            # blocks and nudge GC so the number leans toward the operator,
+            # not the neighbor.
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            n_docs = int(os.environ.get("BENCH_DEDUP_N", "1000000"))
+            base = spark.range(n_docs).withColumn(
+                "src_id",
+                F.when(
+                    (F.col("id") % 100 == 1) & (F.col("id") > 0),
+                    F.col("id") - 1,
+                ).otherwise(F.col("id")),
+            )
+            words = [
+                F.concat(
+                    F.lit("w"),
+                    F.pmod(
+                        F.xxhash64(F.col("src_id") * F.lit(31) + F.lit(i)),
+                        F.lit(5000),
+                    ).cast("string"),
+                )
+                for i in range(30)
+            ]
+            docs1m = base.select(
+                F.col("id").alias("doc_id"),
+                F.when(
+                    F.col("src_id") == F.col("id"),
+                    F.concat_ws(" ", *words),
+                )
+                .otherwise(F.concat_ws(" ", *words, F.lit("extra")))
+                .alias("text"),
+            ).persist()
+            docs1m.count()
+            t0 = time.perf_counter()
+            n_pairs = dedup.lsh_candidate_pairs(docs1m).count()
+            extras["dedup1M_sec"] = round(time.perf_counter() - t0, 3)
+            extras["dedup1M_n_docs"] = n_docs
+            extras["dedup1M_pairs"] = int(n_pairs)
+
+            # incremental dedup: a 1% delta against the other 99% as the
+            # standing corpus. Per-batch cost must be delta-shaped — the
+            # corpus participates only through its banded-signature
+            # manifest (prebuilt+persisted here, as in production where it
+            # is amortized across every future batch).
+            corpus_side = docs1m.filter(F.col("doc_id") % 100 != 1)
+            delta_side = docs1m.filter(F.col("doc_id") % 100 == 1)
+            manifest = dedup.banded_signatures(corpus_side).persist()
+            manifest.count()
+            t0 = time.perf_counter()
+            n_incr = dedup.incremental_lsh_candidates(
+                delta_side, manifest
+            ).count()
+            extras["dedup1M_incr_sec"] = round(time.perf_counter() - t0, 3)
+            extras["dedup1M_incr_matches"] = int(n_incr)
+            manifest.unpersist()
+
+            # sketch scan at 1M rows: HLL registers + estimate vs the
+            # exact distinct — one map-side agg against a full distinct
+            # shuffle, the trade the sketch exists for
+            from vector_indexer_spark.operators.sketches import (
+                hll_estimate,
+                hll_registers,
+            )
+
+            t0 = time.perf_counter()
+            regs = hll_registers(docs1m, "text", p=12)
+            est = hll_estimate(regs, p=12)
+            extras["hll1M_sec"] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            exact = docs1m.select("text").distinct().count()
+            extras["hll1M_exact_distinct_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            extras["hll1M_rel_err"] = round(abs(est - exact) / exact, 4)
+
+            # scan-local text ops at 1M docs: docs/sec for the corpus-
+            # cleaning pass (stats + lang-id + Gopher rules in one scan) —
+            # the number that multiplies by executors at 100 TB
+            t0 = time.perf_counter()
+            text_analysis.gopher_quality(
+                text_analysis.text_stats(docs1m).join(docs1m, "doc_id")
+            ).agg(F.sum("passes")).collect()
+            dt = time.perf_counter() - t0
+            extras["text1M_clean_sec"] = round(dt, 3)
+            extras["text1M_docs_per_sec"] = round(n_docs / dt)
+            docs1m.unpersist()
+
+        # --- multimodal decode throughput: 50k synthetic PNGs decoded +
+        # bilinear-resized to 32x32 through the full mapInPandas codec
+        # path (pure-Python inflate + unfilter + NumPy resample + deflate).
+        # The per-image work is embarrassingly parallel; this measures the
+        # pipeline's per-core image rate, the number that scales linearly
+        # with executors at 100 TB.
+        except Exception as e:  # noqa: BLE001
+            extras["dedup1M_section_error"] = f"{type(e).__name__}: {e}"[:300]
+
+    if os.environ.get("BENCH_MEDIA", "1") == "1":
+        try:
+            from vector_indexer_spark.operators.multimodal import (
+                encode_png,
+                resize_images,
+            )
+
+            n_img = int(os.environ.get("BENCH_MEDIA_N", "50000"))
+
+            def _mk_png(batches):
+                import numpy as np  # noqa: PLC0415
+                import pandas as pd  # noqa: PLC0415
+
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    payloads = []
+                    for mid in pdf["id"]:
+                        mid = int(mid)
+                        h, w = 40 + mid % 25, 40 + (mid * 7) % 25
+                        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                        payloads.append(
+                            encode_png(
+                                ((mid + 3 * x + 7 * y + c) % 256).astype(
+                                    np.uint8
+                                )
+                            )
+                        )
+                    yield pd.DataFrame(
+                        {"media_id": pdf["id"], "content": payloads}
+                    )
+
+            media = (
+                spark.range(n_img)
+                .repartition(32)
+                .mapInPandas(_mk_png, "media_id long, content binary")
+                .persist()
+            )
+            media.count()  # materialize: time decode+resize, not generation
+            t0 = time.perf_counter()
+            resize_images(media, 32, 32, method="bilinear").count()
+            dt = time.perf_counter() - t0
+            extras["media_resize_sec"] = round(dt, 3)
+            extras["media_resize_n_images"] = n_img
+            extras["media_images_per_sec"] = round(n_img / dt, 1)
+            media.unpersist()
+        except Exception as e:  # noqa: BLE001
+            extras["media_section_error"] = f"{type(e).__name__}: {e}"[:300]
 
     # --- graph-ANN section: the third ANN family next to IVF pruning
     # and PQ/SQ/BQ quantization. NN-Descent graph build (linear-scale,
