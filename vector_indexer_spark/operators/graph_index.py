@@ -848,7 +848,9 @@ def merge_graph_indexes(
             os.path.join(dst.path, "deleted")
         )
 
-    # 3. coarse refresh over the union of live ids
+    # 3. coarse refresh over the union of live ids — src's carried
+    # tombstones are dead too (they were appended to dst's table above,
+    # so _tombstones(dst) now sees both sides)
     live = dv.select("node").unionByName(sv.select("node"))
     dst_dead = _tombstones(spark, dst)
     if dst_dead is not None:
