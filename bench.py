@@ -463,6 +463,9 @@ def main() -> None:
         # (the clustered 1M section above saturates recall by design).
         except Exception as e:  # noqa: BLE001
             extras["synth_section_error"] = f"{type(e).__name__}: {e}"[:300]
+            # a failed section must not leave its cached frames
+            # pinned — heap pressure skews every later timing
+            spark.catalog.clearCache()
 
     if os.environ.get("BENCH_SWEEP", "1") == "1":
         try:
@@ -555,6 +558,9 @@ def main() -> None:
         # banded-LSH path has real work to find at every scale.
         except Exception as e:  # noqa: BLE001
             extras["sweep_section_error"] = f"{type(e).__name__}: {e}"[:300]
+            # a failed section must not leave its cached frames
+            # pinned — heap pressure skews every later timing
+            spark.catalog.clearCache()
 
     if os.environ.get("BENCH_DEDUP1M", "1") == "1":
         try:
@@ -657,6 +663,9 @@ def main() -> None:
         # with executors at 100 TB.
         except Exception as e:  # noqa: BLE001
             extras["dedup1M_section_error"] = f"{type(e).__name__}: {e}"[:300]
+            # a failed section must not leave its cached frames
+            # pinned — heap pressure skews every later timing
+            spark.catalog.clearCache()
 
     if os.environ.get("BENCH_MEDIA", "1") == "1":
         try:
@@ -706,6 +715,9 @@ def main() -> None:
             media.unpersist()
         except Exception as e:  # noqa: BLE001
             extras["media_section_error"] = f"{type(e).__name__}: {e}"[:300]
+            # a failed section must not leave its cached frames
+            # pinned — heap pressure skews every later timing
+            spark.catalog.clearCache()
 
     # --- graph-ANN section: the third ANN family next to IVF pruning
     # and PQ/SQ/BQ quantization. NN-Descent graph build (linear-scale,
@@ -836,6 +848,9 @@ def main() -> None:
             truth.unpersist(), gvec.unpersist(), gq.unpersist()
         except Exception as e:  # noqa: BLE001
             extras["graph_section_error"] = f"{type(e).__name__}: {e}"[:300]
+            # a failed section must not leave its cached frames
+            # pinned — heap pressure skews every later timing
+            spark.catalog.clearCache()
 
     # --- graph index at 1M x 32: the scale point that earns the graph
     # family its linearity argument (IVF has the synth1000k pair; the
@@ -918,6 +933,9 @@ def main() -> None:
             truth1.unpersist(), g1vec.unpersist(), g1q.unpersist()
         except Exception as e:  # noqa: BLE001
             extras["graph1M_section_error"] = f"{type(e).__name__}: {e}"[:300]
+            # a failed section must not leave its cached frames
+            # pinned — heap pressure skews every later timing
+            spark.catalog.clearCache()
 
     results = {k: round(v, 4) for k, v in results.items()}
     # extras (sweeps, 1M suite, plan audits) go to a sidecar file plus a

@@ -917,3 +917,59 @@ def test_opq_traversal_decodes_to_original_space(spark, tmp_path):
     )
     assert r_opq >= 0.9, (r_opq, r_pq)
     assert r_opq >= r_pq - 0.05, (r_opq, r_pq)
+
+
+def test_refresh_graph_meta_count_repairs_crash_drift(spark, tmp_path):
+    """The streaming crash window (edges+meta land, vector append
+    doesn't, replay re-runs the insert) double-counts meta n_vectors;
+    refresh_graph_meta_count re-derives it from the canonical table
+    minus tombstones — the graph twin of IVF refresh_meta_count."""
+    from vector_indexer_spark.operators.graph_index import (
+        delete_from_graph_index,
+        refresh_graph_meta_count,
+    )
+
+    base = _region_vectors(spark, 0, 40, 0.0, seed=103)
+    idx = build_graph_index(base, str(tmp_path / "g_drift"), k=4,
+                            iterations=1)
+    # simulate drift: meta says more than the table holds
+    idx.n_vectors = 55
+    out = refresh_graph_meta_count(spark, idx, base)
+    assert out == {"n_vectors": 40, "drift": -15}
+    assert load_graph_index(idx.path).n_vectors == 40
+    # tombstones excluded from the live count
+    delete_from_graph_index(spark, idx, base.filter(F.col("id") < 5).select("id"))
+    out2 = refresh_graph_meta_count(spark, idx, base)
+    assert out2["n_vectors"] == 35
+
+
+def test_streaming_ingest_dedups_within_batch(spark, tmp_path):
+    """An at-least-once source can fold a redelivery into ONE
+    micro-batch; the landed-ids guard can't see that, so the sink must
+    also dedup within the batch."""
+    from vector_indexer_spark.streaming.graph import (
+        start_graph_index_ingest,
+    )
+
+    base = _clustered_vectors(spark, n_clusters=2, per=15, d=4, seed=107)
+    batch = base.filter(F.col("id") < 5).select(
+        (F.col("id") + 300).alias("id"), "values"
+    )
+    doubled = batch.unionByName(batch)  # same ids twice in one batch
+    idx = build_graph_index(base, str(tmp_path / "g_wb"), k=3,
+                            iterations=1, coarse_size=8)
+    vecs_dir = str(tmp_path / "vectors")
+    src = str(tmp_path / "in")
+    base.write.parquet(vecs_dir)
+    doubled.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("id long, values array<float>").parquet(src)
+    q = start_graph_index_ingest(
+        idx, stream, vecs_dir, str(tmp_path / "ck"),
+        beam=6, max_hops=2, entry_fanout=3, batch_iterations=1,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(vecs_dir)
+    assert got.count() == 35  # 30 base + 5 unique new, not 40
+    assert got.select("id").distinct().count() == 35
+    assert idx.n_vectors == 35

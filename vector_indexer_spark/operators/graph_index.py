@@ -119,18 +119,70 @@ class GraphIndex:
 
 
 def _write_meta(path: str, meta: dict) -> None:
-    """Atomic meta.json write: tmp file + os.rename, the same
-    atomic-pointer discipline as maintenance.write_version and the
-    edge-table staged swap — a crash mid-write must never truncate
-    meta.json (load_graph_index would raise on json.load and the
+    """Atomic meta.json write — delegates to the engine-wide
+    tmp+fsync+rename helper (a crash mid-write must never truncate
+    meta.json: load_graph_index would raise on json.load and the
     whole index would be unloadable)."""
-    meta_path = os.path.join(path, "meta.json")
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=2)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, meta_path)
+    from vector_indexer_spark.ioutil import atomic_write_json  # noqa: PLC0415
+
+    atomic_write_json(os.path.join(path, "meta.json"), meta)
+
+
+def _swap_dir(new_df_writer, live_dir: str, tag: str) -> None:
+    """Staged directory swap with crash recovery: write the new table
+    to ``<live>__<tag>__staging``, rename live→backup, staging→live,
+    drop backup. On entry, a backup left by a CRASHED prior swap is
+    recovered (renamed back when the live dir is missing) — the same
+    discipline as compact_graph_index's edge swap; without it a crash
+    between the two renames left the index with no directory at all
+    and the next attempt destroyed the only old copy."""
+    import shutil  # noqa: PLC0415
+
+    staging = f"{live_dir}__{tag}__staging"
+    backup = f"{live_dir}__{tag}__backup"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    if os.path.exists(backup):
+        if not os.path.exists(live_dir):
+            os.rename(backup, live_dir)  # recover a crashed prior swap
+        else:
+            shutil.rmtree(backup)
+    new_df_writer(staging)
+    os.rename(live_dir, backup)
+    os.rename(staging, live_dir)
+    shutil.rmtree(backup)
+
+
+def _refresh_coarse(
+    spark: SparkSession,
+    index: GraphIndex,
+    live: DataFrame,
+    coarse_size: int | None,
+    tag: str,
+) -> tuple[int, int]:
+    """Recompute the hash-spread coarse routing sample over ``live``
+    (a ``node`` frame of live ids) and swap it in atomically; returns
+    ``(n_live, coarse_size)``. Shared by compaction and merge — the
+    two maintenance ops that must restore routing coverage."""
+    n_live = live.count()
+    if coarse_size is None:
+        # same staging as the build default (suggest_nlist-shaped)
+        from vector_indexer_spark.config import suggest_nlist  # noqa: PLC0415
+
+        coarse_size = max(64, suggest_nlist(n_live))
+    coarse_size = min(coarse_size, n_live)
+    coarse = (
+        live.select("node", _spread_hash(F.col("node")).alias("__h"))
+        .orderBy("__h", "node")
+        .limit(coarse_size)
+        .select("node")
+    )
+    _swap_dir(
+        lambda stg: coarse.write.mode("overwrite").parquet(stg),
+        os.path.join(index.path, "coarse_nodes"),
+        tag,
+    )
+    return n_live, coarse_size
 
 
 def build_graph_index(
@@ -197,6 +249,10 @@ def build_graph_index(
         raise ValueError(
             "max_reverse_degree must be an int, None, or 'auto'"
         )
+    if isinstance(iterations, str) and iterations != "auto":
+        # validate BEFORE the first()/count() jobs below — a typo'd
+        # argument must not cost two full corpus scans to surface
+        raise ValueError("iterations must be an int or 'auto'")
     if metric == "cosine":
         from vector_indexer_spark.operators.similarity import (  # noqa: PLC0415
             normalize_vectors,
@@ -213,8 +269,6 @@ def build_graph_index(
     n = v.count()
     if iterations == "auto":
         iterations = suggest_graph_iterations(n)
-    elif isinstance(iterations, str):
-        raise ValueError("iterations must be an int or 'auto'")
     if coarse_size is None:
         # size the routing layer like the IVF tier sizes nlist
         # (config.suggest_nlist: sqrt(n) staged up to 4*sqrt(n) at
@@ -498,20 +552,50 @@ def search_graph_index_pq(
     in the plan); everything downstream is
     :func:`search_graph_index_compressed`.
     """
+    if model.dimension != index.dimension:
+        raise ValueError(
+            f"PQ dimension {model.dimension} != index dimension "
+            f"{index.dimension}"
+        )
+    recon = _codebook_decode_df(
+        spark, index, codes, code_col, model.codebooks
+    )
+    return search_graph_index_compressed(
+        spark, index, recon, queries,
+        k=k, beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
+        refine_factor=refine_factor, vectors=vectors,
+        coarse_method=coarse_method, filter_ids=filter_ids,
+    )
+
+
+def _codebook_decode_df(
+    spark: SparkSession,
+    index: GraphIndex,
+    codes: DataFrame,
+    code_col: str,
+    codebooks,
+    rotation=None,
+    mean=None,
+) -> DataFrame:
+    """Shared PQ/OPQ decoder: ``(id, codes)`` → ``(id_col, vec_col)``
+    reconstructions via mapInPandas with the codebooks (and optional
+    inverse rotation) broadcast — a codebook-literal Catalyst
+    expression would put m·ksub·dsub doubles in the plan."""
     from vector_indexer_spark.functions.kernels import (  # noqa: PLC0415
         stack_arrays,
     )
 
+    # encoders normalize their id column to "id"; accept either that
+    # or the index's own id column name
     code_id = index.id_col if index.id_col in codes.columns else "id"
-    d = model.dimension
-    bcb = spark.sparkContext.broadcast(model.codebooks)
+    bstate = spark.sparkContext.broadcast((codebooks, rotation, mean))
     idc, vcc = index.id_col, index.vec_col
 
     def _decode(batches):
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
-        cb = bcb.value
+        cb, rot, mu = bstate.value
         m, _, dsub = cb.shape
         for pdf in batches:
             if pdf.empty:
@@ -520,22 +604,15 @@ def search_graph_index_pq(
             out = np.empty((cmat.shape[0], m * dsub), dtype=np.float64)
             for j in range(m):
                 out[:, j * dsub : (j + 1) * dsub] = cb[j][cmat[:, j]]
+            if rot is not None:
+                # exact inverse of (x - mean) @ rot.T (orthogonal R)
+                out = out @ rot + mu
             yield pd.DataFrame(
                 {idc: pdf[code_id].to_numpy(), vcc: list(out)}
             )
 
-    recon = codes.select(code_id, code_col).mapInPandas(
+    return codes.select(code_id, code_col).mapInPandas(
         _decode, f"{idc} long, {vcc} array<double>"
-    )
-    if model.dimension != index.dimension:
-        raise ValueError(
-            f"PQ dimension {d} != index dimension {index.dimension}"
-        )
-    return search_graph_index_compressed(
-        spark, index, recon, queries,
-        k=k, beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
-        refine_factor=refine_factor, vectors=vectors,
-        coarse_method=coarse_method, filter_ids=filter_ids,
     )
 
 
@@ -565,41 +642,14 @@ def search_graph_index_opq(
     variance is what OPQ buys over plain PQ at the same code budget;
     everything downstream is :func:`search_graph_index_compressed`.
     """
-    from vector_indexer_spark.functions.kernels import (  # noqa: PLC0415
-        stack_arrays,
-    )
-
     if model.dimension != index.dimension:
         raise ValueError(
             f"OPQ dimension {model.dimension} != index dimension "
             f"{index.dimension}"
         )
-    code_id = index.id_col if index.id_col in codes.columns else "id"
-    bstate = spark.sparkContext.broadcast(
-        (model.rotation, model.mean, model.pq.codebooks)
-    )
-    idc, vcc = index.id_col, index.vec_col
-
-    def _decode(batches):
-        import numpy as np  # noqa: PLC0415
-        import pandas as pd  # noqa: PLC0415
-
-        rot, mean, cb = bstate.value
-        m, _, dsub = cb.shape
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            cmat = stack_arrays(pdf[code_col]).astype(np.int64)
-            rv = np.empty((cmat.shape[0], m * dsub), dtype=np.float64)
-            for j in range(m):
-                rv[:, j * dsub : (j + 1) * dsub] = cb[j][cmat[:, j]]
-            orig = rv @ rot + mean  # exact inverse of (x-mean) @ rot.T
-            yield pd.DataFrame(
-                {idc: pdf[code_id].to_numpy(), vcc: list(orig)}
-            )
-
-    recon = codes.select(code_id, code_col).mapInPandas(
-        _decode, f"{idc} long, {vcc} array<double>"
+    recon = _codebook_decode_df(
+        spark, index, codes, code_col, model.pq.codebooks,
+        rotation=model.rotation, mean=model.mean,
     )
     return search_graph_index_compressed(
         spark, index, recon, queries,
@@ -855,31 +905,7 @@ def merge_graph_indexes(
     dst_dead = _tombstones(spark, dst)
     if dst_dead is not None:
         live = live.join(F.broadcast(dst_dead), "node", "left_anti")
-    n_live = live.count()
-    if coarse_size is None:
-        from vector_indexer_spark.config import suggest_nlist  # noqa: PLC0415
-
-        coarse_size = max(64, suggest_nlist(n_live))
-    coarse_size = min(coarse_size, n_live)
-    coarse = (
-        live.select("node", _spread_hash(F.col("node")).alias("__h"))
-        .orderBy("__h", "node")
-        .limit(coarse_size)
-        .select("node")
-    )
-    import shutil  # noqa: PLC0415
-
-    cdir = os.path.join(dst.path, "coarse_nodes")
-    stg = f"{cdir}__merge__staging"
-    if os.path.exists(stg):
-        shutil.rmtree(stg)
-    coarse.write.mode("overwrite").parquet(stg)
-    bak = f"{cdir}__merge__backup"
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
-    os.rename(cdir, bak)
-    os.rename(stg, cdir)
-    shutil.rmtree(bak)
+    _, coarse_size = _refresh_coarse(spark, dst, live, coarse_size, "merge")
 
     n_added = src.n_vectors
     dst.n_vectors += n_added
@@ -1025,30 +1051,9 @@ def compact_graph_index(
     live = v.select("node")
     if dead is not None:
         live = live.join(F.broadcast(dead), "node", "left_anti")
-    n_live = live.count()
-    if coarse_size is None:
-        # same staging as the build default (suggest_nlist-shaped)
-        from vector_indexer_spark.config import suggest_nlist  # noqa: PLC0415
-
-        coarse_size = max(64, suggest_nlist(n_live))
-    coarse_size = min(coarse_size, n_live)
-    coarse = (
-        live.select("node", _spread_hash(F.col("node")).alias("__h"))
-        .orderBy("__h", "node")
-        .limit(coarse_size)
-        .select("node")
+    n_live, coarse_size = _refresh_coarse(
+        spark, index, live, coarse_size, "compact"
     )
-    cdir = os.path.join(index.path, "coarse_nodes")
-    stg = f"{cdir}__compact__staging"
-    if os.path.exists(stg):
-        shutil.rmtree(stg)
-    coarse.write.mode("overwrite").parquet(stg)
-    bak = f"{cdir}__compact__backup"
-    if os.path.exists(bak):
-        shutil.rmtree(bak)
-    os.rename(cdir, bak)
-    os.rename(stg, cdir)
-    shutil.rmtree(bak)
     if dead is not None:
         shutil.rmtree(os.path.join(index.path, "deleted"))
     index.coarse_size = coarse_size
@@ -1095,6 +1100,28 @@ def delete_from_graph_index(
     index.n_vectors -= n
     _write_meta(index.path, index._meta_dict())
     return n
+
+
+def refresh_graph_meta_count(
+    spark: SparkSession, index: GraphIndex, vectors: DataFrame
+) -> dict:
+    """Re-derive ``n_vectors`` from the caller's canonical vector
+    table minus pending tombstones and rewrite the meta sidecar — the
+    graph twin of ``index_build.refresh_meta_count``. The streaming
+    ingest's crash window (edges+meta land, the vector append doesn't,
+    the replayed batch re-runs the insert) double-counts meta while
+    the vector table holds each row once; every health milli-ratio in
+    :func:`graph_index_stats` then reads off a wrong denominator until
+    this repairs it. Returns ``{n_vectors, drift}``."""
+    live = vectors.select(F.col(index.id_col).alias("node"))
+    dead = _tombstones(spark, index)
+    if dead is not None:
+        live = live.join(F.broadcast(dead), "node", "left_anti")
+    actual = live.count()
+    drift = actual - index.n_vectors
+    index.n_vectors = actual
+    _write_meta(index.path, index._meta_dict())
+    return {"n_vectors": actual, "drift": drift}
 
 
 def graph_index_stats(spark: SparkSession, index: GraphIndex) -> DataFrame:
@@ -1150,10 +1177,16 @@ def graph_index_stats(spark: SparkSession, index: GraphIndex) -> DataFrame:
     dead = _tombstones(spark, index)
     n_dead = 0 if dead is None else dead.count()
     n_vec = max(index.n_vectors, 1)
+    # missing coarse_refreshed_at_n (an index persisted before the
+    # field existed) is UNKNOWN staleness — fail safe, not silent:
+    # treat the baseline as 0 so needs_compaction trips and the next
+    # compaction records a real baseline (the opposite default would
+    # report zero staleness forever, exactly the invisible recall
+    # decay the flag exists to catch)
     refreshed_at = (
         index.coarse_refreshed_at_n
         if index.coarse_refreshed_at_n is not None
-        else index.n_vectors
+        else 0
     )
     appended = max(index.n_vectors - refreshed_at, 0)
     coarse_stale_milli = (appended * 1000) // n_vec

@@ -64,7 +64,13 @@ def start_graph_index_ingest(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
-        batch = batch_df.select(index.id_col, index.vec_col)
+        # within-batch dedup first: an at-least-once source can fold a
+        # redelivery into ONE micro-batch, where the landed-ids guard
+        # below can't see it (both copies are new); batches are small,
+        # so the extra exchange is noise
+        batch = batch_df.select(index.id_col, index.vec_col).dropDuplicates(
+            [index.id_col]
+        )
         vectors = spark.read.parquet(vectors_path)
         # at-least-once replay guard: drop rows whose ids already
         # landed (a retried micro-batch otherwise re-appends the
