@@ -1,9 +1,15 @@
 """Local stand-in for the driver's correctness gate.
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
-DuckDB at sf0.01, then compares row count, column names, and exact
-(order-insensitive) values. Stricter than the driver's value hash:
-floats must match bit-for-bit.
+DuckDB at sf0.01, then compares row count, column names, exact
+(order-insensitive) values, AND arrow-level column types. The typed
+comparison exists because the driver hashes TYPED arrow batches: a
+DuckDB oracle emitting HUGEINT (``decimal128(38,0)``) where Spark
+emits int64 hash-mismatches even when every value is equal — that
+class of bug hid from the value-only compare for six rounds (13 red
+rows in CORRECTNESS_r06.json, root-caused in VERDICT r6 "What's
+wrong" #1). Stricter than the driver on values: floats must match
+bit-for-bit.
 
 Usage: python scripts/check_correctness.py [sf_dir] [key ...]
 """
@@ -27,7 +33,11 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    sys.path.insert(0, "/root/repo")
+    import os
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     import __spark_entry__ as entry_mod
     from vector_indexer_spark.session import get_spark
 
@@ -48,7 +58,9 @@ def main():
             continue
         t0 = time.perf_counter()
         try:
-            got = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, sf_dir)
+            spark_schema = sdf.schema
+            got = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark raised {type(e).__name__}: {e}")
@@ -61,12 +73,15 @@ def main():
             )
             continue
         try:
-            exp = con.execute(oracles[name]).df()
+            exp_arrow = con.execute(oracles[name]).arrow()
+            exp = exp_arrow.to_pandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb raised {type(e).__name__}: {e}")
             continue
-        ok, msg = compare(got, exp)
+        ok, msg = compare_types(spark_schema, exp_arrow.schema)
+        if ok:
+            ok, msg = compare(got, exp)
         print(
             ("PASS" if ok else "FAIL")
             + f" {name}: {msg} [{timings[name]:.2f}s]"
@@ -90,6 +105,102 @@ def main():
     else:
         print(f"{len(qs) - len(failures)}/{len(qs)} green in {total:.1f}s")
     sys.exit(1 if failures else 0)
+
+
+def _spark_to_arrow_kind(dt) -> str:
+    """Collapse a Spark DataType to the arrow 'kind' the driver's typed
+    hash distinguishes. int64 vs decimal128 is THE distinction that
+    matters; timestamps compare loosely (unit/tz differences did not
+    fail the driver's hash in six rounds of green timestamp queries)."""
+    import pyspark.sql.types as T
+
+    if isinstance(dt, (T.LongType,)):
+        return "int64"
+    if isinstance(dt, (T.IntegerType,)):
+        return "int32"
+    if isinstance(dt, (T.ShortType,)):
+        return "int16"
+    if isinstance(dt, (T.ByteType,)):
+        return "int8"
+    if isinstance(dt, T.DoubleType):
+        return "float64"
+    if isinstance(dt, T.FloatType):
+        return "float32"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_spark_to_arrow_kind(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{_spark_to_arrow_kind(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    return f"other:{dt.simpleString()}"
+
+
+def _arrow_kind(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_int64(t):
+        return "int64"
+    if pa.types.is_int32(t):
+        return "int32"
+    if pa.types.is_int16(t):
+        return "int16"
+    if pa.types.is_int8(t):
+        return "int8"
+    if pa.types.is_float64(t):
+        return "float64"
+    if pa.types.is_float32(t):
+        return "float32"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_kind(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(
+            f"{t.field(i).name}:{_arrow_kind(t.field(i).type)}"
+            for i in range(t.num_fields)
+        )
+        return f"struct<{inner}>"
+    return f"other:{t}"
+
+
+def compare_types(spark_schema, arrow_schema) -> tuple[bool, str]:
+    """Fail on any per-column arrow-kind mismatch (driver typed-hash
+    faithfulness). Columns matched by name; order handled elsewhere."""
+    spark_kinds = {f.name: _spark_to_arrow_kind(f.dataType) for f in spark_schema}
+    oracle_kinds = {
+        arrow_schema.field(i).name: _arrow_kind(arrow_schema.field(i).type)
+        for i in range(len(arrow_schema))
+    }
+    for col in sorted(set(spark_kinds) & set(oracle_kinds)):
+        if spark_kinds[col] != oracle_kinds[col]:
+            return False, (
+                f"TYPE mismatch col {col}: spark {spark_kinds[col]} "
+                f"vs oracle {oracle_kinds[col]}"
+            )
+    return True, ""
 
 
 def compare(got: pd.DataFrame, exp: pd.DataFrame) -> tuple[bool, str]:
