@@ -10875,12 +10875,13 @@ def _graph_index_merge_search(spark, sf_dir):
     recomputed over the union — operators.graph_index.
     merge_graph_indexes, the graph twin of IVF merge_indexes /
     Faiss merge_from), then searched with mixed-region queries.
-    Deterministic end to end but the SQL replay would compose two
-    NN-Descent builds + 2·√n routing searches — declared rows-only;
-    the recall-vs-fresh-build and tombstone-carry invariants are
-    pytest-locked (test_merge_graph_indexes_stitches_partition_builds)
-    and every component recurrence carries its own bit-exact oracle
-    above."""
+    Deterministic end to end, so the WHOLE pipeline is SQL-replayed:
+    two 1-round NN-Descent builds, both cross-link searches, the
+    coarse refresh over the union, and the verification search — a
+    wrong edge anywhere in the merge changes some query's visited set
+    and breaks the hash. Knobs pinned per the fixture discipline
+    (max_reverse_degree=None so the replay is the pure published
+    recurrence; merge coarse_size=16)."""
     import tempfile
 
     from vector_indexer_spark.operators.graph_index import (
@@ -10899,13 +10900,16 @@ def _graph_index_merge_search(spark, sf_dir):
         ia = build_graph_index(
             a, f"{work}/ga", k=4, iterations=1, coarse_size=12,
             id_col="vec_id", vec_col="embedding",
+            max_reverse_degree=None,
         )
         ib = build_graph_index(
             b, f"{work}/gb", k=4, iterations=1, coarse_size=12,
             id_col="vec_id", vec_col="embedding",
+            max_reverse_degree=None,
         )
         merge_graph_indexes(
             spark, ia, ib, a, b, beam=6, max_hops=2, entry_fanout=4,
+            coarse_size=16,
         )
         _GIDX_MERGE_CACHE[sf_dir] = ia
     idx = _GIDX_MERGE_CACHE[sf_dir]
@@ -10920,9 +10924,200 @@ def _graph_index_merge_search(spark, sf_dir):
     )
 
 
+def _graph_index_merge_sql():
+    d2_pair = """
+      list_reduce(
+        list_transform(range(1, len(a.embedding) + 1),
+          i -> (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(c2.embedding[i] AS DOUBLE))
+             * (CAST(a.embedding[i] AS DOUBLE)
+                 - CAST(c2.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+    def d2_q(qtab):
+        return f"""
+      list_reduce(
+        list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST({qtab}.query[i] AS DOUBLE)
+                 - CAST(v.embedding[i] AS DOUBLE))
+             * (CAST({qtab}.query[i] AS DOUBLE)
+                 - CAST(v.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+    def build_side(tag, vtab, nbuckets, k, coarse_size):
+        """1-round NN-Descent (tri-hash bucket init -> top-k ->
+        neighbor-of-neighbor round -> re-select) + symmetrized edge
+        table + hash-spread bottom-m coarse sample — the same
+        recurrence the add_search oracle replays, parameterized per
+        side."""
+        return f""",
+    {tag}_b AS (
+      SELECT vec_id,
+        ((vec_id % 1000003) * 40503 + 7) % 1000003 % {nbuckets} AS b1,
+        ((vec_id % 1000003) * 75029 + 13) % 1000003 % {nbuckets} AS b2,
+        ((vec_id % 1000003) * 126989 + 29) % 1000003 % {nbuckets} AS b3
+      FROM {vtab}
+    ),
+    {tag}_ip AS (
+      SELECT DISTINCT x.vec_id AS src, y.vec_id AS dst
+      FROM {tag}_b x JOIN {tag}_b y
+        ON (x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+      WHERE x.vec_id <> y.vec_id
+    ),
+    {tag}_sc_init AS (
+      SELECT c.src, c.dst, {d2_pair} AS dist2
+      FROM {tag}_ip c JOIN {vtab} a ON a.vec_id = c.src
+                      JOIN {vtab} c2 ON c2.vec_id = c.dst
+    ),
+    {tag}_g0 AS (
+      SELECT src, dst, dist2 FROM (
+        SELECT src, dst, dist2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM {tag}_sc_init) WHERE rn <= {k}
+    ),
+    {tag}_und0 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM {tag}_g0
+        UNION ALL SELECT dst AS src, src AS dst FROM {tag}_g0)
+    ),
+    {tag}_cand0 AS (
+      SELECT DISTINCT u1.src, u2.dst
+      FROM {tag}_und0 u1 JOIN {tag}_und0 u2 ON u1.dst = u2.src
+      ANTI JOIN {tag}_g0 g ON g.src = u1.src AND g.dst = u2.dst
+      WHERE u1.src <> u2.dst
+    ),
+    {tag}_sc0 AS (
+      SELECT c.src, c.dst, {d2_pair} AS dist2
+      FROM {tag}_cand0 c JOIN {vtab} a ON a.vec_id = c.src
+                         JOIN {vtab} c2 ON c2.vec_id = c.dst
+    ),
+    {tag}_g1 AS (
+      SELECT src, dst, dist2 FROM (
+        SELECT src, dst, dist2,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY dist2, dst) AS rn
+        FROM (SELECT * FROM {tag}_g0 UNION ALL SELECT * FROM {tag}_sc0))
+      WHERE rn <= {k}
+    ),
+    {tag}_edges AS (SELECT src, dst FROM {tag}_g1
+                    UNION SELECT dst AS src, src AS dst FROM {tag}_g1),
+    {tag}_coarse AS (
+      SELECT vec_id AS node FROM {vtab}
+      ORDER BY ((vec_id % 1000003) * 40503 + 7) % 1000003, vec_id
+      LIMIT {coarse_size}
+    )"""
+
+    def beam_hops(tag, qtab, vtab, edges, first, hops, beam):
+        out = f",\n    {tag}_visited1 AS ({first})"
+        for n in range(1, hops + 1):
+            out += f""",
+    {tag}_beam{n} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM {tag}_visited{n}) WHERE rn <= {beam}
+    ),
+    {tag}_cand{n + 1} AS (
+      SELECT DISTINCT b.query_id, e.dst AS node
+      FROM {tag}_beam{n} b JOIN {edges} e ON b.node = e.src
+      ANTI JOIN {tag}_visited{n} vs ON vs.query_id = b.query_id
+                                   AND vs.node = e.dst
+    ),
+    {tag}_scored{n + 1} AS (
+      SELECT c.query_id, c.node, {d2_q(qtab)} AS dist2
+      FROM {tag}_cand{n + 1} c
+      JOIN {vtab} v ON v.vec_id = c.node
+      JOIN {qtab} ON {qtab}.query_id = c.query_id
+    ),
+    {tag}_visited{n + 1} AS (
+      SELECT * FROM {tag}_visited{n}
+      UNION ALL SELECT * FROM {tag}_scored{n + 1}
+    )"""
+        return out
+
+    def two_layer(tag, qtab, vtab, edges, coarse, fanout):
+        """Exact coarse routing (top-`fanout` of the sample per query
+        by (dist2, node)) seeding a 2-hop beam-6 layer-0 walk —
+        search_graph_index semantics, as in the add_search oracle."""
+        l0_first = f"""
+      SELECT query_id, node, dist2 FROM (
+        SELECT query_id, node, dist2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM (
+          SELECT {qtab}.query_id, ca.node, {d2_q(qtab)} AS dist2
+          FROM {qtab} CROSS JOIN {coarse} ca
+          JOIN {vtab} v ON v.vec_id = ca.node
+        )) WHERE rn <= {fanout}"""
+        return beam_hops(f"{tag}_f", qtab, vtab, edges, l0_first, 2, 6)
+
+    def topk_hits(tag, visited, k):
+        return f""",
+    {tag}_hits AS (
+      SELECT query_id AS src, node AS dst FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM {visited}) WHERE rn <= {k}
+    )"""
+
+    # n=96 per side, k=4 -> nbuckets = 96 // (2*4+2) = 9
+    return f"""
+    WITH va AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id < 96),
+    vb AS (SELECT vec_id, embedding FROM embeddings
+           WHERE vec_id >= 96 AND vec_id < 192),
+    vv AS (SELECT * FROM va UNION ALL SELECT * FROM vb)
+    {build_side("ga", "va", 9, 4, 12)}
+    {build_side("gb", "vb", 9, 4, 12)},
+    -- === cross-links: each side's coarse sample searches the OTHER
+    -- side's pre-merge index (k=dst.k=4, beam 6, 2 hops, fanout 4),
+    -- hits appended in both directions ===
+    qba AS (SELECT v.vec_id AS query_id, v.embedding AS query
+            FROM vb v JOIN gb_coarse c ON c.node = v.vec_id)
+    {two_layer("xba", "qba", "va", "ga_edges", "ga_coarse", 4)}
+    {topk_hits("xba", "xba_f_visited3", 4)},
+    qab AS (SELECT v.vec_id AS query_id, v.embedding AS query
+            FROM va v JOIN ga_coarse c ON c.node = v.vec_id)
+    {two_layer("xab", "qab", "vb", "gb_edges", "gb_coarse", 4)}
+    {topk_hits("xab", "xab_f_visited3", 4)},
+    links AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM xba_hits
+        UNION ALL SELECT dst AS src, src AS dst FROM xba_hits
+        UNION ALL SELECT src, dst FROM xab_hits
+        UNION ALL SELECT dst AS src, src AS dst FROM xab_hits)
+    ),
+    merged_edges AS (
+      SELECT src, dst FROM ga_edges
+      UNION ALL SELECT src, dst FROM gb_edges
+      UNION ALL SELECT src, dst FROM links
+    ),
+    -- === coarse refresh over the union of live ids (merge step 3) ===
+    m_coarse AS (
+      SELECT vec_id AS node FROM vv
+      ORDER BY ((vec_id % 1000003) * 40503 + 7) % 1000003, vec_id
+      LIMIT 16
+    ),
+    -- === verification search over the merged index ===
+    qf AS (SELECT vec_id AS query_id, embedding AS query FROM vv
+           WHERE vec_id IN (0, 1, 100, 101, 50, 150))
+    {two_layer("ver", "qf", "vv", "merged_edges", "m_coarse", 4)}
+    SELECT query_id, CAST(rn AS INT) AS rank, node AS neighbor_id, dist2
+    FROM (
+      SELECT query_id, node, dist2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist2, node) AS rn
+      FROM ver_f_visited3) WHERE rn <= 10
+    """
+
+
 _register(
     "graph_index_merge_search",
     _graph_index_merge_search,
+    _graph_index_merge_sql(),
 )
 
 

@@ -19,11 +19,19 @@ import os
 
 def atomic_write_json(path: str, obj) -> None:
     """Write ``obj`` as JSON to ``path`` atomically (tmp + fsync +
-    os.rename). A reader sees either the old complete file or the new
-    complete file, never a truncation."""
+    os.rename + parent-dir fsync). A reader sees either the old
+    complete file or the new complete file, never a truncation; the
+    directory fsync makes the RENAME itself durable, so an
+    acknowledged write can't roll back to the older complete file on
+    power loss."""
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f, indent=2)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)
+    dfd = os.open(os.path.dirname(os.path.abspath(path)), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)

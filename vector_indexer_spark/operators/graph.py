@@ -381,9 +381,13 @@ def graph_ann_search(
             # replay that slipped past upstream dedup) would otherwise
             # waste beam slots mid-walk AND let one neighbor consume
             # two of a query's k result ranks; with unique ids this is
-            # a no-op on an already-bounded frame. Dups carry identical
-            # vectors, so dropping by key is deterministic.
-            .dropDuplicates(["query_id", "node"])
+            # a no-op on an already-bounded frame. min(dist2) rather
+            # than dropDuplicates so the survivor is deterministic
+            # even if duplicate ids ever carry DIVERGENT vectors (a
+            # contract violation, but one that must not make runs
+            # diverge).
+            .groupBy("query_id", "node")
+            .agg(F.min("dist2").alias("dist2"))
         )
 
     # eager localCheckpoint, NOT persist: `visited` appears 3x in every

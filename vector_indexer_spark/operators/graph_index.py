@@ -502,6 +502,11 @@ def search_graph_index_sq(
         reconstruct_expr,
     )
 
+    if model.dimension != index.dimension:
+        raise ValueError(
+            f"SQ dimension {model.dimension} != index dimension "
+            f"{index.dimension}"
+        )
     # sq_encode normalizes its id column to "id"; accept either that
     # or the index's own id column name
     code_id = index.id_col if index.id_col in codes.columns else "id"
@@ -833,6 +838,18 @@ def merge_graph_indexes(
     ``src`` is left untouched; delete its directory when done. Id
     spaces must be disjoint (checked — one key-only join, the same
     guard as ``add_vectors``); dimension and metric must match.
+
+    Crash/retry semantics (append-only, like ``add_to_graph_index``):
+    the steps land in-order — edges+links append, tombstones append,
+    coarse swap (atomic), meta write (atomic) — so a crash mid-merge
+    leaves dst SEARCHABLE but stale (src's region dark until the
+    coarse refresh lands). Re-running the merge after a partial
+    failure is SAFE for search correctness but not idempotent on
+    storage: src's edge table and tombstones append again, inflating
+    the edge table and the dup/tombstone health counters until the
+    next ``compact_graph_index`` (whose per-src top-degree re-prune
+    collapses exact duplicate edges). Run compaction after any
+    retried merge.
     ``dst_vectors``/``src_vectors`` are the two corpora (the caller
     owns unioning its canonical vector table). Returns
     ``{n_added, n_cross_links, n_vectors, coarse_size}``.

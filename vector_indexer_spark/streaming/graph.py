@@ -85,6 +85,14 @@ def start_graph_index_ingest(
         batch = batch.join(
             F.broadcast(seen), index.id_col, "left_anti"
         )
+        # materialize NOW: the append below writes into vectors_path,
+        # which this plan also READS (the replay guard above) — don't
+        # rely on Spark having snapshotted the file listing at
+        # analysis time. Note the guard drops a redelivered id even if
+        # it carries a DIFFERENT vector: id re-use is a dropped
+        # duplicate, not an upsert (use the maintenance upsert path
+        # for updates).
+        batch = batch.localCheckpoint(eager=True)
         if batch.isEmpty():
             return
         add_to_graph_index(
