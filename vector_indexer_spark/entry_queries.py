@@ -7544,8 +7544,8 @@ _register("sql_interface_q13", _sql_interface_q13, _SQL_IFACE_Q13)
 
 _SQL_IFACE_WINDOW = """
     SELECT user_id, event_id,
-           row_number() OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id) AS rn
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS INT) AS rn
     FROM events WHERE event_type = 'purchase'
     ORDER BY user_id, rn
 """
