@@ -844,6 +844,45 @@ def main() -> None:
             extras["graph_sq_brute_ceiling_recall"] = round(
                 hits_b / (64 * 10), 4
             )
+
+            # residual-SQ traversal (the DEFAULT quantized tier):
+            # codes are SQ8 over residuals from each vector's nearest
+            # coarse-sample anchor — range = local spread, so the
+            # quantizer noise floor sits below within-cluster distance
+            # differences (flat SQ8's failure mode on this synthetic)
+            from vector_indexer_spark.operators.graph_index import (
+                rsq_encode_graph,
+                search_graph_index_rsq,
+            )
+
+            t0 = time.perf_counter()
+            rcodes, ranchors, rmodel = rsq_encode_graph(spark, gidx, gvec)
+            rcodes = rcodes.cache()
+            rcodes.count()
+            ranchors = ranchors.cache()
+            ranchors.count()
+            extras["graph_rsq_encode_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            gotr = search_graph_index_rsq(
+                spark, gidx, rcodes, ranchors, gq, rmodel, k=10, beam=24,
+                max_hops=6, entry_fanout=8, refine_factor=4, vectors=gvec,
+            ).persist()
+            gotr.count()
+            extras["graph_rsq_search_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            hits_r = (
+                gotr.select("query_id", "neighbor_id")
+                .join(
+                    truth.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                )
+                .count()
+            )
+            extras["graph_rsq_recall_at_10"] = round(hits_r / (64 * 10), 4)
+            gotr.unpersist(), rcodes.unpersist(), ranchors.unpersist()
             gotb.unpersist(), gotq.unpersist(), gcodes.unpersist()
             truth.unpersist(), gvec.unpersist(), gq.unpersist()
         except Exception as e:  # noqa: BLE001

@@ -789,6 +789,81 @@ def test_pq_traversal_trained_codebooks_beat_flat_sq(spark, tmp_path):
         search_graph_index_pq(spark, idx, bad_codes, q, bad, **kwargs)
 
 
+def test_rsq_traversal_residual_codes_beat_flat_sq(spark, tmp_path):
+    """Residual-SQ (codes = SQ8 over residuals from the nearest
+    coarse-sample anchor) is the DEFAULT quantized graph tier: on the
+    wide-range clustered fixture where flat SQ8's global grid goes
+    coarse, the rsq traversal must land near full precision and beat
+    flat SQ — with no trained codebook, just the coarse sample the
+    index already has. Encode is deterministic (assign ties break by
+    anchor id), and the model dimension guard must fire."""
+    import numpy as np
+
+    from vector_indexer_spark.operators.graph_index import (
+        rsq_encode_graph,
+        search_graph_index_rsq,
+        search_graph_index_sq,
+    )
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.sq import SQModel, sq_encode, sq_train
+
+    rng = np.random.default_rng(97)
+    centers = rng.normal(0, 300, (10, 8))
+    pts = np.concatenate(
+        [c + rng.normal(0, 0.5, (30, 8)) for c in centers]
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in r]) for i, r in enumerate(pts)],
+        "id long, values array<float>",
+    )
+    idx = build_graph_index(
+        vecs, str(tmp_path / "g_rsq"), k=5, iterations=2
+    )
+    q = vecs.filter(F.col("id") % 23 == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    truth = knn_exact(vecs, q, k=5, method="native").collect()
+    want = {}
+    for r in truth:
+        want.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        hits = sum(1 for r in rows if r.neighbor_id in want[r.query_id])
+        return hits / sum(len(s) for s in want.values())
+
+    kwargs = dict(
+        k=5, beam=12, max_hops=4, entry_fanout=6, refine_factor=4,
+        vectors=vecs,
+    )
+    codes, anchors, model = rsq_encode_graph(spark, idx, vecs)
+    r_rsq = recall(
+        search_graph_index_rsq(
+            spark, idx, codes, anchors, q, model, **kwargs
+        ).collect()
+    )
+    sqm = sq_train(vecs, vec_col="values")
+    r_sq = recall(
+        search_graph_index_sq(
+            spark, idx, sq_encode(vecs, sqm), q, sqm, **kwargs
+        ).collect()
+    )
+    assert r_rsq >= 0.9, (r_rsq, r_sq)
+    assert r_rsq > r_sq, (r_rsq, r_sq)
+
+    # deterministic encode: same input -> identical model and codes
+    codes2, _, model2 = rsq_encode_graph(spark, idx, vecs)
+    assert model2.dmin == model.dmin and model2.dmax == model.dmax
+    a = {r.id: (r.anchor, r.codes) for r in codes.collect()}
+    b = {r.id: (r.anchor, r.codes) for r in codes2.collect()}
+    assert a == b
+
+    with pytest.raises(ValueError, match="dimension"):
+        search_graph_index_rsq(
+            spark, idx, codes, anchors, q,
+            SQModel(dmin=(0.0,) * 4, dmax=(1.0,) * 4), **kwargs
+        )
+
+
 def test_merge_graph_indexes_stitches_partition_builds(spark, tmp_path):
     """Distributed-build story: two per-partition indexes built in
     parallel merge into one searchable index — src edges reused

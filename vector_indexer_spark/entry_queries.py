@@ -10787,6 +10787,217 @@ _register(
 )
 
 
+# --------------------------------------------------------------------------
+# graph_index_rsq_search_fixed — the RESIDUAL-SQ quantized traversal
+# (search_graph_index_rsq), the default quantized graph tier: codes are
+# SQ8 over residuals from each vector's nearest coarse-sample anchor
+# (range = local spread, not the global corpus range that sinks flat
+# SQ8 to 0.41 recall at the 20k bench point; residual holds 0.997).
+# One SQL replay covers the FULL chain: NN-Descent build, exact
+# nearest-anchor assignment (ties by anchor id), per-dim residual
+# min/max training, round-half-up encode, anchor+affine reconstruct,
+# two-layer traversal on reconstructions, exact refine.
+# --------------------------------------------------------------------------
+
+_GIDX_RSQ_CACHE: dict = {}
+
+
+def _graph_index_rsq_search_fixed(spark, sf_dir):
+    import tempfile
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        rsq_encode_graph,
+        search_graph_index_rsq,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    if sf_dir not in _GIDX_RSQ_CACHE:
+        idx = build_graph_index(
+            emb,
+            tempfile.mkdtemp(prefix="gidx_rsq_") + "/gidx",
+            k=4,
+            iterations=1,
+            coarse_size=16,
+            id_col="vec_id",
+            vec_col="embedding",
+            max_reverse_degree=None,  # oracle replays the pure recurrence
+        )
+        codes, anchors, model = rsq_encode_graph(spark, idx, emb)
+        _GIDX_RSQ_CACHE[sf_dir] = (idx, codes, anchors, model)
+    idx, codes, anchors, model = _GIDX_RSQ_CACHE[sf_dir]
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index_rsq(
+        spark, idx, codes, anchors, q, model,
+        k=5, beam=6, max_hops=2, entry_fanout=4,
+        refine_factor=2, vectors=emb,
+    )
+
+
+def _graph_index_rsq_sql():
+    d2_qr = """
+      list_reduce(
+        list_transform(range(1, len(v.rvec) + 1),
+          i -> (CAST(q.query[i] AS DOUBLE) - v.rvec[i])
+             * (CAST(q.query[i] AS DOUBLE) - v.rvec[i])),
+        (acc, x) -> acc + x)"""
+    d2_qv = """
+      list_reduce(
+        list_transform(range(1, len(v.embedding) + 1),
+          i -> (CAST(q.query[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))
+             * (CAST(q.query[i] AS DOUBLE) - CAST(v.embedding[i] AS DOUBLE))),
+        (acc, x) -> acc + x)"""
+
+    hops = ""
+    for n in (1, 2):
+        hops += f""",
+    rq_beam{n} AS (
+      SELECT query_id, node FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM rq_visited{n}) WHERE rn <= 6
+    ),
+    rq_cand{n + 1} AS (
+      SELECT DISTINCT b.query_id, e.dst AS node
+      FROM rq_beam{n} b JOIN edges0 e ON b.node = e.src
+      ANTI JOIN rq_visited{n} vs ON vs.query_id = b.query_id
+                                AND vs.node = e.dst
+    ),
+    rq_scored{n + 1} AS (
+      SELECT c.query_id, c.node, {d2_qr} AS dist2
+      FROM rq_cand{n + 1} c
+      JOIN vq v ON v.vec_id = c.node
+      JOIN q ON q.query_id = c.query_id
+    ),
+    rq_visited{n + 1} AS (
+      SELECT * FROM rq_visited{n}
+      UNION ALL SELECT * FROM rq_scored{n + 1}
+    )"""
+
+    # reuse the graph-construction prefix (vv/q, NN-Descent, edges0)
+    base = _graph_index_sql()
+    head = base.split("    -- === coarse layer")[0]
+    assert head.rstrip().endswith(","), "unexpected oracle prefix shape"
+    return f"""{head}    -- === coarse layer: hash-spread node-id sample of 16 ===
+    coarse AS (
+      SELECT vec_id AS node FROM vv
+      ORDER BY ((vec_id % 1000003) * 40503 + 7) % 1000003, vec_id
+      LIMIT 16
+    ),
+    -- === anchors: the coarse sample's raw vectors ===
+    anch AS (
+      SELECT v.vec_id AS anchor, v.embedding
+      FROM vv v JOIN coarse c ON c.node = v.vec_id
+    ),
+    -- === exact nearest-anchor assignment, ties by anchor id ===
+    assign AS (
+      SELECT vec_id, anchor FROM (
+        SELECT s.vec_id, s.anchor,
+               row_number() OVER (PARTITION BY s.vec_id
+                                  ORDER BY s.d2, s.anchor) AS rn
+        FROM (
+          SELECT a.vec_id, c2.anchor,
+          list_reduce(
+            list_transform(range(1, len(a.embedding) + 1),
+              i -> (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(c2.embedding[i] AS DOUBLE))
+                 * (CAST(a.embedding[i] AS DOUBLE)
+                     - CAST(c2.embedding[i] AS DOUBLE))),
+            (acc, x) -> acc + x) AS d2
+          FROM vv a CROSS JOIN anch c2) s
+      ) WHERE rn = 1
+    ),
+    -- === residuals in doubles ===
+    res AS (
+      SELECT v.vec_id, s.anchor,
+             list_transform(range(1, len(v.embedding) + 1), i ->
+               CAST(v.embedding[i] AS DOUBLE)
+                 - CAST(a.embedding[i] AS DOUBLE)) AS r
+      FROM vv v
+      JOIN assign s ON s.vec_id = v.vec_id
+      JOIN anch a ON a.anchor = s.anchor
+    ),
+    -- === residual SQ8 model: per-dim min/max over ALL residuals ===
+    rstats AS (
+      SELECT pos, min(val) AS mn, max(val) AS mx FROM (
+        SELECT unnest(r) AS val,
+               unnest(range(1, len(r) + 1)) AS pos
+        FROM res)
+      GROUP BY pos
+    ),
+    rmodel AS (
+      SELECT list(mn ORDER BY pos) AS mn, list(mx ORDER BY pos) AS mx
+      FROM rstats
+    ),
+    -- encode (round-half-up via floor(u + 0.5), clamp [0,255]) ===
+    enc AS (
+      SELECT e.vec_id, e.anchor,
+             list_transform(range(1, len(e.r) + 1), i ->
+               CASE WHEN m.mx[i] = m.mn[i] THEN 0
+                    ELSE CAST(least(255, greatest(0,
+                         CAST(floor((e.r[i] - m.mn[i])
+                              / ((m.mx[i] - m.mn[i]) / 255.0) + 0.5) AS INT)
+                         )) AS INT)
+               END) AS codes
+      FROM res e CROSS JOIN rmodel m
+    ),
+    -- reconstruct: rvec = anchor_vec + mn + code * (mx - mn)/255 ===
+    vq AS (
+      SELECT e.vec_id,
+             list_transform(range(1, len(e.codes) + 1), i ->
+               CAST(a.embedding[i] AS DOUBLE)
+                 + m.mn[i] + CAST(e.codes[i] AS DOUBLE)
+                           * ((m.mx[i] - m.mn[i]) / 255.0)) AS rvec
+      FROM enc e
+      JOIN anch a ON a.anchor = e.anchor
+      CROSS JOIN rmodel m
+    ),
+    -- === coarse routing on reconstructions: per-query top-4 ===
+    rq_visited1 AS (
+      SELECT query_id, node, dist2 FROM (
+        SELECT query_id, node, dist2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM (
+          SELECT q.query_id, ca.node, {d2_qr} AS dist2
+          FROM q CROSS JOIN coarse ca
+          JOIN vq v ON v.vec_id = ca.node
+        )) WHERE rn <= 4
+    ){hops},
+    -- === quantized shortlist: refine_factor * k = 10 ===
+    shortlist AS (
+      SELECT query_id, node AS neighbor_id FROM (
+        SELECT query_id, node,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, node) AS rn
+        FROM rq_visited3) WHERE rn <= 10
+    )
+    -- === exact refine against the RAW vectors: top-5 ===
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, dist2 FROM (
+      SELECT s.query_id, s.neighbor_id, {d2_qv} AS dist2,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY {d2_qv}, s.neighbor_id) AS rn
+      FROM shortlist s
+      JOIN vv v ON v.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id
+    ) WHERE rn <= 5
+    """
+
+
+_register(
+    "graph_index_rsq_search_fixed",
+    _graph_index_rsq_search_fixed,
+    _graph_index_rsq_sql(),
+)
+
+
 def _graph_index_pq_search_trained(spark, sf_dir):
     """The PQ twin of the quantized traversal (search_graph_index_pq):
     trained per-subspace codebooks — DiskANN's own quantizer — walked
@@ -11320,6 +11531,7 @@ _HEAD_KEYS = (
     # -- graph family: keep the r6 greens fresh; merge gained an
     #    oracle in r7 --
     "graph_index_merge_search",
+    "graph_index_rsq_search_fixed",
     "graph_index_search_fixed",
     "graph_index_add_search",
     "graph_index_delete_search",
@@ -11349,7 +11561,6 @@ _HEAD_KEYS = (
     "olap_q11_important_stock",
     "olap_q12_shipmode_priority",
     "olap_revenue_cube",
-    "olap_q15_top_supplier",
 )
 
 # Rows-only by design (trained/RNG paths, SURVEY §7) — keep them out of

@@ -494,9 +494,12 @@ def search_graph_index_sq(
     then BEATS its own quantizer's ceiling (~0.66: the shortlist +
     exact refine recover ordering brute quantized scoring cannot).
     Raise ``refine_factor`` toward the expected cluster size when the
-    quantizer is coarse, or use a residual tier (IVF-SQ encodes
-    residuals after centroid subtraction — range = cluster spread —
-    which is why ``search_ivfsq_index`` holds 0.98+ on the same data).
+    quantizer is coarse, or — the DEFAULT recommendation — use
+    :func:`search_graph_index_rsq`, which encodes residuals after
+    nearest-coarse-anchor subtraction (range = local spread, the same
+    residual trick that holds ``search_ivfsq_index`` at 0.98+ on data
+    where flat SQ8 drops to ~0.3). Flat SQ8 remains the opt-in for
+    corpora without cluster structure, where the two coincide.
     """
     from vector_indexer_spark.operators.sq import (  # noqa: PLC0415
         reconstruct_expr,
@@ -513,6 +516,135 @@ def search_graph_index_sq(
     recon = codes.select(
         F.col(code_id).alias(index.id_col),
         reconstruct_expr(code_col, model).alias(index.vec_col),
+    )
+    return search_graph_index_compressed(
+        spark, index, recon, queries,
+        k=k, beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
+        refine_factor=refine_factor, vectors=vectors,
+        coarse_method=coarse_method, filter_ids=filter_ids,
+    )
+
+
+def rsq_encode_graph(
+    spark: SparkSession,
+    index: GraphIndex,
+    vectors: DataFrame,
+    *,
+    code_col: str = "codes",
+):
+    """Residual SQ8 encode anchored at the index's COARSE ROUTING
+    SAMPLE — the quantized tier that should actually be used with the
+    graph index (flat ``sq_encode`` is the opt-in fallback).
+
+    Why residual: flat SQ8 spends its 8 bits on the corpus' GLOBAL
+    per-dim range, so on clustered data the quantization noise floor
+    swamps within-cluster distance differences (measured recall 0.41
+    at the 20k bench point — BASELINE round-6 "fidelity honesty").
+    Subtracting each vector's nearest coarse-sample node first shrinks
+    the coded range to the local spread around that anchor — the same
+    residual trick that takes IVF-SQ to 0.99 — while reusing a
+    structure the graph index already has: the √n hash-spread coarse
+    sample doubles as the anchor codebook, no extra k-means.
+
+    One pass: nearest-anchor assign (broadcast exact argmin over the
+    √n sample — the identical cost discipline coarse routing pays per
+    query), residual = v − anchor in doubles, per-dim min/max train
+    over ALL residuals, affine encode. Returns
+    ``(codes_df, anchors_df, model)`` where ``codes_df`` is
+    ``(id_col, anchor, code_col ARRAY<INT>)``, ``anchors_df`` is the
+    broadcastable ``(anchor, anchor_vec)`` side table (√n rows — at
+    1B vectors and d=128 a few MB), and ``model`` is the residual
+    :class:`~vector_indexer_spark.operators.sq.SQModel`. Fully
+    deterministic (assign ties break by anchor id), so the whole
+    encode+search chain is SQL-replayable
+    (graph_index_rsq_search_fixed).
+    """
+    from vector_indexer_spark.operators.knn import knn_exact  # noqa: PLC0415
+    from vector_indexer_spark.operators.sq import (  # noqa: PLC0415
+        encode_expr,
+        sq_train,
+    )
+
+    idc, vcc = index.id_col, index.vec_col
+    anchors = vectors.join(
+        F.broadcast(index.coarse_nodes(spark).withColumnRenamed("node", idc)),
+        idc,
+    ).select(F.col(idc).alias("anchor"), F.col(vcc).alias("anchor_vec"))
+    assign = knn_exact(
+        anchors.select(
+            F.col("anchor").alias(idc), F.col("anchor_vec").alias(vcc)
+        ),
+        vectors.select(
+            F.col(idc).alias("query_id"), F.col(vcc).alias("query")
+        ),
+        k=1,
+        id_col=idc,
+        vec_col=vcc,
+    ).select(
+        F.col("query_id").alias(idc), F.col("neighbor_id").alias("anchor")
+    )
+    res = (
+        vectors.join(assign, idc)
+        .join(F.broadcast(anchors), "anchor")
+        .select(
+            idc,
+            "anchor",
+            F.zip_with(
+                vcc,
+                "anchor_vec",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("res"),
+        )
+    )
+    model = sq_train(res, vec_col="res")
+    codes = res.select(
+        idc, "anchor", encode_expr("res", model).alias(code_col)
+    )
+    return codes, anchors, model
+
+
+def search_graph_index_rsq(
+    spark: SparkSession,
+    index: GraphIndex,
+    codes: DataFrame,
+    anchors: DataFrame,
+    queries: DataFrame,
+    model,
+    *,
+    k: int = 10,
+    beam: int = 16,
+    max_hops: int = 4,
+    entry_fanout: int = 8,
+    refine_factor: int = 4,
+    vectors: DataFrame | None = None,
+    code_col: str = "codes",
+    coarse_method: str = "native",
+    filter_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Residual-SQ8 quantized traversal — the DEFAULT quantized graph
+    tier (see :func:`rsq_encode_graph` for why it replaces flat SQ8).
+    Reconstruction is ``anchor_vec + (dmin + code·scale)`` — one
+    broadcast join against the √n anchor table plus the SQ tier's
+    scan-local affine expression, no UDF — then the quantizer-generic
+    compressed core (traversal on reconstructions, shortlist, exact
+    refine when ``vectors`` is given) runs unchanged."""
+    from vector_indexer_spark.operators.sq import (  # noqa: PLC0415
+        reconstruct_expr,
+    )
+
+    if model.dimension != index.dimension:
+        raise ValueError(
+            f"residual-SQ dimension {model.dimension} != index dimension "
+            f"{index.dimension}"
+        )
+    code_id = index.id_col if index.id_col in codes.columns else "id"
+    recon = codes.join(F.broadcast(anchors), "anchor").select(
+        F.col(code_id).alias(index.id_col),
+        F.zip_with(
+            "anchor_vec",
+            reconstruct_expr(code_col, model),
+            lambda a, r: a.cast("double") + r,
+        ).alias(index.vec_col),
     )
     return search_graph_index_compressed(
         spark, index, recon, queries,
@@ -678,19 +810,35 @@ def search_graph_index_compressed(
     vectors: DataFrame | None = None,
     coarse_method: str = "native",
     filter_ids: DataFrame | None = None,
+    materialize_recon: bool = True,
 ) -> DataFrame:
     """Quantizer-generic core of the compressed traversal:
     ``recon_vectors`` is ANY approximate reconstruction of the corpus
     (``(id_col, vec_col)`` — SQ affine, PQ codebook lookup, OPQ
     rotation+PQ, a distilled embedding …). Traversal + shortlist run
     on it; ``vectors`` (raw) triggers the exact refine. See the SQ/PQ
-    adapters for the persisted-codes entry points."""
+    adapters for the persisted-codes entry points.
+
+    ``materialize_recon`` (default True) eagerly localCheckpoints the
+    reconstruction before the walk: the beam search re-evaluates its
+    vector table's plan EVERY hop (coarse pass + each hop's scoring
+    join), so a recon plan containing a join — the residual tier's
+    codes⋈anchors — re-executes per hop and dominates wall-clock
+    (measured 14.3 s vs 5.7 s full-precision at the 20k bench point;
+    materialized: decode runs once). Values are unchanged — the
+    checkpoint is plan truncation, not arithmetic — so oracle replays
+    are unaffected. Pass False for the decode-on-access regime when
+    the decoded working set (corpus × d doubles) must never
+    materialize — the DiskANN trade: storage stays codes-sized, each
+    hop re-pays the decode."""
     from vector_indexer_spark.operators.pq import refine_topk  # noqa: PLC0415
 
     if k < 1:
         raise ValueError("k must be >= 1")
     if refine_factor < 1:
         raise ValueError("refine_factor must be >= 1")
+    if materialize_recon:
+        recon_vectors = recon_vectors.localCheckpoint(eager=True)
     shortlist_k = k if vectors is None else refine_factor * k
     hits = search_graph_index(
         spark, index, recon_vectors, queries,
