@@ -969,6 +969,80 @@ def main() -> None:
             extras["graph1M_nq"] = nq1
             extras["graph1M_search_sec"] = sweep1[-1]["sec"]
             extras["graph1M_recall_at_10"] = sweep1[-1]["recall_at_10"]
+
+            # LOCAL (fits-one-box) execution of the same recurrence:
+            # one broadcast + one mapInPandas job instead of a Spark
+            # job per hop. Same results row-for-row (pytest-locked);
+            # this is where the graph family beats the exact scan —
+            # per-query work is O(hops*beam*degree*d), not O(n*d).
+            from vector_indexer_spark.operators.graph_index import (
+                search_graph_index_local,
+            )
+
+            t0 = time.perf_counter()
+            gotl = search_graph_index_local(
+                spark, g1idx, g1vec, g1q, k=10, beam=48, max_hops=8,
+                entry_fanout=16,
+            ).persist()
+            gotl.count()
+            extras["graph1M_local_search_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            hits_l = (
+                gotl.select("query_id", "neighbor_id")
+                .join(
+                    truth1.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                )
+                .count()
+            )
+            extras["graph1M_local_recall_at_10"] = round(
+                hits_l / (nq1 * 10), 4
+            )
+            gotl.unpersist()
+
+            # the 1k-query batch: broadcast/prep amortizes across the
+            # batch, the exact GEMM scan re-pays n*d per query — the
+            # regime where the edges-only index WINS outright
+            g1q_big = (
+                g1vec.filter((F.col("id") % 977) == 3)
+                .select(
+                    F.col("id").alias("query_id"),
+                    F.col("values").alias("query"),
+                )
+                .cache()
+            )
+            nq_big = g1q_big.count()
+            t0 = time.perf_counter()
+            truth_big = knn_exact(
+                g1vec, g1q_big, k=10, method="arrow"
+            ).persist()
+            truth_big.count()
+            extras["graph1M_exact1k_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            gotl_big = search_graph_index_local(
+                spark, g1idx, g1vec, g1q_big, k=10, beam=48, max_hops=8,
+                entry_fanout=16,
+            ).persist()
+            gotl_big.count()
+            extras["graph1M_local1k_search_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            hits_lb = (
+                gotl_big.select("query_id", "neighbor_id")
+                .join(
+                    truth_big.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                )
+                .count()
+            )
+            extras["graph1M_local1k_nq"] = nq_big
+            extras["graph1M_local1k_recall_at_10"] = round(
+                hits_lb / (nq_big * 10), 4
+            )
+            gotl_big.unpersist(), truth_big.unpersist(), g1q_big.unpersist()
             truth1.unpersist(), g1vec.unpersist(), g1q.unpersist()
         except Exception as e:  # noqa: BLE001
             extras["graph1M_section_error"] = f"{type(e).__name__}: {e}"[:300]

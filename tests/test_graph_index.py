@@ -789,6 +789,58 @@ def test_pq_traversal_trained_codebooks_beat_flat_sq(spark, tmp_path):
         search_graph_index_pq(spark, idx, bad_codes, q, bad, **kwargs)
 
 
+def test_local_search_matches_distributed_row_for_row(spark, tmp_path):
+    """search_graph_index_local is the fits-one-box execution of the
+    SAME two-layer recurrence — one broadcast + one mapInPandas job
+    instead of a Spark job per hop. Results must match the
+    distributed path row-for-row (same tie-breaks, same fold-left
+    accumulation), including tombstone exclusion and the
+    attribute-filter post-filter."""
+    from vector_indexer_spark.operators.graph_index import (
+        delete_from_graph_index,
+        search_graph_index_local,
+    )
+
+    vecs = _clustered_vectors(spark, n_clusters=6, per=40, d=8, seed=41)
+    idx = build_graph_index(
+        vecs, str(tmp_path / "g_local"), k=5, iterations=2
+    )
+    q = vecs.filter(F.col("id") % 13 == 0).select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    kwargs = dict(k=7, beam=10, max_hops=3, entry_fanout=5)
+
+    def rows(df):
+        return sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.dist2)
+            for r in df.collect()
+        )
+
+    assert rows(
+        search_graph_index_local(spark, idx, vecs, q, **kwargs)
+    ) == rows(search_graph_index(spark, idx, vecs, q, **kwargs))
+
+    # tombstones: excluded from results, still traversable
+    delete_from_graph_index(
+        spark, idx, vecs.filter(F.col("id") % 7 == 0).select("id")
+    )
+    assert rows(
+        search_graph_index_local(spark, idx, vecs, q, **kwargs)
+    ) == rows(search_graph_index(spark, idx, vecs, q, **kwargs))
+
+    # attribute filter
+    allowed = vecs.filter(F.col("id") % 2 == 0).select("id")
+    assert rows(
+        search_graph_index_local(
+            spark, idx, vecs, q, filter_ids=allowed, **kwargs
+        )
+    ) == rows(
+        search_graph_index(
+            spark, idx, vecs, q, filter_ids=allowed, **kwargs
+        )
+    )
+
+
 def test_rsq_traversal_residual_codes_beat_flat_sq(spark, tmp_path):
     """Residual-SQ (codes = SQ8 over residuals from the nearest
     coarse-sample anchor) is the DEFAULT quantized graph tier: on the

@@ -755,6 +755,38 @@ def test_pagerank_plan_truncated_per_iteration(spark):
     assert all(r.rank_micros >= 150_000 for r in rows)
 
 
+def test_connected_components_plan_truncated_per_round(spark):
+    """The distributed pointer-jumping path (forced via
+    max_pairs_driver=0) must follow the engine-wide iterative-state
+    discipline: labels are localCheckpoint-ed per round, so the
+    RETURNED plan is rooted at a materialized RDD scan and the shuffle
+    count above it is a CONSTANT — a long chain (many jumping rounds)
+    must produce the same plan shape as a shallow graph."""
+    from vector_indexer_spark.operators.graph import connected_components
+
+    def plan_stats(edges):
+        out = connected_components(edges, max_pairs_driver=0)
+        plan = audit.executed_plan(out)
+        s = audit.plan_summary(out)
+        return "ExistingRDD" in plan, s["shuffles"]
+
+    shallow = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 20, 2)], "src long, dst long"
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    rooted_a, shuffles_a = plan_stats(shallow)
+    rooted_b, shuffles_b = plan_stats(chain)
+    assert rooted_a and rooted_b
+    assert shuffles_a == shuffles_b  # constant, not per-round
+
+    # labels stay correct on the chain: one component, min-id root
+    rows = connected_components(chain, max_pairs_driver=0).collect()
+    assert len(rows) == 61
+    assert {r.component for r in rows} == {0}
+
+
 def test_graph_sq_refine_broadcasts_shortlist(spark, tmp_path):
     """Quantized traversal + exact refine: the refine stage must
     BROADCAST the tiny (nq x refine_factor*k) candidate set against the

@@ -796,6 +796,194 @@ def search_graph_index_opq(
     )
 
 
+def search_graph_index_local(
+    spark: SparkSession,
+    index: GraphIndex,
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    beam: int = 16,
+    max_hops: int = 4,
+    entry_fanout: int = 8,
+    filter_ids: DataFrame | None = None,
+) -> DataFrame:
+    """Partition-LOCAL two-layer beam search — the fits-one-box regime
+    of :func:`search_graph_index`, bit-identical results.
+
+    The distributed path pays one Spark job per hop (beam window +
+    edge join + vector join), so at memory-resident scales the fixed
+    per-job latency dominates: at the committed 1M x 32 bench point,
+    64 queries cost 16-25 s while the exact GEMM scan over the same
+    corpus takes 0.8 s — the graph index had no measured winning
+    regime (VERDICT r6). This operator collapses the walk into ONE
+    job: the edge table (CSR) + vector matrix + coarse sample
+    broadcast once (~edges*16B + n*d*4B — 1M x 32 is ~380 MB), then
+    ``mapInPandas`` over query partitions runs the whole
+    hop-synchronous recurrence in NumPy per query. Per-query work is
+    O(hops * beam * degree * d) — thousands of flops against the exact
+    scan's n*d — so compute-wise the graph wins everywhere; this
+    operator removes the per-hop job overhead that hid that win.
+
+    Same recurrence, same tie-breaks ((dist2, node) everywhere), same
+    fold-left double accumulation (`kernels.rowwise_dist2_foldexact`
+    order), tombstones excluded from results but traversable,
+    ``filter_ids`` post-filter before top-k — so results match
+    :func:`search_graph_index` row-for-row (pytest-locked) and the
+    same DuckDB replay covers both. Use the distributed path when
+    corpus + edges exceed executor memory; this one when they fit
+    (every executor holds the full index — the HNSW deployment shape —
+    and queries scale out embarrassingly).
+    """
+    import numpy as np  # noqa: PLC0415
+
+    if k < 1 or beam < 1:
+        raise ValueError("k and beam must be >= 1")
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    idc, vcc = index.id_col, index.vec_col
+
+    v_pd = vectors.select(
+        F.col(idc).alias("node"), F.col(vcc).alias("vec")
+    ).toPandas()
+    ids = v_pd["node"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids_sorted = ids[order]
+    mat = np.asarray(
+        [np.asarray(x, dtype=np.float64) for x in v_pd["vec"]],
+        dtype=np.float64,
+    )[order]
+
+    e_pd = index.edges(spark).select("src", "dst").toPandas()
+    src = e_pd["src"].to_numpy(dtype=np.int64)
+    dst = e_pd["dst"].to_numpy(dtype=np.int64)
+    # candidates absent from the vector table are dropped at scoring
+    # time in the distributed path — dropping their edges is equivalent
+    si = np.searchsorted(ids_sorted, src)
+    di = np.searchsorted(ids_sorted, dst)
+    ok = (
+        (si < len(ids_sorted))
+        & (di < len(ids_sorted))
+        & (ids_sorted[np.minimum(si, len(ids_sorted) - 1)] == src)
+        & (ids_sorted[np.minimum(di, len(ids_sorted) - 1)] == dst)
+    )
+    si, di = si[ok], di[ok]
+    eo = np.lexsort((di, si))
+    si, di = si[eo], di[eo]
+    indptr = np.searchsorted(si, np.arange(len(ids_sorted) + 1))
+
+    coarse_ids = np.asarray(
+        [
+            r["node"]
+            for r in index.coarse_nodes(spark).collect()
+        ],
+        dtype=np.int64,
+    )
+    ci = np.searchsorted(ids_sorted, coarse_ids)
+    cok = (ci < len(ids_sorted)) & (
+        ids_sorted[np.minimum(ci, len(ids_sorted) - 1)] == coarse_ids
+    )
+    ci = np.unique(ci[cok])
+
+    dead = _tombstones(spark, index)
+    dead_ids = (
+        np.asarray([r["node"] for r in dead.collect()], dtype=np.int64)
+        if dead is not None
+        else np.empty(0, dtype=np.int64)
+    )
+    allow_ids = None
+    if filter_ids is not None:
+        col0 = (
+            idc if idc in filter_ids.columns else filter_ids.columns[0]
+        )
+        allow_ids = np.unique(
+            np.asarray(
+                [r[col0] for r in filter_ids.select(col0).collect()],
+                dtype=np.int64,
+            )
+        )
+
+    bc = spark.sparkContext.broadcast(
+        {
+            "ids": ids_sorted,
+            "mat": mat,
+            "indptr": indptr,
+            "nbrs": di,
+            "coarse": ci,
+            "dead": np.sort(dead_ids),
+            "allow": allow_ids,
+        }
+    )
+    fanout, hops, bw, topk = entry_fanout, max_hops, beam, k
+
+    def run(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        g = bc.value
+        gids, gmat = g["ids"], g["mat"]
+        gptr, gnbr = g["indptr"], g["nbrs"]
+        gco, gdead, gallow = g["coarse"], g["dead"], g["allow"]
+
+        def d2_fold(rows, qv):
+            # column-by-column fold — the dist2_expr IEEE sequence
+            acc = np.zeros(rows.shape[0])
+            for j in range(rows.shape[1]):
+                d = rows[:, j] - qv[j]
+                acc += d * d
+            return acc
+
+        def best(pos, dist, m):
+            o = np.lexsort((pos, dist))[:m]
+            return pos[o], dist[o]
+
+        for pdf in batches:
+            out_q, out_r, out_n, out_d = [], [], [], []
+            for qid, qvec in zip(pdf["query_id"], pdf["query"]):
+                qv = np.asarray(qvec, dtype=np.float64)
+                # coarse routing: exact rank of the sample, top-fanout
+                seed_pos, seed_d = best(
+                    gco, d2_fold(gmat[gco], qv), fanout
+                )
+                vis_pos, vis_d = seed_pos, seed_d
+                for _ in range(hops):
+                    bpos, _bd = best(vis_pos, vis_d, bw)
+                    cand = np.unique(
+                        np.concatenate(
+                            [gnbr[gptr[p]:gptr[p + 1]] for p in bpos]
+                        )
+                    ) if len(bpos) else np.empty(0, dtype=np.int64)
+                    cand = cand[~np.isin(cand, vis_pos)]
+                    if len(cand) == 0:
+                        break
+                    cd = d2_fold(gmat[cand], qv)
+                    vis_pos = np.concatenate([vis_pos, cand])
+                    vis_d = np.concatenate([vis_d, cd])
+                keep = ~np.isin(gids[vis_pos], gdead)
+                if gallow is not None:
+                    keep &= np.isin(gids[vis_pos], gallow)
+                fpos, fd = best(vis_pos[keep], vis_d[keep], topk)
+                n = len(fpos)
+                out_q.extend([qid] * n)
+                out_r.extend(range(1, n + 1))
+                out_n.extend(gids[fpos])
+                out_d.extend(fd)
+            yield pd.DataFrame(
+                {
+                    "query_id": pd.Series(out_q, dtype="int64"),
+                    "rank": pd.Series(out_r, dtype="int32"),
+                    "neighbor_id": pd.Series(out_n, dtype="int64"),
+                    "dist2": pd.Series(out_d, dtype="float64"),
+                }
+            )
+
+    q = queries.select("query_id", "query").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return q.mapInPandas(
+        run, "query_id long, rank int, neighbor_id long, dist2 double"
+    )
+
+
 def search_graph_index_compressed(
     spark: SparkSession,
     index: GraphIndex,
