@@ -843,20 +843,30 @@ def search_graph_index_local(
         raise ValueError("max_hops must be >= 0")
     idc, vcc = index.id_col, index.vec_col
 
-    v_pd = vectors.select(
+    # Arrow transfer + vectorized flatten: toPandas would hand back a
+    # Python object column (one numpy allocation per row — ~60 s at
+    # 1M x 32, which single-handedly erased the local path's win);
+    # the Arrow list array flattens to one contiguous buffer. float32
+    # storage is bit-exact: the fold kernel upcasts per column, the
+    # same float->double widening dist2_expr applies.
+    v_tbl = vectors.select(
         F.col(idc).alias("node"), F.col(vcc).alias("vec")
-    ).toPandas()
-    ids = v_pd["node"].to_numpy(dtype=np.int64)
+    ).toArrow()
+    ids = v_tbl["node"].to_numpy().astype(np.int64, copy=False)
     order = np.argsort(ids, kind="stable")
     ids_sorted = ids[order]
-    mat = np.asarray(
-        [np.asarray(x, dtype=np.float64) for x in v_pd["vec"]],
-        dtype=np.float64,
-    )[order]
+    flat = v_tbl["vec"].combine_chunks().flatten().to_numpy(
+        zero_copy_only=False
+    )
+    # keep the SOURCE width: float32 corpora stay float32 (halves the
+    # broadcast; the fold upcasts per column exactly like dist2_expr),
+    # double corpora must stay double — narrowing them would change
+    # distances vs the distributed path.
+    mat = flat.reshape(len(ids), index.dimension)[order]
 
-    e_pd = index.edges(spark).select("src", "dst").toPandas()
-    src = e_pd["src"].to_numpy(dtype=np.int64)
-    dst = e_pd["dst"].to_numpy(dtype=np.int64)
+    e_tbl = index.edges(spark).select("src", "dst").toArrow()
+    src = e_tbl["src"].to_numpy().astype(np.int64, copy=False)
+    dst = e_tbl["dst"].to_numpy().astype(np.int64, copy=False)
     # candidates absent from the vector table are dropped at scoring
     # time in the distributed path — dropping their edges is equivalent
     si = np.searchsorted(ids_sorted, src)
@@ -925,10 +935,15 @@ def search_graph_index_local(
         gco, gdead, gallow = g["coarse"], g["dead"], g["allow"]
 
         def d2_fold(rows, qv):
-            # column-by-column fold — the dist2_expr IEEE sequence
+            # column-by-column fold — the dist2_expr IEEE sequence.
+            # The explicit float64 upcast matters: under NumPy's NEP 50
+            # promotion a float32 column minus a float64 SCALAR stays
+            # float32, which would quantize the subtraction and break
+            # bit-parity with the distributed path's widen-then-
+            # subtract.
             acc = np.zeros(rows.shape[0])
             for j in range(rows.shape[1]):
-                d = rows[:, j] - qv[j]
+                d = rows[:, j].astype(np.float64) - qv[j]
                 acc += d * d
             return acc
 
