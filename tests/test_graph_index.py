@@ -840,6 +840,16 @@ def test_local_search_matches_distributed_row_for_row(spark, tmp_path):
         )
     )
 
+    # cosine metric: both paths normalize through the same Spark
+    # expressions, so parity must hold there too
+    cidx = build_graph_index(
+        vecs, str(tmp_path / "g_local_cos"), k=5, iterations=2,
+        metric="cosine",
+    )
+    assert rows(
+        search_graph_index_local(spark, cidx, vecs, q, **kwargs)
+    ) == rows(search_graph_index(spark, cidx, vecs, q, **kwargs))
+
 
 def test_rsq_traversal_residual_codes_beat_flat_sq(spark, tmp_path):
     """Residual-SQ (codes = SQ8 over residuals from the nearest

@@ -842,6 +842,15 @@ def search_graph_index_local(
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
     idc, vcc = index.id_col, index.vec_col
+    if index.metric == "cosine":
+        # normalize in SPARK expressions — the identical arithmetic the
+        # distributed path applies, so bit-parity holds for cosine too
+        from vector_indexer_spark.operators.similarity import (  # noqa: PLC0415
+            normalize_vectors,
+        )
+
+        vectors = normalize_vectors(vectors, vec_col=vcc)
+        queries = normalize_vectors(queries, vec_col="query")
 
     # Arrow transfer + vectorized flatten: toPandas would hand back a
     # Python object column (one numpy allocation per row — ~60 s at
