@@ -10025,6 +10025,52 @@ _register(
 )
 
 
+def _graph_index_local_search_fixed(spark, sf_dir):
+    """The LOCAL execution regime (one broadcast + one mapInPandas job,
+    operators.graph_index.search_graph_index_local) against the SAME
+    SQL replay as graph_index_search_fixed: the two paths promise
+    row-for-row identical results, so the identical oracle locking the
+    distributed walk also locks the fits-one-box one — a divergence in
+    tie-breaks, fold order, or the NEP-50 upcast breaks this hash."""
+    import tempfile
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        search_graph_index_local,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 192)
+        .select("vec_id", "embedding")
+    )
+    idx = build_graph_index(
+        emb,
+        tempfile.mkdtemp(prefix="gidx_local_") + "/gidx",
+        k=4,
+        iterations=1,
+        coarse_size=16,
+        id_col="vec_id",
+        vec_col="embedding",
+        max_reverse_degree=None,  # oracle replays the pure recurrence
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index_local(
+        spark, idx, emb, q,
+        k=10, beam=6, max_hops=2,
+        entry_fanout=4,
+    )
+
+
+_register(
+    "graph_index_local_search_fixed",
+    _graph_index_local_search_fixed,
+    _graph_index_sql(),
+)
+
+
 # --------------------------------------------------------------------------
 # graph_index_add_search — the graph index's INSERT path proven
 # end-to-end by one SQL replay: build (192 vectors), batched insert of 8
@@ -11532,6 +11578,7 @@ _HEAD_KEYS = (
     #    oracle in r7 --
     "graph_index_merge_search",
     "graph_index_rsq_search_fixed",
+    "graph_index_local_search_fixed",
     "graph_index_search_fixed",
     "graph_index_add_search",
     "graph_index_delete_search",
@@ -11560,7 +11607,6 @@ _HEAD_KEYS = (
     "olap_q9_product_profit",
     "olap_q11_important_stock",
     "olap_q12_shipmode_priority",
-    "olap_revenue_cube",
 )
 
 # Rows-only by design (trained/RNG paths, SURVEY §7) — keep them out of
