@@ -46,6 +46,22 @@ def _register(name, fn, sql=None):
         ORACLE_SQL[name] = sql
 
 
+def _mat(sql: str) -> str:
+    """Mark every CTE in a graph-replay oracle MATERIALIZED. DuckDB
+    inlines CTEs by default, and the graph recurrences reference their
+    visited/edge chains 3x per hop — inlining re-evaluates the whole
+    upstream build combinatorially (the merge replay measured 130 s
+    inlined vs 0.3 s materialized, identical results). Idempotent: the
+    pattern does not re-match an already-MATERIALIZED definition."""
+    import re  # noqa: PLC0415
+
+    return re.sub(
+        r"(\n\s+|WITH\s+)(\w+) AS \(",
+        r"\1\2 AS MATERIALIZED (",
+        sql,
+    )
+
+
 # --------------------------------------------------------------------------
 # cfg_ — heuristics F5-F9 (reference src/utils.rs:9-26, kmeans.rs:83,
 # ivf_index.rs:104-106). Spark side computes via the Python functions;
@@ -9945,7 +9961,7 @@ def _graph_index_sql():
           JOIN vv v ON v.vec_id = ca.node
         )) WHERE rn <= 4"""
 
-    return f"""
+    return _mat(f"""
     WITH vv AS (SELECT vec_id, embedding FROM embeddings
                 WHERE vec_id < 192),
     q AS (SELECT vec_id AS query_id, embedding AS query FROM vv
@@ -10015,7 +10031,7 @@ def _graph_index_sql():
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY dist2, node) AS rn
       FROM l0_visited3) WHERE rn <= 10
-    """
+    """)
 
 
 _register(
@@ -10195,7 +10211,7 @@ def _graph_index_add_sql():
         )) WHERE rn <= {fanout}"""
         return beam_hops(f"{tag}_f", qtab, vtab, edges, l0_first, 2, 6)
 
-    return f"""
+    return _mat(f"""
     WITH vv0 AS (SELECT vec_id, embedding FROM embeddings
                  WHERE vec_id < 192),
     nv AS (SELECT vec_id + 10000 AS vec_id, embedding FROM embeddings
@@ -10302,7 +10318,7 @@ def _graph_index_add_sql():
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY dist2, node) AS rn
       FROM ver_f_visited3) WHERE rn <= 10
-    """
+    """)
 
 
 _register(
@@ -10755,7 +10771,7 @@ def _graph_index_sq_sql():
     base = _graph_index_sql()
     head = base.split("    -- === coarse layer")[0]
     assert head.rstrip().endswith(","), "unexpected oracle prefix shape"
-    return f"""{head}    -- === coarse layer: hash-spread node-id sample of 16 ===
+    return _mat(f"""{head}    -- === coarse layer: hash-spread node-id sample of 16 ===
     coarse AS (
       SELECT vec_id AS node FROM vv
       ORDER BY ((vec_id % 1000003) * 40503 + 7) % 1000003, vec_id
@@ -10823,7 +10839,7 @@ def _graph_index_sq_sql():
       JOIN vv v ON v.vec_id = s.neighbor_id
       JOIN q ON q.query_id = s.query_id
     ) WHERE rn <= 5
-    """
+    """)
 
 
 _register(
@@ -10931,7 +10947,7 @@ def _graph_index_rsq_sql():
     base = _graph_index_sql()
     head = base.split("    -- === coarse layer")[0]
     assert head.rstrip().endswith(","), "unexpected oracle prefix shape"
-    return f"""{head}    -- === coarse layer: hash-spread node-id sample of 16 ===
+    return _mat(f"""{head}    -- === coarse layer: hash-spread node-id sample of 16 ===
     coarse AS (
       SELECT vec_id AS node FROM vv
       ORDER BY ((vec_id % 1000003) * 40503 + 7) % 1000003, vec_id
@@ -11034,7 +11050,7 @@ def _graph_index_rsq_sql():
       JOIN vv v ON v.vec_id = s.neighbor_id
       JOIN q ON q.query_id = s.query_id
     ) WHERE rn <= 5
-    """
+    """)
 
 
 _register(
@@ -11206,7 +11222,10 @@ def _graph_index_merge_sql():
         neighbor-of-neighbor round -> re-select) + symmetrized edge
         table + hash-spread bottom-m coarse sample — the same
         recurrence the add_search oracle replays, parameterized per
-        side."""
+        side. Heavy CTEs are MATERIALIZED: DuckDB inlines CTEs by
+        default, and the visited/edge chains are referenced 3x per
+        hop, so inlining re-evaluates the whole build combinatorially
+        (measured 130 s -> seconds; results identical)."""
         return f""",
     {tag}_b AS (
       SELECT vec_id,
@@ -11321,7 +11340,7 @@ def _graph_index_merge_sql():
     )"""
 
     # n=96 per side, k=4 -> nbuckets = 96 // (2*4+2) = 9
-    return f"""
+    sql = f"""
     WITH va AS (SELECT vec_id, embedding FROM embeddings
                 WHERE vec_id < 96),
     vb AS (SELECT vec_id, embedding FROM embeddings
@@ -11369,6 +11388,8 @@ def _graph_index_merge_sql():
                                 ORDER BY dist2, node) AS rn
       FROM ver_f_visited3) WHERE rn <= 10
     """
+    # see build_side docstring / _mat: force one evaluation per CTE
+    return _mat(sql)
 
 
 _register(
