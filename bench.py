@@ -797,6 +797,34 @@ def main() -> None:
             extras["graph_search_sec"] = sweep[1]["sec"]
             extras["graph_ann_recall_at_10"] = sweep[1]["recall_at_10"]
 
+            # the local (fits-one-box) execution of the same walk at
+            # the middle sweep point — identical results, one job
+            from vector_indexer_spark.operators.graph_index import (
+                search_graph_index_local,
+            )
+
+            t0 = time.perf_counter()
+            gotloc = search_graph_index_local(
+                spark, gidx, gvec, gq, k=10, beam=24, max_hops=6,
+                entry_fanout=8,
+            ).persist()
+            gotloc.count()
+            extras["graph_local_search_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            hits_loc = (
+                gotloc.select("query_id", "neighbor_id")
+                .join(
+                    truth.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"],
+                )
+                .count()
+            )
+            extras["graph_local_recall_at_10"] = round(
+                hits_loc / (64 * 10), 4
+            )
+            gotloc.unpersist()
+
             # quantized traversal + exact refine (DiskANN shape): same
             # index, walk on SQ8 reconstructions, refine the shortlist
             from vector_indexer_spark.operators.graph_index import (
