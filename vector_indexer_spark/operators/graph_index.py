@@ -531,6 +531,7 @@ def rsq_encode_graph(
     vectors: DataFrame,
     *,
     code_col: str = "codes",
+    assign_method: str = "auto",
 ):
     """Residual SQ8 encode anchored at the index's COARSE ROUTING
     SAMPLE — the quantized tier that should actually be used with the
@@ -558,6 +559,19 @@ def rsq_encode_graph(
     deterministic (assign ties break by anchor id), so the whole
     encode+search chain is SQL-replayable
     (graph_index_rsq_search_fixed).
+
+    ``assign_method``: ``"native"`` scores the anchor assignment with
+    the fold-exact Catalyst expression (bit-parity with the oracle —
+    but it is a queries x anchors cross score, O(n·m·d) JVM-side:
+    right for fixture scales, hopeless at 1M x 4000). ``"arrow"``
+    routes through :func:`~...kmeans.assign_clusters` (broadcast
+    anchor matrix, GEMM argmin per Arrow batch, hierarchical shortlist
+    above 100 anchors — the engine's J1/J2 assignment, the 100-TB
+    shape). GEMM carries the documented last-ulp tie caveat: an
+    exact-duplicate-distance tie may assign to a different anchor than
+    the fold order would — residuals stay valid either way, recall is
+    unaffected. ``"auto"`` (default) picks native below 64 anchors
+    (every oracle fixture), arrow above.
     """
     from vector_indexer_spark.operators.knn import knn_exact  # noqa: PLC0415
     from vector_indexer_spark.operators.sq import (  # noqa: PLC0415
@@ -570,19 +584,50 @@ def rsq_encode_graph(
         F.broadcast(index.coarse_nodes(spark).withColumnRenamed("node", idc)),
         idc,
     ).select(F.col(idc).alias("anchor"), F.col(vcc).alias("anchor_vec"))
-    assign = knn_exact(
-        anchors.select(
-            F.col("anchor").alias(idc), F.col("anchor_vec").alias(vcc)
-        ),
-        vectors.select(
-            F.col(idc).alias("query_id"), F.col(vcc).alias("query")
-        ),
-        k=1,
-        id_col=idc,
-        vec_col=vcc,
-    ).select(
-        F.col("query_id").alias(idc), F.col("neighbor_id").alias("anchor")
-    )
+    if assign_method == "auto":
+        n_anchors = anchors.count()
+        assign_method = "native" if n_anchors <= 64 else "arrow"
+    if assign_method == "arrow":
+        import numpy as np  # noqa: PLC0415
+
+        from vector_indexer_spark.operators.kmeans import (  # noqa: PLC0415
+            assign_clusters,
+        )
+
+        rows = anchors.orderBy("anchor").collect()
+        aid = np.asarray([r["anchor"] for r in rows], dtype=np.int64)
+        amat = np.asarray(
+            [np.asarray(r["anchor_vec"], dtype=np.float64) for r in rows]
+        )
+        assigned = assign_clusters(
+            vectors.select(idc, vcc), amat, vec_col=vcc, out_col="__a"
+        )
+        aid_df = spark.createDataFrame(
+            [(int(i), int(a)) for i, a in enumerate(aid)],
+            "__a long, anchor long",
+        )
+        assign = assigned.join(F.broadcast(aid_df), "__a").select(
+            idc, "anchor"
+        )
+    elif assign_method == "native":
+        assign = knn_exact(
+            anchors.select(
+                F.col("anchor").alias(idc), F.col("anchor_vec").alias(vcc)
+            ),
+            vectors.select(
+                F.col(idc).alias("query_id"), F.col(vcc).alias("query")
+            ),
+            k=1,
+            id_col=idc,
+            vec_col=vcc,
+            method="native",
+        ).select(
+            F.col("query_id").alias(idc), F.col("neighbor_id").alias("anchor")
+        )
+    else:
+        raise ValueError(
+            "assign_method must be 'auto', 'native', or 'arrow'"
+        )
     res = (
         vectors.join(assign, idc)
         .join(F.broadcast(anchors), "anchor")
