@@ -6181,8 +6181,13 @@ _register(
 def _sim_mmr_rerank(spark, sf_dir):
     """MMR diversification over a real candidate set: exact top-20
     cosine candidates per query, greedily re-ranked for diversity
-    (λ=0.7). Deterministic but iterative-greedy — not SQL-expressible;
-    correctness is pinned by the pure-NumPy reference parity pytest
+    (λ=0.7). Rows-only NOT because the greedy loop is inexpressible
+    (10 unrolled argmax CTEs would do) but because the engine's
+    arithmetic has no bit-exact SQL anchor: candidate cosines come
+    from BLAS-accumulated dot products (blocking-dependent last ulp,
+    unlike the fold-left contract every oracle replays) and ties break
+    within a 1e-15 tolerance band. Correctness is pinned by the
+    pure-NumPy reference parity pytest
     (test_llm_ops.test_mmr_rerank_matches_local_reference)."""
     from vector_indexer_spark.operators.knn import knn_exact
     from vector_indexer_spark.operators.similarity import mmr_rerank
