@@ -738,6 +738,41 @@ class TestMaxSim:
         with pytest.raises(ValueError):
             maxsim_topk(df, q, metric="euclid")
 
+    def test_multivector_sum_of_max(self, spark):
+        """Full ColBERT shape: a query whose two tokens each align
+        with a DIFFERENT doc's single token must rank the doc covering
+        BOTH tokens above docs covering one — sum-of-max, not best
+        single match. Identity bags score ~1e6 per token."""
+        from vector_indexer_spark.operators.similarity import (
+            maxsim_multivector,
+        )
+
+        toks = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),   # doc 1 covers token A only
+                (2, [0.0, 1.0]),   # doc 2 covers token B only
+                (3, [1.0, 0.0]),   # doc 3 covers both
+                (3, [0.0, 1.0]),
+            ],
+            "doc_id long, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [(7, 0, [1.0, 0.0]), (7, 1, [0.0, 1.0])],
+            "query_id long, qtok_id long, query array<double>",
+        )
+        out = {
+            r.doc_id: (r.rank, r.score_micros)
+            for r in maxsim_multivector(toks, q, k=10).collect()
+        }
+        assert out[3][0] == 1 and out[3][1] >= 2_000_000 - 2
+        # one aligned token + one orthogonal -> ~1e6
+        assert out[1][0] in (2, 3) and 999_998 <= out[1][1] <= 1_000_000
+        assert out[2][1] == out[1][1]  # symmetric coverage, tie by id
+        assert out[1][0] < out[2][0]
+
+        with pytest.raises(ValueError):
+            maxsim_multivector(toks, q, k=0)
+
 
 def test_hard_negatives_excludes_self_handles_duplicates(spark, embeddings, tmp_path):
     from vector_indexer_spark.operators.index_build import build_index

@@ -4868,6 +4868,68 @@ _BM25_BATCH = [
 ]
 
 
+def _sim_maxsim_multivector(spark, sf_dir):
+    """Full ColBERT-shaped late interaction: both sides are bags of
+    token vectors, score(q, d) = Σ over query tokens of the max cosine
+    to any doc token, in order-free integer micros. Fixture: 4-vector
+    'documents' carved from the embeddings table (doc = vec_id div 4),
+    queried with two docs' own token bags — each must rank itself
+    first with score ≈ 4·1e6 (its per-token maxes are all 1.0)."""
+    from vector_indexer_spark.operators.similarity import (
+        maxsim_multivector,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    toks = emb.filter(F.col("vec_id") < 200).select(
+        F.expr("vec_id div 4").alias("doc_id"), "embedding"
+    )
+    q = emb.filter(
+        F.col("vec_id").isin(0, 1, 2, 3, 120, 121, 122, 123)
+    ).select(
+        F.expr("vec_id div 4").alias("query_id"),
+        F.col("vec_id").alias("qtok_id"),
+        F.col("embedding").alias("query"),
+    )
+    return maxsim_multivector(toks, q, k=10, vec_col="embedding")
+
+
+_register(
+    "sim_maxsim_multivector",
+    _sim_maxsim_multivector,
+    f"""
+    WITH dt AS (
+      SELECT vec_id // 4 AS doc_id, embedding FROM embeddings
+      WHERE vec_id < 200
+    ),
+    qt AS (
+      SELECT vec_id // 4 AS query_id, vec_id AS qtok,
+             embedding AS query
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 120, 121, 122, 123)
+    ),
+    per_tok AS (
+      SELECT qt.query_id, qt.qtok, dt.doc_id,
+             MAX({_DD_DOT.format(a="qt.query", b="dt.embedding")}
+                 / ({_DD_NORM.format(a="qt.query")}
+                    * {_DD_NORM.format(a="dt.embedding")})) AS best
+      FROM dt CROSS JOIN qt
+      GROUP BY 1, 2, 3
+    ),
+    scores AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(floor(best * 1000000) AS BIGINT))
+                  AS BIGINT) AS score_micros
+      FROM per_tok GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score_micros DESC, doc_id) AS INT) AS rank,
+           doc_id, score_micros
+    FROM scores
+    QUALIFY rank <= 10
+    """,
+)
+
+
 def _text_bm25_batch(spark, sf_dir):
     """Batched BM25 (inverted-index formulation): three keyword
     queries scored in one plan, postings pruned by a broadcast
@@ -11618,7 +11680,7 @@ _HEAD_KEYS = (
     "events_rolling_range_window",
     "events_running_revenue",
     "events_value_histogram",
-    "events_value_ntiles",
+    "sim_maxsim_multivector",
     "text_bigram_surprisal",
     "text_bm25_batch",
     "text_difficulty_buckets",

@@ -565,6 +565,73 @@ def maxsim_topk(
     )
 
 
+def maxsim_multivector(
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    k: int = 10,
+    *,
+    doc_col: str = "doc_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qtok_col: str = "qtok_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Full late-interaction retrieval (Khattab & Zaharia 2020,
+    ColBERT): both sides are BAGS of token vectors and
+    ``score(q, d) = Σ_{t ∈ q} max_{u ∈ d} cos(t, u)`` — each query
+    token independently finds its best-matching document token, so a
+    document matches on the union of its aligned terms instead of one
+    pooled vector. :func:`maxsim_topk` is the single-vector-query
+    special case (best chunk); this is the multi-token query surface.
+
+    Scores are emitted as ``score_micros`` (BIGINT, each per-token max
+    floored at 1e-6 resolution before the sum) so the cross-token sum
+    is ORDER-FREE — the same integer-unit discipline every aggregating
+    oracle in this engine uses; a double sum over a shuffled groupBy
+    has no deterministic accumulation order.
+
+    Scale shape: the query batch (all its tokens) broadcasts; token
+    scoring is scan-local over the doc-token table; per-(query, token,
+    doc) MAX and per-(query, doc) SUM are both map-side-combinable
+    aggregations on the same leading keys (one real shuffle + an AQE
+    local re-agg); final top-k is a per-query window. The doc-token
+    table — the 100 TB side — never shuffles before aggregation keyed
+    rows are token-count-bounded. Returns
+    ``(query_id, rank, doc_id, score_micros)``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    q = query_tokens.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(qtok_col).alias("__qtok"),
+        F.col(query_col).alias("__q"),
+    )
+    per_token = (
+        doc_tokens.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "__qtok",
+            F.col(doc_col).alias("doc_id"),
+            cosine_expr("__q", F.col(vec_col)).alias("__sim"),
+        )
+        .groupBy("query_id", "__qtok", "doc_id")
+        .agg(F.max("__sim").alias("__best"))
+    )
+    scores = per_token.groupBy("query_id", "doc_id").agg(
+        F.sum(
+            F.floor(F.col("__best") * F.lit(1_000_000.0)).cast("long")
+        ).alias("score_micros")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), "doc_id"
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_micros")
+    )
+
+
 def mine_hard_negatives(
     df: DataFrame,
     *,
