@@ -774,6 +774,68 @@ class TestMaxSim:
             maxsim_multivector(toks, q, k=0)
 
 
+class TestMrlSearch:
+    def test_full_prefix_degenerates_to_exact(self, spark, embeddings):
+        """prefix_dims = d makes the shortlist pass exact, so the
+        refined result must equal exact kNN row-for-row; a 16-dim
+        prefix with generous refine must still recover most of the
+        true top-10 (prefix ranking is a valid coarse filter even on
+        non-MRL-trained vectors)."""
+        from vector_indexer_spark.operators.knn import knn_exact
+        from vector_indexer_spark.operators.similarity import mrl_search
+
+        q = embeddings.filter(F.col("vec_id") % 37 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query"),
+        )
+        d = len(embeddings.first()["embedding"])
+        full = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.dist2)
+            for r in mrl_search(
+                embeddings, q, k=5, prefix_dims=d, refine_factor=1
+            ).collect()
+        )
+        exact = sorted(
+            (r.query_id, r.rank, r.neighbor_id, r.dist2)
+            for r in knn_exact(
+                embeddings, q, k=5, id_col="vec_id", vec_col="embedding",
+                method="native",
+            ).collect()
+        )
+        assert full == exact
+
+        # these embeddings are NOT MRL-trained, so a 16-of-32 prefix is
+        # a noisy coarse filter — a deep shortlist (100 of ~500) must
+        # still recover well over half the true top-5; the exactness
+        # contract above is the real lock
+        got = mrl_search(
+            embeddings, q, k=5, prefix_dims=16, refine_factor=20
+        ).collect()
+        want = {(t[0], t[2]) for t in exact}
+        hits = sum(1 for r in got if (r.query_id, r.neighbor_id) in want)
+        assert hits / len(want) >= 0.6, hits / len(want)
+        # refined distances are TRUE full-width distances
+        exact_d = {(r[0], r[2]): r[3] for r in exact}
+        for r in got:
+            key = (r.query_id, r.neighbor_id)
+            if key in exact_d:
+                assert r.dist2 == exact_d[key]
+
+    def test_validation(self, spark, embeddings):
+        from vector_indexer_spark.operators.similarity import mrl_search
+
+        q = embeddings.limit(1).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query"),
+        )
+        with pytest.raises(ValueError):
+            mrl_search(embeddings, q, k=0)
+        with pytest.raises(ValueError):
+            mrl_search(embeddings, q, prefix_dims=0)
+        with pytest.raises(ValueError):
+            mrl_search(embeddings, q, refine_factor=0)
+
+
 def test_hard_negatives_excludes_self_handles_duplicates(spark, embeddings, tmp_path):
     from vector_indexer_spark.operators.index_build import build_index
     from vector_indexer_spark.operators.similarity import (

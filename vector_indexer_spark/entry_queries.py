@@ -4868,6 +4868,62 @@ _BM25_BATCH = [
 ]
 
 
+def _sim_mrl_search(spark, sf_dir):
+    """Matryoshka-truncated retrieval: shortlist on the first 16 of 32
+    dims (half the scan bytes), exact refine of the 40-deep shortlist
+    back to true top-10 — the adaptive-retrieval shape for
+    MRL-trained embeddings, here exercised on the synthetic table
+    (prefix quality is data-dependent; the CONTRACT — prefix-space
+    ranking, refine against full width — is what the oracle locks)."""
+    from vector_indexer_spark.operators.similarity import mrl_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") >= 495).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return mrl_search(
+        emb, q, k=10, prefix_dims=16, refine_factor=4,
+        id_col="vec_id", vec_col="embedding",
+    )
+
+
+_register(
+    "sim_mrl_search",
+    _sim_mrl_search,
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query,
+             embedding[1:16] AS q16
+      FROM embeddings WHERE vec_id >= 495
+    ),
+    v AS (
+      SELECT vec_id, embedding, embedding[1:16] AS v16 FROM embeddings
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT q.query_id, v.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_DD_DIST2.format(a="q.q16", b="v.v16")}, v.vec_id
+               ) AS rn
+        FROM v CROSS JOIN q
+      ) WHERE rn <= 40
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dist2, neighbor_id) AS INT) AS rank,
+           neighbor_id, dist2
+    FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {_DD_DIST2.format(a="q.query", b="v.embedding")} AS dist2
+      FROM shortlist s
+      JOIN v ON v.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    QUALIFY rank <= 10
+    """,
+)
+
+
 def _sim_maxsim_multivector(spark, sf_dir):
     """Full ColBERT-shaped late interaction: both sides are bags of
     token vectors, score(q, d) = Σ over query tokens of the max cosine
@@ -11685,7 +11741,7 @@ _HEAD_KEYS = (
     "text_bm25_batch",
     "text_difficulty_buckets",
     "text_dsir_scores",
-    "text_dsir_selected",
+    "sim_mrl_search",
     "text_source_drift",
     "text_unigram_surprisal",
     "profile_psi",

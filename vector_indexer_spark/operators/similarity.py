@@ -632,6 +632,61 @@ def maxsim_multivector(
     )
 
 
+def mrl_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    prefix_dims: int = 16,
+    refine_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine: bool = True,
+) -> DataFrame:
+    """Matryoshka-truncated search (Kusupati et al. 2022, MRL):
+    shortlist on the FIRST ``prefix_dims`` coordinates — for
+    Matryoshka-trained embeddings the prefix is itself a valid
+    lower-dimensional embedding — then exact-refine the
+    ``refine_factor·k`` shortlist against the full vectors. The
+    adaptive-retrieval deployment shape: the scan pass touches
+    ``prefix_dims/d`` of the vector bytes (d=768 → 1/48 at prefix 16),
+    the refine pass re-pays full width on nq·refine·k rows only.
+
+    Pure composition: sliced exact kNN (scan-local ``slice`` — no
+    codes, no training) + the engine's shared ``refine_topk`` stage.
+    ``refine=False`` returns the truncated-distance ranking as-is
+    (``dist2`` is then the prefix-space distance). Deterministic both
+    ways, so the whole chain is SQL-replayed
+    (``sim_mrl_search``). Returns
+    ``(query_id, rank, neighbor_id, dist2)``.
+    """
+    from vector_indexer_spark.operators.knn import knn_exact  # noqa: PLC0415
+    from vector_indexer_spark.operators.pq import refine_topk  # noqa: PLC0415
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if prefix_dims <= 0:
+        raise ValueError("prefix_dims must be positive")
+    if refine_factor < 1:
+        raise ValueError("refine_factor must be >= 1")
+    v_cut = vectors.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dims).alias(vec_col)
+    )
+    q_cut = queries.select(
+        "query_id", F.slice(F.col("query"), 1, prefix_dims).alias("query")
+    )
+    shortlist_k = refine_factor * k if refine else k
+    hits = knn_exact(
+        v_cut, q_cut, k=shortlist_k,
+        id_col=id_col, vec_col=vec_col, method="native",
+    )
+    if not refine:
+        return hits
+    return refine_topk(
+        hits, vectors, queries, k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def mine_hard_negatives(
     df: DataFrame,
     *,
