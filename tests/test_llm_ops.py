@@ -774,6 +774,66 @@ class TestMaxSim:
             maxsim_multivector(toks, q, k=0)
 
 
+class TestMaxSimAnn:
+    def test_full_candidates_equal_brute_maxsim(
+        self, spark, embeddings, tmp_path
+    ):
+        """token_k >= corpus tokens at full probe makes every doc a
+        candidate, so the ANN path must equal brute maxsim_multivector
+        row-for-row; a tight token_k must still rank each query's own
+        source doc first (its tokens are their own nearest)."""
+        from vector_indexer_spark.operators.index_build import build_index
+        from vector_indexer_spark.operators.similarity import (
+            maxsim_multivector,
+            maxsim_multivector_ann,
+        )
+
+        toks = embeddings.filter(F.col("vec_id") < 120).select(
+            F.expr("vec_id div 4").alias("doc_id"),
+            F.col("vec_id").alias("tok_id"),
+            "embedding",
+        )
+        idx = build_index(
+            toks.select(
+                F.col("tok_id").alias("id"),
+                F.col("embedding").alias("values"),
+            ),
+            str(tmp_path / "maxsim_ann_idx"),
+            nlist=8,
+            seed=7,
+        )
+        q = embeddings.filter(F.col("vec_id").isin(0, 1, 2, 3, 40, 41, 42, 43)).select(
+            F.expr("vec_id div 4").alias("query_id"),
+            F.col("vec_id").alias("qtok_id"),
+            F.col("embedding").alias("query"),
+        )
+
+        def rows(df):
+            return sorted(
+                (r.query_id, r.rank, r.doc_id, r.score_micros)
+                for r in df.collect()
+            )
+
+        ann_full = maxsim_multivector_ann(
+            spark, toks, q, idx, k=5, token_k=120, n_probe=idx.nlist
+        )
+        brute = maxsim_multivector(
+            toks, q, k=5, doc_col="doc_id", vec_col="embedding"
+        )
+        assert rows(ann_full) == rows(brute)
+
+        pruned = maxsim_multivector_ann(
+            spark, toks, q, idx, k=5, token_k=4, n_probe=idx.nlist
+        ).collect()
+        top1 = {r.query_id: r.doc_id for r in pruned if r.rank == 1}
+        assert top1 == {0: 0, 10: 10}
+
+        with pytest.raises(ValueError):
+            maxsim_multivector_ann(spark, toks, q, idx, k=0)
+        with pytest.raises(ValueError):
+            maxsim_multivector_ann(spark, toks, q, idx, token_k=0)
+
+
 class TestMrlSearch:
     def test_full_prefix_degenerates_to_exact(self, spark, embeddings):
         """prefix_dims = d makes the shortlist pass exact, so the

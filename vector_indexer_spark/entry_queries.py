@@ -4986,6 +4986,105 @@ _register(
 )
 
 
+_MAXSIM_ANN_IDX_CACHE: dict = {}
+
+
+def _sim_maxsim_ann(spark, sf_dir):
+    """ANN-accelerated late interaction (PLAID/ColBERTv2 shape): each
+    query token routes through a REAL trained IVF index over the token
+    space for its top-8 nearest tokens; the union of parent docs is
+    exact-MaxSim-rescored. Run at FULL probe, so candidate generation
+    is exact top-8 per token regardless of where training put the
+    centroids — the training-independent oracle trick
+    ivf_range_search_full established."""
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.operators.similarity import (
+        maxsim_multivector_ann,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    toks = emb.filter(F.col("vec_id") < 200).select(
+        F.expr("vec_id div 4").alias("doc_id"),
+        F.col("vec_id").alias("tok_id"),
+        "embedding",
+    )
+    if sf_dir not in _MAXSIM_ANN_IDX_CACHE:
+        import tempfile
+
+        vec = toks.select(
+            F.col("tok_id").alias("id"), F.col("embedding").alias("values")
+        )
+        path = tempfile.mkdtemp(prefix="maxsim_ann_") + "/index"
+        _MAXSIM_ANN_IDX_CACHE[sf_dir] = build_index(
+            vec, path, nlist=16, seed=42
+        )
+    idx = _MAXSIM_ANN_IDX_CACHE[sf_dir]
+    q = emb.filter(
+        F.col("vec_id").isin(0, 1, 2, 3, 120, 121, 122, 123)
+    ).select(
+        F.expr("vec_id div 4").alias("query_id"),
+        F.col("vec_id").alias("qtok_id"),
+        F.col("embedding").alias("query"),
+    )
+    return maxsim_multivector_ann(
+        spark, toks, q, idx, k=10, token_k=8, n_probe=idx.nlist,
+    )
+
+
+_register(
+    "sim_maxsim_ann",
+    _sim_maxsim_ann,
+    f"""
+    WITH dt AS (
+      SELECT vec_id // 4 AS doc_id, vec_id AS tok, embedding
+      FROM embeddings WHERE vec_id < 200
+    ),
+    qt AS (
+      SELECT vec_id // 4 AS query_id, vec_id AS qtok,
+             embedding AS query
+      FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 120, 121, 122, 123)
+    ),
+    -- full probe => candidate tokens are the exact top-8 per query
+    -- token by L2 (ties by token id)
+    cand_toks AS (
+      SELECT query_id, qtok, tok FROM (
+        SELECT qt.query_id, qt.qtok, dt.tok,
+               row_number() OVER (PARTITION BY qt.qtok ORDER BY
+                 {_DD_DIST2.format(a="qt.query", b="dt.embedding")},
+                 dt.tok) AS rn
+        FROM dt CROSS JOIN qt
+      ) WHERE rn <= 8
+    ),
+    cand AS (
+      SELECT DISTINCT c.query_id, d.doc_id
+      FROM cand_toks c JOIN dt d ON d.tok = c.tok
+    ),
+    per_tok AS (
+      SELECT qt.query_id, qt.qtok, dt.doc_id,
+             MAX({_DD_DOT.format(a="qt.query", b="dt.embedding")}
+                 / ({_DD_NORM.format(a="qt.query")}
+                    * {_DD_NORM.format(a="dt.embedding")})) AS best
+      FROM cand
+      JOIN dt ON dt.doc_id = cand.doc_id
+      JOIN qt ON qt.query_id = cand.query_id
+      GROUP BY 1, 2, 3
+    ),
+    scores AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(floor(best * 1000000) AS BIGINT))
+                  AS BIGINT) AS score_micros
+      FROM per_tok GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score_micros DESC, doc_id) AS INT) AS rank,
+           doc_id, score_micros
+    FROM scores
+    QUALIFY rank <= 10
+    """,
+)
+
+
 def _text_bm25_batch(spark, sf_dir):
     """Batched BM25 (inverted-index formulation): three keyword
     queries scored in one plan, postings pruned by a broadcast

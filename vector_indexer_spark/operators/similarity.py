@@ -632,6 +632,96 @@ def maxsim_multivector(
     )
 
 
+def maxsim_multivector_ann(
+    spark: SparkSession,
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    index,
+    k: int = 10,
+    *,
+    token_k: int = 32,
+    n_probe: int = 20,
+    doc_col: str = "doc_id",
+    tok_col: str = "tok_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    qtok_col: str = "qtok_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """ANN-accelerated late interaction (the PLAID / ColBERTv2
+    retrieval shape, Santhanam et al. 2022): each query token routes
+    through the IVF ``index`` (built over the token vectors,
+    ``tok_col`` as its id — ids must be globally unique across docs)
+    for its ``token_k`` nearest doc tokens; the union of their parent
+    documents is the candidate set, and the exact sum-of-max MaxSim
+    (:func:`maxsim_multivector` semantics, order-free integer micros)
+    is computed ONLY over candidate docs' full token bags. A document
+    none of whose tokens surfaces in any query token's probe is never
+    scored — that pruning is the point: the scoring pass touches
+    candidate-doc tokens instead of all n_doc_tokens, and the
+    candidate pass inherits IVF's partition-pruned probe scan. At full
+    probe (``n_probe = index.nlist``) candidate generation is exact
+    top-``token_k`` per token, which is how the oracle replays the
+    whole chain training-independently. Returns
+    ``(query_id, rank, doc_id, score_micros)``.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if token_k <= 0:
+        raise ValueError("token_k must be positive")
+    qt = query_tokens.select(
+        F.col(query_id_col).alias("__query"),
+        F.col(qtok_col).alias("query_id"),  # search key = the token id
+        F.col(query_col).alias("query"),
+    )
+    hits = search_index(
+        spark, index, qt.select("query_id", "query"),
+        k=token_k, n_probe=n_probe,
+    )
+    tok2doc = doc_tokens.select(
+        F.col(tok_col).alias("neighbor_id"), F.col(doc_col).alias("doc_id")
+    )
+    qtok2query = qt.select(F.col("query_id"), F.col("__query"))
+    cand = (
+        hits.join(tok2doc, "neighbor_id")
+        .join(F.broadcast(qtok2query), "query_id")
+        .select(F.col("__query").alias("query_id"), "doc_id")
+        .distinct()
+    )
+    # exact MaxSim over the candidates' FULL token bags
+    qbag = query_tokens.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(qtok_col).alias("__qtok"),
+        F.col(query_col).alias("__q"),
+    )
+    per_token = (
+        doc_tokens.select(F.col(doc_col).alias("doc_id"), F.col(vec_col))
+        .join(cand, "doc_id")
+        .join(F.broadcast(qbag), "query_id")
+        .select(
+            "query_id",
+            "__qtok",
+            "doc_id",
+            cosine_expr("__q", F.col(vec_col)).alias("__sim"),
+        )
+        .groupBy("query_id", "__qtok", "doc_id")
+        .agg(F.max("__sim").alias("__best"))
+    )
+    scores = per_token.groupBy("query_id", "doc_id").agg(
+        F.sum(
+            F.floor(F.col("__best") * F.lit(1_000_000.0)).cast("long")
+        ).alias("score_micros")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), "doc_id"
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_micros")
+    )
+
+
 def mrl_search(
     vectors: DataFrame,
     queries: DataFrame,
