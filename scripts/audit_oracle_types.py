@@ -66,7 +66,11 @@ def type_ok(t: str) -> bool:
 
 def audit(sf_dir: str = "/root/testdata/sf0.01", quiet: bool = False):
     """Return {key: [(col, bad_type), ...]} for every violating oracle."""
-    sys.path.insert(0, "/root/repo")
+    import os  # noqa: PLC0415
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     import __spark_entry__ as entry_mod
 
     con = duckdb.connect()

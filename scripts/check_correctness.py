@@ -134,6 +134,13 @@ def _spark_to_arrow_kind(dt) -> str:
         return "binary"
     if isinstance(dt, T.TimestampType):
         return "timestamp"
+    # Spark 3.4+ NTZ timestamps map to the same loose kind as DuckDB's
+    # zone-naive 'timestamp' — without this case they would stringify as
+    # 'other:timestamp_ntz' and false-FAIL a type-equal compare.
+    if hasattr(T, "TimestampNTZType") and isinstance(
+        dt, T.TimestampNTZType
+    ):
+        return "timestamp"
     if isinstance(dt, T.DateType):
         return "date"
     if isinstance(dt, T.DecimalType):

@@ -178,6 +178,40 @@ def _maxsim_df(spark, docs):
     return maxsim_topk(cemb, q, k=10, metric="dot")
 
 
+def _maxsim_ann_df(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.operators.similarity import (
+        maxsim_multivector_ann,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    toks = emb.filter(F.col("vec_id") < 200).select(
+        F.expr("vec_id div 4").alias("doc_id"),
+        F.col("vec_id").alias("tok_id"),
+        "embedding",
+    )
+    idx = build_index(
+        toks.select(
+            F.col("tok_id").alias("id"), F.col("embedding").alias("values")
+        ),
+        tempfile.mkdtemp(prefix="plan_maxsim_") + "/idx",
+        nlist=16,
+        seed=42,
+    )
+    q = emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 120, 121, 122, 123)).select(
+        F.expr("vec_id div 4").alias("query_id"),
+        F.col("vec_id").alias("qtok_id"),
+        F.col("embedding").alias("query"),
+    )
+    return maxsim_multivector_ann(
+        spark, toks, q, idx, k=10, token_k=8, n_probe=4
+    )
+
+
 def _q7_df(spark, sf_dir):
     from vector_indexer_spark.operators.olap import volume_shipping
 
@@ -715,6 +749,16 @@ def main():
             "Scan-local chunk scoring vs broadcast queries, then one "
             "map-side-combinable MAX per (query, doc).",
             _maxsim_df(spark, docs),
+        ),
+        (
+            "ANN-accelerated multi-vector MaxSim (PLAID shape)",
+            "Query tokens route through the partition-pruned IVF probe "
+            "scan; hits (nq_tokens x token_k) and the candidate doc set "
+            "carry EXPLICIT broadcast hints, so the doc-token table "
+            "joins without shuffling; its only exchanges are the two "
+            "map-side-combinable aggregations (per-token MAX, per-doc "
+            "SUM) and the final ranking window.",
+            _maxsim_ann_df(spark, sf_dir),
         ),
         (
             "HyperLogLog registers",

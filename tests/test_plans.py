@@ -827,3 +827,52 @@ def test_graph_sq_refine_broadcasts_shortlist(spark, tmp_path):
     # scan joins against BROADCAST candidates without shuffling — no
     # corpus-sized exchange anywhere.
     assert s["shuffles"] <= 2
+
+
+def test_maxsim_ann_doc_tokens_never_shuffle_before_agg(
+    spark, embeddings, tmp_path
+):
+    """PLAID-shaped MaxSim: both candidate-generation joins carry
+    explicit broadcast hints (hits = nq_tokens*token_k rows; cand =
+    candidate doc ids) — at 100 TB doc-token scale a missed runtime
+    broadcast would shuffle the full token table twice. Assert NO
+    shuffled join anywhere in the plan: the doc-token side's only
+    exchanges are the aggregation's (and the final ranking window's),
+    all AFTER map-side partial aggregation."""
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.operators.similarity import (
+        maxsim_multivector_ann,
+    )
+
+    toks = embeddings.filter(F.col("vec_id") < 80).select(
+        F.expr("vec_id div 4").alias("doc_id"),
+        F.col("vec_id").alias("tok_id"),
+        "embedding",
+    )
+    idx = build_index(
+        toks.select(
+            F.col("tok_id").alias("id"), F.col("embedding").alias("values")
+        ),
+        str(tmp_path / "maxsim_plan_idx"),
+        nlist=4,
+        seed=3,
+    )
+    q = embeddings.filter(F.col("vec_id").isin(0, 1, 40, 41)).select(
+        F.expr("vec_id div 4").alias("query_id"),
+        F.col("vec_id").alias("qtok_id"),
+        F.col("embedding").alias("query"),
+    )
+    out = maxsim_multivector_ann(
+        spark, toks, q, idx, k=5, token_k=8, n_probe=idx.nlist
+    )
+    s = audit.plan_summary(out)
+    plan = audit.executed_plan(out)
+    # every join in the chain is broadcast — a SortMergeJoin or
+    # ShuffledHashJoin would mean a doc-token-table-sized exchange
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert not s["cartesian"]
+    # hits, qtok2query, cand, qbag (+ the IVF probe path's own hints)
+    assert s["broadcasts"] >= 4
+    # the scoring aggregation is map-side combinable before its exchange
+    assert "partial_max" in plan or "partial" in plan.lower()

@@ -52,11 +52,18 @@ def _mat(sql: str) -> str:
     visited/edge chains 3x per hop — inlining re-evaluates the whole
     upstream build combinatorially (the merge replay measured 130 s
     inlined vs 0.3 s materialized, identical results). Idempotent: the
-    pattern does not re-match an already-MATERIALIZED definition."""
+    pattern does not re-match an already-MATERIALIZED definition.
+
+    Anchored to the WITH-list: a CTE definition is preceded by either
+    the WITH keyword or the ',' closing the previous CTE — a bare
+    '\\n<ws><word> AS (' elsewhere (e.g. a future 'WINDOW w AS (...)'
+    clause) is NOT rewritten. Any residual mis-rewrite is caught by the
+    DESCRIBE-bind pass in scripts/audit_oracle_types.py, which binds
+    every registered oracle."""
     import re  # noqa: PLC0415
 
     return re.sub(
-        r"(\n\s+|WITH\s+)(\w+) AS \(",
+        r"((?:WITH|,)\s*(?:--[^\n]*\n\s*)*)(\w+) AS \(",
         r"\1\2 AS MATERIALIZED (",
         sql,
     )

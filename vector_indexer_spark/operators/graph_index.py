@@ -461,6 +461,7 @@ def search_graph_index_sq(
     code_col: str = "codes",
     coarse_method: str = "native",
     filter_ids: DataFrame | None = None,
+    materialize_recon: bool = True,
 ) -> DataFrame:
     """Quantized graph traversal with exact refine — the DiskANN shape
     (Subramanya et al., NeurIPS 2019: walk the graph on compressed
@@ -500,6 +501,14 @@ def search_graph_index_sq(
     residual trick that holds ``search_ivfsq_index`` at 0.98+ on data
     where flat SQ8 drops to ~0.3). Flat SQ8 remains the opt-in for
     corpora without cluster structure, where the two coincide.
+
+    ``materialize_recon`` (here and on the rsq/pq/opq adapters) is
+    forwarded to the quantizer-generic core: the default True
+    localCheckpoints the decoded corpus once so the per-hop joins
+    don't re-execute the decode plan (measured 14.3 s -> 4.9 s at 1M),
+    but it materializes n*d doubles — pass False on corpora whose
+    DECODED matrix exceeds cluster memory to keep the codes-sized
+    working set that motivates compressed traversal.
     """
     from vector_indexer_spark.operators.sq import (  # noqa: PLC0415
         reconstruct_expr,
@@ -522,6 +531,7 @@ def search_graph_index_sq(
         k=k, beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
         refine_factor=refine_factor, vectors=vectors,
         coarse_method=coarse_method, filter_ids=filter_ids,
+        materialize_recon=materialize_recon,
     )
 
 
@@ -665,6 +675,7 @@ def search_graph_index_rsq(
     code_col: str = "codes",
     coarse_method: str = "native",
     filter_ids: DataFrame | None = None,
+    materialize_recon: bool = True,
 ) -> DataFrame:
     """Residual-SQ8 quantized traversal — the DEFAULT quantized graph
     tier (see :func:`rsq_encode_graph` for why it replaces flat SQ8).
@@ -696,6 +707,7 @@ def search_graph_index_rsq(
         k=k, beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
         refine_factor=refine_factor, vectors=vectors,
         coarse_method=coarse_method, filter_ids=filter_ids,
+        materialize_recon=materialize_recon,
     )
 
 
@@ -715,6 +727,7 @@ def search_graph_index_pq(
     code_col: str = "codes",
     coarse_method: str = "native",
     filter_ids: DataFrame | None = None,
+    materialize_recon: bool = True,
 ) -> DataFrame:
     """PQ-codes graph traversal with exact refine — the same DiskANN
     shape as :func:`search_graph_index_sq` with the quantizer DiskANN
@@ -747,6 +760,7 @@ def search_graph_index_pq(
         k=k, beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
         refine_factor=refine_factor, vectors=vectors,
         coarse_method=coarse_method, filter_ids=filter_ids,
+        materialize_recon=materialize_recon,
     )
 
 
@@ -814,6 +828,7 @@ def search_graph_index_opq(
     code_col: str = "codes",
     coarse_method: str = "native",
     filter_ids: DataFrame | None = None,
+    materialize_recon: bool = True,
 ) -> DataFrame:
     """OPQ-codes graph traversal with exact refine: ``model`` is an
     :class:`~...opq.OPQModel` (learned orthogonal rotation + PQ in the
@@ -838,6 +853,7 @@ def search_graph_index_opq(
         k=k, beam=beam, max_hops=max_hops, entry_fanout=entry_fanout,
         refine_factor=refine_factor, vectors=vectors,
         coarse_method=coarse_method, filter_ids=filter_ids,
+        materialize_recon=materialize_recon,
     )
 
 
@@ -879,6 +895,14 @@ def search_graph_index_local(
     corpus + edges exceed executor memory; this one when they fit
     (every executor holds the full index — the HNSW deployment shape —
     and queries scale out embarrassingly).
+
+    ``filter_ids`` (and tombstones) are collected to the driver and
+    ride the broadcast — they must be driver-collectable in this
+    regime (guarded: >max(10M, 4n) rows raises pre-collect). That is
+    never the binding constraint here, since the local regime already
+    requires the full vector matrix on the driver; a corpus-scale
+    allow-set belongs on :func:`search_graph_index`, whose filter is a
+    broadcast semi-join.
     """
     import numpy as np  # noqa: PLC0415
 
@@ -957,9 +981,23 @@ def search_graph_index_local(
     )
     allow_ids = None
     if filter_ids is not None:
+        # LOCAL-regime constraint: the allow-set rides the broadcast, so
+        # it must be driver-collectable (the distributed path's broadcast
+        # semi-join has no such limit). The index vectors are already
+        # driver-resident here, so any set up to corpus size is fine —
+        # the guard exists to fail loudly, pre-collect, on a mistaken
+        # corpus-scale frame instead of OOMing the driver.
         col0 = (
             idc if idc in filter_ids.columns else filter_ids.columns[0]
         )
+        n_filter = filter_ids.count()
+        if n_filter > max(10_000_000, 4 * len(ids_sorted)):
+            raise ValueError(
+                f"filter_ids has {n_filter} rows — too large to collect "
+                "to the driver for the local regime; use "
+                "search_graph_index (distributed), whose filter is a "
+                "broadcast semi-join"
+            )
         allow_ids = np.unique(
             np.asarray(
                 [r[col0] for r in filter_ids.select(col0).collect()],

@@ -682,8 +682,11 @@ def maxsim_multivector_ann(
         F.col(tok_col).alias("neighbor_id"), F.col(doc_col).alias("doc_id")
     )
     qtok2query = qt.select(F.col("query_id"), F.col("__query"))
+    # hits is contract-bounded (n_query_tokens * token_k rows) — hint it
+    # explicitly so the token->doc mapping side (doc-token-table-sized)
+    # never shuffles for this join even if AQE misestimates at scale
     cand = (
-        hits.join(tok2doc, "neighbor_id")
+        F.broadcast(hits).join(tok2doc, "neighbor_id")
         .join(F.broadcast(qtok2query), "query_id")
         .select(F.col("__query").alias("query_id"), "doc_id")
         .distinct()
@@ -694,9 +697,12 @@ def maxsim_multivector_ann(
         F.col(qtok_col).alias("__qtok"),
         F.col(query_col).alias("__q"),
     )
+    # cand is (n_queries * candidate docs) — also bounded; broadcast so
+    # the full doc-token table is pruned by a broadcast semi-probe
+    # instead of shuffling on doc_id
     per_token = (
         doc_tokens.select(F.col(doc_col).alias("doc_id"), F.col(vec_col))
-        .join(cand, "doc_id")
+        .join(F.broadcast(cand), "doc_id")
         .join(F.broadcast(qbag), "query_id")
         .select(
             "query_id",
