@@ -317,6 +317,94 @@ def test_streaming_ingest_matches_sequential_batch_adds(spark, tmp_path):
     assert sidx.n_vectors == 60 + b1.count() + b2.count()
 
 
+def test_streaming_ingest_upsert_updates_vector(spark, tmp_path):
+    """on_update="upsert": a redelivered id carrying a CHANGED vector
+    is re-linked at its new position and its canonical row replaced —
+    the updated vector is searchable post-batch (its own exact query
+    finds it at rank 1, dist2 0). Row count and n_vectors are
+    unchanged by the update; an unchanged redelivery stays a no-op;
+    on_update="ignore" keeps the drop semantic."""
+    from vector_indexer_spark.operators.graph_index import (
+        search_graph_index,
+    )
+    from vector_indexer_spark.streaming.graph import (
+        start_graph_index_ingest,
+    )
+
+    base = _clustered_vectors(spark, n_clusters=3, per=20, d=6, seed=47)
+    path = str(tmp_path / "up_gidx")
+    idx = build_graph_index(base, path, k=4, iterations=1, coarse_size=12)
+    vecs_dir = str(tmp_path / "up_vectors")
+    base.write.parquet(vecs_dir)
+    kwargs = dict(beam=8, max_hops=3, entry_fanout=4, batch_iterations=1)
+
+    moved = base.filter(F.col("id") == 5).select(
+        "id",
+        F.transform("values", lambda x: x + F.lit(25.0))
+        .cast("array<float>")
+        .alias("values"),
+    )
+    new_row = base.filter(F.col("id") == 7).select(
+        (F.col("id") + 700).alias("id"), "values"
+    )
+    unchanged = base.filter(F.col("id") == 9)
+    batch = moved.unionByName(new_row).unionByName(unchanged)
+
+    def run(batch_df, src, ckpt, **kw):
+        batch_df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "id long, values array<float>"
+        ).parquet(src)
+        q = start_graph_index_ingest(
+            idx, stream, vecs_dir, str(ckpt), trigger_available_now=True,
+            **kwargs, **kw,
+        )
+        q.awaitTermination(180)
+
+    run(batch, str(tmp_path / "in1"), tmp_path / "ck1", on_update="upsert")
+
+    after = spark.read.parquet(vecs_dir)
+    assert after.count() == 61  # +1 new row, update added nothing
+    assert idx.n_vectors == 61
+    got = after.filter(F.col("id") == 5).first()["values"]
+    want = moved.first()["values"]
+    assert list(got) == list(want)  # canonical row replaced, once
+
+    q5 = moved.select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    hit = (
+        search_graph_index(spark, idx, after, q5, k=1, beam=8, max_hops=3)
+        .filter(F.col("rank") == 1)
+        .first()
+    )
+    assert hit["neighbor_id"] == 5 and hit["dist2"] == 0.0
+
+    # ignore mode: a further vector change on id 5 is dropped
+    moved2 = base.filter(F.col("id") == 5).select(
+        "id",
+        F.transform("values", lambda x: x - F.lit(50.0))
+        .cast("array<float>")
+        .alias("values"),
+    )
+    run(moved2, str(tmp_path / "in2"), tmp_path / "ck2", on_update="ignore")
+    got2 = spark.read.parquet(vecs_dir).filter(F.col("id") == 5).first()[
+        "values"
+    ]
+    assert list(got2) == list(want)  # still the UPSERTED vector
+
+    with pytest.raises(ValueError):
+        start_graph_index_ingest(
+            idx,
+            spark.readStream.schema("id long, values array<float>").parquet(
+                str(tmp_path / "in1")
+            ),
+            vecs_dir,
+            str(tmp_path / "ck3"),
+            on_update="bogus",
+        )
+
+
 def test_graph_index_stats_report(gidx, spark):
     from vector_indexer_spark.operators.graph_index import (
         graph_index_stats,

@@ -895,6 +895,67 @@ class TestMrlSearch:
         with pytest.raises(ValueError):
             mrl_search(embeddings, q, refine_factor=0)
 
+    def test_ann_full_probe_equals_brute_mrl(
+        self, spark, embeddings, tmp_path
+    ):
+        """mrl_search_ann at full probe finds the identical exact
+        prefix-space shortlist, and the refine stage is shared — so it
+        must equal brute mrl_search row-for-row. A pruned probe must
+        still return k true-distance-ranked rows per query."""
+        from vector_indexer_spark.operators.index_build import build_index
+        from vector_indexer_spark.operators.similarity import (
+            mrl_search,
+            mrl_search_ann,
+        )
+
+        idx = build_index(
+            embeddings.select(
+                F.col("vec_id").alias("id"),
+                F.slice(F.col("embedding"), 1, 16).alias("values"),
+            ),
+            str(tmp_path / "mrl_idx"),
+            nlist=8,
+            seed=11,
+        )
+        q = embeddings.filter(F.col("vec_id") % 53 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query"),
+        )
+
+        def rows(df):
+            return sorted(
+                (r.query_id, r.rank, r.neighbor_id, r.dist2)
+                for r in df.collect()
+            )
+
+        ann = mrl_search_ann(
+            spark, embeddings, q, idx, k=5, prefix_dims=16,
+            refine_factor=4, n_probe=idx.nlist,
+        )
+        brute = mrl_search(
+            embeddings, q, k=5, prefix_dims=16, refine_factor=4
+        )
+        assert rows(ann) == rows(brute)
+
+        pruned = mrl_search_ann(
+            spark, embeddings, q, idx, k=5, prefix_dims=16,
+            refine_factor=4, n_probe=2,
+        ).collect()
+        nq = q.count()
+        assert len(pruned) == 5 * nq
+        # dist2 is the TRUE full-width distance, ascending per query
+        per_q = {}
+        for r in sorted(pruned, key=lambda r: (r.query_id, r.rank)):
+            per_q.setdefault(r.query_id, []).append(r.dist2)
+        for ds in per_q.values():
+            assert ds == sorted(ds)
+
+        with pytest.raises(ValueError):
+            mrl_search_ann(spark, embeddings, q, idx, k=0)
+        with pytest.raises(ValueError):
+            # index dimension (16) != prefix_dims
+            mrl_search_ann(spark, embeddings, q, idx, prefix_dims=32)
+
 
 def test_hard_negatives_excludes_self_handles_duplicates(spark, embeddings, tmp_path):
     from vector_indexer_spark.operators.index_build import build_index

@@ -4931,6 +4931,83 @@ _register(
 )
 
 
+_MRL_ANN_IDX_CACHE: dict = {}
+
+
+def _sim_mrl_ann(spark, sf_dir):
+    """Matryoshka search through a REAL IVF index built over the
+    16-dim prefix slice — the truncate-then-index deployment shape
+    (the index stores prefix vectors, 1/2 the bytes here, 1/48 at
+    d=768). Run at FULL probe so the shortlist is the exact
+    prefix-space top-40 regardless of where training put the
+    centroids (the training-independent oracle trick of
+    sim_maxsim_ann / ivf_range_search_full); the exact-refine stage
+    and therefore the final ranking is shared with sim_mrl_search —
+    the two paths differ only in how the shortlist is FOUND."""
+    from vector_indexer_spark.operators.index_build import build_index
+    from vector_indexer_spark.operators.similarity import mrl_search_ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _MRL_ANN_IDX_CACHE:
+        import tempfile
+
+        vec16 = emb.select(
+            F.col("vec_id").alias("id"),
+            F.slice(F.col("embedding"), 1, 16).alias("values"),
+        )
+        path = tempfile.mkdtemp(prefix="mrl_ann_") + "/index"
+        _MRL_ANN_IDX_CACHE[sf_dir] = build_index(
+            vec16, path, nlist=16, seed=42
+        )
+    idx = _MRL_ANN_IDX_CACHE[sf_dir]
+    q = emb.filter(
+        (F.col("vec_id") >= 490) & (F.col("vec_id") < 495)
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return mrl_search_ann(
+        spark, emb, q, idx, k=10, prefix_dims=16, refine_factor=4,
+        n_probe=idx.nlist, id_col="vec_id", vec_col="embedding",
+    )
+
+
+_register(
+    "sim_mrl_ann",
+    _sim_mrl_ann,
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS query,
+             embedding[1:16] AS q16
+      FROM embeddings WHERE vec_id >= 490 AND vec_id < 495
+    ),
+    v AS (
+      SELECT vec_id, embedding, embedding[1:16] AS v16 FROM embeddings
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id AS neighbor_id FROM (
+        SELECT q.query_id, v.vec_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 {_DD_DIST2.format(a="q.q16", b="v.v16")}, v.vec_id
+               ) AS rn
+        FROM v CROSS JOIN q
+      ) WHERE rn <= 40
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY dist2, neighbor_id) AS INT) AS rank,
+           neighbor_id, dist2
+    FROM (
+      SELECT s.query_id, s.neighbor_id,
+             {_DD_DIST2.format(a="q.query", b="v.embedding")} AS dist2
+      FROM shortlist s
+      JOIN v ON v.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id
+    )
+    QUALIFY rank <= 10
+    """,
+)
+
+
 def _sim_maxsim_multivector(spark, sf_dir):
     """Full ColBERT-shaped late interaction: both sides are bags of
     token vectors, score(q, d) = Σ over query tokens of the max cosine

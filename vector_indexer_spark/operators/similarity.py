@@ -783,6 +783,71 @@ def mrl_search(
     )
 
 
+def mrl_search_ann(
+    spark: SparkSession,
+    vectors: DataFrame,
+    queries: DataFrame,
+    index,
+    k: int = 10,
+    *,
+    prefix_dims: int = 16,
+    refine_factor: int = 4,
+    n_probe: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka search with an INDEXED shortlist — the
+    adaptive-retrieval scale rung :func:`mrl_search` stops short of:
+    that operator's prefix pass, while reading only ``prefix_dims/d``
+    of the bytes, still SCANS every row per query batch. The MRL
+    deployment story (Kusupati et al. 2022 §4, "adaptive retrieval")
+    is truncate-then-index: build the IVF ``index`` over the
+    ``prefix_dims``-sliced corpus once (the index stores the small
+    prefix vectors — d=768 → 1/48 the index bytes at prefix 16), route
+    the shortlist through its partition-pruned probe scan, then
+    exact-refine the ``refine_factor·k`` shortlist against the FULL
+    vectors — the identical shared ``refine_topk`` stage brute MRL
+    uses, so the two paths differ only in how the shortlist is found.
+
+    At full probe (``n_probe = index.nlist``) the shortlist is the
+    exact prefix-space top-``refine_factor·k`` regardless of where
+    training put the centroids, so the whole chain replays in SQL
+    training-independently (``sim_mrl_ann``) — the same oracle trick
+    ``sim_maxsim_ann`` and ``ivf_range_search_full`` use. At
+    deployment probes the scan touches ~n_probe/nlist of the prefix
+    index. Returns ``(query_id, rank, neighbor_id, dist2)`` with TRUE
+    full-width distances.
+    """
+    from vector_indexer_spark.operators.pq import (  # noqa: PLC0415
+        refine_topk,
+    )
+    from vector_indexer_spark.operators.search import (  # noqa: PLC0415
+        search_index,
+    )
+
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if prefix_dims <= 0:
+        raise ValueError("prefix_dims must be positive")
+    if refine_factor < 1:
+        raise ValueError("refine_factor must be >= 1")
+    if index.dimension != prefix_dims:
+        raise ValueError(
+            f"index dimension {index.dimension} != prefix_dims "
+            f"{prefix_dims} — build the index over the sliced corpus "
+            "(F.slice(vec, 1, prefix_dims))"
+        )
+    q_cut = queries.select(
+        "query_id", F.slice(F.col("query"), 1, prefix_dims).alias("query")
+    )
+    hits = search_index(
+        spark, index, q_cut, k=refine_factor * k, n_probe=n_probe
+    )
+    return refine_topk(
+        hits, vectors, queries, k, id_col=id_col, vec_col=vec_col
+    )
+
+
 def mine_hard_negatives(
     df: DataFrame,
     *,
