@@ -11887,53 +11887,63 @@ _HEAD_KEYS = (
     "ivf_recall_fixed",
     "ivf_cluster_counts_fixed",
     "ingest_ts_default",
-    # -- red in r06, oracle types fixed in r7 --
-    "sketch_cms_trailing",
-    "maint_constraints",
-    "olap_pricing_summary",
-    "olap_shipping_priority",
-    "olap_revenue_by_nation",
-    "olap_revenue_rollup",
-    "olap_forecast_revenue",
-    "olap_q7_volume_shipping",
-    "olap_q10_returned_items",
-    "olap_q8_market_share",
-    "olap_q19_brand_quantity",
-    "olap_q22_dormant_rich",
-    "olap_q14_promo_revenue",
-    # -- graph family: keep the r6 greens fresh; merge gained an
-    #    oracle in r7 --
-    "graph_index_merge_search",
-    "graph_index_rsq_search_fixed",
-    "graph_index_local_search_fixed",
-    "graph_index_search_fixed",
-    "graph_index_add_search",
-    "graph_index_delete_search",
-    "graph_nn_descent_fixed",
-    "graph_ann_beam_fixed",
-    "graph_streaming_ingest_oracle",
-    # -- latent type-reds fixed in r7 (never sampled while wrong) --
-    "events_pivot_type_counts",
-    "events_props_rollup",
-    "events_rolling_anomalies",
-    "events_rolling_range_window",
-    "events_running_revenue",
-    "events_value_histogram",
-    "sim_maxsim_multivector",
-    "text_bigram_surprisal",
-    "text_bm25_batch",
-    "text_difficulty_buckets",
-    "text_dsir_scores",
-    "sim_mrl_search",
-    "text_source_drift",
-    "text_unigram_surprisal",
-    "profile_psi",
-    "profile_signal_blend",
-    "sink_shard_manifest",
-    # -- rest of the fixed OLAP family --
-    "olap_q9_product_profit",
-    "olap_q11_important_stock",
-    "olap_q12_shipmode_priority",
+    # -- r8 rotation: burn down the never-officially-sampled backlog
+    #    (98 oracled keys had passed only the local typed sweep as of
+    #    r7 — VERDICT r7 "Next round" #1). Every key below is
+    #    first-time-sampled this round except sim_mrl_ann, which is
+    #    NEW this round (MRL-over-IVF composition). All pass the r8
+    #    typed local sweep; the proven r7 greens (OLAP/events/text/
+    #    graph blocks) rotate out to stable mid-order.
+    # kmeans/assignment internals
+    "ivf_hier_assign_fixed",
+    "centroid_update_fixed",
+    "ivf_meta_top3_fixed",
+    "ivf_cluster_stats_fixed",
+    # quantization tiers (fixed-seed variants)
+    "pq_codes_fixed",
+    "pq_adc_topk_fixed",
+    "pq_refine_topk_fixed",
+    "ivfpq_adc_fixed",
+    "ivfsq_search_fixed",
+    "sq_search_top10",
+    "bq_hamming_fixed",
+    "bq_refine_fixed",
+    # IVF maintenance + variants
+    "ivf_add_search_fixed",
+    "ivf_delete_search_fixed",
+    "ivf_search_filtered_fixed",
+    "ivf_range_search_full",
+    # PCA / embedding analytics
+    "pca_project_fixed",
+    "pipeline_pca_knn",
+    "emb_outliers_fixed",
+    # multimodal codecs
+    "media_ahash_fixed",
+    "media_image_near_dups",
+    "media_resize_checksum",
+    "media_audio_features",
+    "media_video_meta",
+    # dedup family
+    "dedup_duplicate_spans",
+    "dedup_span_stats",
+    "dedup_jaccard_join",
+    "dedup_containment",
+    "dedup_near_dup_graph",
+    "dedup_keep_best",
+    # similarity / retrieval
+    "sim_maxsim_ann",
+    "sim_mrl_ann",
+    "sim_semdedup_fixed",
+    "sim_near_dup_clustered",
+    "sim_hard_negatives",
+    "hybrid_rrf_topk",
+    # sampling / corpus assembly
+    "sample_stratified",
+    "sample_weighted",
+    "corpus_mixture",
+    "corpus_source_cap",
+    "text_pack_sequences",
+    "split_token_budget",
 )
 
 # Rows-only by design (trained/RNG paths, SURVEY §7) — keep them out of
