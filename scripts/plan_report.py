@@ -178,6 +178,38 @@ def _maxsim_df(spark, docs):
     return maxsim_topk(cemb, q, k=10, metric="dot")
 
 
+def _graph_local_df(spark, sf_dir):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.graph_index import (
+        build_graph_index,
+        search_graph_index_local,
+    )
+
+    sub = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 128)
+        .select("vec_id", "embedding")
+    )
+    gidx = build_graph_index(
+        sub,
+        tempfile.mkdtemp(prefix="plan_glocal_") + "/gidx",
+        k=4,
+        iterations=1,
+        coarse_size=12,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    q = sub.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_graph_index_local(
+        spark, gidx, sub, q, k=5, beam=8, max_hops=3, entry_fanout=4
+    )
+
+
 def _maxsim_ann_df(spark, sf_dir):
     import tempfile
 
@@ -912,6 +944,17 @@ def main():
             "window; candidates bounded at n*k^2 per round — the "
             "linear-scale alternative to the O(n^2) exact graph.",
             _nn_descent_df(spark, sf_dir),
+        ),
+        (
+            "Graph local search (fits-one-box regime)",
+            "The whole two-layer walk is ONE mapInPandas over query "
+            "partitions; the only exchange is the query-batch "
+            "round-robin (queries scale out embarrassingly). Index "
+            "state (CSR edges + vector matrix + coarse ids) rides a "
+            "single sc.broadcast variable — no per-hop jobs, no "
+            "vector-table shuffle — and the query-side filter is "
+            "pushed to the parquet scan.",
+            _graph_local_df(spark, sf_dir),
         ),
     ]
 
