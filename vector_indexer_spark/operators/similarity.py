@@ -738,6 +738,7 @@ def mrl_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     refine: bool = True,
+    method: str = "arrow",
 ) -> DataFrame:
     """Matryoshka-truncated search (Kusupati et al. 2022, MRL):
     shortlist on the FIRST ``prefix_dims`` coordinates — for
@@ -771,10 +772,14 @@ def mrl_search(
     q_cut = queries.select(
         "query_id", F.slice(F.col("query"), 1, prefix_dims).alias("query")
     )
+    # method: the prefix scan's kNN kernel — default "arrow" (the
+    # GEMM batch path, the right choice at corpus scale); "native"
+    # (fold expression) available for small-table plan audits. The two
+    # are pytest-locked bit-exact (F2), so the oracle covers both.
     shortlist_k = refine_factor * k if refine else k
     hits = knn_exact(
         v_cut, q_cut, k=shortlist_k,
-        id_col=id_col, vec_col=vec_col, method="native",
+        id_col=id_col, vec_col=vec_col, method=method,
     )
     if not refine:
         return hits

@@ -62,8 +62,10 @@ def _upsert_changed(
     stored = vectors.select(
         F.col(idc), F.col(vcc).alias("__stored")
     )
+    # broadcast the BATCH side: the corpus streams through the join
+    # without shuffling (the same discipline as the replay guard)
     changed = (
-        batch.join(stored, idc)
+        stored.join(F.broadcast(batch), idc)
         .filter(~(F.col(vcc) == F.col("__stored")))
         .select(idc, vcc)
         # snapshot BEFORE the swap invalidates this plan's file listing
