@@ -135,3 +135,92 @@ class TestRefine:
             (r.query_id, r.rank, r.neighbor_id) for r in exact.collect()
         )
         assert got == want
+
+
+class TestAdc:
+    def test_native_matches_numpy_sequential_fold(self, spark):
+        from vector_indexer_spark.operators.bq import adc_score_expr, bq_adc_search
+
+        X, df, q = _frames(spark, n=60, d=40)
+        model = bq_train(df)
+        codes = bq_encode(df, model)
+        got = {
+            (r.query_id, r.neighbor_id): r.score
+            for r in bq_adc_search(codes, model, q, k=60).collect()
+        }
+        thr = np.asarray(model.thresholds)
+        signs = np.where(X.astype(np.float64) > thr, 1.0, -1.0)
+        for (qid, nid), score in got.items():
+            # replicate the flat left-fold in dim order exactly
+            acc = 0.0
+            for j in range(X.shape[1]):
+                acc = acc + float(X[qid, j]) * signs[nid, j]
+            assert score == acc, (qid, nid)
+
+    def test_arrow_matches_native_ranking(self, spark):
+        from vector_indexer_spark.operators.bq import bq_adc_search
+
+        _, df, q = _frames(spark, n=200, d=40, seed=3)
+        model = bq_train(df)
+        codes = bq_encode(df, model)
+        nat = bq_adc_search(codes, model, q, k=10).collect()
+        arr = bq_adc_search(codes, model, q, k=10, method="arrow").collect()
+        nkey = {(r.query_id, r.rank): r.neighbor_id for r in nat}
+        akey = {(r.query_id, r.rank): r.neighbor_id for r in arr}
+        assert nkey == akey
+        nsc = {(r.query_id, r.rank): r.score for r in nat}
+        for r in arr:
+            assert abs(nsc[(r.query_id, r.rank)] - r.score) < 1e-9
+
+    def test_adc_recall_geq_hamming(self, spark):
+        # graded ±q_j contributions carry more ranking information than
+        # equal-weight bit flips: on a random-normal corpus the ADC
+        # shortlist recalls at least as many true top-10 neighbors
+        _, df, q = _frames(spark, n=400, d=40, seed=5)
+        model = bq_train(df)
+        codes = bq_encode(df, model)
+        from vector_indexer_spark.operators.bq import bq_adc_search
+
+        vec = df
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in knn_exact(vec, q, k=10).collect()
+        }
+        ham = {
+            (r.query_id, r.neighbor_id)
+            for r in bq_search(codes, model, q, k=10).collect()
+        }
+        adc = {
+            (r.query_id, r.neighbor_id)
+            for r in bq_adc_search(codes, model, q, k=10).collect()
+        }
+        assert len(adc & truth) >= len(ham & truth)
+        # and both self-retrieve: a query's own row is its top hit
+        top1 = {
+            r.query_id: r.neighbor_id
+            for r in bq_adc_search(codes, model, q, k=1).collect()
+        }
+        assert all(top1[i] == i for i in top1)
+
+    def test_full_depth_adc_refine_equals_exact(self, spark):
+        from vector_indexer_spark.operators.bq import bq_adc_refined
+
+        _, df, q = _frames(spark, n=120, d=40, seed=7)
+        model = bq_train(df)
+        codes = bq_encode(df, model)
+        ref = bq_adc_refined(codes, model, df, q, k=5, shortlist=120).collect()
+        exact = knn_exact(df, q, k=5).collect()
+        assert {(r.query_id, r.rank, r.neighbor_id) for r in ref} == {
+            (r.query_id, r.rank, r.neighbor_id) for r in exact
+        }
+
+    def test_k_validation(self, spark):
+        from vector_indexer_spark.operators.bq import bq_adc_search
+
+        _, df, q = _frames(spark, n=20, d=40)
+        model = BQModel(thresholds=(0.0,) * 40)
+        codes = bq_encode(df, model)
+        with pytest.raises(ValueError):
+            bq_adc_search(codes, model, q, k=0)
+        with pytest.raises(ValueError):
+            bq_adc_search(codes, model, q, k=5, method="nope")

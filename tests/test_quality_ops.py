@@ -1217,3 +1217,130 @@ def test_select_token_budget_by_group(spark):
     assert sum(toks[d] for d, s in got if s == "code") <= 300
     with _pytest.raises(ValueError):
         select_token_budget_by_group(df, {})
+
+
+def test_weighted_bottom_k_contract(spark):
+    from vector_indexer_spark.operators.splits import weighted_bottom_k
+
+    rows = [(i, float(1 + (i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    s = weighted_bottom_k(df, 30, "w", id_col="doc_id")
+    got = s.collect()
+    # exact k, no duplicates, key column present
+    assert len(got) == 30
+    assert len({r.doc_id for r in got}) == 30
+    assert all(r.sample_key_nanos is not None for r in got)
+    # deterministic + repartition-invariant
+    again = {
+        r.doc_id
+        for r in weighted_bottom_k(
+            df.repartition(13), 30, "w", id_col="doc_id"
+        ).collect()
+    }
+    assert again == {r.doc_id for r in got}
+    # k >= n returns every positive-weight row
+    assert weighted_bottom_k(df, 500, "w", id_col="doc_id").count() == 200
+    # zero/negative/null weights carry no mass
+    rows2 = rows + [(900, 0.0), (901, -2.0), (902, None)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, w double")
+    all_ids = {
+        r.doc_id
+        for r in weighted_bottom_k(df2, 500, "w", id_col="doc_id").collect()
+    }
+    assert not all_ids & {900, 901, 902}
+    with pytest.raises(ValueError):
+        weighted_bottom_k(df, -1, "w")
+    assert weighted_bottom_k(df, 0, "w").count() == 0
+
+
+def test_weighted_bottom_k_merge_algebra(spark):
+    """Top-k of a union == top-k of the parts' top-ks (A-ES bottom-k
+    algebra — per-partition samples merge without a rescan)."""
+    from vector_indexer_spark.operators.splits import weighted_bottom_k
+
+    rows = [(i, float(1 + (i * 13) % 11)) for i in range(300)]
+    a = spark.createDataFrame(rows[:150], "doc_id long, w double")
+    b = spark.createDataFrame(rows[150:], "doc_id long, w double")
+    union = a.unionByName(b)
+    whole = {
+        r.doc_id for r in weighted_bottom_k(union, 25, "w").collect()
+    }
+    pa = weighted_bottom_k(a, 25, "w")
+    pb = weighted_bottom_k(b, 25, "w")
+    merged = {
+        r.doc_id
+        for r in weighted_bottom_k(pa.unionByName(pb), 25, "w").collect()
+    }
+    assert merged == whole
+
+
+def test_weighted_bottom_k_proportional_bias(spark):
+    """Heavier rows are sampled more often: give half the corpus 10x
+    the weight and the sample must be dominated by the heavy half
+    (the E-S inclusion-probability direction, not a statistical
+    tolerance test — the draw is deterministic)."""
+    from vector_indexer_spark.operators.splits import weighted_bottom_k
+
+    rows = [(i, 10.0 if i % 2 == 0 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = weighted_bottom_k(df, 100, "w").collect()
+    heavy = sum(1 for r in got if r.doc_id % 2 == 0)
+    assert heavy > 65  # expectation ~91 of 100; far from unweighted 50
+
+
+def test_prototypicality_band_is_exact_rank_band(spark, embeddings):
+    from vector_indexer_spark.operators.similarity import (
+        prune_by_prototypicality,
+    )
+
+    cents = (
+        embeddings.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+    )
+    c = [[float(x) for x in r.embedding] for r in cents]
+    kept = prune_by_prototypicality(
+        embeddings, c, keep_lo=0.25, keep_hi=0.75
+    ).collect()
+    assert kept, "band must be non-empty"
+    # integer band test: lo_ppm*cnt <= (rn-1)*1e6 < hi_ppm*cnt
+    for r in kept:
+        pos = (r.cluster_rank - 1) * 1_000_000
+        assert 250_000 * r.cluster_count <= pos < 750_000 * r.cluster_count
+    # full band == whole corpus (every row keeps its assignment)
+    full = prune_by_prototypicality(embeddings, c, keep_lo=0.0, keep_hi=1.0)
+    assert full.count() == embeddings.count()
+    # drop-easy and drop-hard partition the full set with the band
+    lo = prune_by_prototypicality(embeddings, c, keep_lo=0.0, keep_hi=0.25)
+    hi = prune_by_prototypicality(embeddings, c, keep_lo=0.75, keep_hi=1.0)
+    mid = prune_by_prototypicality(embeddings, c, keep_lo=0.25, keep_hi=0.75)
+    assert lo.count() + mid.count() + hi.count() == embeddings.count()
+    with pytest.raises(ValueError):
+        prune_by_prototypicality(embeddings, c, keep_lo=0.5, keep_hi=0.5)
+    with pytest.raises(ValueError):
+        prune_by_prototypicality(embeddings, c, keep_lo=-0.1, keep_hi=1.0)
+
+
+def test_prototypicality_drops_planted_outlier_and_core(spark):
+    """A planted far outlier falls outside keep_hi; the centroid's own
+    twin (dist2 = 0, rank 1) falls below keep_lo."""
+    import numpy as np
+
+    from vector_indexer_spark.operators.similarity import (
+        prune_by_prototypicality,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 8)).astype(np.float64)
+    cent = base[0]
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(60)]
+    rows.append((999, [float(x + 500.0) for x in cent]))  # far outlier
+    rows.append((998, [float(x) for x in cent]))  # exact centroid twin
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r.id
+        for r in prune_by_prototypicality(
+            df, [list(cent)], keep_lo=0.1, keep_hi=0.9
+        ).collect()
+    }
+    assert 999 not in kept
+    assert 998 not in kept  # rank-1 prototypical core dropped
+    assert len(kept) > 40

@@ -3617,6 +3617,87 @@ _register(
 )
 
 
+# Asymmetric (ADC) scoring over the same packed codes: the query stays
+# float, each bit contributes ±q_j — one flat left-fold in dim order,
+# replayed term-for-term in DuckDB (list_prepend(0.0, ...) anchors the
+# fold start exactly like the Spark expression's F.lit(0.0)).
+_DD_BQ_ADC_TERMS = """list_transform(range(1, 65), j ->
+          CAST(q.embedding[j] AS DOUBLE) *
+          CAST((((c.codes[(j-1)//32 + 1] >> (31 - ((j-1)%32))) & 1) * 2 - 1)
+               AS DOUBLE))"""
+
+_DD_BQ_ADC = f"""
+  adc_scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      list_reduce(list_prepend(0.0, {_DD_BQ_ADC_TERMS}),
+        (a, b) -> a + b) AS score
+    FROM embeddings q CROSS JOIN codes c
+    WHERE q.vec_id >= 490
+  ),
+  adc_ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rank
+    FROM adc_scored
+  )
+"""
+
+
+def _bq_adc_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.bq import bq_adc_search
+
+    _, model, codes, q = _bq_frames(spark, sf_dir)
+    return bq_adc_search(codes, model, q, k=5)
+
+
+_register(
+    "bq_adc_fixed",
+    _bq_adc_fixed,
+    f"""
+    WITH {_DD_BQ_CODES},
+    {_DD_BQ_ADC}
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, score
+    FROM adc_ranked WHERE rank <= 5
+    """,
+)
+
+
+def _bq_adc_refine_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.bq import bq_adc_refined
+
+    emb, model, codes, q = _bq_frames(spark, sf_dir)
+    vec = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    return bq_adc_refined(codes, model, vec, q, k=5, shortlist=50)
+
+
+_register(
+    "bq_adc_refine_fixed",
+    _bq_adc_refine_fixed,
+    f"""
+    WITH {_DD_BQ_CODES},
+    {_DD_BQ_ADC},
+    short AS (
+      SELECT query_id, neighbor_id FROM adc_ranked WHERE rank <= 50
+    ),
+    rescored AS (
+      SELECT s.query_id, s.neighbor_id,
+        {{dist2}} AS dist2
+      FROM short s
+      JOIN embeddings v ON v.vec_id = s.neighbor_id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    reranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist2, neighbor_id) AS rank
+      FROM rescored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+    FROM reranked WHERE rank <= 5
+    """.format(dist2=_DD_DIST2.format(a="v.embedding", b="q.embedding")),
+)
+
+
 def _bq_search_trained(spark, sf_dir):
     from vector_indexer_spark.operators.bq import bq_encode, bq_search, bq_train
 
@@ -3974,6 +4055,89 @@ _register(
     )
     SELECT id, cluster_id, dist2, CAST(outlier_rank AS INT) AS outlier_rank
     FROM ranked WHERE outlier_rank <= 20
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Prototypicality-band data pruning (D4 / SSL-prototypes): per-cluster
+# distance-percentile band keep, integer-exact ppm band test over the
+# fixed-centroid assignment.
+# --------------------------------------------------------------------------
+
+
+def _sim_prototypicality(spark, sf_dir):
+    from vector_indexer_spark.operators.similarity import (
+        prune_by_prototypicality,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = (
+        emb.filter(F.col("vec_id") < _N_FIXED_CENTROIDS)
+        .orderBy("vec_id")
+        .collect()
+    )
+    c = [[float(x) for x in r.embedding] for r in cents]
+    return prune_by_prototypicality(emb, c, keep_lo=0.2, keep_hi=0.9)
+
+
+_register(
+    "sim_prototypicality_prune",
+    _sim_prototypicality,
+    f"""
+    WITH {_DD_ASSIGN},
+    nearest AS (
+      SELECT vec_id AS id, centroid_id AS cluster_id, dist2
+      FROM assigned WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY dist2, id) AS cluster_rank,
+        count(*) OVER (PARTITION BY cluster_id) AS cluster_count
+      FROM nearest
+    )
+    SELECT id, cluster_id, dist2,
+           CAST(cluster_rank AS INT) AS cluster_rank,
+           CAST(cluster_count AS BIGINT) AS cluster_count
+    FROM ranked
+    WHERE (cluster_rank - 1) * 1000000 >= 200000 * cluster_count
+      AND (cluster_rank - 1) * 1000000 <  900000 * cluster_count
+    """,
+)
+
+
+# --------------------------------------------------------------------------
+# Exact-k weighted sampling (Efraimidis-Spirakis A-ES): k largest
+# ln(u)/w keys in integer nanos, u from the md5 draw, w = n_chars.
+# --------------------------------------------------------------------------
+
+
+def _sample_weighted_bottom_k(spark, sf_dir):
+    from vector_indexer_spark.operators.splits import weighted_bottom_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_bottom_k(docs, 50, "n_chars").select(
+        "doc_id", "sample_key_nanos"
+    )
+
+
+_register(
+    "sample_weighted_bottom_k",
+    _sample_weighted_bottom_k,
+    """
+    SELECT doc_id, sample_key_nanos FROM (
+      SELECT doc_id,
+        CAST(floor(
+          ln((CAST(concat('0x', substr(md5(concat('7:',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) + 0.5)
+             / 4294967296.0)
+          / CAST(n_chars AS DOUBLE) * 1000000000.0) AS BIGINT)
+          AS sample_key_nanos
+      FROM documents
+      WHERE n_chars IS NOT NULL AND CAST(n_chars AS DOUBLE) > 0
+      ORDER BY sample_key_nanos DESC, doc_id LIMIT 50
+    )
     """,
 )
 

@@ -982,3 +982,57 @@ def mmr_rerank(
             "query_id long, rank int, cand_id long, mmr_score double",
         )
     )
+
+
+def prune_by_prototypicality(
+    df: DataFrame,
+    centroids,
+    *,
+    keep_lo: float = 0.0,
+    keep_hi: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Prototypicality-band data pruning (the D4 / SSL-prototypes
+    recipe, Sorscher et al. NeurIPS'22; Tirumala et al. 2023): rank
+    every row by squared distance to its nearest cluster centroid and
+    keep only the percentile band ``[keep_lo, keep_hi)`` WITHIN each
+    cluster. ``keep_lo > 0`` drops the most prototypical rows (the
+    easy, redundant core the papers show is safe to shed at scale);
+    ``keep_hi < 1`` drops the far tail (off-manifold noise — the
+    threshold twin of :func:`embedding_outliers`); both give the
+    middle band.
+
+    The band test is integer-exact — ``keep_lo``/``keep_hi`` become
+    parts-per-million and the condition is
+    ``lo_ppm·cnt ≤ (rn−1)·1e6 < hi_ppm·cnt`` on BIGINTs — so the
+    selection is oracle-reproducible with no float percentile on
+    either engine. Rank ties break by id (the engine-wide contract).
+
+    Plan shape: the J1 codegen argmin (broadcast centroid cross join,
+    zero shuffle) feeds ONE ``cluster_id`` hash shuffle for the
+    per-cluster rank window + count — clusters spread across the
+    executors, so the sort is per-cluster, not global. At 100 TB the
+    same band can be cut without the window: derive per-cluster dist2
+    thresholds from ``hdr_quantiles`` and filter scan-locally (the
+    documented lever; this operator is the exact-rank form).
+
+    Returns the kept rows as ``(id, cluster_id, dist2, cluster_rank,
+    cluster_count)`` — the rank metadata kept so downstream curricula
+    can reuse the ordering without recomputing it.
+    """
+    if not (0.0 <= keep_lo < keep_hi <= 1.0):
+        raise ValueError("need 0 <= keep_lo < keep_hi <= 1")
+    lo_ppm = int(round(keep_lo * 1_000_000))
+    hi_ppm = int(round(keep_hi * 1_000_000))
+    nearest = _nearest_centroid(df, centroids, id_col=id_col, vec_col=vec_col)
+    w = Window.partitionBy("cluster_id").orderBy("dist2", "id")
+    wc = Window.partitionBy("cluster_id")
+    ranked = nearest.withColumn(
+        "cluster_rank", F.row_number().over(w)
+    ).withColumn("cluster_count", F.count(F.lit(1)).over(wc))
+    pos = (F.col("cluster_rank") - 1).cast("long") * F.lit(1_000_000)
+    cnt = F.col("cluster_count").cast("long")
+    return ranked.filter(
+        (pos >= F.lit(lo_ppm) * cnt) & (pos < F.lit(hi_ppm) * cnt)
+    ).select("id", "cluster_id", "dist2", "cluster_rank", "cluster_count")

@@ -458,3 +458,64 @@ def select_token_budget_by_group(
     if out is None:
         raise ValueError("budgets must be non-empty")
     return out
+
+
+def weighted_bottom_k(
+    df: DataFrame,
+    k: int,
+    weight_col,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """EXACTLY ``min(k, n)`` rows drawn without replacement with
+    probability proportional to a per-row weight — Efraimidis &
+    Spirakis's A-ES (IPL 2006): each row gets key ``u^(1/w)`` for a
+    uniform ``u`` and the k largest keys are the sample. The missing
+    rung between :func:`weighted_sample` (Bernoulli, expected-size)
+    and :func:`bottom_k_sample` (exact-k, unweighted): "give me
+    exactly 10k docs, biased by quality score" is this operator.
+
+    Determinism: ``u`` is the same full-width ``md5(seed:id)`` draw as
+    :func:`bottom_k_sample` mapped to ``(draw + 0.5) / 2^32`` (never 0
+    or 1), and the key is ranked in log space — ``ln(u)/w`` is
+    monotone in ``u^(1/w)`` — floored to integer nanos (the engine's
+    transcendental-oracle discipline: BM25/surprisal/DSIR ship the
+    same ``ln``-then-floor shape) with id tie-break, so the sample is
+    reproducible, repartition-invariant, and SQL-replayable. Bottom-k
+    algebra carries over: the top-k keys of a union are the top-k of
+    the parts' top-ks, so per-partition samples merge without a
+    rescan, and the sample is stable under corpus growth.
+
+    Rows with ``weight <= 0`` or NULL are excluded (zero mass — the
+    A-ES contract). Plan shape: scan-local key expression +
+    TakeOrderedAndProject (each map task forwards its local k), no
+    full sort.
+
+    Returns the sampled rows with a ``sample_key_nanos`` column
+    (larger = drawn earlier) so callers can re-rank or merge samples.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w = w.cast("double")
+    if k == 0:
+        return df.filter(F.lit(False)).withColumn(
+            "sample_key_nanos", F.lit(0).cast("long")
+        )
+    cid = F.col(id_col)
+    draw = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), cid.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (draw.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.floor(F.log(u) / w * F.lit(1_000_000_000.0)).cast("long")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("sample_key_nanos", key)
+        .orderBy(F.col("sample_key_nanos").desc(), cid)
+        .limit(k)
+    )
