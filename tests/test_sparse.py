@@ -1,0 +1,163 @@
+"""Sparse-vector retrieval: posting join, champion-list cap, encode."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators.sparse import (
+    sparse_from_tokens,
+    sparse_search_tokens,
+    sparse_topk,
+)
+
+MICROS = 1_000_000
+
+
+def _sparse_frames(spark, n=40, vocab=50, nnz=6, seed=0):
+    rng = np.random.default_rng(seed)
+    rows = []
+    mats = {}
+    for i in range(n):
+        idx = np.sort(rng.choice(vocab, size=nnz, replace=False))
+        w = rng.uniform(0.1, 2.0, size=nnz)
+        rows.append((i, [int(x) for x in idx], [float(x) for x in w]))
+        dense = np.zeros(vocab)
+        dense[idx] = w
+        mats[i] = dense
+    df = spark.createDataFrame(
+        rows, "doc_id long, indices array<int>, weights array<double>"
+    )
+    q = spark.createDataFrame(
+        [(i, rows[i][1], rows[i][2]) for i in range(5)],
+        "query_id long, indices array<int>, weights array<double>",
+    )
+    return df, q, mats
+
+
+def _expected_scores(mats, qid):
+    """Replicate the integer-micros contract: floor each per-term
+    product to micros, then sum."""
+    out = {}
+    qv = mats[qid]
+    for did, dv in mats.items():
+        terms = np.flatnonzero((qv != 0) & (dv != 0))
+        if len(terms) == 0:
+            continue
+        out[did] = int(
+            sum(int(np.floor(qv[t] * dv[t] * MICROS)) for t in terms)
+        )
+    return out
+
+
+class TestSparseTopk:
+    def test_matches_bruteforce_integer_micros(self, spark):
+        df, q, mats = _sparse_frames(spark)
+        got = sparse_topk(df, q, k=40).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, {})[r.doc_id] = r.score_micros
+        for qid in range(5):
+            assert by_q[qid] == _expected_scores(mats, qid), qid
+
+    def test_ranking_order_and_ties(self, spark):
+        df, q, mats = _sparse_frames(spark, seed=2)
+        got = sparse_topk(df, q, k=10).collect()
+        for qid in range(5):
+            rows = sorted(
+                (r for r in got if r.query_id == qid), key=lambda r: r.rank
+            )
+            keys = [(-r.score_micros, r.doc_id) for r in rows]
+            assert keys == sorted(keys), qid
+
+    def test_no_shared_term_no_row(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1, 2], [1.0, 1.0])],
+            "doc_id long, indices array<int>, weights array<double>",
+        )
+        q = spark.createDataFrame(
+            [(0, [5, 6], [1.0, 1.0])],
+            "query_id long, indices array<int>, weights array<double>",
+        )
+        assert sparse_topk(df, q, k=5).count() == 0
+
+    def test_champion_cap_exact_when_loose_prunes_when_tight(self, spark):
+        df, q, mats = _sparse_frames(spark, n=60, vocab=10, nnz=4, seed=4)
+        full = sparse_topk(df, q, k=5).collect()
+        loose = sparse_topk(df, q, k=5, max_postings_per_term=60).collect()
+        assert {(r.query_id, r.rank, r.doc_id, r.score_micros) for r in full} == {
+            (r.query_id, r.rank, r.doc_id, r.score_micros) for r in loose
+        }
+        # tight cap: every surviving posting is in its term's top-2 by
+        # (weight desc, id) — scores can only shrink
+        tight = sparse_topk(df, q, k=60, max_postings_per_term=2).collect()
+        full_all = {
+            (r.query_id, r.doc_id): r.score_micros
+            for r in sparse_topk(df, q, k=60).collect()
+        }
+        for r in tight:
+            assert r.score_micros <= full_all[(r.query_id, r.doc_id)]
+
+    def test_validation(self, spark):
+        df, q, _ = _sparse_frames(spark, n=5)
+        with pytest.raises(ValueError):
+            sparse_topk(df, q, k=0)
+        with pytest.raises(ValueError):
+            sparse_topk(df, q, k=5, max_postings_per_term=0)
+
+
+class TestSparseEncode:
+    def test_encode_shape_and_sorted_indices(self, spark, documents):
+        enc = sparse_from_tokens(documents, vocab_size=4096)
+        rows = enc.limit(50).collect()
+        assert rows
+        for r in rows:
+            assert len(r.indices) == len(r.weights)
+            assert list(r.indices) == sorted(r.indices)
+            assert len(set(r.indices)) == len(r.indices)
+            assert all(w > 0 for w in r.weights)  # smoothed idf > 0
+
+    def test_empty_text_produces_no_row(self, spark):
+        df = spark.createDataFrame(
+            [(0, "hello world"), (1, "???!!!")],
+            "doc_id long, text string",
+        )
+        ids = {r.id for r in sparse_from_tokens(df).collect()}
+        assert ids == {0}
+
+    def test_vocab_validation(self, spark, documents):
+        with pytest.raises(ValueError):
+            sparse_from_tokens(documents, vocab_size=0)
+
+
+class TestSparseSearchTokens:
+    def test_query_doc_scores_itself_positively(self, spark, documents):
+        q = documents.filter(F.col("doc_id") < 3)
+        # full depth: "self in top-10" is NOT a tf-idf guarantee (longer
+        # docs can out-dot a query's own doc); positive self-score is
+        got = sparse_search_tokens(
+            documents, q, k=10_000_000, query_id_col="doc_id"
+        )
+        rows = got.collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, {})[r.doc_id] = r.score_micros
+        for qid in (0, 1, 2):
+            assert qid in by_q and qid in by_q[qid]
+            assert by_q[qid][qid] > 0
+
+    def test_query_stats_come_from_corpus(self, spark):
+        # a term missing from the corpus carries no mass even if the
+        # query repeats it; shared terms still match
+        docs = spark.createDataFrame(
+            [(0, "apple banana"), (1, "apple cherry"), (2, "durian fig")],
+            "doc_id long, text string",
+        )
+        q = spark.createDataFrame(
+            [(100, "apple zzzzunknown zzzzunknown zzzzunknown")],
+            "doc_id long, text string",
+        )
+        got = sparse_search_tokens(docs, q, k=5, query_id_col="doc_id").collect()
+        hit_docs = {r.doc_id for r in got}
+        assert hit_docs == {0, 1}

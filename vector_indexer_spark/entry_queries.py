@@ -4143,6 +4143,103 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# Sparse-vector retrieval (inverted-index dot-product top-k) — the
+# SPLADE/tf-idf data-model rung: posting-list join, integer-micros
+# order-free scores, optional champion-list pruning.
+# --------------------------------------------------------------------------
+
+_DD_SPARSE_BASE = f"""
+  sp_toks AS (
+    SELECT doc_id AS id, unnest({_DD_TOKENS.format(c="text")}) AS token
+    FROM documents
+  ),
+  sp_terms AS (
+    SELECT id,
+      CAST(CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT)
+           % 65536 AS INT) AS term,
+      count(*) AS tf
+    FROM sp_toks GROUP BY 1, 2
+  ),
+  sp_dft AS (SELECT term, count(*) AS dfreq FROM sp_terms GROUP BY 1),
+  sp_n AS (SELECT count(*) AS n_docs FROM documents),
+  sp_d AS (
+    SELECT t.id AS doc_id, t.term,
+      ln(1.0 + CAST(tf AS DOUBLE))
+        * ln((CAST(n_docs AS DOUBLE) + 1.0)
+             / (CAST(dfreq AS DOUBLE) + 1.0)) AS dw
+    FROM sp_terms t JOIN sp_dft USING (term) CROSS JOIN sp_n
+  ),
+  sp_q AS (
+    SELECT doc_id AS query_id, term, dw AS qw FROM sp_d WHERE doc_id < 5
+  )
+"""
+
+_DD_SPARSE_SCORE = """
+  sp_scored AS (
+    SELECT q.query_id, d.doc_id,
+      CAST(SUM(CAST(floor(q.qw * d.dw * 1000000.0) AS BIGINT))
+           AS BIGINT) AS score_micros
+    FROM {d} d JOIN sp_q q USING (term)
+    GROUP BY 1, 2
+  ),
+  sp_ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY score_micros DESC, doc_id) AS rank
+    FROM sp_scored
+  )
+"""
+
+
+def _sparse_tfidf_topk(spark, sf_dir):
+    from vector_indexer_spark.operators.sparse import sparse_search_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 5)
+    return sparse_search_tokens(docs, q, k=10, query_id_col="doc_id")
+
+
+_register(
+    "sparse_tfidf_topk",
+    _sparse_tfidf_topk,
+    f"""
+    WITH {_DD_SPARSE_BASE},
+    {_DD_SPARSE_SCORE.format(d="sp_d")}
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micros
+    FROM sp_ranked WHERE rank <= 10
+    """,
+)
+
+
+def _sparse_topk_capped(spark, sf_dir):
+    from vector_indexer_spark.operators.sparse import sparse_search_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 5)
+    return sparse_search_tokens(
+        docs, q, k=10, query_id_col="doc_id", max_postings_per_term=20
+    )
+
+
+_register(
+    "sparse_topk_capped",
+    _sparse_topk_capped,
+    f"""
+    WITH {_DD_SPARSE_BASE},
+    sp_champ AS (
+      SELECT doc_id, term, dw FROM (
+        SELECT *, row_number() OVER (PARTITION BY term
+                   ORDER BY dw DESC, doc_id) AS pr
+        FROM sp_d
+      ) WHERE pr <= 20
+    ),
+    {_DD_SPARSE_SCORE.format(d="sp_champ")}
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micros
+    FROM sp_ranked WHERE rank <= 10
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # Training-shard routing — the sink's deterministic shard assignment
 # (the write itself is pytest-verified; the routing function is the
 # oracle-checkable core).

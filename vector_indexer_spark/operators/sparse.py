@@ -1,0 +1,244 @@
+"""Sparse-vector retrieval: inverted-index dot-product top-k.
+
+The sparse rung of the retrieval ladder (next to dense kNN/IVF/graph
+and late-interaction MaxSim): documents and queries are sparse vectors
+``(indices ARRAY<INT>, weights ARRAY<DOUBLE>)`` over a hashed term
+space — the data model of SPLADE/uniCOIL-style learned-sparse
+embeddings and of classic tf-idf — and scoring is the posting-list
+join every inverted index runs: explode both sides to ``(id, term,
+w)``, join on term, sum the products per (query, doc) pair.
+
+Design notes (100-TB shapes):
+
+- The doc-side posting table shuffles ONCE on ``term`` for the join;
+  the query side is a bounded batch and is broadcast. No all-pairs
+  anywhere — a (query, doc) pair is scored only if it shares a term.
+- Scores are summed in INTEGER MICROS (each per-term product floored
+  to micros first), so the cross-term sum is order-free — the same
+  oracle-hash discipline as MaxSim. Ranking ties break by id.
+- Common terms (stopwords under tf-idf, high-df tokens generally) are
+  the skew axis: ``max_postings_per_term`` keeps only the top-cap
+  postings per term by ``(weight DESC, id)`` — the impact-ordered
+  "champion list" truncation (Persin'94 / WAND-family static pruning),
+  deterministic and SQL-replayable. At web scale the cap bounds the
+  join fan-out of a stopword-like term from n_docs to cap.
+- ``sparse_from_tokens`` derives tf-idf sparse vectors from raw text
+  with the engine's own tokenizer and md5 term hashing, so text →
+  sparse → retrieval runs with no external model; learned-sparse
+  weights drop into the same ``(indices, weights)`` columns.
+
+Reference parity: the reference engine is dense-only (src/api.rs);
+this module extends the surface the same way PQ/SQ/BQ and MaxSim do —
+same result contract (top-k, ties by id), same oracle discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.functions.text import tokens_expr
+
+MICROS = 1_000_000
+
+
+def term_hash_expr(token: Column | str, vocab_size: int) -> Column:
+    """md5-prefix bucket of a token string — the engine-wide draw
+    (``conv(substr(md5(t),1,8),16,10) % vocab``), replayed verbatim in
+    DuckDB by the oracles."""
+    t = F.col(token) if isinstance(token, str) else token
+    return (
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+        % F.lit(vocab_size)
+    ).cast("int")
+
+
+def _tf_table(
+    df: DataFrame, id_col: str, text_col: str, vocab_size: int
+) -> DataFrame:
+    """``(id, term, tf)`` — one token explode + one composite-key
+    aggregate (map-side combined)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens_expr(text_col)).alias("token"),
+    ).select("id", term_hash_expr("token", vocab_size).alias("term"))
+    return toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def _tfidf_weight() -> Column:
+    """``ln(1 + tf) · ln((N + 1) / (df + 1))`` — sublinear tf, smoothed
+    idf (never negative, never /0); the exact expression the DuckDB
+    oracles replay."""
+    return F.log(F.lit(1.0) + F.col("tf").cast("double")) * F.log(
+        (F.col("n_docs").cast("double") + F.lit(1.0))
+        / (F.col("dfreq").cast("double") + F.lit(1.0))
+    )
+
+
+def sparse_from_tokens(
+    df: DataFrame,
+    *,
+    vocab_size: int = 65536,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """tf-idf sparse vectors from raw text: ``(id, indices ARRAY<INT>
+    term-sorted, weights ARRAY<DOUBLE>)``.
+
+    Hash collisions fold rare terms together (the standard
+    feature-hashing trade; raise ``vocab_size`` to taste). Documents
+    with zero tokens produce no row (a sparse vector with no mass
+    cannot match anything).
+
+    Plan: one token explode + two bounded aggregates — (id, term) tf
+    counts shuffle once on the composite key, term df counts are
+    term-space-sized and broadcast back, and N is a 1-row aggregate
+    cross-joined in (kept in-plan so the operator stays composable
+    under streaming/caching).
+    """
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    tf = _tf_table(df, id_col, text_col, vocab_size)
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = df.select(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n))
+        .select("id", "term", _tfidf_weight().alias("w"))
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("term", "w")))
+    return w.groupBy("id").agg(
+        F.transform(pairs, lambda s: s.term).alias("indices"),
+        F.transform(pairs, lambda s: s.w).alias("weights"),
+    )
+
+
+def _postings(
+    df: DataFrame, id_out: str, w_out: str, id_col: str,
+    indices_col: str, weights_col: str,
+) -> DataFrame:
+    """Explode a sparse-vector table to ``(id, term, w)`` rows —
+    scan-local (explode of co-zipped arrays, no shuffle)."""
+    return df.select(
+        F.col(id_col).alias(id_out),
+        F.explode(
+            F.arrays_zip(
+                F.col(indices_col).alias("term"),
+                F.col(weights_col).alias("w"),
+            )
+        ).alias("p"),
+    ).select(id_out, F.col("p.term").alias("term"), F.col("p.w").alias(w_out))
+
+
+def _topk_postings(
+    d: DataFrame,
+    q: DataFrame,
+    k: int,
+    max_postings_per_term: int | None,
+) -> DataFrame:
+    """Score ``(doc_id, term, dw)`` against broadcast ``(query_id,
+    term, qw)`` postings — the single scoring kernel behind both entry
+    points."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if max_postings_per_term is not None and max_postings_per_term <= 0:
+        raise ValueError("max_postings_per_term must be positive")
+    if max_postings_per_term is not None:
+        wt = Window.partitionBy("term").orderBy(
+            F.col("dw").desc(), "doc_id"
+        )
+        d = (
+            d.withColumn("__pr", F.row_number().over(wt))
+            .filter(F.col("__pr") <= max_postings_per_term)
+            .drop("__pr")
+        )
+    contrib = F.floor(
+        F.col("qw") * F.col("dw") * F.lit(float(MICROS))
+    ).cast("long")
+    scored = (
+        d.join(F.broadcast(q), "term")
+        .select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_micros"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score_micros").desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score_micros")
+    )
+
+
+def sparse_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    indices_col: str = "indices",
+    weights_col: str = "weights",
+    max_postings_per_term: int | None = None,
+) -> DataFrame:
+    """Top-k documents per query by sparse dot product.
+
+    Returns ``(query_id, rank, doc_id, score_micros)`` — score is the
+    order-free integer-micros sum ``Σ_t floor(q_t · d_t · 1e6)``,
+    descending, ties by doc_id. Documents sharing no term with a query
+    never appear (score-0 rows are not manufactured).
+
+    ``max_postings_per_term`` enables impact-ordered champion-list
+    pruning: per term, only the top-cap postings by ``(w DESC, id)``
+    survive — a documented approximation (exact for any query whose
+    true top-k all sit inside their terms' champion lists) that bounds
+    stopword-term join fan-out at scale. The rank window shuffles the
+    posting table on ``term`` — the same key the join needs anyway.
+    """
+    d = _postings(docs, "doc_id", "dw", id_col, indices_col, weights_col)
+    q = _postings(
+        queries, "query_id", "qw", query_id_col, indices_col, weights_col
+    )
+    return _topk_postings(d, q, k, max_postings_per_term)
+
+
+def sparse_search_tokens(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    vocab_size: int = 65536,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+    max_postings_per_term: int | None = None,
+) -> DataFrame:
+    """Text-in/text-out composition: tf-idf encode the corpus, weight
+    the query TEXTS against the CORPUS's term statistics (df and N
+    come from the documents — a query must not perturb the index), and
+    score via the posting join. The lexical-retrieval twin of
+    ``bm25_search`` expressed in the sparse-vector data model; both
+    sides skip the array round-trip and score straight from posting
+    frames (one explode each)."""
+    tf = _tf_table(docs, id_col, text_col, vocab_size)
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    d = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("id").alias("doc_id"), "term", _tfidf_weight().alias("dw")
+        )
+    )
+    qtf = _tf_table(queries, query_id_col, text_col, vocab_size)
+    # inner join: query terms absent from the corpus have no postings
+    # to match anyway, so they carry no mass
+    q = (
+        qtf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("id").alias("query_id"), "term", _tfidf_weight().alias("qw")
+        )
+    )
+    return _topk_postings(d, q, k, max_postings_per_term)
