@@ -3698,6 +3698,166 @@ _register(
 )
 
 
+# --------------------------------------------------------------------------
+# IVF-BQ: per-cluster binary quantization (residual signs against each
+# vector's own coarse centroid — the threshold vector IS the centroid,
+# zero extra training). Full pipeline replay under the fixed-centroid
+# fixture: assign → per-cluster sign pack → probe ranking → pruned
+# candidates → residual 1-bit ADC (or symmetric Hamming) → top-k.
+# --------------------------------------------------------------------------
+
+_DD_IVFBQ_BASE = f"""
+  members AS (SELECT vec_id, centroid_id AS cluster_id
+              FROM assigned WHERE rn = 1),
+  ivfbq_codes AS (
+    SELECT m.vec_id, m.cluster_id,
+      list_transform(range(1, 3), w ->
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, 33), j ->
+              CAST(CASE WHEN v.embedding[(w-1)*32 + j] > c.cvec[(w-1)*32 + j]
+                   THEN 1 ELSE 0 END AS BIGINT))),
+          (a, b) -> a * 2 + b)) AS codes
+    FROM members m
+    JOIN embeddings v ON v.vec_id = m.vec_id
+    JOIN cents c ON c.centroid_id = m.cluster_id
+  ),
+  q AS (SELECT vec_id AS query_id, embedding AS query
+        FROM embeddings WHERE vec_id >= 490),
+  qprobe AS (
+    SELECT query_id, centroid_id AS cluster_id, cdist2 FROM (
+      SELECT q.query_id, c.centroid_id,
+             {{probe_d2}} AS cdist2,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               {{probe_d2}}, c.centroid_id) AS pr
+      FROM q CROSS JOIN cents c
+    ) WHERE pr <= 4
+  )
+"""
+
+
+def _ivfbq_frames(spark, sf_dir):
+    from vector_indexer_spark.operators.ivfbq import (
+        ivfbq_encode,
+        ivfbq_train_scales,
+    )
+
+    emb, cents, _ = _fixed_centroid_frames(spark, sf_dir)
+    assigned = _ivf_assign(spark, sf_dir).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    codes = ivfbq_encode(
+        assigned, cents, id_col="vec_id", vec_col="embedding"
+    )
+    scales = ivfbq_train_scales(assigned, cents, vec_col="embedding")
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return emb, cents, codes, scales, q
+
+
+def _ivfbq_search_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.ivfbq import ivfbq_search
+
+    _, cents, codes, scales, q = _ivfbq_frames(spark, sf_dir)
+    return ivfbq_search(
+        codes, cents, q, k=5, n_probe=4, scales=scales, scoring="adc"
+    )
+
+
+_register(
+    "ivfbq_search_fixed",
+    _ivfbq_search_fixed,
+    f"""
+    WITH {_DD_ASSIGN},
+    {_DD_IVFBQ_BASE.format(probe_d2=_DD_DIST2.format(a="c.cvec", b="q.query"))},
+    rscale AS (
+      SELECT m.cluster_id,
+        sqrt(CAST(CAST(SUM(
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(1, 65), j ->
+              CAST(floor(
+                (CAST(v.embedding[j] AS DOUBLE) - CAST(c.cvec[j] AS DOUBLE))
+                * (CAST(v.embedding[j] AS DOUBLE) - CAST(c.cvec[j] AS DOUBLE))
+                * 1000000.0) AS BIGINT))),
+            (a, b) -> a + b)) AS BIGINT) AS DOUBLE)
+          / 1000000.0 / (CAST(count(*) AS DOUBLE) * 64.0)) AS rho
+      FROM members m
+      JOIN embeddings v ON v.vec_id = m.vec_id
+      JOIN cents c ON c.centroid_id = m.cluster_id
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+        p.cdist2
+          - 2.0 * r.rho *
+            list_reduce(list_prepend(0.0, list_transform(range(1, 65), j ->
+              (CAST(q.query[j] AS DOUBLE) - CAST(c.cvec[j] AS DOUBLE)) *
+              CAST((((e.codes[(j-1)//32 + 1] >> (31 - ((j-1)%32))) & 1) * 2 - 1)
+                   AS DOUBLE))),
+              (a, b) -> a + b)
+          + 64.0 * r.rho * r.rho AS adist2
+      FROM qprobe p
+      JOIN ivfbq_codes e USING (cluster_id)
+      JOIN q ON q.query_id = p.query_id
+      JOIN cents c ON c.centroid_id = e.cluster_id
+      JOIN rscale r ON r.cluster_id = e.cluster_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY adist2, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, adist2
+    FROM ranked WHERE rank <= 5
+    """,
+)
+
+
+def _ivfbq_hamming_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.ivfbq import ivfbq_search
+
+    _, cents, codes, _, q = _ivfbq_frames(spark, sf_dir)
+    return ivfbq_search(codes, cents, q, k=5, n_probe=4, scoring="hamming")
+
+
+_register(
+    "ivfbq_hamming_fixed",
+    _ivfbq_hamming_fixed,
+    f"""
+    WITH {_DD_ASSIGN},
+    {_DD_IVFBQ_BASE.format(probe_d2=_DD_DIST2.format(a="c.cvec", b="q.query"))},
+    qcodes AS (
+      SELECT p.query_id, p.cluster_id,
+        list_transform(range(1, 3), w ->
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(range(1, 33), j ->
+                CAST(CASE WHEN q.query[(w-1)*32 + j] > c.cvec[(w-1)*32 + j]
+                     THEN 1 ELSE 0 END AS BIGINT))),
+            (a, b) -> a * 2 + b)) AS qc
+      FROM qprobe p
+      JOIN q ON q.query_id = p.query_id
+      JOIN cents c ON c.centroid_id = p.cluster_id
+    ),
+    scored AS (
+      SELECT qc.query_id, e.vec_id AS neighbor_id,
+        CAST(list_sum(list_transform(range(1, 3),
+             w -> bit_count(xor(qc.qc[w], e.codes[w])))) AS BIGINT) AS hamming
+      FROM qcodes qc
+      JOIN ivfbq_codes e USING (cluster_id)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY hamming, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, hamming
+    FROM ranked WHERE rank <= 5
+    """,
+)
+
+
 def _bq_search_trained(spark, sf_dir):
     from vector_indexer_spark.operators.bq import bq_encode, bq_search, bq_train
 
