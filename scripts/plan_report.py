@@ -564,6 +564,59 @@ def _zorder_df(spark, sf_dir):
     )
 
 
+def _sparse_df(spark, docs):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.sparse import sparse_search_tokens
+
+    q = docs.filter(F.col("doc_id") < 5)
+    return sparse_search_tokens(docs, q, k=10, query_id_col="doc_id")
+
+
+def _ivfbq_df(spark, emb):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.ivfbq import (
+        ivfbq_encode,
+        ivfbq_search,
+        ivfbq_train_scales,
+    )
+
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    # fixture assignment (modular) — the plan shape is what matters here
+    assigned = emb.select(
+        F.col("vec_id").alias("id"),
+        (F.col("vec_id") % 16).alias("cluster_id"),
+        F.col("embedding").alias("values"),
+    )
+    codes = ivfbq_encode(assigned, cents)
+    scales = ivfbq_train_scales(assigned, cents)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return ivfbq_search(codes, cents, q, k=5, n_probe=4, scales=scales)
+
+
+def _bq_adc_df(spark, emb, vec):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.bq import (
+        BQModel,
+        bq_adc_search,
+        bq_encode,
+    )
+
+    model = BQModel(thresholds=(0.0,) * 64)
+    codes = bq_encode(vec, model)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return bq_adc_search(codes, model, q, k=5)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -944,6 +997,31 @@ def main():
             "window; candidates bounded at n*k^2 per round — the "
             "linear-scale alternative to the O(n^2) exact graph.",
             _nn_descent_df(spark, sf_dir),
+        ),
+        (
+            "Sparse retrieval (inverted-index posting join)",
+            "Both sides explode scan-locally to (id, term, w) postings; "
+            "the query postings are BROADCAST into the term join, so the "
+            "doc posting table never shuffles before the (query, doc) "
+            "partial aggregation (map-side combined); integer-micros "
+            "order-free scores; window top-k on aggregate-sized rows.",
+            _sparse_df(spark, docs),
+        ),
+        (
+            "IVF-BQ scaled ADC search (1-bit pruned scan)",
+            "Probe ranking on the broadcast centroid table; candidates = "
+            "codes JOIN broadcast(probes) — the 1-bit codes table never "
+            "shuffles; the distance estimator (|q-c|^2 - 2rho*(q-c).s + "
+            "d*rho^2) is a flat codegen fold over literal shifts plus two "
+            "broadcast joins (centroids, nlist-sized scales).",
+            _ivfbq_df(spark, emb),
+        ),
+        (
+            "BQ asymmetric ADC (flat 1-bit, query stays float)",
+            "Codes-only scan (raw vectors pruned), broadcast query batch, "
+            "one flat codegen fold of +/-q_j terms per candidate; only "
+            "the per-query window exchanges rows.",
+            _bq_adc_df(spark, emb, vec),
         ),
         (
             "Graph local search (fits-one-box regime)",

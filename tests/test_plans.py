@@ -876,3 +876,101 @@ def test_maxsim_ann_doc_tokens_never_shuffle_before_agg(
     assert s["broadcasts"] >= 4
     # the scoring aggregation is map-side combinable before its exchange
     assert "partial_max" in plan or "partial" in plan.lower()
+
+
+def test_sparse_topk_posting_join_broadcasts_queries(spark):
+    """The sparse posting join must broadcast the (bounded) query
+    postings — a shuffled term join would exchange the full doc
+    posting table at 100-TB scale. The only doc-side exchanges are the
+    posting-construction aggregate (text path) and the map-side
+    combined score aggregation."""
+    import numpy as np
+
+    from vector_indexer_spark.operators.sparse import sparse_topk
+    from vector_indexer_spark.plans import audit
+
+    rng = np.random.default_rng(0)
+    rows = [
+        (
+            int(i),
+            [int(x) for x in np.sort(rng.choice(60, 5, replace=False))],
+            [float(x) for x in rng.uniform(0.1, 1.0, 5)],
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, indices array<int>, weights array<double>"
+    )
+    q = spark.createDataFrame(
+        rows[:3],
+        "query_id long, indices array<int>, weights array<double>",
+    )
+    out = sparse_topk(df, q, k=5)
+    plan = audit.executed_plan(out)
+    s = audit.plan_summary(out)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert not s["cartesian"]
+    assert s["broadcasts"] >= 1
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    # pre-encoded sparse vectors: score agg + ranking window only
+    assert s["shuffles"] <= 2
+
+
+def test_ivfbq_codes_never_shuffle(spark, embeddings):
+    """IVF-BQ candidates come from codes JOIN broadcast(probes): the
+    1-bit codes table must not shuffle; scales and centroids are
+    nlist-sized broadcasts."""
+    from vector_indexer_spark.operators.ivfbq import (
+        ivfbq_encode,
+        ivfbq_search,
+        ivfbq_train_scales,
+    )
+    from vector_indexer_spark.plans import audit
+
+    cents = embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    assigned = embeddings.select(
+        F.col("vec_id").alias("id"),
+        (F.col("vec_id") % 8).alias("cluster_id"),
+        F.col("embedding").alias("values"),
+    )
+    codes = ivfbq_encode(assigned, cents)
+    scales = ivfbq_train_scales(assigned, cents)
+    q = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    out = ivfbq_search(codes, cents, q, k=5, n_probe=4, scales=scales)
+    plan = audit.executed_plan(out)
+    s = audit.plan_summary(out)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert not s["cartesian"]
+    assert s["broadcasts"] >= 4  # probes, centroids, queries, scales
+
+
+def test_bq_adc_single_shuffle_codes_only_scan(spark, embeddings):
+    """Flat ADC: codes-only scan (raw vectors column-pruned away),
+    broadcast query batch, ONE exchange (the ranking window)."""
+    from vector_indexer_spark.operators.bq import (
+        BQModel,
+        bq_adc_search,
+        bq_encode,
+    )
+    from vector_indexer_spark.plans import audit
+
+    vec = embeddings.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    model = BQModel(thresholds=(0.0,) * 64)
+    codes = bq_encode(vec, model)
+    q = embeddings.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    out = bq_adc_search(codes, model, q, k=5)
+    s = audit.plan_summary(out)
+    assert s["shuffles"] == 1
+    assert s["broadcasts"] == 1
+    assert not s["cartesian"]
