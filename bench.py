@@ -632,6 +632,86 @@ def main() -> None:
                 )
                 scodes.unpersist()
 
+            # IVF-BQ at the same scale: the 1-bit tier (d/8 bytes/vec —
+            # 32x below flat, 8x below SQ8). Residual signs against each
+            # vector's own centroid + ONE trained scalar/cluster; the
+            # scaled ADC estimator keeps cross-cluster order, and the
+            # deployment shape is shortlist -> exact refine. Reported:
+            # search wall (arrow masked-GEMM), raw estimator recall, and
+            # refined recall at shortlist 10k (what a user deploys).
+            if os.environ.get("BENCH_SYNTH_BQ", "1") == "1":
+                from vector_indexer_spark.operators.ivfbq import (
+                    ivfbq_encode,
+                    ivfbq_search,
+                    ivfbq_search_refined,
+                    ivfbq_train_scales,
+                )
+
+                bq_cents = spark.createDataFrame(
+                    [
+                        (int(i), [float(x) for x in sidx.centroids[i]])
+                        for i in range(sidx.nlist)
+                    ],
+                    "centroid_id long, cvec array<float>",
+                )
+                kwb = dict(id_col="id", vec_col="values")
+                t0 = time.perf_counter()
+                bscales = ivfbq_train_scales(
+                    sidx_vec, bq_cents, vec_col="values"
+                ).coalesce(1).cache()
+                bscales.count()
+                extras["synth_ivfbq_scales_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                t0 = time.perf_counter()
+                bcodes = ivfbq_encode(sidx_vec, bq_cents, **kwb)
+                bcodes = bcodes.coalesce(32).cache()
+                bcodes.count()
+                extras["synth_ivfbq_encode_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                results[f"{slabel}_ivfbq_256q"] = timed(
+                    lambda: ivfbq_search(
+                        bcodes, bq_cents, sq, k=10, n_probe=16,
+                        scales=bscales, method="arrow",
+                    ).count(),
+                    min_duration=12.0,
+                    key=f"{slabel}_ivfbq_256q",
+                )
+                extras["synth_ivfbq_speedup_vs_exact"] = round(
+                    MIN_TIMES.get(
+                        f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"]
+                    )
+                    / MIN_TIMES.get(
+                        f"{slabel}_ivfbq_256q",
+                        results[f"{slabel}_ivfbq_256q"],
+                    ),
+                    3,
+                )
+                extras["synth_ivfbq_recall_at_10"] = round(
+                    calculate_recall(
+                        ivfbq_search(
+                            bcodes, bq_cents, sq, k=10, n_probe=16,
+                            scales=bscales, method="arrow",
+                        ),
+                        sexact,
+                        10,
+                    ),
+                    4,
+                )
+                t0 = time.perf_counter()
+                refined = ivfbq_search_refined(
+                    bcodes, bq_cents, sidx_vec, sq, k=10, shortlist=100,
+                    n_probe=16, scales=bscales, method="arrow", **kwb,
+                )
+                extras["synth_ivfbq_refined_recall_at_10"] = round(
+                    calculate_recall(refined, sexact, 10), 4
+                )
+                extras["synth_ivfbq_refined_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                bcodes.unpersist(), bscales.unpersist()
+
             synth.unpersist()
             sidx_vec.unpersist()
 
@@ -837,6 +917,53 @@ def main() -> None:
             dt = time.perf_counter() - t0
             extras["text1M_clean_sec"] = round(dt, 3)
             extras["text1M_docs_per_sec"] = round(n_docs / dt)
+
+            # sparse retrieval at 1M docs (inverted-index tf-idf posting
+            # join, 16 text queries): full postings vs champion-capped
+            # (top-1000 impact-ordered postings/term — the stopword-skew
+            # lever). The ~5k-word vocab makes every term a hot term
+            # (~6k postings each), the worst case the cap exists for;
+            # top-10 agreement is reported next to the speedup.
+            if os.environ.get("BENCH_SPARSE", "1") == "1":
+                from vector_indexer_spark.operators.sparse import (
+                    sparse_search_tokens,
+                )
+
+                sq16 = docs1m.filter(F.col("doc_id") < 16).select(
+                    "doc_id", "text"
+                )
+                t0 = time.perf_counter()
+                sparse_search_tokens(
+                    docs1m, sq16, k=10, query_id_col="doc_id"
+                ).count()
+                extras["sparse1M_full_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                t0 = time.perf_counter()
+                sparse_search_tokens(
+                    docs1m, sq16, k=10, query_id_col="doc_id",
+                    max_postings_per_term=1000,
+                ).count()
+                extras["sparse1M_capped_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                extras["sparse1M_capped_speedup"] = round(
+                    extras["sparse1M_full_sec"]
+                    / extras["sparse1M_capped_sec"],
+                    3,
+                )
+                full16 = sparse_search_tokens(
+                    docs1m, sq16, k=10, query_id_col="doc_id"
+                ).select("query_id", "doc_id")
+                cap16 = sparse_search_tokens(
+                    docs1m, sq16, k=10, query_id_col="doc_id",
+                    max_postings_per_term=1000,
+                ).select("query_id", "doc_id")
+                extras["sparse1M_capped_overlap_at_10"] = round(
+                    cap16.join(full16, ["query_id", "doc_id"]).count()
+                    / (16 * 10),
+                    4,
+                )
             docs1m.unpersist()
 
         # --- multimodal decode throughput: 50k synthetic PNGs decoded +
