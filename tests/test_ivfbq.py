@@ -262,3 +262,84 @@ class TestQualityAndRefine:
         assert {(r.query_id, r.rank, r.neighbor_id) for r in ref} == {
             (r.query_id, r.rank, r.neighbor_id) for r in exact
         }
+
+
+class TestPersistedIndex:
+    def test_build_load_search_roundtrip(self, spark, tmp_path):
+        import numpy as np
+
+        from vector_indexer_spark.operators.ivfbq import (
+            build_ivfbq_index,
+            load_ivfbq_index,
+            search_ivfbq_index,
+        )
+
+        rng = np.random.default_rng(4)
+        cents = rng.normal(size=(5, 24)) * 20.0
+        X = np.concatenate(
+            [cents[c] + rng.normal(size=(60, 24)) for c in range(5)]
+        )
+        df = spark.createDataFrame(
+            [(int(i), [float(v) for v in X[i]]) for i in range(len(X))],
+            "id long, values array<double>",
+        )
+        q = spark.createDataFrame(
+            [(int(i), [float(v) for v in X[i]]) for i in range(8)],
+            "query_id long, query array<double>",
+        )
+        path = str(tmp_path / "ivfbq_idx")
+        idx = build_ivfbq_index(df, path, nlist=8, seed=42)
+        assert idx.n_vectors == len(X)
+        assert idx.dimension == 24
+        assert len(idx.rhos) == idx.nlist and all(r > 0 for r in idx.rhos)
+        # layout: shard-partitioned codes + centroids + meta
+        import os
+
+        assert os.path.exists(os.path.join(path, "ivfbq_meta.json"))
+        loaded = load_ivfbq_index(spark, path)
+        assert loaded.nlist == idx.nlist
+        assert np.allclose(loaded.centroids, idx.centroids)
+        assert np.allclose(loaded.rhos, idx.rhos)
+        # persisted pruned search == in-memory search over the full
+        # codes table at the same n_probe (full probe: identical rows)
+        full = search_ivfbq_index(
+            spark, loaded, q, k=5, n_probe=idx.nlist
+        ).collect()
+        from vector_indexer_spark.operators.ivfbq import ivfbq_search
+
+        mem = ivfbq_search(
+            idx.codes(spark),
+            idx.centroids_df(spark),
+            q,
+            k=5,
+            n_probe=idx.nlist,
+            scales=idx.scales_df(spark),
+            method="arrow",
+        ).collect()
+        assert {(r.query_id, r.rank, r.neighbor_id) for r in full} == {
+            (r.query_id, r.rank, r.neighbor_id) for r in mem
+        }
+        # refined self-retrieval: every query's own row lands rank 1
+        # after refine over the persisted tier
+        from vector_indexer_spark.operators.pq import refine_topk
+
+        short = search_ivfbq_index(spark, loaded, q, k=30, n_probe=4)
+        ref = refine_topk(
+            short.select("query_id", "neighbor_id"), df, q, k=1
+        ).collect()
+        assert all(r.neighbor_id == r.query_id for r in ref)
+
+    def test_load_errors(self, spark, tmp_path):
+        from vector_indexer_spark.operators.ivfbq import load_ivfbq_index
+
+        with pytest.raises(FileNotFoundError):
+            load_ivfbq_index(spark, str(tmp_path / "nope"))
+        import json
+        import os
+
+        bad = str(tmp_path / "bad")
+        os.makedirs(bad)
+        with open(os.path.join(bad, "ivfbq_meta.json"), "w") as fh:
+            json.dump({"version": 99}, fh)
+        with pytest.raises(ValueError):
+            load_ivfbq_index(spark, bad)

@@ -2820,6 +2820,38 @@ def _ivfsq_search_trained(spark, sf_dir):
 _register("ivfsq_search_trained", _ivfsq_search_trained)
 
 
+_IVFBQ_CACHE: dict = {}
+
+
+def _ivfbq_search_trained(spark, sf_dir):
+    """Production persisted IVF-BQ end-to-end (trained coarse
+    centroids — rows-only; the fixed-centroid twins
+    ``ivfbq_search_fixed``/``ivfbq_hamming_fixed`` are the exact
+    oracles). Index cached per sf_dir, same as the IVF-SQ twin."""
+    import tempfile
+
+    from vector_indexer_spark.operators.ivfbq import (
+        build_ivfbq_index,
+        search_ivfbq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _IVFBQ_CACHE:
+        vec = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        path = tempfile.mkdtemp(prefix="ivfbq_entry_") + "/index"
+        _IVFBQ_CACHE[sf_dir] = build_ivfbq_index(vec, path, seed=42)
+    idx = _IVFBQ_CACHE[sf_dir]
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_ivfbq_index(spark, idx, q, k=10, n_probe=8)
+
+
+_register("ivfbq_search_trained", _ivfbq_search_trained)
+
+
 def _sq_codes(spark, sf_dir):
     """SQ8 train + encode over the whole embeddings table (the real
     operators.sq pipeline; the oracle re-derives the model in SQL).

@@ -463,3 +463,275 @@ def ivfbq_search_refined(
         query_id_col=query_id_col,
         query_col=query_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-BQ index: the composable stages above wired into the
+# engine's standard on-disk contract (codes-only table partitioned by
+# shard, cluster-sorted; centroid parquet; nlist-sized scales parquet;
+# JSON meta) — same layout and pruning behavior as the flat / IVF-SQ /
+# IVF-PQ indexes, at d/8 bytes per vector.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+from dataclasses import dataclass as _dataclass
+
+from vector_indexer_spark.ioutil import atomic_write_json
+
+IVFBQ_FORMAT_VERSION = 1
+
+
+@_dataclass
+class IvfBqIndex:
+    path: str
+    dimension: int
+    nlist: int
+    n_shards: int
+    seed: int
+    n_vectors: int
+    centroids: object  # (nlist, d) float64 ndarray
+    centroid_shards: object  # (nlist,) int64 ndarray
+    rhos: object  # (nlist,) float64 ndarray — per-cluster ADC scales
+
+    def codes(self, spark) -> DataFrame:
+        return spark.read.parquet(_os.path.join(self.path, "codes"))
+
+    def centroids_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in self.centroids[i]])
+                for i in range(self.nlist)
+            ],
+            "centroid_id long, cvec array<float>",
+        )
+
+    def scales_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            [(int(i), float(self.rhos[i])) for i in range(self.nlist)],
+            "cluster_id long, rho double",
+        )
+
+
+def build_ivfbq_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    nlist: int | None = None,
+    seed: int = 42,
+    mode: str = "full",
+    max_iters: int | None = None,
+) -> IvfBqIndex:
+    """Coarse k-means → dense relabel + sharding → per-cluster sign
+    encode (no quantizer training pass — the centroids ARE the
+    thresholds) + one scale aggregate → ``partitionBy(shard_id)``
+    cluster-sorted codes write. ~d/8 bytes per vector on disk; the
+    query-time scan Hive-prunes to probed shards exactly like the
+    other tiers."""
+    from vector_indexer_spark.config import (  # noqa: PLC0415
+        calculate_max_iterations,
+        suggest_nlist,
+    )
+    from vector_indexer_spark.operators.index_build import (  # noqa: PLC0415
+        dense_relabel_and_shards,
+    )
+    from vector_indexer_spark.operators.kmeans import (  # noqa: PLC0415
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    spark = df.sparkSession
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot build an index from an empty DataFrame")
+    dimension = len(df.select(vec_col).first()[0])
+    bad = df.filter(F.size(vec_col) != dimension).count()
+    if bad:
+        raise ValueError(f"{bad} records have dimension != {dimension}")
+
+    nlist = nlist or suggest_nlist(n)
+    max_iters = max_iters or calculate_max_iterations(n)
+    model = kmeans_fit(
+        df, nlist, vec_col=vec_col, max_iters=max_iters, seed=seed, mode=mode
+    )
+    assigned = assign_clusters(
+        df, model.centroids, vec_col=vec_col, out_col="__raw_cluster",
+        seed=seed,
+    ).cache()
+    counts = {
+        r["__raw_cluster"]: r["cnt"]
+        for r in assigned.groupBy("__raw_cluster")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    relabel, centroids, eff_nlist, n_sh, shard_of = dense_relabel_and_shards(
+        counts, model.centroids, seed
+    )
+    mapping = spark.createDataFrame(
+        [
+            (int(old), int(new), int(shard_of[new]))
+            for old, new in relabel.items()
+        ],
+        "__raw_cluster long, cluster_id long, shard_id long",
+    )
+    dense = assigned.join(F.broadcast(mapping), "__raw_cluster").select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__vec"),
+        "cluster_id",
+        "shard_id",
+    )
+    cents_df = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in centroids[i]])
+            for i in range(eff_nlist)
+        ],
+        "centroid_id long, cvec array<float>",
+    )
+    scales = ivfbq_train_scales(dense, cents_df, vec_col="__vec")
+    rho_rows = {r.cluster_id: float(r.rho) for r in scales.collect()}
+    rhos = np.array(
+        [rho_rows.get(i, 0.0) for i in range(eff_nlist)], dtype=np.float64
+    )
+    codes = ivfbq_encode(
+        dense, cents_df, id_col="id", vec_col="__vec"
+    ).join(
+        F.broadcast(mapping.select("cluster_id", "shard_id").distinct()),
+        "cluster_id",
+    )
+    (
+        codes.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(_os.path.join(path, "codes"))
+    )
+    assigned.unpersist()
+    spark.createDataFrame(
+        [
+            (
+                int(i),
+                [float(x) for x in centroids[i]],
+                int(shard_of[i]),
+                float(rhos[i]),
+            )
+            for i in range(eff_nlist)
+        ],
+        "centroid_id long, cvec array<float>, shard_id long, rho double",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "centroids")
+    )
+    atomic_write_json(
+        _os.path.join(path, "ivfbq_meta.json"),
+        {
+            "version": IVFBQ_FORMAT_VERSION,
+            "kind": "ivfbq",
+            "dimension": dimension,
+            "nlist": eff_nlist,
+            "n_shards": n_sh,
+            "seed": seed,
+            "n_vectors": n,
+        },
+    )
+    return IvfBqIndex(
+        path=path,
+        dimension=dimension,
+        nlist=eff_nlist,
+        n_shards=n_sh,
+        seed=seed,
+        n_vectors=n,
+        centroids=centroids,
+        centroid_shards=shard_of,
+        rhos=rhos,
+    )
+
+
+def load_ivfbq_index(spark, path: str) -> IvfBqIndex:
+    meta_path = _os.path.join(path, "ivfbq_meta.json")
+    if not _os.path.exists(meta_path):
+        raise FileNotFoundError(f"no IVF-BQ index at {path}")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    if meta.get("version") != IVFBQ_FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported IVF-BQ version {meta.get('version')!r}"
+        )
+    rows = (
+        spark.read.parquet(_os.path.join(path, "centroids"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    return IvfBqIndex(
+        path=path,
+        dimension=meta["dimension"],
+        nlist=meta["nlist"],
+        n_shards=meta["n_shards"],
+        seed=meta["seed"],
+        n_vectors=meta["n_vectors"],
+        centroids=np.asarray([r.cvec for r in rows], dtype=np.float64),
+        centroid_shards=np.asarray(
+            [r.shard_id for r in rows], dtype=np.int64
+        ),
+        rhos=np.asarray([r.rho for r in rows], dtype=np.float64),
+    )
+
+
+def search_ivfbq_index(
+    spark,
+    index: IvfBqIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 20,
+    *,
+    scoring: str = "adc",
+    method: str = "arrow",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Pruned search against the persisted index: probe ranking on the
+    driver-resident centroid matrix → literal shard/cluster predicates
+    (Hive partition pruning + row-group stats on the cluster-sorted
+    layout) → :func:`ivfbq_search` over only the scanned clusters."""
+    if k <= 0 or n_probe <= 0:
+        raise ValueError("k and n_probe must be positive")  # P3
+    from vector_indexer_spark.operators.search import (  # noqa: PLC0415
+        _HIER_PROBE_NLIST,
+        probe_hierarchy_for,
+        rank_probes,
+    )
+
+    probes = rank_probes(
+        queries,
+        index.centroids,
+        index.centroid_shards,
+        min(n_probe, index.nlist),
+        query_id_col=query_id_col,
+        query_col=query_col,
+        hierarchy=(
+            probe_hierarchy_for(index)
+            if index.nlist >= _HIER_PROBE_NLIST
+            else None
+        ),
+    )
+    pc = probes.select("cluster_id", "shard_id").distinct().collect()
+    shard_ids = sorted({r.shard_id for r in pc})
+    cluster_ids = sorted({r.cluster_id for r in pc})
+    base = codes if codes is not None else index.codes(spark)
+    pruned = base.where(
+        F.col("shard_id").isin(shard_ids)
+        & F.col("cluster_id").isin(cluster_ids)
+    )
+    return ivfbq_search(
+        pruned,
+        index.centroids_df(spark),
+        queries,
+        k=k,
+        n_probe=min(n_probe, index.nlist),
+        scales=index.scales_df(spark) if scoring == "adc" else None,
+        scoring=scoring,
+        method=method,
+        query_id_col=query_id_col,
+        query_col=query_col,
+    )
