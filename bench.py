@@ -922,8 +922,11 @@ def main() -> None:
             # join, 16 text queries): full postings vs champion-capped
             # (top-1000 impact-ordered postings/term — the stopword-skew
             # lever). The ~5k-word vocab makes every term a hot term
-            # (~6k postings each), the worst case the cap exists for;
-            # top-10 agreement is reported next to the speedup.
+            # (~6k postings each). Honest framing: the cap BOUNDS
+            # worst-case join fan-out (its win grows with query count
+            # and term skew); at 16 queries its one-off term-window
+            # cost can exceed the scoring it saves — both numbers are
+            # reported, with top-10 agreement next to the ratio.
             if os.environ.get("BENCH_SPARSE", "1") == "1":
                 from vector_indexer_spark.operators.sparse import (
                     sparse_search_tokens,

@@ -98,7 +98,14 @@ def sparse_from_tokens(
     """
     if vocab_size <= 0:
         raise ValueError("vocab_size must be positive")
-    tf = _tf_table(df, id_col, text_col, vocab_size)
+    # lazy localCheckpoint: tf feeds BOTH the weight projection and the
+    # df aggregate, and Catalyst plans them as independent branches —
+    # without the checkpoint the corpus is tokenized twice per
+    # invocation (measured 6 FileScans for the text path). Batch-only
+    # by nature: the corpus-wide df/N stats preclude streaming anyway.
+    tf = _tf_table(df, id_col, text_col, vocab_size).localCheckpoint(
+        eager=False
+    )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     n = df.select(F.count(F.lit(1)).alias("n_docs"))
     w = (
@@ -221,7 +228,12 @@ def sparse_search_tokens(
     ``bm25_search`` expressed in the sparse-vector data model; both
     sides skip the array round-trip and score straight from posting
     frames (one explode each)."""
-    tf = _tf_table(docs, id_col, text_col, vocab_size)
+    # lazy localCheckpoint: the corpus tf frame feeds the doc postings,
+    # the df table, and (via df) the query weights — one tokenize pass
+    # instead of three (see sparse_from_tokens)
+    tf = _tf_table(docs, id_col, text_col, vocab_size).localCheckpoint(
+        eager=False
+    )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     n = docs.select(F.count(F.lit(1)).alias("n_docs"))
     d = (
