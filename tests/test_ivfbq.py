@@ -63,16 +63,18 @@ def _np_codes(X, thr_rows):
 
 
 def _np_rho(X, cents, cl):
-    """Replicate the integer-micros scale train exactly."""
+    """Replicate the integer-micros scale train exactly: per member
+    ONE floored value — floor(micros · dist2) with the sequential
+    fold-left dist2."""
     d = X.shape[1]
     esum, cnt = {}, {}
     for i in range(len(X)):
         c = cl[i]
-        e = 0
+        dist2 = 0.0
         for j in range(d):
             diff = X[i, j] - cents[c, j]
-            e += int(math.floor(diff * diff * 1_000_000.0))
-        esum[c] = esum.get(c, 0) + e
+            dist2 = dist2 + diff * diff
+        esum[c] = esum.get(c, 0) + int(math.floor(dist2 * 1_000_000.0))
         cnt[c] = cnt.get(c, 0) + 1
     return {
         c: math.sqrt(esum[c] / 1_000_000.0 / (cnt[c] * float(d)))

@@ -3806,13 +3806,9 @@ _register(
     rscale AS (
       SELECT m.cluster_id,
         sqrt(CAST(CAST(SUM(
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(range(1, 65), j ->
-              CAST(floor(
-                (CAST(v.embedding[j] AS DOUBLE) - CAST(c.cvec[j] AS DOUBLE))
-                * (CAST(v.embedding[j] AS DOUBLE) - CAST(c.cvec[j] AS DOUBLE))
-                * 1000000.0) AS BIGINT))),
-            (a, b) -> a + b)) AS BIGINT) AS DOUBLE)
+          CAST(floor(
+            {_DD_DIST2.format(a="v.embedding", b="c.cvec")} * 1000000.0
+          ) AS BIGINT)) AS BIGINT) AS DOUBLE)
           / 1000000.0 / (CAST(count(*) AS DOUBLE) * 64.0)) AS rho
       FROM members m
       JOIN embeddings v ON v.vec_id = m.vec_id
