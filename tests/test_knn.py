@@ -226,3 +226,22 @@ def test_rowwise_dist2_foldexact_matches_sequential_fold():
             d = float(a[i, j]) - float(b[i, j])
             acc += d * d
         assert got[i] == acc  # bit-identical, not approx
+
+
+def test_pairwise_dist2_inplace_matches_naive_expression():
+    """The allocation-lean form (one buffer + in-place updates) must be
+    BIT-identical to the naive `p2 - 2*(p@cT) + c2` it replaced —
+    -(2g) == -2g exactly and IEEE addition commutes, so any drift here
+    is a real bug, not tolerance."""
+    import numpy as np
+
+    rng = np.random.default_rng(123)
+    for n, k, d in ((37, 11, 3), (256, 100, 64), (1000, 7, 128)):
+        p = rng.normal(size=(n, d)) * rng.uniform(0.1, 50)
+        c = rng.normal(size=(k, d)) * rng.uniform(0.1, 50)
+        got = pairwise_dist2(p, c)
+        p2 = np.einsum("ij,ij->i", p, p)[:, None]
+        c2 = np.einsum("ij,ij->i", c, c)[None, :]
+        want = p2 - 2.0 * (p @ c.T) + c2
+        np.maximum(want, 0.0, out=want)
+        assert np.array_equal(got, want)

@@ -161,3 +161,57 @@ class TestSparseSearchTokens:
         got = sparse_search_tokens(docs, q, k=5, query_id_col="doc_id").collect()
         hit_docs = {r.doc_id for r in got}
         assert hit_docs == {0, 1}
+
+
+class TestBm25Weighting:
+    def test_length_normalization_prefers_concise_doc(self, spark):
+        # same tf for the query term; doc 1 is padded much longer —
+        # BM25's dl/avgdl denominator must rank the concise doc first,
+        # while tf-idf (no length norm) ties them
+        docs = spark.createDataFrame(
+            [
+                (0, "needle haystack"),
+                (1, "needle " + " ".join(f"pad{i}" for i in range(60))),
+                (2, "other stuff entirely"),
+            ],
+            "doc_id long, text string",
+        )
+        q = spark.createDataFrame(
+            [(100, "needle")], "doc_id long, text string"
+        )
+        got = sparse_search_tokens(
+            docs, q, k=5, query_id_col="doc_id", weighting="bm25"
+        ).collect()
+        ranked = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+        assert ranked[0] == 0 and ranked[1] == 1
+        scores = {r.doc_id: r.score_micros for r in got}
+        assert scores[0] > scores[1] > 0
+        assert 2 not in scores
+
+    def test_idf_downweights_common_terms(self, spark):
+        # "common" appears everywhere, "rare" once: a query with both
+        # must rank the rare-term doc above a common-only doc
+        docs = spark.createDataFrame(
+            [
+                (0, "common rare"),
+                (1, "common common"),
+                (2, "common filler"),
+                (3, "common words"),
+            ],
+            "doc_id long, text string",
+        )
+        q = spark.createDataFrame(
+            [(9, "common rare")], "doc_id long, text string"
+        )
+        got = sparse_search_tokens(
+            docs, q, k=4, query_id_col="doc_id", weighting="bm25"
+        ).collect()
+        top = min(got, key=lambda r: r.rank)
+        assert top.doc_id == 0
+
+    def test_weighting_validation(self, spark, documents):
+        q = documents.limit(1)
+        with pytest.raises(ValueError):
+            sparse_search_tokens(
+                documents, q, query_id_col="doc_id", weighting="nope"
+            )

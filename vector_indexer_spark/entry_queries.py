@@ -4398,6 +4398,65 @@ _register(
 )
 
 
+def _sparse_bm25_topk(spark, sf_dir):
+    from vector_indexer_spark.operators.sparse import sparse_search_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 5)
+    return sparse_search_tokens(
+        docs, q, k=10, query_id_col="doc_id", weighting="bm25"
+    )
+
+
+_register(
+    "sparse_bm25_topk",
+    _sparse_bm25_topk,
+    f"""
+    WITH {_DD_SPARSE_BASE},
+    sp_dl AS (
+      SELECT id, CAST(SUM(tf) AS BIGINT) AS dl FROM sp_terms GROUP BY 1
+    ),
+    sp_stats AS (
+      SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens,
+             count(DISTINCT id) AS n_d
+      FROM sp_terms
+    ),
+    sp_bm AS (
+      SELECT t.id AS doc_id, t.term,
+        ln(1.0 + (CAST(n_d AS DOUBLE) - CAST(dfreq AS DOUBLE) + 0.5)
+                 / (CAST(dfreq AS DOUBLE) + 0.5))
+          * (CAST(t.tf AS DOUBLE) * 2.2)
+          / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+               (CAST(dl AS DOUBLE)
+                / (CAST(total_tokens AS DOUBLE) / CAST(n_d AS DOUBLE)))))
+          AS dw
+      FROM sp_terms t
+      JOIN sp_dft USING (term)
+      JOIN sp_dl USING (id)
+      CROSS JOIN sp_stats
+    ),
+    sp_qbm AS (
+      SELECT id AS query_id, term, CAST(tf AS DOUBLE) AS qw
+      FROM sp_terms WHERE id < 5
+    ),
+    sp_scored AS (
+      SELECT q.query_id, d.doc_id,
+        CAST(SUM(CAST(floor(q.qw * d.dw * 1000000.0) AS BIGINT))
+             AS BIGINT) AS score_micros
+      FROM sp_bm d JOIN sp_qbm q USING (term)
+      GROUP BY 1, 2
+    ),
+    sp_ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY score_micros DESC, doc_id) AS rank
+      FROM sp_scored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micros
+    FROM sp_ranked WHERE rank <= 10
+    """,
+)
+
+
 def _sparse_topk_capped(spark, sf_dir):
     from vector_indexer_spark.operators.sparse import sparse_search_tokens
 

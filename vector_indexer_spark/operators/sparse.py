@@ -219,15 +219,33 @@ def sparse_search_tokens(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     text_col: str = "text",
+    weighting: str = "tfidf",
+    k1: float = 1.2,
+    b: float = 0.75,
     max_postings_per_term: int | None = None,
 ) -> DataFrame:
-    """Text-in/text-out composition: tf-idf encode the corpus, weight
-    the query TEXTS against the CORPUS's term statistics (df and N
-    come from the documents — a query must not perturb the index), and
+    """Text-in/text-out composition: encode the corpus, weight the
+    query TEXTS against the CORPUS's term statistics (df/N/avgdl come
+    from the documents — a query must not perturb the index), and
     score via the posting join. The lexical-retrieval twin of
     ``bm25_search`` expressed in the sparse-vector data model; both
     sides skip the array round-trip and score straight from posting
-    frames (one explode each)."""
+    frames (one explode each).
+
+    ``weighting``:
+
+    - ``"tfidf"`` (default): ``ln(1+tf) · ln((N+1)/(df+1))`` on BOTH
+      sides — the symmetric dot the encode op stores.
+    - ``"bm25"``: Robertson/Okapi doc-side weights — ``idf ·
+      tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`` with ``idf =
+      ln(1 + (N−df+0.5)/(df+0.5))``; the query side contributes its
+      raw term frequency (the k3→∞ simplification). ``N``/``avgdl``
+      are computed over docs with ≥1 token. Same posting join, same
+      integer-micros contract — BM25 is just a different weight
+      column in the sparse data model.
+    """
+    if weighting not in ("tfidf", "bm25"):
+        raise ValueError(f"unknown weighting {weighting!r}")
     # lazy localCheckpoint: the corpus tf frame feeds the doc postings,
     # the df table, and (via df) the query weights — one tokenize pass
     # instead of three (see sparse_from_tokens)
@@ -235,22 +253,53 @@ def sparse_search_tokens(
         eager=False
     )
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
-    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    qtf = _tf_table(queries, query_id_col, text_col, vocab_size)
+    if weighting == "tfidf":
+        n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+        d = (
+            tf.join(F.broadcast(dft), "term")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("id").alias("doc_id"), "term",
+                _tfidf_weight().alias("dw"),
+            )
+        )
+        # inner join: query terms absent from the corpus have no
+        # postings to match anyway, so they carry no mass
+        q = (
+            qtf.join(F.broadcast(dft), "term")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("id").alias("query_id"), "term",
+                _tfidf_weight().alias("qw"),
+            )
+        )
+        return _topk_postings(d, q, k, max_postings_per_term)
+    # BM25: per-doc length + corpus stats, all from the one tf frame
+    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    stats = tf.agg(
+        F.sum("tf").alias("total_tokens"),
+        F.count_distinct("id").alias("n_d"),
+    )
+    n_dd = F.col("n_d").cast("double")
+    dfd = F.col("dfreq").cast("double")
+    tfd = F.col("tf").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / n_dd
+    idf = F.log(
+        F.lit(1.0) + (n_dd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5))
+    )
+    denom = tfd + F.lit(float(k1)) * (
+        F.lit(1.0) - F.lit(float(b))
+        + F.lit(float(b)) * (F.col("dl").cast("double") / avgdl)
+    )
+    w = idf * (tfd * F.lit(float(k1) + 1.0)) / denom
     d = (
         tf.join(F.broadcast(dft), "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            F.col("id").alias("doc_id"), "term", _tfidf_weight().alias("dw")
-        )
+        .join(F.broadcast(dl), "id")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col("id").alias("doc_id"), "term", w.alias("dw"))
     )
-    qtf = _tf_table(queries, query_id_col, text_col, vocab_size)
-    # inner join: query terms absent from the corpus have no postings
-    # to match anyway, so they carry no mass
-    q = (
-        qtf.join(F.broadcast(dft), "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            F.col("id").alias("query_id"), "term", _tfidf_weight().alias("qw")
-        )
+    q = qtf.select(
+        F.col("id").alias("query_id"), "term", tfd.alias("qw")
     )
     return _topk_postings(d, q, k, max_postings_per_term)
