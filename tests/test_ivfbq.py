@@ -330,6 +330,16 @@ class TestPersistedIndex:
             short.select("query_id", "neighbor_id"), df, q, k=1
         ).collect()
         assert all(r.neighbor_id == r.query_id for r in ref)
+        # hamming scoring works with the DEFAULT method (defaults
+        # resolve by scoring — the arrow kernel is adc-only, so the
+        # persisted hamming search must route to the codegen path
+        # instead of raising)
+        ham = search_ivfbq_index(
+            spark, loaded, q, k=1, n_probe=idx.nlist, scoring="hamming"
+        ).collect()
+        assert all(
+            r.neighbor_id == r.query_id and r.hamming == 0 for r in ham
+        )
 
     def test_load_errors(self, spark, tmp_path):
         from vector_indexer_spark.operators.ivfbq import load_ivfbq_index

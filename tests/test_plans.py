@@ -3,6 +3,8 @@ headline query shapes (the .explain-and-iterate discipline, SURVEY §4)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -915,6 +917,66 @@ def test_sparse_topk_posting_join_broadcasts_queries(spark):
     assert "partial_sum" in plan  # map-side combine before the exchange
     # pre-encoded sparse vectors: score agg + ranking window only
     assert s["shuffles"] <= 2
+
+
+def test_sparse_bm25_no_doc_sized_broadcast(spark, documents):
+    """The BM25 path must not broadcast any doc-keyed relation (the
+    per-doc length table is corpus-sized — broadcasting it is a
+    driver/executor OOM at 1B+ docs). dl comes from a window sum over
+    the tf frame; the only broadcasts are the bounded term-space df
+    table, the 1-row corpus stats, and the bounded query side."""
+    from vector_indexer_spark.operators.sparse import sparse_search_tokens
+    from vector_indexer_spark.plans import audit
+
+    docs = documents.select("doc_id", "text")
+    q = docs.limit(3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = sparse_search_tokens(docs, q, k=5, weighting="bm25")
+    plan = audit.executed_plan(out)
+    # the old plan joined `dl = tf.groupBy(id).sum` via
+    # BroadcastHashJoin on the doc id — a corpus-sized broadcast. The
+    # rewrite computes dl as a window sum, so NO broadcast join may be
+    # keyed on the doc id; the only legitimate broadcast joins key on
+    # `term` (bounded df table / query postings), and the 1-row stats
+    # frame arrives via IdentityBroadcastMode (BNL), not a hash join.
+    assert not re.search(r"BroadcastHashJoin \[id#", plan), (
+        "doc-id keyed broadcast join in the BM25 plan"
+    )
+    assert out.count() > 0
+
+
+def test_sparse_champion_cap_two_stage(spark):
+    """The champion-list cap must be two-stage (salted pre-rank then
+    bounded global rank): a single window on `term` serializes every
+    posting of a hot term through one task — the exact skew the cap
+    exists to tame."""
+    import numpy as np
+
+    from vector_indexer_spark.operators.sparse import sparse_topk
+    from vector_indexer_spark.plans import audit
+
+    rng = np.random.default_rng(1)
+    rows = [
+        (
+            int(i),
+            [int(x) for x in np.sort(rng.choice(60, 5, replace=False))],
+            [float(x) for x in rng.uniform(0.1, 1.0, 5)],
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, indices array<int>, weights array<double>"
+    )
+    q = spark.createDataFrame(
+        rows[:3],
+        "query_id long, indices array<int>, weights array<double>",
+    )
+    out = sparse_topk(df, q, k=5, max_postings_per_term=4)
+    plan = audit.executed_plan(out)
+    # stage 1 partitions by (term, salt); stage 2 by term alone
+    assert re.search(r"Window .*term#\d+L?, __salt#", plan), plan[:2000]
+    assert plan.count("Window") >= 3  # salted cap + global cap + rank
 
 
 def test_ivfbq_codes_never_shuffle(spark, embeddings):

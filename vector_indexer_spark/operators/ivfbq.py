@@ -49,7 +49,6 @@ from pyspark.sql import functions as F
 from vector_indexer_spark.operators.bq import (
     WORD_BITS,
     _codes_to_bytes,
-    _POPCNT8,
     hamming_expr,
 )
 
@@ -338,8 +337,10 @@ def _ivfbq_adc_arrow(
     crows = centroids.select(centroid_id_col, centroid_vec_col).collect()
     nlist = 1 + max(r[0] for r in crows)
     cents = np.zeros((nlist, d), dtype=np.float64)
+    present = np.zeros(nlist, dtype=bool)
     for r in crows:
         cents[r[0]] = np.asarray(r[1], dtype=np.float64)
+        present[r[0]] = True
     rhov = np.zeros(nlist, dtype=np.float64)
     for r in scales.select("cluster_id", "rho").collect():
         rhov[r[0]] = float(r[1])
@@ -350,7 +351,13 @@ def _ivfbq_adc_arrow(
         - 2.0 * (qmat @ cents.T)
         + np.einsum("ij,ij->i", cents, cents)[None, :]
     )
-    order = np.argsort(d2c, axis=1, kind="stable")[:, : min(n_probe, nlist)]
+    # a RESTRICTED centroid table (search_ivfbq_index masks to the
+    # scanned clusters) leaves zero-filled rows for absent ids — bar
+    # them from probe ranking or a phantom zero-vector could outrank a
+    # real centroid
+    d2c[:, ~present] = np.inf
+    n_pick = min(n_probe, int(present.sum()))
+    order = np.argsort(d2c, axis=1, kind="stable")[:, :n_pick]
     pmask = np.zeros((len(qids), nlist), dtype=bool)
     np.put_along_axis(pmask, order, True, axis=1)
     # J4 pruning, twice: a literal IN predicate on the probed-cluster
@@ -697,7 +704,7 @@ def search_ivfbq_index(
     n_probe: int = 20,
     *,
     scoring: str = "adc",
-    method: str = "arrow",
+    method: str | None = None,
     query_id_col: str = "query_id",
     query_col: str = "query",
     codes: DataFrame | None = None,
@@ -705,9 +712,19 @@ def search_ivfbq_index(
     """Pruned search against the persisted index: probe ranking on the
     driver-resident centroid matrix → literal shard/cluster predicates
     (Hive partition pruning + row-group stats on the cluster-sorted
-    layout) → :func:`ivfbq_search` over only the scanned clusters."""
+    layout) → :func:`ivfbq_search` over only the scanned clusters.
+
+    ``method`` defaults by ``scoring``: the arrow GEMM kernel for adc,
+    the codegen path for hamming (the arrow path implements adc only).
+    The inner search is restricted to the clusters the pruned scan
+    actually read, so at ``nlist >= _HIER_PROBE_NLIST`` (where the
+    outer probe set is the approximate hierarchical one) pruning and
+    scoring always agree — no cluster is scored that was not scanned,
+    and none is scanned but silently unscorable."""
     if k <= 0 or n_probe <= 0:
         raise ValueError("k and n_probe must be positive")  # P3
+    if method is None:
+        method = "arrow" if scoring == "adc" else "native"
     from vector_indexer_spark.operators.search import (  # noqa: PLC0415
         _HIER_PROBE_NLIST,
         probe_hierarchy_for,
@@ -735,9 +752,18 @@ def search_ivfbq_index(
         F.col("shard_id").isin(shard_ids)
         & F.col("cluster_id").isin(cluster_ids)
     )
+    # Restrict the inner probe ranking to the scanned clusters: when
+    # the outer probe set came from the approximate hierarchy, an
+    # unrestricted inner ranking could pick a cluster the scan never
+    # read (silently missing candidates). With exact outer probes the
+    # restriction is a no-op: each query's true top-n_probe clusters
+    # are all inside the scanned union and outrank everything else.
+    cents = index.centroids_df(spark).where(
+        F.col("centroid_id").isin(cluster_ids)
+    )
     return ivfbq_search(
         pruned,
-        index.centroids_df(spark),
+        cents,
         queries,
         k=k,
         n_probe=min(n_probe, index.nlist),

@@ -41,6 +41,14 @@ from vector_indexer_spark.functions.text import tokens_expr
 
 MICROS = 1_000_000
 
+# Salt fan-out for the two-stage champion-list cap: stage 1 ranks per
+# (term, salt) so a hot term's postings spread across this many tasks;
+# stage 2 ranks the <= _CAP_SALTS * cap survivors per term. Exact by
+# the standard partial-top-k argument: any posting in a term's global
+# top-cap is beaten by < cap postings overall, hence by < cap postings
+# inside its own salt group, hence survives stage 1.
+_CAP_SALTS = 32
+
 
 def term_hash_expr(token: Column | str, vocab_size: int) -> Column:
     """md5-prefix bucket of a token string — the engine-wide draw
@@ -151,11 +159,27 @@ def _topk_postings(
     if max_postings_per_term is not None and max_postings_per_term <= 0:
         raise ValueError("max_postings_per_term must be positive")
     if max_postings_per_term is not None:
-        wt = Window.partitionBy("term").orderBy(
+        # Two-stage cap (skew-safe, exact). A single window on `term`
+        # would route EVERY posting of a hot stopword-like term through
+        # one task — the exact skew the cap exists to tame. Stage 1
+        # ranks within (term, salt-of-doc_id) so a 10^9-posting term
+        # spreads over _CAP_SALTS tasks; stage 2 ranks the bounded
+        # survivors (<= _CAP_SALTS * cap per term) globally.
+        w1 = Window.partitionBy("term", "__salt").orderBy(
+            F.col("dw").desc(), "doc_id"
+        )
+        w2 = Window.partitionBy("term").orderBy(
             F.col("dw").desc(), "doc_id"
         )
         d = (
-            d.withColumn("__pr", F.row_number().over(wt))
+            d.withColumn(
+                "__salt",
+                F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SALTS)),
+            )
+            .withColumn("__pr", F.row_number().over(w1))
+            .filter(F.col("__pr") <= max_postings_per_term)
+            .drop("__salt")
+            .withColumn("__pr", F.row_number().over(w2))
             .filter(F.col("__pr") <= max_postings_per_term)
             .drop("__pr")
         )
@@ -200,8 +224,10 @@ def sparse_topk(
     pruning: per term, only the top-cap postings by ``(w DESC, id)``
     survive — a documented approximation (exact for any query whose
     true top-k all sit inside their terms' champion lists) that bounds
-    stopword-term join fan-out at scale. The rank window shuffles the
-    posting table on ``term`` — the same key the join needs anyway.
+    stopword-term join fan-out at scale. The cap itself is skew-safe:
+    a salted pre-rank spreads a hot term over ``_CAP_SALTS`` tasks
+    before the (now bounded) per-term rank — exact, since the global
+    top-cap is contained in the union of salted top-caps.
     """
     d = _postings(docs, "doc_id", "dw", id_col, indices_col, weights_col)
     q = _postings(
@@ -275,8 +301,12 @@ def sparse_search_tokens(
             )
         )
         return _topk_postings(d, q, k, max_postings_per_term)
-    # BM25: per-doc length + corpus stats, all from the one tf frame
-    dl = tf.groupBy("id").agg(F.sum("tf").alias("dl"))
+    # BM25: per-doc length + corpus stats, all from the one tf frame.
+    # dl is computed as a window sum over the tf frame itself (one
+    # shuffle on `id`, bounded partitions — a doc has at most doc-length
+    # distinct terms) instead of joining a separate doc-sized length
+    # table; broadcasting that table would be corpus-sized driver state,
+    # the class of plan this engine bans everywhere else.
     stats = tf.agg(
         F.sum("tf").alias("total_tokens"),
         F.count_distinct("id").alias("n_d"),
@@ -294,8 +324,8 @@ def sparse_search_tokens(
     )
     w = idf * (tfd * F.lit(float(k1) + 1.0)) / denom
     d = (
-        tf.join(F.broadcast(dft), "term")
-        .join(F.broadcast(dl), "id")
+        tf.withColumn("dl", F.sum("tf").over(Window.partitionBy("id")))
+        .join(F.broadcast(dft), "term")
         .crossJoin(F.broadcast(stats))
         .select(F.col("id").alias("doc_id"), "term", w.alias("dw"))
     )
