@@ -89,6 +89,24 @@ def timed_pair(fn_a, fn_b, key_a, key_b, min_duration: float = 6.0):
     return ta[0], tb[0]
 
 
+def parquet_bytes(df, path: str) -> int:
+    """On-disk parquet footprint of a frame — the bytes a cold scan of
+    this tier must actually read. Wall-clock at 1M RAM-cached rows
+    can't show a 16 B/vec tier beating a 512 B/vec tier (everything is
+    memory-speed); the persisted byte count is the artifact-grade
+    version of the footprint claim, and it's the number that scales to
+    the I/O-bound 100-TB regime."""
+    df.write.mode("overwrite").parquet(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return total
+
+
 def timed(fn, min_duration: float | None = None, key: str | None = None) -> float:
     """Warm up three times, then repeat until min_duration; median seconds
     (median over mean: local-mode GC/JIT outliers dominate the mean at
@@ -581,6 +599,15 @@ def main() -> None:
             extras["synth_n"] = n_synth
             sidx_vec = sidx.vectors(spark).coalesce(32).cache()
             sidx_vec.count()
+            if os.environ.get("BENCH_BYTES", "1") == "1":
+                # flat tier footprint: what a cold IVF scan reads
+                # (id + float vector + cluster id per row)
+                extras["synth_bytes_flat"] = parquet_bytes(
+                    sidx_vec, tempfile.mkdtemp(prefix="bench_bytes_") + "/flat"
+                )
+                extras["synth_bytes_flat_per_vec"] = round(
+                    extras["synth_bytes_flat"] / n_synth, 1
+                )
 
             # min_duration 30s: a single exact pass costs ~4-8s at n=1M, so
             # the default 6s window yields ONE pair iteration and the
@@ -649,6 +676,14 @@ def main() -> None:
                 extras["synth_ivfsq_encode_sec"] = round(
                     time.perf_counter() - t0, 3
                 )
+                if os.environ.get("BENCH_BYTES", "1") == "1":
+                    extras["synth_bytes_ivfsq"] = parquet_bytes(
+                        scodes,
+                        tempfile.mkdtemp(prefix="bench_bytes_") + "/ivfsq",
+                    )
+                    extras["synth_bytes_ivfsq_per_vec"] = round(
+                        extras["synth_bytes_ivfsq"] / n_synth, 1
+                    )
                 results[f"{slabel}_ivfsq_256q"] = timed(
                     lambda: ivfsq_search(
                         scodes, cents_df, sqm, sq, k=10, n_probe=16
@@ -720,6 +755,14 @@ def main() -> None:
                 extras["synth_ivfbq_encode_sec"] = round(
                     time.perf_counter() - t0, 3
                 )
+                if os.environ.get("BENCH_BYTES", "1") == "1":
+                    extras["synth_bytes_ivfbq"] = parquet_bytes(
+                        bcodes,
+                        tempfile.mkdtemp(prefix="bench_bytes_") + "/ivfbq",
+                    )
+                    extras["synth_bytes_ivfbq_per_vec"] = round(
+                        extras["synth_bytes_ivfbq"] / n_synth, 1
+                    )
                 results[f"{slabel}_ivfbq_256q"] = timed(
                     lambda: ivfbq_search(
                         bcodes, bq_cents, sq, k=10, n_probe=16,
@@ -779,6 +822,84 @@ def main() -> None:
             extras["synth_section_error"] = f"{type(e).__name__}: {e}"[:300]
             # a failed section must not leave its cached frames
             # pinned — heap pressure skews every later timing
+            spark.catalog.clearCache()
+
+    # --- d=768 scale point (the reference bench grid's width axis,
+    # bench.yaml:2: d in {128, 256, 768}): real embedding workloads are
+    # 768-wide, and the engine's own sizing claims (SURVEY §4: the
+    # broadcast centroid table is ~12 MB at d=768) deserve a measured
+    # row, not arithmetic. 250k clustered vectors, the same bounded-
+    # region 256-query methodology as the 1M d=128 ladder.
+    if os.environ.get("BENCH_D768", "1") == "1":
+        try:
+            from vector_indexer_spark.sources.files import (
+                generate_clustered_vectors,
+            )
+
+            n768 = int(os.environ.get("BENCH_D768_N", "250000"))
+            lbl768 = f"d768_{n768 // 1000}k"
+            v768 = (
+                generate_clustered_vectors(
+                    spark, n768, 768, n_clusters=256, seed=123
+                )
+                .drop("true_cluster")
+                .cache()
+            )
+            v768.count()
+            q768 = (
+                v768.filter(F.col("id") % 256 < 16)
+                .orderBy("id")
+                .limit(256)
+                .select(
+                    F.col("id").alias("query_id"),
+                    F.col("values").alias("query"),
+                )
+                .cache()
+            )
+            q768.count()
+            t0 = time.perf_counter()
+            p768 = tempfile.mkdtemp(prefix="bench_d768_") + "/index"
+            idx768 = build_index(v768, p768, seed=42, mode="minibatch")
+            extras["d768_build_sec"] = round(time.perf_counter() - t0, 3)
+            extras["d768_nlist"] = idx768.nlist
+            extras["d768_n"] = n768
+            # the sizing claim, measured: nlist x 768 float64
+            extras["d768_centroid_broadcast_mb"] = round(
+                idx768.centroids.nbytes / 1e6, 2
+            )
+            iv768 = idx768.vectors(spark).coalesce(32).cache()
+            iv768.count()
+            (
+                results[f"{lbl768}_exact_256q"],
+                results[f"{lbl768}_ivf_256q"],
+            ) = timed_pair(
+                lambda: knn_exact(v768, q768, k=10).count(),
+                lambda: search_index(
+                    spark, idx768, q768, k=10, n_probe=16, vectors=iv768
+                ).count(),
+                f"{lbl768}_exact_256q",
+                f"{lbl768}_ivf_256q",
+                min_duration=20.0,
+            )
+            extras["d768_ivf_speedup"] = round(
+                MIN_TIMES[f"{lbl768}_exact_256q"]
+                / MIN_TIMES[f"{lbl768}_ivf_256q"],
+                3,
+            )
+            extras["d768_recall_at_10_nprobe16"] = round(
+                calculate_recall(
+                    search_index(
+                        spark, idx768, q768, k=10, n_probe=16,
+                        vectors=iv768,
+                    ),
+                    knn_exact(v768, q768, k=10),
+                    10,
+                ),
+                4,
+            )
+            v768.unpersist(), q768.unpersist(), iv768.unpersist()
+        except Exception as e:  # noqa: BLE001
+            extras["d768_section_error"] = f"{type(e).__name__}: {e}"[:300]
             spark.catalog.clearCache()
 
     if os.environ.get("BENCH_SWEEP", "1") == "1":

@@ -215,3 +215,76 @@ class TestBm25Weighting:
             sparse_search_tokens(
                 documents, q, query_id_col="doc_id", weighting="nope"
             )
+
+
+class TestManifest:
+    """Incremental posting-manifest rung: append-only (id, term, tf)
+    postings; df/N derive from the manifest at query time."""
+
+    def test_manifest_plus_delta_equals_full_rebuild(self, spark, documents):
+        from vector_indexer_spark.operators.sparse import (
+            sparse_manifest,
+            sparse_search_manifest,
+        )
+
+        docs = documents.select("doc_id", "text")
+        standing = sparse_manifest(docs.filter(F.col("doc_id") % 10 != 0))
+        delta = sparse_manifest(docs.filter(F.col("doc_id") % 10 == 0))
+        merged = standing.unionByName(delta)
+        full = sparse_manifest(docs)
+        q = docs.filter(F.col("doc_id") < 4)
+        a = sparse_search_manifest(
+            merged, q, k=10, query_id_col="doc_id"
+        ).collect()
+        b = sparse_search_manifest(
+            full, q, k=10, query_id_col="doc_id"
+        ).collect()
+        key = lambda r: (r.query_id, r.rank)  # noqa: E731
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) > 0
+
+    def test_manifest_bm25_matches_tokens_path(self, spark, documents):
+        # BM25 stats (df, N, avgdl) all come from postings on both
+        # paths, so manifest search == tokens search exactly
+        from vector_indexer_spark.operators.sparse import (
+            sparse_manifest,
+            sparse_search_manifest,
+        )
+
+        docs = documents.select("doc_id", "text")
+        q = docs.filter(F.col("doc_id") < 3)
+        a = sparse_search_manifest(
+            sparse_manifest(docs), q, k=8, query_id_col="doc_id",
+            weighting="bm25",
+        ).collect()
+        b = sparse_search_tokens(
+            docs, q, k=8, query_id_col="doc_id", weighting="bm25"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_delta_shaped_work(self, spark, documents):
+        # the delta manifest's plan must not touch the standing corpus
+        from vector_indexer_spark.operators.sparse import sparse_manifest
+        from vector_indexer_spark.plans import audit
+
+        docs = documents.select("doc_id", "text")
+        delta = sparse_manifest(docs.filter(F.col("doc_id") % 10 == 0))
+        # pushed to the scan: the standing 90% is never read
+        assert audit.has_pushed_filter(delta, "doc_id")
+
+    def test_empty_doc_absent_from_manifest(self, spark):
+        from vector_indexer_spark.operators.sparse import sparse_manifest
+
+        docs = spark.createDataFrame(
+            [(0, "alpha beta"), (1, "")], "doc_id long, text string"
+        )
+        ids = {
+            r.id for r in sparse_manifest(docs).select("id").collect()
+        }
+        assert ids == {0}
+
+    def test_manifest_vocab_validation(self, spark, documents):
+        from vector_indexer_spark.operators.sparse import sparse_manifest
+
+        with pytest.raises(ValueError):
+            sparse_manifest(documents, vocab_size=0)

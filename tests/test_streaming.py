@@ -1293,3 +1293,53 @@ def test_streaming_dedup_vs_manifest_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert streamed == batch == [11, 13]
+
+
+def test_streaming_posting_append_matches_batch_manifest(spark, tmp_path):
+    """Two micro-batched document files streamed through the posting-
+    append sink must yield a manifest identical (as a multiset) to the
+    batch sparse_manifest over the union, and searching it must equal
+    the batch tokens path exactly."""
+    from vector_indexer_spark.operators.sparse import (
+        sparse_manifest,
+        sparse_search_manifest,
+        sparse_search_tokens,
+    )
+    from vector_indexer_spark.streaming.sparse import start_posting_append
+
+    ddl = "doc_id long, text string"
+    rows = [
+        (i, f"alpha w{i % 7} w{i % 13} beta w{i % 7}") for i in range(60)
+    ]
+    src = str(tmp_path / "docs_in")
+    # two files -> (at least) two micro-batches through maxFilesPerTrigger
+    spark.createDataFrame(rows[:30], ddl).write.parquet(src)
+    spark.createDataFrame(rows[30:], ddl).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ddl)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    mpath = str(tmp_path / "postings")
+    q = start_posting_append(
+        stream, mpath, str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination(120)
+
+    docs = spark.createDataFrame(rows, ddl)
+    streamed = spark.read.parquet(mpath).select("id", "term", "tf")
+    batch = sparse_manifest(docs)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+    qdf = docs.filter(F.col("doc_id") < 3)
+    a = sparse_search_manifest(
+        spark.read.parquet(mpath), qdf, k=5, query_id_col="doc_id",
+        weighting="bm25",
+    ).collect()
+    b = sparse_search_tokens(
+        docs, qdf, k=5, query_id_col="doc_id", weighting="bm25"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -4486,6 +4486,42 @@ _register(
 )
 
 
+def _sparse_incremental_topk(spark, sf_dir):
+    """Incremental sparse ingest: a standing posting manifest (90% of
+    the corpus) plus a delta batch's manifest (the other 10%, computed
+    from the delta ALONE — the standing corpus is never re-tokenized)
+    are appended and searched. Result must equal a from-scratch build
+    over the whole corpus: df/N derive from the merged manifest, so
+    the append refreshes them exactly (the staleness contract of
+    operators/sparse.py::sparse_manifest)."""
+    from vector_indexer_spark.operators.sparse import (
+        sparse_manifest,
+        sparse_search_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    standing = sparse_manifest(docs.filter(F.col("doc_id") % 10 != 0))
+    delta = sparse_manifest(docs.filter(F.col("doc_id") % 10 == 0))
+    merged = standing.unionByName(delta)
+    q = docs.filter(F.col("doc_id") < 5)
+    return sparse_search_manifest(merged, q, k=10, query_id_col="doc_id")
+
+
+_register(
+    "sparse_incremental_topk",
+    _sparse_incremental_topk,
+    f"""
+    WITH {_DD_SPARSE_BASE.replace(
+        "sp_n AS (SELECT count(*) AS n_docs FROM documents)",
+        "sp_n AS (SELECT count(DISTINCT id) AS n_docs FROM sp_terms)",
+    )},
+    {_DD_SPARSE_SCORE.format(d="sp_d")}
+    SELECT query_id, CAST(rank AS INT) AS rank, doc_id, score_micros
+    FROM sp_ranked WHERE rank <= 10
+    """,
+)
+
+
 # --------------------------------------------------------------------------
 # Training-shard routing — the sink's deterministic shard assignment
 # (the write itself is pytest-verified; the routing function is the

@@ -278,10 +278,37 @@ def sparse_search_tokens(
     tf = _tf_table(docs, id_col, text_col, vocab_size).localCheckpoint(
         eager=False
     )
+    n = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    return _search_from_tf(
+        tf, n, queries, k=k, vocab_size=vocab_size,
+        query_id_col=query_id_col, text_col=text_col,
+        weighting=weighting, k1=k1, b=b,
+        max_postings_per_term=max_postings_per_term,
+    )
+
+
+def _search_from_tf(
+    tf: DataFrame,
+    n: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int,
+    vocab_size: int,
+    query_id_col: str,
+    text_col: str,
+    weighting: str,
+    k1: float,
+    b: float,
+    max_postings_per_term: int | None,
+) -> DataFrame:
+    """Score token queries against a corpus ``(id, term, tf)`` frame —
+    the shared kernel behind :func:`sparse_search_tokens` (tf derived
+    from the docs) and :func:`sparse_search_manifest` (tf IS the
+    persisted posting manifest). ``n`` is a 1-row ``n_docs`` frame
+    (the two entry points define it differently — see their docs)."""
     dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
     qtf = _tf_table(queries, query_id_col, text_col, vocab_size)
     if weighting == "tfidf":
-        n = docs.select(F.count(F.lit(1)).alias("n_docs"))
         d = (
             tf.join(F.broadcast(dft), "term")
             .crossJoin(F.broadcast(n))
@@ -333,3 +360,68 @@ def sparse_search_tokens(
         F.col("id").alias("query_id"), "term", tfd.alias("qw")
     )
     return _topk_postings(d, q, k, max_postings_per_term)
+
+
+def sparse_manifest(
+    docs: DataFrame,
+    *,
+    vocab_size: int = 65536,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id, term, tf)`` posting manifest — the persistable sparse
+    index artifact, and the incremental-ingest rung of the sparse
+    family (the analogue of the dedup family's banded-signature
+    manifest). The manifest is APPEND-ONLY: a delta batch's postings
+    are computed from the delta alone (call this same function on the
+    delta — cost is delta-shaped, the standing corpus is never
+    re-tokenized) and appended with ``unionByName`` / a parquet
+    append.
+
+    df/N staleness contract: document frequencies, ``n_docs`` and
+    ``avgdl`` are derived FROM the manifest at query time
+    (:func:`sparse_search_manifest`), so they refresh exactly when the
+    append lands — there is no separately-maintained stat table to
+    drift. A deployment that caches df between appends trades that
+    freshness for one aggregate per batch; the scoring kernel is
+    unchanged either way.
+    """
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    return _tf_table(docs, id_col, text_col, vocab_size)
+
+
+def sparse_search_manifest(
+    manifest: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    vocab_size: int = 65536,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+    weighting: str = "tfidf",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_postings_per_term: int | None = None,
+) -> DataFrame:
+    """Search token queries against a persisted posting manifest —
+    identical scoring contract to :func:`sparse_search_tokens`, with
+    corpus statistics derived from the manifest itself: ``N`` is the
+    count of distinct documents IN the manifest (documents with zero
+    tokens never produced postings, so the two entry points agree on
+    any corpus without empty documents — the difference is pinned by
+    tests). One aggregate pass over the manifest replaces the corpus
+    re-tokenize; at 100 TB the manifest is the thing that's already on
+    disk, partitioned however the posting join wants it."""
+    if weighting not in ("tfidf", "bm25"):
+        raise ValueError(f"unknown weighting {weighting!r}")
+    # lazy localCheckpoint for the same reason as the tokens path: the
+    # manifest frame feeds postings, df, and stats branches
+    tf = manifest.localCheckpoint(eager=False)
+    n = tf.select(F.count_distinct("id").cast("long").alias("n_docs"))
+    return _search_from_tf(
+        tf, n, queries, k=k, vocab_size=vocab_size,
+        query_id_col=query_id_col, text_col=text_col,
+        weighting=weighting, k1=k1, b=b,
+        max_postings_per_term=max_postings_per_term,
+    )
