@@ -573,6 +573,25 @@ def _sparse_df(spark, docs):
     return sparse_search_tokens(docs, q, k=10, query_id_col="doc_id")
 
 
+def _sparse_bm25_manifest_df(spark, docs):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.sparse import (
+        sparse_manifest,
+        sparse_search_manifest,
+    )
+
+    q = docs.filter(F.col("doc_id") < 5)
+    return sparse_search_manifest(
+        sparse_manifest(docs),
+        q,
+        k=10,
+        query_id_col="doc_id",
+        weighting="bm25",
+        max_postings_per_term=20,
+    )
+
+
 def _ivfbq_df(spark, emb):
     from pyspark.sql import functions as F
 
@@ -1006,6 +1025,17 @@ def main():
             "partial aggregation (map-side combined); integer-micros "
             "order-free scores; window top-k on aggregate-sized rows.",
             _sparse_df(spark, docs),
+        ),
+        (
+            "Sparse BM25 over the posting manifest (skew-safe cap)",
+            "df/N/avgdl derive from the manifest postings — the per-doc "
+            "length is a WINDOW SUM over the tf frame (no doc-keyed "
+            "broadcast join anywhere: a doc-length table is corpus-"
+            "sized); the champion cap is the two-stage salted rank "
+            "(Window on (term, __salt), filter, Window on term) so a "
+            "hot term spreads over 32 tasks before its bounded global "
+            "rank.",
+            _sparse_bm25_manifest_df(spark, docs),
         ),
         (
             "IVF-BQ scaled ADC search (1-bit pruned scan)",
