@@ -3731,6 +3731,221 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# RaBitQ rotated binary quantization (Gao & Long, SIGMOD'24): center →
+# randomized-Hadamard rotate → sign-pack, with per-vector factors
+# (residual norm + <ō,o> fidelity) and the unbiased asymmetric
+# estimator <ō,u>/<ō,o>. The fixed model (seeded sign diagonal +
+# seeded centroid) is built by the SAME Python below and mirrored into
+# the SQL as literals; every Hadamard entry is exactly ±1/8 at d=64,
+# so DuckDB recomputes the rotation arithmetically — no d² literal
+# matrix. Fold orders (rotate, norms, s1 score) replayed term-for-term.
+# --------------------------------------------------------------------------
+
+
+def _rabitq_fixed_model():
+    import numpy as np  # noqa: PLC0415
+
+    from vector_indexer_spark.operators.rabitq import (  # noqa: PLC0415
+        RaBitQModel,
+        hadamard_rotation,
+    )
+
+    mat = hadamard_rotation(64, seed=7)
+    rng = np.random.default_rng(99)
+    cent = tuple(float(v) for v in np.round(rng.uniform(-0.5, 0.5, 64), 3))
+    return RaBitQModel(
+        centroid=cent,
+        rotation=tuple(tuple(float(x) for x in r) for r in mat),
+        seed=7,
+    )
+
+
+_RBQ_MODEL = _rabitq_fixed_model()
+# sign diagonal recovered exactly: H[0][j] = 1 ∀j ⇒ P[0][j]·8 = ±1.0
+_RBQ_SIGNS_SQL = (
+    "[" + ", ".join(repr(float(v * 8.0)) for v in _RBQ_MODEL.rotation[0]) + "]"
+)
+_RBQ_CENT_SQL = (
+    "["
+    + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in _RBQ_MODEL.centroid)
+    + "]"
+)
+
+_DD_RABITQ = f"""
+  rsig AS (
+    SELECT vec_id,
+      list_transform(range(1, 65), i ->
+        list_reduce(list_prepend(0.0,
+          list_transform(range(1, 65), j ->
+            (({_RBQ_SIGNS_SQL})[j]
+             * CASE WHEN bit_count((i-1) & (j-1)) % 2 = 1
+                    THEN -1.0 ELSE 1.0 END * 0.125)
+            * (CAST(embedding[j] AS DOUBLE) - ({_RBQ_CENT_SQL})[j]))),
+          (a, b) -> a + b)) AS r
+    FROM embeddings
+  ),
+  renc0 AS (
+    SELECT vec_id,
+      list_transform(range(1, 3), w ->
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, 33), j ->
+            CAST(CASE WHEN r[(w-1)*32 + j] > 0.0
+                 THEN 1 ELSE 0 END AS BIGINT))),
+          (a, b) -> a * 2 + b)) AS codes,
+      sqrt(list_reduce(list_prepend(0.0, list_transform(r, x -> x * x)),
+           (a, b) -> a + b)) AS norm,
+      list_reduce(list_prepend(0.0, list_transform(r, x -> abs(x))),
+           (a, b) -> a + b) AS sum_abs
+    FROM rsig
+  ),
+  renc AS (
+    SELECT vec_id, codes, norm,
+      CASE WHEN norm > 0.0 THEN sum_abs / (8.0 * norm)
+           ELSE 0.0 END AS dot_o
+    FROM renc0
+  )
+"""
+
+_DD_RABITQ_SEARCH = """
+  qprep0 AS (
+    SELECT vec_id AS query_id, r,
+      sqrt(list_reduce(list_prepend(0.0, list_transform(r, x -> x * x)),
+           (a, b) -> a + b)) AS q_norm
+    FROM rsig WHERE vec_id >= 490
+  ),
+  qprep1 AS (
+    SELECT query_id, q_norm,
+      CASE WHEN q_norm > 0.0 THEN list_transform(r, x -> x / q_norm)
+           ELSE list_transform(r, x -> 0.0) END AS uq
+    FROM qprep0
+  ),
+  qprep AS (
+    SELECT query_id, q_norm, uq,
+      list_reduce(list_prepend(0.0, uq), (a, b) -> a + b) AS sum_u
+    FROM qprep1
+  ),
+  rscored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+      c.norm * c.norm + q.q_norm * q.q_norm
+        - 2.0 * c.norm * q.q_norm *
+          (CASE WHEN c.dot_o > 0.0 THEN
+            ((list_reduce(list_prepend(0.0,
+                list_transform(range(1, 65), j ->
+                  q.uq[j] * CAST(((c.codes[(j-1)//32 + 1]
+                        >> (31 - ((j-1)%32))) & 1) AS DOUBLE))),
+              (a, b) -> a + b) * 2.0 - q.sum_u) * 0.125) / c.dot_o
+           ELSE 0.0 END) AS est_dist2
+    FROM qprep q CROSS JOIN renc c
+  ),
+  rranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY est_dist2, neighbor_id) AS rank
+    FROM rscored
+  )
+"""
+
+
+def _rabitq_frames(spark, sf_dir):
+    from vector_indexer_spark.operators.rabitq import (  # noqa: PLC0415
+        rabitq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    codes = rabitq_encode(vec, _RBQ_MODEL, method="native")
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return vec, codes, q
+
+
+def _rabitq_codes_fixed(spark, sf_dir):
+    """One row per (vector, packed word) + the two factor doubles —
+    list columns exploded to scalars (the pq_codes_fixed convention:
+    the gate's value hash is defined over scalar cells)."""
+    _, codes, _ = _rabitq_frames(spark, sf_dir)
+    return codes.select(
+        "id",
+        F.posexplode("codes").alias("w", "word"),
+        "norm",
+        "dot_o",
+    ).select("id", "w", "word", "norm", "dot_o")
+
+
+_register(
+    "rabitq_codes_fixed",
+    _rabitq_codes_fixed,
+    f"""
+    WITH {_DD_RABITQ}
+    SELECT vec_id AS id, CAST(w - 1 AS INTEGER) AS w, codes[w] AS word,
+           norm, dot_o
+    FROM renc, range(1, 3) t(w)
+    """,
+)
+
+
+def _rabitq_search_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.rabitq import (  # noqa: PLC0415
+        rabitq_search,
+    )
+
+    _, codes, q = _rabitq_frames(spark, sf_dir)
+    return rabitq_search(codes, _RBQ_MODEL, q, k=5, method="native")
+
+
+_register(
+    "rabitq_search_fixed",
+    _rabitq_search_fixed,
+    f"""
+    WITH {_DD_RABITQ},
+    {_DD_RABITQ_SEARCH}
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, est_dist2
+    FROM rranked WHERE rank <= 5
+    """,
+)
+
+
+def _rabitq_refine_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.rabitq import (  # noqa: PLC0415
+        rabitq_search_refined,
+    )
+
+    vec, codes, q = _rabitq_frames(spark, sf_dir)
+    return rabitq_search_refined(
+        codes, _RBQ_MODEL, vec, q, k=5, shortlist=50, method="native"
+    )
+
+
+_register(
+    "rabitq_refine_fixed",
+    _rabitq_refine_fixed,
+    f"""
+    WITH {_DD_RABITQ},
+    {_DD_RABITQ_SEARCH},
+    rshort AS (
+      SELECT query_id, neighbor_id FROM rranked WHERE rank <= 50
+    ),
+    rrescored AS (
+      SELECT s.query_id, s.neighbor_id,
+        {_DD_DIST2.format(a="v.embedding", b="q.embedding")} AS dist2
+      FROM rshort s
+      JOIN embeddings v ON v.vec_id = s.neighbor_id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    rreranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist2, neighbor_id) AS rank
+      FROM rrescored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+    FROM rreranked WHERE rank <= 5
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # IVF-BQ: per-cluster binary quantization (residual signs against each
 # vector's own coarse centroid — the threshold vector IS the centroid,
 # zero extra training). Full pipeline replay under the fixed-centroid

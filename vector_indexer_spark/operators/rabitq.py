@@ -1,0 +1,516 @@
+"""RaBitQ-style rotated binary quantization (1 bit/dim + correction
+factors) with an unbiased asymmetric distance estimator.
+
+The principled upgrade over the plain sign-bit tier (``operators.bq``):
+instead of thresholding raw dimensions, each vector is **centered,
+randomly rotated, and sign-quantized**, and two per-vector doubles are
+kept next to the code — the residual norm ``||x − c||`` and the
+quantization fidelity ``<ō, o>`` (dot of the quantized unit vector with
+the true unit direction). At query time the inner product between the
+data direction and the query direction is estimated as
+``<ō, u_q> / <ō, o>`` — unbiased with an O(1/√d) error bound
+(Gao & Long, "RaBitQ: Quantizing High-Dimensional Vectors with a
+Theoretical Error Bound for Approximate Nearest Neighbor Search",
+SIGMOD 2024) — and the squared L2 distance is reconstructed exactly
+from the stored norms:
+
+    dist²(x, q) = ||x−c||² + ||q−c||² − 2·||x−c||·||q−c||·<o, u_q>
+
+Rotation: the default is a **randomized Hadamard transform**
+``P = H·D/√d`` (D = seeded ±1 diagonal; H[i][j] = (−1)^popcount(i&j)),
+the standard fast substitute for a dense random rotation — orthogonal,
+O(d log d) in principle, and every entry is exactly ``±1/√d`` so the
+DuckDB oracle can recompute the matrix arithmetically instead of
+carrying d² literals. A dense seeded-QR rotation is also provided.
+
+Scale posture (mirrors ``bq_adc_search``): encoding is scan-local
+(zero shuffle; the arrow path GEMMs each Arrow batch against the
+broadcast d×d rotation), search reads the **codes+factors table only**
+(16 B + d/8 B per vector — the raw vector table is never scanned),
+broadcasts the bounded rotated query batch, scores per partition, and
+shuffles only per-partition winners. ``native`` is the flat-codegen
+fold path the correctness oracle replays term-for-term in DuckDB;
+``arrow`` is the NumPy/GEMM hot path (different accumulation order —
+final-ULP score drift possible, ranking preserved for distinct scores).
+
+Parity anchor: top-k/tie contract per reference src/api.rs:89-94; the
+quantization tier itself extends the reference the same way SQ8/PQ/BQ
+do (reference is a flat+IVF f32 engine).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_indexer_spark.operators.bq import WORD_BITS, _codes_to_bytes
+
+RABITQ_FORMAT_VERSION = 1
+
+
+@dataclass(frozen=True)
+class RaBitQModel:
+    """Centering point + orthogonal rotation (row-major tuple-of-tuples).
+
+    ``rotation[i][j]`` multiplies centered dimension ``j`` into rotated
+    dimension ``i`` — i.e. ``r = P @ (x − c)``.
+    """
+
+    centroid: tuple  # d doubles
+    rotation: tuple  # d rows, each a tuple of d doubles
+    seed: int = 0
+
+    @property
+    def d(self) -> int:
+        return len(self.centroid)
+
+    @property
+    def n_words(self) -> int:
+        return (self.d + WORD_BITS - 1) // WORD_BITS
+
+    def rotation_matrix(self) -> np.ndarray:
+        return np.asarray(self.rotation, dtype=np.float64)
+
+
+def hadamard_rotation(d: int, seed: int = 0) -> np.ndarray:
+    """Randomized Hadamard rotation ``P = H·D/√d`` (requires d a power
+    of two). Every entry is exactly ``±1/√d``; orthogonality:
+    ``P Pᵀ = H D Dᵀ Hᵀ / d = H Hᵀ / d = I``."""
+    if d <= 0 or (d & (d - 1)) != 0:
+        raise ValueError(f"hadamard rotation requires d a power of 2, got {d}")
+    rng = np.random.default_rng(seed)
+    signs = rng.choice(np.array([-1.0, 1.0]), size=d)
+    i = np.arange(d)
+    # H[i][j] = (−1)^popcount(i & j): the standard Sylvester construction
+    parity = np.array(
+        [[bin(a & b).count("1") & 1 for b in i] for a in i], dtype=np.float64
+    )
+    h = 1.0 - 2.0 * parity
+    return (h * signs[None, :]) * (1.0 / math.sqrt(d))
+
+
+def random_rotation(d: int, seed: int = 0) -> np.ndarray:
+    """Dense random orthogonal matrix: QR of a seeded Gaussian with the
+    sign of diag(R) fixed so the factorization is unique."""
+    rng = np.random.default_rng(seed)
+    q, r = np.linalg.qr(rng.standard_normal((d, d)))
+    return q * np.sign(np.diag(r))[None, :]
+
+
+def rabitq_train(
+    df: DataFrame,
+    *,
+    vec_col: str = "values",
+    seed: int = 0,
+    rotation: str = "hadamard",
+) -> RaBitQModel:
+    """Fit the centering point (per-dimension mean — ONE distributed
+    agg pass, same shape as ``bq_train``) and build the seeded rotation.
+    ``rotation``: ``"hadamard"`` (fast, d must be a power of 2) or
+    ``"qr"`` (dense, any d)."""
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot train RaBitQ on empty input")
+    d = first["d"]
+    bad = df.filter(F.size(vec_col) != d).count()  # P1 fail-fast
+    if bad:
+        raise ValueError(f"{bad} records have dimension != {d}")
+    row = df.agg(
+        *[
+            F.avg(F.element_at(F.col(vec_col), j + 1)).alias(f"m{j}")
+            for j in range(d)
+        ]
+    ).first()
+    cent = tuple(float(row[f"m{j}"]) for j in range(d))
+    if rotation == "hadamard":
+        mat = hadamard_rotation(d, seed)
+    elif rotation == "qr":
+        mat = random_rotation(d, seed)
+    else:
+        raise ValueError(f"unknown rotation {rotation!r}")
+    return RaBitQModel(
+        centroid=cent,
+        rotation=tuple(tuple(float(v) for v in rw) for rw in mat),
+        seed=seed,
+    )
+
+
+def rotate_expr(vec: Column | str, model: RaBitQModel) -> Column:
+    """``ARRAY<DOUBLE>`` rotated residual ``r = P @ (x − c)``: element
+    ``i`` is a flat left fold over ``j`` in index order —
+    ``((0 + t₁) + t₂) + …`` with ``t_j = P[i][j]·(x_j − c_j)`` — pure
+    codegen arithmetic replayed verbatim by the DuckDB oracle's
+    ``list_reduce(list_prepend(0.0, …))`` over the same term order."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    d = model.d
+    cent = F.array(*[F.lit(float(c)) for c in model.centroid])
+
+    def component(i: int) -> Column:
+        row = F.array(*[F.lit(float(v)) for v in model.rotation[i]])
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(row, j)
+            * (
+                F.element_at(vec, j).cast("double") - F.element_at(cent, j)
+            ),
+        )
+
+    return F.array(*[component(i) for i in range(d)])
+
+
+def _pack_pos_bits_expr(r: Column, d: int) -> Column:
+    """Pack ``r_i > 0`` sign bits, 32 per BIGINT word, MSB-first within
+    the word (identical layout + fold to ``bq.pack_bits_expr``)."""
+    n_words = (d + WORD_BITS - 1) // WORD_BITS
+
+    def word(w: int) -> Column:
+        base = w * WORD_BITS
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(WORD_BITS)),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc * 2
+            + F.when(
+                (F.lit(base) + j <= d)
+                & (F.element_at(r, F.lit(base) + j) > F.lit(0.0)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+
+    return F.array(*[word(w) for w in range(n_words)])
+
+
+def rabitq_encode(
+    df: DataFrame,
+    model: RaBitQModel,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    method: str = "native",
+) -> DataFrame:
+    """``(id, codes ARRAY<BIGINT>, norm DOUBLE, dot_o DOUBLE)`` —
+    scan-local, zero shuffle.
+
+    ``norm = ||x − c||`` (rotation preserves norms, so computed on the
+    rotated residual); ``dot_o = <ō, o> = Σ|r_i| / (√d·||r||)`` — the
+    per-vector fidelity the estimator divides by (0.0 for ``x == c``).
+
+    ``native`` is the fold-exact oracle path; ``arrow`` GEMMs each
+    Arrow batch against the broadcast rotation (the 100-TB encode path
+    — d² flops/row in BLAS instead of a d²-term codegen fold). Arrow
+    sums in a different order, so a residual exactly on the sign
+    boundary could pack differently (measure-zero on real data).
+    """
+    if method == "native":
+        r = rotate_expr(vec_col, model)
+        out = df.select(
+            F.col(id_col).alias("id"), r.alias("__r")
+        ).select(
+            "id",
+            _pack_pos_bits_expr(F.col("__r"), model.d).alias("codes"),
+            F.sqrt(
+                F.aggregate(
+                    F.col("__r"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ).alias("norm"),
+            F.aggregate(
+                F.col("__r"), F.lit(0.0), lambda acc, x: acc + F.abs(x)
+            ).alias("__sum_abs"),
+        )
+        sqrt_d = float(math.sqrt(model.d))
+        return out.select(
+            "id",
+            "codes",
+            "norm",
+            F.when(
+                F.col("norm") > 0.0,
+                F.col("__sum_abs") / (F.lit(sqrt_d) * F.col("norm")),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dot_o"),
+        )
+    if method == "arrow":
+        return _rabitq_encode_arrow(df, model, id_col, vec_col)
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _rabitq_encode_arrow(df, model, id_col, vec_col):
+    spark = df.sparkSession
+    d, n_words = model.d, model.n_words
+    bp = spark.sparkContext.broadcast(
+        (model.rotation_matrix(), np.asarray(model.centroid, dtype=np.float64))
+    )
+    sqrt_d = math.sqrt(d)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p, c = bp.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            if x.shape[1] != d:
+                raise ValueError(
+                    f"vector dimension {x.shape[1]} != model {d}"
+                )
+            r = (x - c[None, :]) @ p.T  # (n, d)
+            norm = np.sqrt(np.einsum("ij,ij->i", r, r))
+            sum_abs = np.abs(r).sum(axis=1)
+            dot_o = np.divide(
+                sum_abs,
+                sqrt_d * norm,
+                out=np.zeros_like(norm),
+                where=norm > 0,
+            )
+            bits = (r > 0).astype(np.uint8)  # (n, d)
+            padded = np.zeros((bits.shape[0], n_words * WORD_BITS), np.uint8)
+            padded[:, :d] = bits
+            # MSB-first within each 32-bit word, words in the LOW half
+            # of each BIGINT (same layout bq's arrow paths unpack)
+            words = np.zeros((bits.shape[0], n_words), dtype=np.int64)
+            for w in range(n_words):
+                blk = padded[:, w * WORD_BITS : (w + 1) * WORD_BITS]
+                words[:, w] = blk.astype(np.int64) @ (
+                    1 << np.arange(WORD_BITS - 1, -1, -1, dtype=np.int64)
+                )
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__id"].to_numpy(),
+                    "codes": list(words),
+                    "norm": norm,
+                    "dot_o": dot_o,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).mapInPandas(
+        encode, "id long, codes array<bigint>, norm double, dot_o double"
+    )
+
+
+def rabitq_query_prep_expr(query: Column | str, model: RaBitQModel):
+    """Rotated unit query direction + factors, as native expressions:
+    ``(uq ARRAY<DOUBLE>, q_norm DOUBLE, sum_u DOUBLE)`` — evaluated on
+    the (bounded, broadcast) query side only."""
+    rq = rotate_expr(query, model)
+    q_norm = F.sqrt(
+        F.aggregate(rq, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    uq = F.when(
+        q_norm > 0.0, F.transform(rq, lambda x: x / q_norm)
+    ).otherwise(F.transform(rq, lambda x: F.lit(0.0)))
+    sum_u = F.aggregate(uq, F.lit(0.0), lambda acc, x: acc + x)
+    return uq, q_norm, sum_u
+
+
+def rabitq_score_expr(
+    codes: Column | str,
+    norm: Column | str,
+    dot_o: Column | str,
+    uq: Column | str,
+    q_norm: Column | str,
+    sum_u: Column | str,
+    model: RaBitQModel,
+) -> Column:
+    """Estimated squared L2 distance from a packed code + factors
+    against a prepped query — ONE flat left fold over dimensions for
+    ``s1 = Σ_{bit_j=1} u_j`` (literal shifts + ``& 1``, the
+    ``adc_score_expr`` idiom), then
+
+        <ō,u> = (2·s1 − Σu)/√d,  <o,u> ≈ <ō,u>/<ō,o>,
+        d̂² = norm² + q_norm² − 2·norm·q_norm·<o,u>
+
+    Bit-replayable in DuckDB over the same term order."""
+    codes = F.col(codes) if isinstance(codes, str) else codes
+    norm = F.col(norm) if isinstance(norm, str) else norm
+    dot_o = F.col(dot_o) if isinstance(dot_o, str) else dot_o
+    uq = F.col(uq) if isinstance(uq, str) else uq
+    q_norm = F.col(q_norm) if isinstance(q_norm, str) else q_norm
+    sum_u = F.col(sum_u) if isinstance(sum_u, str) else sum_u
+    s1 = F.lit(0.0)
+    for j in range(1, model.d + 1):
+        wi = (j - 1) // WORD_BITS + 1
+        shift = WORD_BITS - ((j - 1) % WORD_BITS + 1)
+        bit = F.shiftrightunsigned(
+            F.element_at(codes, wi), shift
+        ).bitwiseAND(F.lit(1))
+        s1 = s1 + F.element_at(uq, j) * bit.cast("double")
+    scale = float(1.0 / math.sqrt(model.d))
+    est_obar_u = (s1 * F.lit(2.0) - sum_u) * F.lit(scale)
+    est_ip = F.when(dot_o > 0.0, est_obar_u / dot_o).otherwise(F.lit(0.0))
+    return (
+        norm * norm + q_norm * q_norm - F.lit(2.0) * norm * q_norm * est_ip
+    )
+
+
+def rabitq_search(
+    codes_df: DataFrame,
+    model: RaBitQModel,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    method: str = "native",
+) -> DataFrame:
+    """Top-k by estimated distance over the codes+factors table (ties
+    by id): ``(query_id, rank, neighbor_id, est_dist2)``, rank 1-based
+    ascending by ``(est_dist2, neighbor_id)``.
+
+    The raw-vector table is never read. ``native``: broadcast prepped
+    queries × codes scored by the codegen fold (oracle path).
+    ``arrow``: per-partition unpack-to-bits + GEMM against the query
+    block, local top-k, winners-only shuffle (hot path)."""
+    if k <= 0:
+        raise ValueError("k must be positive")  # P3
+    if method == "native":
+        uq, q_norm, sum_u = rabitq_query_prep_expr(query_col, model)
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            uq.alias("__uq"),
+            q_norm.alias("__qn"),
+            sum_u.alias("__su"),
+        )
+        scored = codes_df.crossJoin(F.broadcast(q)).select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            rabitq_score_expr(
+                "codes", "norm", "dot_o", "__uq", "__qn", "__su", model
+            ).alias("est_dist2"),
+        )
+        w = Window.partitionBy("query_id").orderBy("est_dist2", "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "est_dist2")
+        )
+    if method == "arrow":
+        return _rabitq_search_arrow(
+            codes_df, model, queries, k, query_id_col, query_col
+        )
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _rabitq_search_arrow(codes_df, model, queries, k, query_id_col, query_col):
+    spark = codes_df.sparkSession
+    qrows = queries.select(query_id_col, query_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, est_dist2 double"
+        )
+    d, n_words = model.d, model.n_words
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    if qmat.shape[1] != d:
+        raise ValueError(f"query dimension {qmat.shape[1]} != index {d}")
+    p = model.rotation_matrix()
+    c = np.asarray(model.centroid, dtype=np.float64)
+    rq = (qmat - c[None, :]) @ p.T  # (nq, d)
+    qn = np.sqrt(np.einsum("ij,ij->i", rq, rq))
+    u = np.divide(rq, qn[:, None], out=np.zeros_like(rq), where=qn[:, None] > 0)
+    sum_u = u.sum(axis=1)
+    scale = 1.0 / math.sqrt(d)
+    bq_ = spark.sparkContext.broadcast((qids, u, qn, sum_u))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, u_, qn_, sum_u_ = bq_.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.stack(
+                [np.asarray(cd, dtype=np.int64) for cd in pdf["codes"]]
+            )
+            n_rows = cmat.shape[0]
+            bits64 = np.unpackbits(
+                _codes_to_bytes(cmat).astype(np.uint8), axis=1
+            ).reshape(n_rows, n_words, 64)[:, :, 32:]
+            cbits = bits64.reshape(n_rows, n_words * WORD_BITS)[:, :d].astype(
+                np.float64
+            )
+            norm = pdf["norm"].to_numpy()
+            dot_o = pdf["dot_o"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            s1 = u_ @ cbits.T  # (nq, n)
+            est_obar_u = (2.0 * s1 - sum_u_[:, None]) * scale
+            est_ip = np.divide(
+                est_obar_u,
+                dot_o[None, :],
+                out=np.zeros_like(est_obar_u),
+                where=dot_o[None, :] > 0,
+            )
+            d2 = (
+                (norm * norm)[None, :]
+                + (qn_ * qn_)[:, None]
+                - 2.0 * norm[None, :] * qn_[:, None] * est_ip
+            )
+            kk = min(k, d2.shape[1])
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids_, kk),
+                    "neighbor_id": ids[part].reshape(-1),
+                    "est_dist2": np.take_along_axis(d2, part, axis=1).reshape(
+                        -1
+                    ),
+                }
+            )
+
+    local = codes_df.select("id", "codes", "norm", "dot_o").mapInPandas(
+        local_topk, "query_id long, neighbor_id long, est_dist2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy("est_dist2", "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "est_dist2")
+    )
+
+
+def rabitq_search_refined(
+    codes_df: DataFrame,
+    model: RaBitQModel,
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "id",
+    vec_col: str = "values",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    method: str = "native",
+) -> DataFrame:
+    """Estimator shortlist → exact L2 rescoring (semi-join-sized exact
+    pass — the same refine stage every compressed tier shares)."""
+    from vector_indexer_spark.operators.pq import refine_topk
+
+    short = rabitq_search(
+        codes_df,
+        model,
+        queries,
+        k=shortlist,
+        query_id_col=query_id_col,
+        query_col=query_col,
+        method=method,
+    )
+    return refine_topk(
+        short,
+        vectors,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_col=query_col,
+    )
