@@ -259,6 +259,191 @@ def test_search_contracts(spark, embeddings):
     assert all(r["count"] == n for r in counts)
 
 
+# --- IVF-RaBitQ ---------------------------------------------------------
+
+
+def _clustered(spark, n_per=40, k_cents=4, d=32, seed=0, spread=25.0):
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(k_cents, d)) * spread
+    X = np.concatenate(
+        [cents[c] + rng.normal(size=(n_per, d)) for c in range(k_cents)]
+    ).astype(np.float64)
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cl = d2.argmin(axis=1)
+    assigned = spark.createDataFrame(
+        [
+            (int(i), int(cl[i]), [float(v) for v in X[i]])
+            for i in range(len(X))
+        ],
+        "id long, cluster_id long, values array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(int(c), [float(v) for v in cents[c]]) for c in range(k_cents)],
+        "centroid_id long, cvec array<double>",
+    )
+    q = spark.createDataFrame(
+        [(int(i), [float(v) for v in X[i]]) for i in range(6)],
+        "query_id long, query array<double>",
+    )
+    return X, cents, cl, assigned, cdf, q
+
+
+def _rot(d=32, seed=3):
+    return tuple(
+        tuple(float(v) for v in r) for r in hadamard_rotation(d, seed)
+    )
+
+
+def test_ivf_encode_matches_numpy(spark):
+    from vector_indexer_spark.operators.rabitq import ivf_rabitq_encode
+
+    X, cents, cl, assigned, cdf, _ = _clustered(spark)
+    rot = _rot()
+    p = np.asarray(rot)
+    enc = {
+        r.id: r for r in ivf_rabitq_encode(assigned, cdf, rot).collect()
+    }
+    r_np = np.einsum("ij,nj->ni", p, X - cents[cl])
+    norm = np.sqrt((r_np * r_np).sum(axis=1))
+    dot_o = np.abs(r_np).sum(axis=1) / (math.sqrt(32) * norm)
+    for i in range(len(X)):
+        row = enc[i]
+        assert row.cluster_id == cl[i]
+        assert row.norm == pytest.approx(norm[i], rel=1e-9)
+        assert row.dot_o == pytest.approx(dot_o[i], rel=1e-9)
+        bits = [(row.codes[0] >> (31 - j)) & 1 for j in range(32)]
+        np.testing.assert_array_equal(
+            np.array(bits), (r_np[i] > 0).astype(int)
+        )
+
+
+def test_ivf_search_native_equals_arrow(spark):
+    from vector_indexer_spark.operators.rabitq import (
+        ivf_rabitq_encode,
+        ivf_rabitq_search,
+    )
+
+    _, _, _, assigned, cdf, q = _clustered(spark)
+    rot = _rot()
+    codes = ivf_rabitq_encode(assigned, cdf, rot).cache()
+    nat = ivf_rabitq_search(
+        codes, cdf, q, rot, k=8, n_probe=2, method="native"
+    ).collect()
+    arr = ivf_rabitq_search(
+        codes, cdf, q, rot, k=8, n_probe=2, method="arrow"
+    ).collect()
+    nkey = {(r.query_id, r.rank): (r.neighbor_id, r.est_dist2) for r in nat}
+    akey = {(r.query_id, r.rank): (r.neighbor_id, r.est_dist2) for r in arr}
+    assert nkey.keys() == akey.keys()
+    for kk, (nid, nd) in nkey.items():
+        aid, ad = akey[kk]
+        assert nid == aid
+        assert nd == pytest.approx(ad, rel=1e-9, abs=1e-9)
+
+
+def test_ivf_full_probe_refined_equals_exact(spark):
+    from vector_indexer_spark.operators.rabitq import (
+        ivf_rabitq_encode,
+        ivf_rabitq_search_refined,
+    )
+
+    X, _, _, assigned, cdf, q = _clustered(spark)
+    rot = _rot()
+    codes = ivf_rabitq_encode(assigned, cdf, rot)
+    ref = ivf_rabitq_search_refined(
+        codes, cdf, assigned, q, rot, k=5, shortlist=len(X), n_probe=4
+    ).collect()
+    exact = knn_exact(assigned, q, k=5, method="native").collect()
+    rkey = {(r.query_id, r.rank): r.neighbor_id for r in ref}
+    ekey = {(r.query_id, r.rank): r.neighbor_id for r in exact}
+    assert rkey == ekey
+
+
+def test_ivf_search_prunes_to_probed_clusters(spark):
+    from vector_indexer_spark.operators.rabitq import (
+        ivf_rabitq_encode,
+        ivf_rabitq_search,
+    )
+
+    X, cents, cl, assigned, cdf, q = _clustered(spark)
+    rot = _rot()
+    codes = ivf_rabitq_encode(assigned, cdf, rot)
+    out = ivf_rabitq_search(
+        codes, cdf, q, rot, k=len(X), n_probe=1, method="native"
+    ).collect()
+    # every query sits inside its own cluster (spread >> noise): with
+    # n_probe=1 all candidates come from that single probed cluster
+    for r in out:
+        assert cl[r.neighbor_id] == cl[r.query_id]
+    # and the candidate count is exactly the probed cluster's size
+    sizes = {c: int((cl == c).sum()) for c in range(4)}
+    per_q = {}
+    for r in out:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    for qid, n in per_q.items():
+        assert n == sizes[cl[qid]]
+
+
+def test_ivf_raw_recall_floor(spark):
+    from vector_indexer_spark.operators.rabitq import (
+        ivf_rabitq_encode,
+        ivf_rabitq_search,
+    )
+
+    X, _, _, assigned, cdf, q = _clustered(spark)
+    rot = _rot()
+    codes = ivf_rabitq_encode(assigned, cdf, rot)
+    got = ivf_rabitq_search(
+        codes, cdf, q, rot, k=10, n_probe=4, method="native"
+    ).collect()
+    truth = knn_exact(assigned, q, k=10, method="native").collect()
+    t, g = {}, {}
+    for r in truth:
+        t.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in got:
+        g.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hit = sum(len(t[qid] & g.get(qid, set())) for qid in t)
+    assert hit / (10 * len(t)) >= 0.5  # 1-bit raw shortlist floor
+
+
+def test_ivf_search_contracts(spark):
+    from vector_indexer_spark.operators.rabitq import (
+        ivf_rabitq_encode,
+        ivf_rabitq_search,
+    )
+
+    _, _, _, assigned, cdf, q = _clustered(spark)
+    rot = _rot()
+    codes = ivf_rabitq_encode(assigned, cdf, rot)
+    with pytest.raises(ValueError, match="positive"):
+        ivf_rabitq_search(codes, cdf, q, rot, k=0)
+    with pytest.raises(ValueError, match="positive"):
+        ivf_rabitq_search(codes, cdf, q, rot, k=5, n_probe=0)
+    with pytest.raises(ValueError, match="unknown method"):
+        ivf_rabitq_search(codes, cdf, q, rot, k=5, method="zig")
+
+
+def test_ivf_search_plan_no_codes_shuffle(spark):
+    """Scale shape: every join in the pruned search broadcasts the
+    small side — the codes table never sort-merge-shuffles."""
+    from vector_indexer_spark.operators.rabitq import (
+        ivf_rabitq_encode,
+        ivf_rabitq_search,
+    )
+
+    _, _, _, assigned, cdf, q = _clustered(spark)
+    rot = _rot()
+    codes = ivf_rabitq_encode(assigned, cdf, rot)
+    plan = (
+        ivf_rabitq_search(codes, cdf, q, rot, k=5, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_search_plan_codes_only_and_broadcast(spark, embeddings):
     """Scale shape: the search plan scans the codes frame only (never
     the raw vector table) and the query side is broadcast."""

@@ -3946,6 +3946,204 @@ _register(
 
 
 # --------------------------------------------------------------------------
+# IVF-RaBitQ: the composition the paper deploys — RaBitQ residuals
+# against each vector's OWN coarse centroid (fixed-centroid fixture),
+# one shared Hadamard rotation, per-(query, probed-cluster) factors.
+# Full pipeline replay: assign → rotate+pack+factors → probe ranking →
+# per-pair query prep → pruned candidates → estimator top-k → refine.
+# --------------------------------------------------------------------------
+
+_DD_RBQ_P = f"""(({_RBQ_SIGNS_SQL})[j]
+             * CASE WHEN bit_count((i-1) & (j-1)) % 2 = 1
+                    THEN -1.0 ELSE 1.0 END * 0.125)"""
+
+_DD_IVFRBQ_BASE = f"""
+  members AS (SELECT vec_id, centroid_id AS cluster_id
+              FROM assigned WHERE rn = 1),
+  irq_r AS (
+    SELECT m.vec_id, m.cluster_id,
+      list_transform(range(1, 65), i ->
+        list_reduce(list_prepend(0.0,
+          list_transform(range(1, 65), j ->
+            {_DD_RBQ_P}
+            * (CAST(v.embedding[j] AS DOUBLE)
+               - CAST(c.cvec[j] AS DOUBLE)))),
+          (a, b) -> a + b)) AS r
+    FROM members m
+    JOIN embeddings v ON v.vec_id = m.vec_id
+    JOIN cents c ON c.centroid_id = m.cluster_id
+  ),
+  irq_enc0 AS (
+    SELECT vec_id, cluster_id,
+      list_transform(range(1, 3), w ->
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, 33), j ->
+            CAST(CASE WHEN r[(w-1)*32 + j] > 0.0
+                 THEN 1 ELSE 0 END AS BIGINT))),
+          (a, b) -> a * 2 + b)) AS codes,
+      sqrt(list_reduce(list_prepend(0.0, list_transform(r, x -> x * x)),
+           (a, b) -> a + b)) AS norm,
+      list_reduce(list_prepend(0.0, list_transform(r, x -> abs(x))),
+           (a, b) -> a + b) AS sum_abs
+    FROM irq_r
+  ),
+  irq_enc AS (
+    SELECT vec_id, cluster_id, codes, norm,
+      CASE WHEN norm > 0.0 THEN sum_abs / (8.0 * norm)
+           ELSE 0.0 END AS dot_o
+    FROM irq_enc0
+  ),
+  irq_q AS (SELECT vec_id AS query_id, embedding AS query
+            FROM embeddings WHERE vec_id >= 490),
+  irq_probe AS (
+    SELECT query_id, centroid_id AS cluster_id FROM (
+      SELECT q.query_id, c.centroid_id,
+             row_number() OVER (PARTITION BY q.query_id ORDER BY
+               {_DD_DIST2.format(a="q.query", b="c.cvec")},
+               c.centroid_id) AS pr
+      FROM irq_q q CROSS JOIN cents c
+    ) WHERE pr <= 4
+  ),
+  irq_qr AS (
+    SELECT p.query_id, p.cluster_id,
+      list_transform(range(1, 65), i ->
+        list_reduce(list_prepend(0.0,
+          list_transform(range(1, 65), j ->
+            {_DD_RBQ_P}
+            * (CAST(q.query[j] AS DOUBLE)
+               - CAST(c.cvec[j] AS DOUBLE)))),
+          (a, b) -> a + b)) AS rq
+    FROM irq_probe p
+    JOIN irq_q q ON q.query_id = p.query_id
+    JOIN cents c ON c.centroid_id = p.cluster_id
+  ),
+  irq_qp0 AS (
+    SELECT query_id, cluster_id, rq,
+      sqrt(list_reduce(list_prepend(0.0, list_transform(rq, x -> x * x)),
+           (a, b) -> a + b)) AS q_norm
+    FROM irq_qr
+  ),
+  irq_qp1 AS (
+    SELECT query_id, cluster_id, q_norm,
+      CASE WHEN q_norm > 0.0 THEN list_transform(rq, x -> x / q_norm)
+           ELSE list_transform(rq, x -> 0.0) END AS uq
+    FROM irq_qp0
+  ),
+  irq_qp AS (
+    SELECT query_id, cluster_id, q_norm, uq,
+      list_reduce(list_prepend(0.0, uq), (a, b) -> a + b) AS sum_u
+    FROM irq_qp1
+  ),
+  irq_scored AS (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+      e.norm * e.norm + p.q_norm * p.q_norm
+        - 2.0 * e.norm * p.q_norm *
+          (CASE WHEN e.dot_o > 0.0 THEN
+            ((list_reduce(list_prepend(0.0,
+                list_transform(range(1, 65), j ->
+                  p.uq[j] * CAST(((e.codes[(j-1)//32 + 1]
+                        >> (31 - ((j-1)%32))) & 1) AS DOUBLE))),
+              (a, b) -> a + b) * 2.0 - p.sum_u) * 0.125) / e.dot_o
+           ELSE 0.0 END) AS est_dist2
+    FROM irq_qp p
+    JOIN irq_enc e USING (cluster_id)
+  ),
+  irq_ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY est_dist2, neighbor_id) AS rank
+    FROM irq_scored
+  )
+"""
+
+
+def _ivf_rabitq_frames(spark, sf_dir):
+    from vector_indexer_spark.operators.rabitq import (  # noqa: PLC0415
+        ivf_rabitq_encode,
+    )
+
+    emb, cents, _ = _fixed_centroid_frames(spark, sf_dir)
+    assigned = _ivf_assign(spark, sf_dir).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    codes = ivf_rabitq_encode(
+        assigned,
+        cents,
+        _RBQ_MODEL.rotation,
+        id_col="vec_id",
+        vec_col="embedding",
+    )
+    q = emb.filter(F.col("vec_id") >= 490).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return emb, cents, codes, q
+
+
+def _ivf_rabitq_search_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.rabitq import (  # noqa: PLC0415
+        ivf_rabitq_search,
+    )
+
+    _, cents, codes, q = _ivf_rabitq_frames(spark, sf_dir)
+    return ivf_rabitq_search(
+        codes, cents, q, _RBQ_MODEL.rotation, k=5, n_probe=4
+    )
+
+
+_register(
+    "ivf_rabitq_search_fixed",
+    _ivf_rabitq_search_fixed,
+    f"""
+    WITH {_DD_ASSIGN},
+    {_DD_IVFRBQ_BASE}
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, est_dist2
+    FROM irq_ranked WHERE rank <= 5
+    """,
+)
+
+
+def _ivf_rabitq_refine_fixed(spark, sf_dir):
+    from vector_indexer_spark.operators.rabitq import (  # noqa: PLC0415
+        ivf_rabitq_search_refined,
+    )
+
+    emb, cents, codes, q = _ivf_rabitq_frames(spark, sf_dir)
+    vec = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    return ivf_rabitq_search_refined(
+        codes, cents, vec, q, _RBQ_MODEL.rotation,
+        k=5, shortlist=50, n_probe=4,
+    )
+
+
+_register(
+    "ivf_rabitq_refine_fixed",
+    _ivf_rabitq_refine_fixed,
+    f"""
+    WITH {_DD_ASSIGN},
+    {_DD_IVFRBQ_BASE},
+    irq_short AS (
+      SELECT query_id, neighbor_id FROM irq_ranked WHERE rank <= 50
+    ),
+    irq_rescored AS (
+      SELECT s.query_id, s.neighbor_id,
+        {_DD_DIST2.format(a="v.embedding", b="q.embedding")} AS dist2
+      FROM irq_short s
+      JOIN embeddings v ON v.vec_id = s.neighbor_id
+      JOIN embeddings q ON q.vec_id = s.query_id
+    ),
+    irq_reranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY dist2, neighbor_id) AS rank
+      FROM irq_rescored
+    )
+    SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, dist2
+    FROM irq_reranked WHERE rank <= 5
+    """,
+)
+
+
+# --------------------------------------------------------------------------
 # IVF-BQ: per-cluster binary quantization (residual signs against each
 # vector's own coarse centroid — the threshold vector IS the centroid,
 # zero extra training). Full pipeline replay under the fixed-centroid

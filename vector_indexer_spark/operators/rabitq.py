@@ -332,6 +332,10 @@ def rabitq_score_expr(
         d̂² = norm² + q_norm² − 2·norm·q_norm·<o,u>
 
     Bit-replayable in DuckDB over the same term order."""
+    return _score_expr(codes, norm, dot_o, uq, q_norm, sum_u, model.d)
+
+
+def _score_expr(codes, norm, dot_o, uq, q_norm, sum_u, d: int) -> Column:
     codes = F.col(codes) if isinstance(codes, str) else codes
     norm = F.col(norm) if isinstance(norm, str) else norm
     dot_o = F.col(dot_o) if isinstance(dot_o, str) else dot_o
@@ -339,14 +343,14 @@ def rabitq_score_expr(
     q_norm = F.col(q_norm) if isinstance(q_norm, str) else q_norm
     sum_u = F.col(sum_u) if isinstance(sum_u, str) else sum_u
     s1 = F.lit(0.0)
-    for j in range(1, model.d + 1):
+    for j in range(1, d + 1):
         wi = (j - 1) // WORD_BITS + 1
         shift = WORD_BITS - ((j - 1) % WORD_BITS + 1)
         bit = F.shiftrightunsigned(
             F.element_at(codes, wi), shift
         ).bitwiseAND(F.lit(1))
         s1 = s1 + F.element_at(uq, j) * bit.cast("double")
-    scale = float(1.0 / math.sqrt(model.d))
+    scale = float(1.0 / math.sqrt(d))
     est_obar_u = (s1 * F.lit(2.0) - sum_u) * F.lit(scale)
     est_ip = F.when(dot_o > 0.0, est_obar_u / dot_o).otherwise(F.lit(0.0))
     return (
@@ -474,6 +478,365 @@ def _rabitq_search_arrow(codes_df, model, queries, k, query_id_col, query_col):
         local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "est_dist2")
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF-RaBitQ: the composition the paper actually deploys (RaBitQ §4 /
+# its IVF experiments) — residuals are taken against each vector's OWN
+# coarse centroid (so codes adapt per cluster like IVF-BQ's), with ONE
+# shared rotation across clusters, and the estimator's query factors
+# (u_qc, ‖q−c‖, Σu) computed per (query, probed-cluster) pair on the
+# bounded probe frame. J3/J4 pruning unchanged: candidates are
+# codes ⋈ broadcast(probes) — the codes+factors table never shuffles.
+# --------------------------------------------------------------------------
+
+
+def rotate_vs_expr(
+    vec: Column | str, cvec: Column | str, rotation: tuple
+) -> Column:
+    """``r = P @ (vec − cvec)`` with a COLUMN centroid (each row's own
+    coarse centroid) — the column-threshold twin of :func:`rotate_expr`,
+    same flat fold order per component."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    cvec = F.col(cvec) if isinstance(cvec, str) else cvec
+    d = len(rotation)
+
+    def component(i: int) -> Column:
+        row = F.array(*[F.lit(float(v)) for v in rotation[i]])
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)),
+            F.lit(0.0),
+            lambda acc, j: acc
+            + F.element_at(row, j)
+            * (
+                F.element_at(vec, j).cast("double")
+                - F.element_at(cvec, j).cast("double")
+            ),
+        )
+
+    return F.array(*[component(i) for i in range(d)])
+
+
+def _factor_cols(r: Column, d: int):
+    """(codes, norm, dot_o) expressions from a rotated-residual array —
+    the shared encode tail of the flat and IVF paths."""
+    sqrt_d = float(math.sqrt(d))
+    norm = F.sqrt(F.aggregate(r, F.lit(0.0), lambda acc, x: acc + x * x))
+    sum_abs = F.aggregate(r, F.lit(0.0), lambda acc, x: acc + F.abs(x))
+    dot_o = F.when(norm > 0.0, sum_abs / (F.lit(sqrt_d) * norm)).otherwise(
+        F.lit(0.0)
+    )
+    return _pack_pos_bits_expr(r, d), norm, dot_o
+
+
+def ivf_rabitq_encode(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    rotation: tuple,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    cluster_col: str = "cluster_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """``(id, cluster_id, codes, norm, dot_o)`` — RaBitQ factors for
+    the residual against each vector's own coarse centroid. Scan-local
+    after the broadcast nlist-sized centroid join; write
+    ``partitionBy(shard)`` cluster-sorted for the pruned layout,
+    exactly like the IVF-SQ/IVF-BQ codes tables."""
+    first = assigned.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("cannot encode an empty DataFrame")
+    d = first["d"]
+    if d != len(rotation):
+        raise ValueError(f"vector dimension {d} != rotation {len(rotation)}")
+    c = centroids.select(
+        F.col(centroid_id_col).alias(cluster_col),
+        F.col(centroid_vec_col).alias("__cvec"),
+    )
+    r = rotate_vs_expr(vec_col, "__cvec", rotation)
+    codes, norm, dot_o = _factor_cols(F.col("__r"), d)
+    return (
+        assigned.join(F.broadcast(c), cluster_col)
+        .select(
+            F.col(id_col).alias("id"), cluster_col, r.alias("__r")
+        )
+        .select(
+            "id",
+            cluster_col,
+            codes.alias("codes"),
+            norm.alias("norm"),
+            dot_o.alias("dot_o"),
+        )
+    )
+
+
+def ivf_rabitq_search(
+    codes_df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    rotation: tuple,
+    *,
+    k: int = 10,
+    n_probe: int = 20,
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cvec",
+    method: str = "native",
+) -> DataFrame:
+    """Pruned RaBitQ search: J3 probe ranking by ``|q−c|²`` → per
+    (query, probed-cluster) rotated query factors on the bounded probe
+    frame → J4 candidates from probed clusters only → estimator
+    ranking. Returns ``(query_id, rank, neighbor_id, est_dist2)``,
+    ties by id. Like every 1-bit tier the deployment shape is
+    shortlist → :func:`ivf_rabitq_search_refined`.
+
+    ``native``: whole-stage-codegen folds, the oracle path. ``arrow``:
+    driver probe ranking on the nlist-sized centroid matrix, literal
+    IN pruning of the codes scan, then a per-cluster GEMM of unpacked
+    bits against that cluster's probing-query block inside
+    ``mapInPandas`` — winners-only shuffle."""
+    if k <= 0 or n_probe <= 0:
+        raise ValueError("k and n_probe must be positive")  # P3
+    d = len(rotation)
+    if method == "arrow":
+        return _ivf_rabitq_arrow(
+            codes_df, centroids, queries, rotation, k, n_probe,
+            query_id_col, query_col, centroid_id_col, centroid_vec_col,
+        )
+    if method != "native":
+        raise ValueError(f"unknown method {method!r}")
+    from vector_indexer_spark.functions.distance import (  # noqa: PLC0415
+        dist2_expr,
+    )
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_col).alias("__q")
+    )
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("cluster_id"),
+        F.col(centroid_vec_col).alias("__cvec"),
+    )
+    pscore = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cluster_id",
+        dist2_expr("__q", "__cvec").alias("cdist2"),
+    )
+    pw = Window.partitionBy("query_id").orderBy("cdist2", "cluster_id")
+    probes = (
+        pscore.withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "cluster_id")
+    )
+    # per-pair query factors on the (n_queries × n_probe)-row frame
+    rq = rotate_vs_expr("__q", "__cvec", rotation)
+    prep = (
+        probes.join(F.broadcast(q), "query_id")
+        .join(F.broadcast(cents), "cluster_id")
+        .select("query_id", "cluster_id", rq.alias("__rq"))
+    )
+    q_norm = F.sqrt(
+        F.aggregate("__rq", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    prep = prep.select(
+        "query_id", "cluster_id", "__rq", q_norm.alias("__qn")
+    ).select(
+        "query_id",
+        "cluster_id",
+        "__qn",
+        F.when(
+            F.col("__qn") > 0.0,
+            F.transform("__rq", lambda x: x / F.col("__qn")),
+        )
+        .otherwise(F.transform("__rq", lambda x: F.lit(0.0)))
+        .alias("__uq"),
+    ).select(
+        "query_id",
+        "cluster_id",
+        "__qn",
+        "__uq",
+        F.aggregate("__uq", F.lit(0.0), lambda acc, x: acc + x).alias("__su"),
+    )
+    cand = codes_df.join(F.broadcast(prep), "cluster_id")
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        _score_expr(
+            "codes", "norm", "dot_o", "__uq", "__qn", "__su", d
+        ).alias("est_dist2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("est_dist2", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "est_dist2")
+    )
+
+
+def _ivf_rabitq_arrow(
+    codes_df, centroids, queries, rotation, k, n_probe,
+    query_id_col, query_col, centroid_id_col, centroid_vec_col,
+):
+    spark = codes_df.sparkSession
+    qrows = queries.select(query_id_col, query_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, est_dist2 double"
+        )
+    d = len(rotation)
+    p = np.asarray(rotation, dtype=np.float64)
+    n_words = (d + WORD_BITS - 1) // WORD_BITS
+    qids = np.asarray([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    if qmat.shape[1] != d:
+        raise ValueError(f"query dimension {qmat.shape[1]} != rotation {d}")
+    crows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    nlist = 1 + max(r[0] for r in crows)
+    cents = np.zeros((nlist, d), dtype=np.float64)
+    present = np.zeros(nlist, dtype=bool)
+    for r in crows:
+        cents[r[0]] = np.asarray(r[1], dtype=np.float64)
+        present[r[0]] = True
+    # driver probe ranking (centroid matrix is driver-resident by the
+    # same contract as rank_probes / the IVF-SQ/IVF-BQ arrow paths)
+    d2c = (
+        np.einsum("ij,ij->i", qmat, qmat)[:, None]
+        - 2.0 * (qmat @ cents.T)
+        + np.einsum("ij,ij->i", cents, cents)[None, :]
+    )
+    d2c[:, ~present] = np.inf
+    n_pick = min(n_probe, int(present.sum()))
+    order = np.argsort(d2c, axis=1, kind="stable")[:, :n_pick]
+    # per-cluster prep: which queries probe it, and their rotated unit
+    # residuals vs THIS centroid — (nq × n_probe × d) total, bounded
+    prep: dict = {}
+    for c in np.unique(order):
+        qidx = np.flatnonzero((order == c).any(axis=1))
+        rq = (qmat[qidx] - cents[c][None, :]) @ p.T
+        qn = np.sqrt(np.einsum("ij,ij->i", rq, rq))
+        u = np.divide(
+            rq, qn[:, None], out=np.zeros_like(rq), where=qn[:, None] > 0
+        )
+        prep[int(c)] = (qidx, u, qn, u.sum(axis=1))
+    probed_union = sorted(prep)
+    codes_df = codes_df.where(
+        F.col("cluster_id").isin([int(c) for c in probed_union])
+    )
+    scale = 1.0 / math.sqrt(d)
+    bc = spark.sparkContext.broadcast((qids, prep))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, prep_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cl = pdf["cluster_id"].to_numpy()
+            cmat = np.stack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            n_rows = cmat.shape[0]
+            bits64 = np.unpackbits(
+                _codes_to_bytes(cmat).astype(np.uint8), axis=1
+            ).reshape(n_rows, n_words, 64)[:, :, 32:]
+            cbits = bits64.reshape(n_rows, n_words * WORD_BITS)[
+                :, :d
+            ].astype(np.float64)
+            norm = pdf["norm"].to_numpy()
+            dot_o = pdf["dot_o"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            for c in np.unique(cl):
+                entry = prep_.get(int(c))
+                if entry is None:
+                    continue
+                qidx, u, qn, su = entry
+                rows = np.flatnonzero(cl == c)
+                s1 = u @ cbits[rows].T  # (nq_c, n_c)
+                est_obar_u = (2.0 * s1 - su[:, None]) * scale
+                do = dot_o[rows]
+                est_ip = np.divide(
+                    est_obar_u,
+                    do[None, :],
+                    out=np.zeros_like(est_obar_u),
+                    where=do[None, :] > 0,
+                )
+                nr = norm[rows]
+                d2 = (
+                    (nr * nr)[None, :]
+                    + (qn * qn)[:, None]
+                    - 2.0 * nr[None, :] * qn[:, None] * est_ip
+                )
+                kk = min(k, d2.shape[1])
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids_[qidx], kk),
+                        "neighbor_id": ids[rows][part].reshape(-1),
+                        "est_dist2": np.take_along_axis(
+                            d2, part, axis=1
+                        ).reshape(-1),
+                    }
+                )
+
+    local = codes_df.select(
+        "id", "cluster_id", "codes", "norm", "dot_o"
+    ).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, est_dist2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy("est_dist2", "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "est_dist2")
+    )
+
+
+def ivf_rabitq_search_refined(
+    codes_df: DataFrame,
+    centroids: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    rotation: tuple,
+    *,
+    k: int = 10,
+    shortlist: int = 100,
+    n_probe: int = 20,
+    id_col: str = "id",
+    vec_col: str = "values",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cvec",
+    method: str = "native",
+) -> DataFrame:
+    """Pruned estimator shortlist → exact L2 rescoring (the deployment
+    shape: probe → 1-bit shortlist → semi-join-sized exact refine)."""
+    from vector_indexer_spark.operators.pq import refine_topk
+
+    short = ivf_rabitq_search(
+        codes_df,
+        centroids,
+        queries,
+        rotation,
+        k=shortlist,
+        n_probe=n_probe,
+        query_id_col=query_id_col,
+        query_col=query_col,
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+        method=method,
+    )
+    return refine_topk(
+        short,
+        vectors,
+        queries,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_col=query_col,
     )
 
 
