@@ -805,6 +805,90 @@ def main() -> None:
                 )
                 bcodes.unpersist(), bscales.unpersist()
 
+            # IVF-RaBitQ at the same scale: the principled 1-bit rung
+            # (rotated residual signs vs each vector's own centroid +
+            # two factor doubles, unbiased <obar,u>/<obar,o> estimator
+            # — Gao & Long SIGMOD'24). Same storage class as IVF-BQ
+            # (d/8 code bytes + 16 B factors/vec); same probe settings
+            # as the ivfbq rows above, so raw-recall and wall-clock are
+            # head-to-head at identical bits.
+            if os.environ.get("BENCH_SYNTH_RABITQ", "1") == "1":
+                from vector_indexer_spark.operators.rabitq import (
+                    hadamard_rotation,
+                    ivf_rabitq_encode,
+                    ivf_rabitq_search,
+                    ivf_rabitq_search_refined,
+                )
+
+                r_cents = spark.createDataFrame(
+                    [
+                        (int(i), [float(x) for x in sidx.centroids[i]])
+                        for i in range(sidx.nlist)
+                    ],
+                    "centroid_id long, cvec array<float>",
+                )
+                rrot = tuple(
+                    tuple(float(v) for v in row)
+                    for row in hadamard_rotation(d_synth, seed=7)
+                )
+                t0 = time.perf_counter()
+                rcodes = ivf_rabitq_encode(
+                    sidx_vec, r_cents, rrot, method="arrow"
+                ).coalesce(32).cache()
+                rcodes.count()
+                extras["synth_ivfrabitq_encode_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                if os.environ.get("BENCH_BYTES", "1") == "1":
+                    extras["synth_bytes_ivfrabitq"] = parquet_bytes(
+                        rcodes,
+                        tempfile.mkdtemp(prefix="bench_bytes_") + "/ivfrbq",
+                    )
+                    extras["synth_bytes_ivfrabitq_per_vec"] = round(
+                        extras["synth_bytes_ivfrabitq"] / n_synth, 1
+                    )
+                results[f"{slabel}_ivfrabitq_256q"] = timed(
+                    lambda: ivf_rabitq_search(
+                        rcodes, r_cents, sq, rrot, k=10, n_probe=16,
+                        method="arrow",
+                    ).count(),
+                    min_duration=12.0,
+                    key=f"{slabel}_ivfrabitq_256q",
+                )
+                extras["synth_ivfrabitq_speedup_vs_exact"] = round(
+                    MIN_TIMES.get(
+                        f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"]
+                    )
+                    / MIN_TIMES.get(
+                        f"{slabel}_ivfrabitq_256q",
+                        results[f"{slabel}_ivfrabitq_256q"],
+                    ),
+                    3,
+                )
+                extras["synth_ivfrabitq_recall_at_10"] = round(
+                    calculate_recall(
+                        ivf_rabitq_search(
+                            rcodes, r_cents, sq, rrot, k=10, n_probe=16,
+                            method="arrow",
+                        ),
+                        sexact,
+                        10,
+                    ),
+                    4,
+                )
+                t0 = time.perf_counter()
+                rrefined = ivf_rabitq_search_refined(
+                    rcodes, r_cents, sidx_vec, sq, rrot, k=10,
+                    shortlist=100, n_probe=16, method="arrow",
+                )
+                extras["synth_ivfrabitq_refined_recall_at_10"] = round(
+                    calculate_recall(rrefined, sexact, 10), 4
+                )
+                extras["synth_ivfrabitq_refined_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                rcodes.unpersist()
+
             synth.unpersist()
             sidx_vec.unpersist()
 

@@ -619,6 +619,68 @@ def _ivfbq_df(spark, emb):
     return ivfbq_search(codes, cents, q, k=5, n_probe=4, scales=scales)
 
 
+def _rabitq_model():
+    import numpy as np
+
+    from vector_indexer_spark.operators.rabitq import (
+        RaBitQModel,
+        hadamard_rotation,
+    )
+
+    mat = hadamard_rotation(64, seed=7)
+    rng = np.random.default_rng(99)
+    cent = tuple(float(v) for v in np.round(rng.uniform(-0.5, 0.5, 64), 3))
+    return RaBitQModel(
+        centroid=cent,
+        rotation=tuple(tuple(float(x) for x in r) for r in mat),
+        seed=7,
+    )
+
+
+def _rabitq_df(spark, emb):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.rabitq import (
+        rabitq_encode,
+        rabitq_search,
+    )
+
+    model = _rabitq_model()
+    vec = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    codes = rabitq_encode(vec, model)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return rabitq_search(codes, model, q, k=5)
+
+
+def _ivf_rabitq_df(spark, emb):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.rabitq import (
+        ivf_rabitq_encode,
+        ivf_rabitq_search,
+    )
+
+    model = _rabitq_model()
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    assigned = emb.select(
+        F.col("vec_id").alias("id"),
+        (F.col("vec_id") % 16).alias("cluster_id"),
+        F.col("embedding").alias("values"),
+    )
+    codes = ivf_rabitq_encode(assigned, cents, model.rotation)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return ivf_rabitq_search(codes, cents, q, model.rotation, k=5, n_probe=4)
+
+
 def _bq_adc_df(spark, emb, vec):
     from pyspark.sql import functions as F
 
@@ -1052,6 +1114,23 @@ def main():
             "one flat codegen fold of +/-q_j terms per candidate; only "
             "the per-query window exchanges rows.",
             _bq_adc_df(spark, emb, vec),
+        ),
+        (
+            "RaBitQ estimator search (rotated 1-bit + factors)",
+            "Codes+factors-only scan (the raw vector table is never "
+            "read), broadcast rotated query batch; the unbiased "
+            "<obar,u>/<obar,o> estimator is one flat codegen fold of "
+            "bit-selected u_j terms plus the stored norm/fidelity "
+            "doubles; only the per-query window exchanges rows.",
+            _rabitq_df(spark, emb),
+        ),
+        (
+            "IVF-RaBitQ pruned search (per-cluster centering)",
+            "Probe ranking on the broadcast centroid table; per-(query, "
+            "probed-cluster) rotated factors computed on the bounded "
+            "probe frame; candidates = codes JOIN broadcast(prep) — the "
+            "codes+factors table never shuffles (no SortMergeJoin).",
+            _ivf_rabitq_df(spark, emb),
         ),
         (
             "Graph local search (fits-one-box regime)",

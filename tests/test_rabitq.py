@@ -317,6 +317,32 @@ def test_ivf_encode_matches_numpy(spark):
         )
 
 
+def test_ivf_encode_native_equals_arrow(spark):
+    from vector_indexer_spark.operators.rabitq import ivf_rabitq_encode
+
+    _, _, _, assigned, cdf, _ = _clustered(spark)
+    rot = _rot()
+    nat = {
+        r.id: r
+        for r in ivf_rabitq_encode(
+            assigned, cdf, rot, method="native"
+        ).collect()
+    }
+    arr = {
+        r.id: r
+        for r in ivf_rabitq_encode(
+            assigned, cdf, rot, method="arrow"
+        ).collect()
+    }
+    assert nat.keys() == arr.keys()
+    for vid, n in nat.items():
+        a = arr[vid]
+        assert n.cluster_id == a.cluster_id
+        assert list(n.codes) == list(a.codes)
+        assert n.norm == pytest.approx(a.norm, rel=1e-9)
+        assert n.dot_o == pytest.approx(a.dot_o, rel=1e-9)
+
+
 def test_ivf_search_native_equals_arrow(spark):
     from vector_indexer_spark.operators.rabitq import (
         ivf_rabitq_encode,

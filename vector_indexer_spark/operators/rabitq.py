@@ -243,13 +243,36 @@ def rabitq_encode(
     raise ValueError(f"unknown method {method!r}")
 
 
+def _np_encode(r: np.ndarray, d: int, n_words: int):
+    """(packed words, norm, dot_o) from a rotated-residual matrix —
+    MSB-first within each 32-bit word, words in the LOW half of each
+    BIGINT (same layout bq's arrow paths unpack)."""
+    norm = np.sqrt(np.einsum("ij,ij->i", r, r))
+    sum_abs = np.abs(r).sum(axis=1)
+    dot_o = np.divide(
+        sum_abs,
+        math.sqrt(d) * norm,
+        out=np.zeros_like(norm),
+        where=norm > 0,
+    )
+    bits = (r > 0).astype(np.uint8)  # (n, d)
+    padded = np.zeros((bits.shape[0], n_words * WORD_BITS), np.uint8)
+    padded[:, :d] = bits
+    words = np.zeros((bits.shape[0], n_words), dtype=np.int64)
+    for w in range(n_words):
+        blk = padded[:, w * WORD_BITS : (w + 1) * WORD_BITS]
+        words[:, w] = blk.astype(np.int64) @ (
+            1 << np.arange(WORD_BITS - 1, -1, -1, dtype=np.int64)
+        )
+    return words, norm, dot_o
+
+
 def _rabitq_encode_arrow(df, model, id_col, vec_col):
     spark = df.sparkSession
     d, n_words = model.d, model.n_words
     bp = spark.sparkContext.broadcast(
         (model.rotation_matrix(), np.asarray(model.centroid, dtype=np.float64))
     )
-    sqrt_d = math.sqrt(d)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p, c = bp.value
@@ -264,25 +287,7 @@ def _rabitq_encode_arrow(df, model, id_col, vec_col):
                     f"vector dimension {x.shape[1]} != model {d}"
                 )
             r = (x - c[None, :]) @ p.T  # (n, d)
-            norm = np.sqrt(np.einsum("ij,ij->i", r, r))
-            sum_abs = np.abs(r).sum(axis=1)
-            dot_o = np.divide(
-                sum_abs,
-                sqrt_d * norm,
-                out=np.zeros_like(norm),
-                where=norm > 0,
-            )
-            bits = (r > 0).astype(np.uint8)  # (n, d)
-            padded = np.zeros((bits.shape[0], n_words * WORD_BITS), np.uint8)
-            padded[:, :d] = bits
-            # MSB-first within each 32-bit word, words in the LOW half
-            # of each BIGINT (same layout bq's arrow paths unpack)
-            words = np.zeros((bits.shape[0], n_words), dtype=np.int64)
-            for w in range(n_words):
-                blk = padded[:, w * WORD_BITS : (w + 1) * WORD_BITS]
-                words[:, w] = blk.astype(np.int64) @ (
-                    1 << np.arange(WORD_BITS - 1, -1, -1, dtype=np.int64)
-                )
+            words, norm, dot_o = _np_encode(r, d, n_words)
             yield pd.DataFrame(
                 {
                     "id": pdf["__id"].to_numpy(),
@@ -540,18 +545,31 @@ def ivf_rabitq_encode(
     cluster_col: str = "cluster_id",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "cvec",
+    method: str = "native",
 ) -> DataFrame:
     """``(id, cluster_id, codes, norm, dot_o)`` — RaBitQ factors for
     the residual against each vector's own coarse centroid. Scan-local
     after the broadcast nlist-sized centroid join; write
     ``partitionBy(shard)`` cluster-sorted for the pruned layout,
-    exactly like the IVF-SQ/IVF-BQ codes tables."""
+    exactly like the IVF-SQ/IVF-BQ codes tables.
+
+    ``native`` is the fold-exact oracle path (d² codegen terms/row —
+    fine at oracle scale); ``arrow`` broadcasts the (rotation,
+    nlist×d centroid matrix) pair and GEMMs each Arrow batch — the
+    1M+ encode path (same per-batch BLAS shape as the flat encoder)."""
     first = assigned.select(F.size(vec_col).alias("d")).first()
     if first is None:
         raise ValueError("cannot encode an empty DataFrame")
     d = first["d"]
     if d != len(rotation):
         raise ValueError(f"vector dimension {d} != rotation {len(rotation)}")
+    if method == "arrow":
+        return _ivf_rabitq_encode_arrow(
+            assigned, centroids, rotation, d,
+            id_col, vec_col, cluster_col, centroid_id_col, centroid_vec_col,
+        )
+    if method != "native":
+        raise ValueError(f"unknown method {method!r}")
     c = centroids.select(
         F.col(centroid_id_col).alias(cluster_col),
         F.col(centroid_vec_col).alias("__cvec"),
@@ -570,6 +588,56 @@ def ivf_rabitq_encode(
             norm.alias("norm"),
             dot_o.alias("dot_o"),
         )
+    )
+
+
+def _ivf_rabitq_encode_arrow(
+    assigned, centroids, rotation, d,
+    id_col, vec_col, cluster_col, centroid_id_col, centroid_vec_col,
+):
+    spark = assigned.sparkSession
+    p = np.asarray(rotation, dtype=np.float64)
+    n_words = (d + WORD_BITS - 1) // WORD_BITS
+    crows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    nlist = 1 + max(r[0] for r in crows)
+    cents = np.zeros((nlist, d), dtype=np.float64)
+    for r in crows:
+        cents[r[0]] = np.asarray(r[1], dtype=np.float64)
+    bp = spark.sparkContext.broadcast((p, cents))
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        p_, cents_ = bp.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            if x.shape[1] != d:
+                raise ValueError(
+                    f"vector dimension {x.shape[1]} != rotation {d}"
+                )
+            cl = pdf["__cl"].to_numpy()
+            r = (x - cents_[cl]) @ p_.T  # (n, d)
+            words, norm, dot_o = _np_encode(r, d, n_words)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__id"].to_numpy(),
+                    "cluster_id": cl,
+                    "codes": list(words),
+                    "norm": norm,
+                    "dot_o": dot_o,
+                }
+            )
+
+    return assigned.select(
+        F.col(id_col).alias("__id"),
+        F.col(cluster_col).alias("__cl"),
+        F.col(vec_col).alias("__v"),
+    ).mapInPandas(
+        encode,
+        "id long, cluster_id long, codes array<bigint>, "
+        "norm double, dot_o double",
     )
 
 
