@@ -470,6 +470,82 @@ def test_ivf_search_plan_no_codes_shuffle(spark):
     assert "BroadcastHashJoin" in plan
 
 
+# --- persisted IVF-RaBitQ index ------------------------------------------
+
+
+def test_index_build_load_search_roundtrip(spark, tmp_path):
+    from vector_indexer_spark.operators.rabitq import (
+        build_ivf_rabitq_index,
+        load_ivf_rabitq_index,
+        search_ivf_rabitq_index,
+    )
+
+    X, _, _, assigned, _, q = _clustered(spark)
+    vec = assigned.select("id", "values")
+    path = str(tmp_path / "irbq")
+    idx = build_ivf_rabitq_index(vec, path, nlist=4, seed=5)
+    assert idx.dimension == 32
+    assert idx.rotation_kind == "hadamard"
+    loaded = load_ivf_rabitq_index(spark, path)
+    assert loaded.nlist == idx.nlist
+    assert loaded.rotation == idx.rotation
+    np.testing.assert_allclose(loaded.centroids, idx.centroids)
+
+    got = search_ivf_rabitq_index(
+        spark, loaded, q, k=5, n_probe=4, method="native"
+    ).collect()
+    # full probe + the estimator = the composable path over the same
+    # codes/centroids — and refine-free top-5 has >=1 self-hit per query
+    assert {r.query_id for r in got} == {0, 1, 2, 3, 4, 5}
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    arr = search_ivf_rabitq_index(
+        spark, loaded, q, k=5, n_probe=4, method="arrow"
+    ).collect()
+    akey = {(r.query_id, r.rank): r.neighbor_id for r in arr}
+    nkey = {(r.query_id, r.rank): r.neighbor_id for r in got}
+    assert akey == nkey
+
+
+def test_index_load_errors(spark, tmp_path):
+    import json
+
+    from vector_indexer_spark.operators.rabitq import (
+        load_ivf_rabitq_index,
+    )
+
+    with pytest.raises(FileNotFoundError, match="no IVF-RaBitQ index"):
+        load_ivf_rabitq_index(spark, str(tmp_path / "nope"))
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "ivf_rabitq_meta.json").write_text(json.dumps({"version": 99}))
+    with pytest.raises(ValueError, match="unsupported"):
+        load_ivf_rabitq_index(spark, str(bad))
+
+
+def test_index_search_prunes_scan(spark, tmp_path):
+    from vector_indexer_spark.operators.rabitq import (
+        build_ivf_rabitq_index,
+        search_ivf_rabitq_index,
+    )
+
+    _, _, _, assigned, _, q = _clustered(spark)
+    vec = assigned.select("id", "values")
+    path = str(tmp_path / "irbq2")
+    idx = build_ivf_rabitq_index(vec, path, nlist=4, seed=5)
+    plan = (
+        search_ivf_rabitq_index(
+            spark, idx, q.limit(2), k=5, n_probe=1, method="native"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "shard_id" in plan  # partition predicate reached the scan
+    assert "SortMergeJoin" not in plan
+
+
 def test_search_plan_codes_only_and_broadcast(spark, embeddings):
     """Scale shape: the search plan scans the codes frame only (never
     the raw vector table) and the query side is broadcast."""

@@ -2852,6 +2852,40 @@ def _ivfbq_search_trained(spark, sf_dir):
 _register("ivfbq_search_trained", _ivfbq_search_trained)
 
 
+_IVF_RABITQ_CACHE: dict = {}
+
+
+def _ivf_rabitq_search_trained(spark, sf_dir):
+    """Production persisted IVF-RaBitQ end-to-end (trained coarse
+    centroids — rows-only; the fixed-centroid twins
+    ``ivf_rabitq_search_fixed``/``ivf_rabitq_refine_fixed`` are the
+    exact oracles). Index cached per sf_dir, same as the other tiers."""
+    import tempfile  # noqa: PLC0415
+
+    from vector_indexer_spark.operators.rabitq import (  # noqa: PLC0415
+        build_ivf_rabitq_index,
+        search_ivf_rabitq_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir not in _IVF_RABITQ_CACHE:
+        vec = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+        )
+        path = tempfile.mkdtemp(prefix="ivfrbq_entry_") + "/index"
+        _IVF_RABITQ_CACHE[sf_dir] = build_ivf_rabitq_index(
+            vec, path, seed=42
+        )
+    idx = _IVF_RABITQ_CACHE[sf_dir]
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query")
+    )
+    return search_ivf_rabitq_index(spark, idx, q, k=10, n_probe=8)
+
+
+_register("ivf_rabitq_search_trained", _ivf_rabitq_search_trained)
+
+
 def _sq_codes(spark, sf_dir):
     """SQ8 train + encode over the whole embeddings table (the real
     operators.sq pipeline; the oracle re-derives the model in SQL).

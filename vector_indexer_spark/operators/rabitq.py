@@ -908,6 +908,300 @@ def ivf_rabitq_search_refined(
     )
 
 
+# ---------------------------------------------------------------------------
+# Persisted IVF-RaBitQ index: the stages above wired into the engine's
+# standard on-disk contract (codes+factors table partitioned by shard,
+# cluster-sorted; centroid parquet; JSON meta). The rotation is stored
+# as (kind, seed, d) and rebuilt deterministically at load — 3 meta
+# fields instead of d² floats.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+from dataclasses import dataclass as _dataclass
+
+from vector_indexer_spark.ioutil import atomic_write_json
+
+IVF_RABITQ_FORMAT_VERSION = 1
+
+
+def _build_rotation(kind: str, d: int, seed: int) -> np.ndarray:
+    if kind == "hadamard":
+        return hadamard_rotation(d, seed)
+    if kind == "qr":
+        return random_rotation(d, seed)
+    raise ValueError(f"unknown rotation kind {kind!r}")
+
+
+@_dataclass
+class IvfRaBitQIndex:
+    path: str
+    dimension: int
+    nlist: int
+    n_shards: int
+    seed: int
+    rotation_kind: str
+    rotation_seed: int
+    n_vectors: int
+    centroids: object  # (nlist, d) float64 ndarray
+    centroid_shards: object  # (nlist,) int64 ndarray
+    rotation: tuple  # d rows × d doubles, rebuilt from (kind, seed, d)
+
+    def codes(self, spark) -> DataFrame:
+        return spark.read.parquet(_os.path.join(self.path, "codes"))
+
+    def centroids_df(self, spark) -> DataFrame:
+        return spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in self.centroids[i]])
+                for i in range(self.nlist)
+            ],
+            "centroid_id long, cvec array<float>",
+        )
+
+
+def build_ivf_rabitq_index(
+    df: DataFrame,
+    path: str,
+    *,
+    id_col: str = "id",
+    vec_col: str = "values",
+    nlist: int | None = None,
+    seed: int = 42,
+    rotation_seed: int = 7,
+    rotation: str | None = None,
+    mode: str = "full",
+    max_iters: int | None = None,
+) -> IvfRaBitQIndex:
+    """Coarse k-means → dense relabel + sharding → arrow RaBitQ encode
+    against each vector's own centroid → ``partitionBy(shard_id)``
+    cluster-sorted codes+factors write. ~d/8 + 16 bytes per vector on
+    disk; the query-time scan Hive-prunes to probed shards exactly
+    like the flat / IVF-SQ / IVF-PQ / IVF-BQ tiers.
+
+    ``rotation`` defaults to ``"hadamard"`` when d is a power of two
+    (entries exactly ±1/√d), else the seeded-QR dense rotation (QR is
+    deterministic for a given BLAS/LAPACK build — the meta stores
+    (kind, seed, d), and a load on a different BLAS could in principle
+    rebuild a different-sign matrix; the hadamard kind is
+    build-independent)."""
+    from vector_indexer_spark.config import (  # noqa: PLC0415
+        calculate_max_iterations,
+        suggest_nlist,
+    )
+    from vector_indexer_spark.operators.index_build import (  # noqa: PLC0415
+        dense_relabel_and_shards,
+    )
+    from vector_indexer_spark.operators.kmeans import (  # noqa: PLC0415
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    spark = df.sparkSession
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot build an index from an empty DataFrame")
+    dimension = len(df.select(vec_col).first()[0])
+    bad = df.filter(F.size(vec_col) != dimension).count()
+    if bad:
+        raise ValueError(f"{bad} records have dimension != {dimension}")
+    if rotation is None:
+        rotation = (
+            "hadamard" if (dimension & (dimension - 1)) == 0 else "qr"
+        )
+    rot_mat = _build_rotation(rotation, dimension, rotation_seed)
+    rot = tuple(tuple(float(v) for v in row) for row in rot_mat)
+
+    nlist = nlist or suggest_nlist(n)
+    max_iters = max_iters or calculate_max_iterations(n)
+    model = kmeans_fit(
+        df, nlist, vec_col=vec_col, max_iters=max_iters, seed=seed, mode=mode
+    )
+    assigned = assign_clusters(
+        df, model.centroids, vec_col=vec_col, out_col="__raw_cluster",
+        seed=seed,
+    ).cache()
+    counts = {
+        r["__raw_cluster"]: r["cnt"]
+        for r in assigned.groupBy("__raw_cluster")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    relabel, centroids, eff_nlist, n_sh, shard_of = dense_relabel_and_shards(
+        counts, model.centroids, seed
+    )
+    mapping = spark.createDataFrame(
+        [
+            (int(old), int(new), int(shard_of[new]))
+            for old, new in relabel.items()
+        ],
+        "__raw_cluster long, cluster_id long, shard_id long",
+    )
+    dense = assigned.join(F.broadcast(mapping), "__raw_cluster").select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__vec"),
+        "cluster_id",
+        "shard_id",
+    )
+    cents_df = spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in centroids[i]])
+            for i in range(eff_nlist)
+        ],
+        "centroid_id long, cvec array<float>",
+    )
+    codes = ivf_rabitq_encode(
+        dense, cents_df, rot, id_col="id", vec_col="__vec", method="arrow"
+    ).join(
+        F.broadcast(mapping.select("cluster_id", "shard_id").distinct()),
+        "cluster_id",
+    )
+    (
+        codes.repartition("shard_id")
+        .sortWithinPartitions("shard_id", "cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(_os.path.join(path, "codes"))
+    )
+    assigned.unpersist()
+    spark.createDataFrame(
+        [
+            (int(i), [float(x) for x in centroids[i]], int(shard_of[i]))
+            for i in range(eff_nlist)
+        ],
+        "centroid_id long, cvec array<float>, shard_id long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _os.path.join(path, "centroids")
+    )
+    atomic_write_json(
+        _os.path.join(path, "ivf_rabitq_meta.json"),
+        {
+            "version": IVF_RABITQ_FORMAT_VERSION,
+            "kind": "ivf_rabitq",
+            "dimension": dimension,
+            "nlist": eff_nlist,
+            "n_shards": n_sh,
+            "seed": seed,
+            "rotation_kind": rotation,
+            "rotation_seed": rotation_seed,
+            "n_vectors": n,
+        },
+    )
+    return IvfRaBitQIndex(
+        path=path,
+        dimension=dimension,
+        nlist=eff_nlist,
+        n_shards=n_sh,
+        seed=seed,
+        rotation_kind=rotation,
+        rotation_seed=rotation_seed,
+        n_vectors=n,
+        centroids=centroids,
+        centroid_shards=shard_of,
+        rotation=rot,
+    )
+
+
+def load_ivf_rabitq_index(spark, path: str) -> IvfRaBitQIndex:
+    meta_path = _os.path.join(path, "ivf_rabitq_meta.json")
+    if not _os.path.exists(meta_path):
+        raise FileNotFoundError(f"no IVF-RaBitQ index at {path}")
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    if meta.get("version") != IVF_RABITQ_FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported IVF-RaBitQ version {meta.get('version')!r}"
+        )
+    rows = (
+        spark.read.parquet(_os.path.join(path, "centroids"))
+        .orderBy("centroid_id")
+        .collect()
+    )
+    rot_mat = _build_rotation(
+        meta["rotation_kind"], meta["dimension"], meta["rotation_seed"]
+    )
+    return IvfRaBitQIndex(
+        path=path,
+        dimension=meta["dimension"],
+        nlist=meta["nlist"],
+        n_shards=meta["n_shards"],
+        seed=meta["seed"],
+        rotation_kind=meta["rotation_kind"],
+        rotation_seed=meta["rotation_seed"],
+        n_vectors=meta["n_vectors"],
+        centroids=np.asarray([r.cvec for r in rows], dtype=np.float64),
+        centroid_shards=np.asarray(
+            [r.shard_id for r in rows], dtype=np.int64
+        ),
+        rotation=tuple(tuple(float(v) for v in row) for row in rot_mat),
+    )
+
+
+def search_ivf_rabitq_index(
+    spark,
+    index: IvfRaBitQIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 20,
+    *,
+    method: str = "arrow",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Pruned search against the persisted index: probe ranking on the
+    driver-resident centroid matrix → literal shard/cluster predicates
+    (Hive partition pruning + row-group stats on the cluster-sorted
+    layout) → :func:`ivf_rabitq_search` over only the scanned
+    clusters. The inner search is restricted to the clusters the
+    pruned scan actually read, so at ``nlist >= _HIER_PROBE_NLIST``
+    (approximate hierarchical outer probes) pruning and scoring always
+    agree — no cluster is scored that was not scanned."""
+    if k <= 0 or n_probe <= 0:
+        raise ValueError("k and n_probe must be positive")  # P3
+    from vector_indexer_spark.operators.search import (  # noqa: PLC0415
+        _HIER_PROBE_NLIST,
+        probe_hierarchy_for,
+        rank_probes,
+    )
+
+    probes = rank_probes(
+        queries,
+        index.centroids,
+        index.centroid_shards,
+        min(n_probe, index.nlist),
+        query_id_col=query_id_col,
+        query_col=query_col,
+        hierarchy=(
+            probe_hierarchy_for(index)
+            if index.nlist >= _HIER_PROBE_NLIST
+            else None
+        ),
+    )
+    pc = probes.select("cluster_id", "shard_id").distinct().collect()
+    shard_ids = sorted({r.shard_id for r in pc})
+    cluster_ids = sorted({r.cluster_id for r in pc})
+    base = codes if codes is not None else index.codes(spark)
+    pruned = base.where(
+        F.col("shard_id").isin(shard_ids)
+        & F.col("cluster_id").isin(cluster_ids)
+    )
+    cents = index.centroids_df(spark).where(
+        F.col("centroid_id").isin(cluster_ids)
+    )
+    return ivf_rabitq_search(
+        pruned,
+        cents,
+        queries,
+        index.rotation,
+        k=k,
+        n_probe=min(n_probe, index.nlist),
+        query_id_col=query_id_col,
+        query_col=query_col,
+        method=method,
+    )
+
+
 def rabitq_search_refined(
     codes_df: DataFrame,
     model: RaBitQModel,
