@@ -788,14 +788,22 @@ def _ivfsq_search_arrow(
     np.put_along_axis(pmask, order, True, axis=1)
     dmin = np.asarray(model.dmin, dtype=np.float64)
     scale = np.asarray(model.scale, dtype=np.float64)
+    # per-cluster probing-query index: each cluster's block is scored
+    # against ONLY the queries that probe it (the masked all-queries
+    # GEMM scored every query against every kept row and discarded the
+    # misses — at 256 localized queries / 16 of 4000 probes that is
+    # ~99% wasted flops; same fix as the IVF-BQ arrow kernel)
+    qprobe = {
+        int(c): np.flatnonzero(pmask[:, c])
+        for c in np.flatnonzero(pmask.any(axis=0))
+    }
     bstate = spark.sparkContext.broadcast(
-        (qids, qmat, pmask, cents, dmin, scale)
+        (qids, qmat, pmask, qprobe, cents, dmin, scale)
     )
-    CHUNK = 8192
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, qmat_, pmask_, cents_, dmin_, scale_ = bstate.value
-        qsq = np.einsum("ij,ij->i", qmat_, qmat_)[:, None]
+        qids_, qmat_, pmask_, qprobe_, cents_, dmin_, scale_ = bstate.value
+        qsq = np.einsum("ij,ij->i", qmat_, qmat_)
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -808,42 +816,31 @@ def _ivfsq_search_arrow(
             codes = np.asarray(
                 [np.asarray(c, dtype=np.float64) for c in pdf["codes"]]
             )
-            recon = cents_[cl] + dmin_ + codes * scale_
             vids = pdf["id"].to_numpy()
-            parts_d: list = []
-            parts_i: list = []
-            for s in range(0, recon.shape[0], CHUNK):
-                rc = recon[s : s + CHUNK]
+            for c in np.unique(cl):
+                qidx = qprobe_.get(int(c))
+                if qidx is None or not len(qidx):
+                    continue
+                rows = np.flatnonzero(cl == c)
+                rc = cents_[c][None, :] + dmin_ + codes[rows] * scale_
+                qs = qmat_[qidx]
                 d2 = (
-                    qsq
-                    - 2.0 * (qmat_ @ rc.T)
+                    qsq[qidx][:, None]
+                    - 2.0 * (qs @ rc.T)
                     + np.einsum("ij,ij->i", rc, rc)[None, :]
                 )
                 np.maximum(d2, 0.0, out=d2)
-                # a candidate scores only for queries probing its cluster
-                d2[~pmask_[:, cl[s : s + CHUNK]]] = np.inf
-                dd, ii = topk_per_row(d2, k, ids=vids[s : s + CHUNK])
-                parts_d.append(dd)
-                parts_i.append(ii)
-            alld = np.concatenate(parts_d, axis=1)
-            alli = np.concatenate(parts_i, axis=1)
-            # reduce chunk winners to per-batch top-k (pad slots carry
-            # inf and sort last; drop them after the global rank below).
-            # (adist2, neighbor_id) lexsort — the engine-wide tie rule;
-            # a distance-only sort would let chunk position decide which
-            # of two equal-distance candidates survives the cut.
-            ord_ = np.lexsort((alli, alld), axis=1)[:, :k]
-            dd = np.take_along_axis(alld, ord_, axis=1)
-            ii = np.take_along_axis(alli, ord_, axis=1)
-            kk = dd.shape[1]
-            out = pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids_, kk),
-                    "neighbor_id": ii.reshape(-1),
-                    "adist2": dd.reshape(-1),
-                }
-            )
-            yield out[np.isfinite(out["adist2"])]
+                # pad slots (k > cluster size) carry inf — dropped below
+                dd, ii = topk_per_row(d2, k, ids=vids[rows])
+                kk = dd.shape[1]
+                out = pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids_[qidx], kk),
+                        "neighbor_id": ii.reshape(-1),
+                        "adist2": dd.reshape(-1),
+                    }
+                )
+                yield out[np.isfinite(out["adist2"])]
 
     local = codes_df.select("id", "cluster_id", "codes").mapInPandas(
         local_topk, "query_id long, neighbor_id long, adist2 double"
