@@ -830,6 +830,121 @@ _register(
 )
 
 
+# --------------------------------------------------------------------------
+# Margin-based bitext mining (Artetxe & Schwenk ACL'19, the
+# LASER/CCMatrix miner): pairs ranked by cos relative to each side's
+# k-neighborhood mean. Neighborhood sums are integer-micros
+# (order-free); the margin is computed from those exact integers on
+# both engines. Fixture: first 30 embeddings as the "source" corpus,
+# the rest as the "target".
+# --------------------------------------------------------------------------
+
+_DD_BITEXT = f"""
+  bx_s AS (SELECT vec_id AS src_id, embedding AS sv
+           FROM embeddings WHERE vec_id < 30),
+  bx_t AS (SELECT vec_id AS tgt_id, embedding AS tv
+           FROM embeddings WHERE vec_id >= 30),
+  bx_scored AS (
+    SELECT src_id, tgt_id,
+      {_DD_DOT.format(a="sv", b="tv")}
+        / ({_DD_NORM.format(a="sv")} * {_DD_NORM.format(a="tv")}) AS cos
+    FROM bx_s CROSS JOIN bx_t
+  ),
+  bx_ranked AS (
+    SELECT *,
+      row_number() OVER (PARTITION BY src_id
+                         ORDER BY cos DESC, tgt_id) AS fr,
+      row_number() OVER (PARTITION BY tgt_id
+                         ORDER BY cos DESC, src_id) AS br
+    FROM bx_scored
+  ),
+  bx_fsum AS (
+    SELECT src_id,
+      CAST(SUM(CAST(floor(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS fsum,
+      CAST(count(*) AS BIGINT) AS fn
+    FROM bx_ranked WHERE fr <= 4 GROUP BY 1
+  ),
+  bx_bsum AS (
+    SELECT tgt_id,
+      CAST(SUM(CAST(floor(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS bsum,
+      CAST(count(*) AS BIGINT) AS bn
+    FROM bx_ranked WHERE br <= 4 GROUP BY 1
+  ),
+  bx_withm AS (
+    SELECT sc.src_id, sc.tgt_id, sc.cos,
+      sc.cos * (CAST((fn + bn) AS DOUBLE) * 1000000.0)
+        / CAST((fsum + bsum) AS DOUBLE) AS margin
+    FROM bx_scored sc
+    JOIN bx_fsum USING (src_id)
+    JOIN bx_bsum USING (tgt_id)
+  ),
+  bx_best AS (
+    SELECT *, row_number() OVER (PARTITION BY src_id
+               ORDER BY margin DESC, tgt_id) AS r
+    FROM bx_withm
+  )
+"""
+
+
+def _bitext_frames(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    tgt = emb.filter(F.col("vec_id") >= 30).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("values")
+    )
+    return src, tgt
+
+
+def _bitext_margin_mined(spark, sf_dir):
+    from vector_indexer_spark.operators.mining import (  # noqa: PLC0415
+        mine_bitext,
+    )
+
+    src, tgt = _bitext_frames(spark, sf_dir)
+    return mine_bitext(src, tgt, k=4, threshold=0.0)
+
+
+_register(
+    "bitext_margin_mined",
+    _bitext_margin_mined,
+    f"""
+    WITH {_DD_BITEXT}
+    SELECT src_id, tgt_id, cos, margin FROM bx_best WHERE r = 1
+    """,
+)
+
+
+def _bitext_mutual_pairs(spark, sf_dir):
+    from vector_indexer_spark.operators.mining import (  # noqa: PLC0415
+        mine_bitext,
+    )
+
+    src, tgt = _bitext_frames(spark, sf_dir)
+    return mine_bitext(src, tgt, k=4, threshold=0.0, mutual=True)
+
+
+_register(
+    "bitext_mutual_pairs",
+    _bitext_mutual_pairs,
+    f"""
+    WITH {_DD_BITEXT},
+    bx_tbest AS (
+      SELECT src_id AS bs, tgt_id AS bt FROM (
+        SELECT *, row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY margin DESC, src_id) AS tr
+        FROM bx_withm
+      ) WHERE tr = 1
+    )
+    SELECT b.src_id, b.tgt_id, b.cos, b.margin
+    FROM bx_best b
+    JOIN bx_tbest m ON m.bs = b.src_id AND m.bt = b.tgt_id
+    WHERE b.r = 1
+    """,
+)
+
+
 def _sim_near_dup_cosine(spark, sf_dir):
     """Blocked cosine near-dup pairs (block = label, τ=0.3)."""
     from vector_indexer_spark.operators.dedup import embedding_near_dups
