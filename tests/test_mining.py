@@ -115,6 +115,36 @@ def test_candidates_shortlist_path(spark):
     assert all(r.tgt_id == r.src_id + 1000 for r in got)
 
 
+def test_candidates_path_no_corpus_vector_broadcast(spark):
+    """The ``candidates`` path exists for TWO web-scale sides: neither
+    corpus's vector relation may be broadcast (the r9 plan shipped the
+    full target table to every executor — guaranteed OOM at CCMatrix
+    scale). Only bounded candidate-derived frames (the k-neighborhood
+    sums, the mutual best table) may broadcast — and none of those
+    carries a vector column. Same lock pattern as the sparse BM25
+    doc-length test (test_plans.py)."""
+    from vector_indexer_spark.plans import audit
+
+    src, tgt = _corpora(spark)
+    cand = [(int(i), int(i + 1000)) for i in range(40)]
+    cdf = spark.createDataFrame(cand, "src_id long, tgt_id long")
+    conf = spark.conf
+    old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for mutual in (False, True):
+            out = mine_bitext(
+                src, tgt, k=4, threshold=0.0, mutual=mutual,
+                candidates=cdf,
+            )
+            for cols in audit.broadcast_inputs(out):
+                assert "__sv" not in cols and "__tv" not in cols, (
+                    "corpus vector relation crosses a broadcast: " + cols
+                )
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_threshold_and_contracts(spark):
     src, tgt = _corpora(spark)
     assert mine_bitext(src, tgt, k=4, threshold=10.0).count() == 0

@@ -872,8 +872,10 @@ _DD_BITEXT = f"""
   ),
   bx_withm AS (
     SELECT sc.src_id, sc.tgt_id, sc.cos,
-      sc.cos * (CAST((fn + bn) AS DOUBLE) * 1000000.0)
-        / CAST((fsum + bsum) AS DOUBLE) AS margin
+      CASE WHEN (fsum + bsum) > 0
+        THEN sc.cos * (CAST((fn + bn) AS DOUBLE) * 1000000.0)
+          / CAST((fsum + bsum) AS DOUBLE)
+        ELSE CAST('-infinity' AS DOUBLE) END AS margin
     FROM bx_scored sc
     JOIN bx_fsum USING (src_id)
     JOIN bx_bsum USING (tgt_id)

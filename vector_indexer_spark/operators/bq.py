@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_indexer_spark.functions.kernels import topk_per_row
+
 WORD_BITS = 32  # bits packed per BIGINT word (kept at 32 so the
 # fold accumulator stays far from the sign bit and the same literal
 # fold runs in the DuckDB oracle)
@@ -232,13 +234,18 @@ def _bq_search_arrow(codes_df, model, queries, k, query_id_col, query_col):
             ham = _POPCNT8[np.bitwise_xor(qbytes_[:, None, :], cbytes[None, :, :])].sum(
                 axis=2
             )
-            kk = min(k, ham.shape[1])
-            part = np.argpartition(ham, kk - 1, axis=1)[:, :kk]
+            # tie-safe local cut — integer Hamming distances tie
+            # constantly; plain argpartition would keep arbitrary
+            # members of the boundary tie group instead of the
+            # lowest-id ones the global window contract expects
+            td, ti = topk_per_row(
+                ham.astype(np.float64), k, ids.astype(np.int64)
+            )
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids_, kk),
-                    "neighbor_id": ids[part].reshape(-1),
-                    "hamming": np.take_along_axis(ham, part, axis=1).reshape(-1),
+                    "query_id": np.repeat(qids_, td.shape[1]),
+                    "neighbor_id": ti.reshape(-1),
+                    "hamming": td.astype(np.int64).reshape(-1),
                 }
             )
 
@@ -411,13 +418,15 @@ def _bq_adc_arrow(codes_df, model, queries, k, query_id_col, query_col):
             signs = cbits * 2.0 - 1.0  # (n, d)
             ids = pdf["id"].to_numpy()
             scores = qmat_ @ signs.T  # (nq, n)
-            kk = min(k, scores.shape[1])
-            part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            # tie-safe local cut on negated scores: equal-score groups
+            # straddling the k boundary keep their lowest ids, matching
+            # the global (score DESC, id ASC) window
+            td, ti = topk_per_row(-scores, k, ids.astype(np.int64))
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids_, kk),
-                    "neighbor_id": ids[part].reshape(-1),
-                    "score": np.take_along_axis(scores, part, axis=1).reshape(-1),
+                    "query_id": np.repeat(qids_, td.shape[1]),
+                    "neighbor_id": ti.reshape(-1),
+                    "score": (-td).reshape(-1),
                 }
             )
 

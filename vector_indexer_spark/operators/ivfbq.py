@@ -46,6 +46,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_indexer_spark.functions.kernels import topk_per_row
 from vector_indexer_spark.operators.bq import (
     WORD_BITS,
     _codes_to_bytes,
@@ -421,15 +422,17 @@ def _ivfbq_adc_arrow(
                     - 2.0 * rho * raw
                     + d * rho * rho
                 )
-                kk = min(k, adist2.shape[1])
-                part = np.argpartition(adist2, kk - 1, axis=1)[:, :kk]
+                # tie-safe local cut: include the whole boundary tie
+                # group and lexsort (dist, id) so the global window's
+                # ties-by-id contract survives the per-partition prune
+                td, ti = topk_per_row(
+                    adist2, k, ids[rows].astype(np.int64)
+                )
                 yield pd.DataFrame(
                     {
-                        "query_id": np.repeat(qids_[qidx], kk),
-                        "neighbor_id": ids[rows][part].reshape(-1),
-                        "adist2": np.take_along_axis(
-                            adist2, part, axis=1
-                        ).reshape(-1),
+                        "query_id": np.repeat(qids_[qidx], td.shape[1]),
+                        "neighbor_id": ti.reshape(-1),
+                        "adist2": td.reshape(-1),
                     }
                 )
 

@@ -82,10 +82,15 @@ def mine_bitext(
         F.col(tgt_id_col).alias("tgt_id"), F.col(tgt_vec_col).alias("__tv")
     )
     if candidates is not None:
+        # Plain shuffle joins on both id keys: `s` and `t` are
+        # corpus-sized in the two-web-scale-sides mode this path exists
+        # for, so neither may be broadcast (AQE still broadcasts a side
+        # that turns out small at runtime). The join OUTPUT is bounded
+        # by |candidates|; only the inputs are large.
         pairs = (
             candidates.select("src_id", "tgt_id")
             .join(s, "src_id")
-            .join(F.broadcast(t), "tgt_id")
+            .join(t, "tgt_id")
         )
     else:
         pairs = s.crossJoin(F.broadcast(t))
@@ -132,14 +137,22 @@ def mine_bitext(
             "src_id",
             "tgt_id",
             "cos",
-            (
+            # Denominator guard: with non-positive neighborhood cosines
+            # (anti-correlated corpora) fsum+bsum can be 0 (Spark Divide
+            # → NULL, DuckDB → ±inf: an oracle parity edge) or negative
+            # (flips the ordering). -inf sorts last under DESC on both
+            # engines and never passes a margin threshold.
+            F.when(
+                (F.col("__fsum") + F.col("__bsum")) > 0,
                 F.col("cos")
                 * (
                     (F.col("__fn") + F.col("__bn")).cast("double")
                     * F.lit(float(MICROS))
                 )
-                / (F.col("__fsum") + F.col("__bsum")).cast("double")
-            ).alias("margin"),
+                / (F.col("__fsum") + F.col("__bsum")).cast("double"),
+            )
+            .otherwise(F.lit(float("-inf")))
+            .alias("margin"),
         )
     )
     wbest = Window.partitionBy("src_id").orderBy(

@@ -49,6 +49,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from vector_indexer_spark.functions.kernels import topk_per_row
 from vector_indexer_spark.operators.bq import WORD_BITS, _codes_to_bytes
 
 RABITQ_FORMAT_VERSION = 1
@@ -463,15 +464,17 @@ def _rabitq_search_arrow(codes_df, model, queries, k, query_id_col, query_col):
                 + (qn_ * qn_)[:, None]
                 - 2.0 * norm[None, :] * qn_[:, None] * est_ip
             )
-            kk = min(k, d2.shape[1])
-            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            # tie-safe local cut: plain argpartition keeps ARBITRARY
+            # members of an equal-distance tie group straddling the k
+            # boundary, so a lower-id tied candidate could be dropped
+            # before the global (dist, id) window — violating the
+            # engine-wide ties-by-id contract on duplicate-heavy data
+            td, ti = topk_per_row(d2, k, ids.astype(np.int64))
             yield pd.DataFrame(
                 {
-                    "query_id": np.repeat(qids_, kk),
-                    "neighbor_id": ids[part].reshape(-1),
-                    "est_dist2": np.take_along_axis(d2, part, axis=1).reshape(
-                        -1
-                    ),
+                    "query_id": np.repeat(qids_, td.shape[1]),
+                    "neighbor_id": ti.reshape(-1),
+                    "est_dist2": td.reshape(-1),
                 }
             )
 
@@ -601,15 +604,29 @@ def _ivf_rabitq_encode_arrow(
     crows = centroids.select(centroid_id_col, centroid_vec_col).collect()
     nlist = 1 + max(r[0] for r in crows)
     cents = np.zeros((nlist, d), dtype=np.float64)
+    # `present` mask: the dense id-indexed matrix leaves zero-filled
+    # rows for any cluster_id missing from the centroids frame — a row
+    # assigned there would be silently encoded against an all-zeros
+    # centroid, where the native path's inner join drops it. Mirror the
+    # native drop (same mask idiom as _ivf_rabitq_arrow).
+    present = np.zeros(nlist, dtype=bool)
     for r in crows:
         cents[r[0]] = np.asarray(r[1], dtype=np.float64)
-    bp = spark.sparkContext.broadcast((p, cents))
+        present[r[0]] = True
+    bp = spark.sparkContext.broadcast((p, cents, present))
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        p_, cents_ = bp.value
+        p_, cents_, present_ = bp.value
         for pdf in batches:
             if pdf.empty:
                 continue
+            cl_all = pdf["__cl"].to_numpy()
+            keep = (cl_all >= 0) & (cl_all < len(present_))
+            keep &= present_[np.clip(cl_all, 0, len(present_) - 1)]
+            if not keep.any():
+                continue
+            if not keep.all():
+                pdf = pdf.iloc[np.flatnonzero(keep)]
             x = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
             )
@@ -836,15 +853,15 @@ def _ivf_rabitq_arrow(
                     + (qn * qn)[:, None]
                     - 2.0 * nr[None, :] * qn[:, None] * est_ip
                 )
-                kk = min(k, d2.shape[1])
-                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                # tie-safe local cut (see rabitq_search's local_topk)
+                td, ti = topk_per_row(
+                    d2, k, ids[rows].astype(np.int64)
+                )
                 yield pd.DataFrame(
                     {
-                        "query_id": np.repeat(qids_[qidx], kk),
-                        "neighbor_id": ids[rows][part].reshape(-1),
-                        "est_dist2": np.take_along_axis(
-                            d2, part, axis=1
-                        ).reshape(-1),
+                        "query_id": np.repeat(qids_[qidx], td.shape[1]),
+                        "neighbor_id": ti.reshape(-1),
+                        "est_dist2": td.reshape(-1),
                     }
                 )
 

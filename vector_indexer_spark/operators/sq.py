@@ -797,18 +797,22 @@ def _ivfsq_search_arrow(
         int(c): np.flatnonzero(pmask[:, c])
         for c in np.flatnonzero(pmask.any(axis=0))
     }
+    # ship only the (nlist,) probed-cluster vector, not the full
+    # (n_queries × nlist) pmask — qprobe carries the per-cluster query
+    # index; the kernel needs pmask for nothing else
+    probed = pmask.any(axis=0)
     bstate = spark.sparkContext.broadcast(
-        (qids, qmat, pmask, qprobe, cents, dmin, scale)
+        (qids, qmat, probed, qprobe, cents, dmin, scale)
     )
 
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_, qmat_, pmask_, qprobe_, cents_, dmin_, scale_ = bstate.value
+        qids_, qmat_, probed_, qprobe_, cents_, dmin_, scale_ = bstate.value
         qsq = np.einsum("ij,ij->i", qmat_, qmat_)
         for pdf in batches:
             if pdf.empty:
                 continue
             cl = pdf["cluster_id"].to_numpy()
-            keep = pmask_[:, cl].any(axis=0)  # probed by ANY query
+            keep = probed_[cl]  # probed by ANY query
             if not keep.any():
                 continue
             pdf = pdf.loc[keep]

@@ -67,6 +67,17 @@ def broadcast_count(df: DataFrame) -> int:
     return executed_plan(df).count("BroadcastExchange")
 
 
+def broadcast_inputs(df: DataFrame) -> list[str]:
+    """The ``Input [...]`` column list of every BroadcastExchange in
+    the formatted plan — i.e. exactly what gets shipped to every
+    executor. Lets tests assert that no corpus-sized payload (e.g. a
+    vector column of an unbounded relation) crosses a broadcast."""
+    txt = explain_formatted(df)
+    return re.findall(
+        r"\(\d+\) BroadcastExchange\s*\nInput \[\d+\]: \[([^\]]*)\]", txt
+    )
+
+
 def codegen_span_count(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans — wider is better (more of the
     plan fused into generated JVM code)."""
