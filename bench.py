@@ -89,6 +89,29 @@ def timed_pair(fn_a, fn_b, key_a, key_b, min_duration: float = 6.0):
     return ta[0], tb[0]
 
 
+def timed_pair_min(fn_a, fn_b, key_a, key_b, pairs: int = 3):
+    """Fixed-count interleaved A-B measurement for HEAVY pairs (tens of
+    seconds to minutes per side) where :func:`timed_pair`'s adaptive
+    warm-up would cost tens of minutes: run ``pairs`` interleaved A-B
+    rounds and commit the per-side minima. The first round doubles as
+    warm-up — with minima, a still-warming or placement-noised round
+    simply loses to a later clean one, and a noise burst spanning one
+    round hits both sides equally so the min-ratio stays fair (the same
+    argument as timed_pair; reference methodology repeats to a minimum
+    duration, bench/faiss_bench_official/bench_all_ivf.py:283-363)."""
+    ta: list = []
+    tb: list = []
+    for _ in range(max(1, pairs)):
+        t0 = time.perf_counter()
+        fn_a()
+        ta.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fn_b()
+        tb.append(time.perf_counter() - t0)
+    MIN_TIMES[key_a], MIN_TIMES[key_b] = min(ta), min(tb)
+    return min(ta), min(tb)
+
+
 def parquet_bytes(df, path: str) -> int:
     """On-disk parquet footprint of a frame — the bytes a cold scan of
     this tier must actually read. Wall-clock at 1M RAM-cached rows
@@ -1718,6 +1741,12 @@ def main() -> None:
             # the 1k-query batch: broadcast/prep amortizes across the
             # batch, the exact GEMM scan re-pays n*d per query — the
             # regime where the edges-only index WINS outright
+            # Interleaved min-of-pair (r9 VERDICT #2): the committed
+            # exact-vs-local rows were single-shot, so heap/placement
+            # noise left the official artifact contradicting the
+            # isolated runs (local1k 38.1 s committed vs ~12 s
+            # isolated). Both 1k and 8k pairs now commit interleaved
+            # minima — the synth-ladder treatment.
             g1q_big = (
                 g1vec.filter((F.col("id") % 977) == 3)
                 .select(
@@ -1727,27 +1756,39 @@ def main() -> None:
                 .cache()
             )
             nq_big = g1q_big.count()
-            t0 = time.perf_counter()
-            truth_big = knn_exact(
-                g1vec, g1q_big, k=10, method="arrow"
-            ).persist()
-            truth_big.count()
-            extras["graph1M_exact1k_sec"] = round(
-                time.perf_counter() - t0, 3
+            state1k: dict = {}
+
+            def _exact_1k():
+                if "t" in state1k:
+                    state1k["t"].unpersist()
+                df = knn_exact(
+                    g1vec, g1q_big, k=10, method="arrow"
+                ).persist()
+                df.count()
+                state1k["t"] = df
+
+            def _local_1k():
+                if "l" in state1k:
+                    state1k["l"].unpersist()
+                df = search_graph_index_local(
+                    spark, g1idx, g1vec, g1q_big, k=10, beam=48,
+                    max_hops=8, entry_fanout=16,
+                ).persist()
+                df.count()
+                state1k["l"] = df
+
+            e1k, l1k = timed_pair_min(
+                _exact_1k, _local_1k,
+                "graph1M_exact1k", "graph1M_local1k",
+                pairs=int(os.environ.get("BENCH_GRAPH_PAIRS", "3")),
             )
-            t0 = time.perf_counter()
-            gotl_big = search_graph_index_local(
-                spark, g1idx, g1vec, g1q_big, k=10, beam=48, max_hops=8,
-                entry_fanout=16,
-            ).persist()
-            gotl_big.count()
-            extras["graph1M_local1k_search_sec"] = round(
-                time.perf_counter() - t0, 3
-            )
+            extras["graph1M_exact1k_sec"] = round(e1k, 3)
+            extras["graph1M_local1k_search_sec"] = round(l1k, 3)
+            extras["graph1M_local1k_speedup_vs_exact"] = round(e1k / l1k, 3)
             hits_lb = (
-                gotl_big.select("query_id", "neighbor_id")
+                state1k["l"].select("query_id", "neighbor_id")
                 .join(
-                    truth_big.select("query_id", "neighbor_id"),
+                    state1k["t"].select("query_id", "neighbor_id"),
                     ["query_id", "neighbor_id"],
                 )
                 .count()
@@ -1756,7 +1797,8 @@ def main() -> None:
             extras["graph1M_local1k_recall_at_10"] = round(
                 hits_lb / (nq_big * 10), 4
             )
-            gotl_big.unpersist(), truth_big.unpersist(), g1q_big.unpersist()
+            state1k["l"].unpersist(), state1k["t"].unpersist()
+            g1q_big.unpersist()
 
             # the 8k-query batch: the committed artifact's winning row.
             # Exact re-pays n*d per query (8k x 1M x 32 GEMM); the local
@@ -1775,27 +1817,38 @@ def main() -> None:
                     .cache()
                 )
                 nq_8k = g1q_8k.count()
-                t0 = time.perf_counter()
-                truth_8k = knn_exact(
-                    g1vec, g1q_8k, k=10, method="arrow"
-                ).persist()
-                truth_8k.count()
-                extras["graph1M_exact8k_sec"] = round(
-                    time.perf_counter() - t0, 3
+                state8k: dict = {}
+
+                def _exact_8k():
+                    if "t" in state8k:
+                        state8k["t"].unpersist()
+                    df = knn_exact(
+                        g1vec, g1q_8k, k=10, method="arrow"
+                    ).persist()
+                    df.count()
+                    state8k["t"] = df
+
+                def _local_8k():
+                    if "l" in state8k:
+                        state8k["l"].unpersist()
+                    df = search_graph_index_local(
+                        spark, g1idx, g1vec, g1q_8k, k=10, beam=48,
+                        max_hops=8, entry_fanout=16,
+                    ).persist()
+                    df.count()
+                    state8k["l"] = df
+
+                e8k, l8k = timed_pair_min(
+                    _exact_8k, _local_8k,
+                    "graph1M_exact8k", "graph1M_local8k",
+                    pairs=int(os.environ.get("BENCH_GRAPH_PAIRS", "3")),
                 )
-                t0 = time.perf_counter()
-                gotl_8k = search_graph_index_local(
-                    spark, g1idx, g1vec, g1q_8k, k=10, beam=48,
-                    max_hops=8, entry_fanout=16,
-                ).persist()
-                gotl_8k.count()
-                extras["graph1M_local8k_search_sec"] = round(
-                    time.perf_counter() - t0, 3
-                )
+                extras["graph1M_exact8k_sec"] = round(e8k, 3)
+                extras["graph1M_local8k_search_sec"] = round(l8k, 3)
                 hits_8k = (
-                    gotl_8k.select("query_id", "neighbor_id")
+                    state8k["l"].select("query_id", "neighbor_id")
                     .join(
-                        truth_8k.select("query_id", "neighbor_id"),
+                        state8k["t"].select("query_id", "neighbor_id"),
                         ["query_id", "neighbor_id"],
                     )
                     .count()
@@ -1805,12 +1858,10 @@ def main() -> None:
                     hits_8k / (nq_8k * 10), 4
                 )
                 extras["graph1M_local8k_speedup_vs_exact"] = round(
-                    extras["graph1M_exact8k_sec"]
-                    / extras["graph1M_local8k_search_sec"],
-                    3,
+                    e8k / l8k, 3
                 )
-                gotl_8k.unpersist()
-                truth_8k.unpersist()
+                state8k["l"].unpersist()
+                state8k["t"].unpersist()
                 g1q_8k.unpersist()
 
             truth1.unpersist(), g1vec.unpersist(), g1q.unpersist()

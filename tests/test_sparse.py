@@ -105,6 +105,89 @@ class TestSparseTopk:
             sparse_topk(df, q, k=0)
         with pytest.raises(ValueError):
             sparse_topk(df, q, k=5, max_postings_per_term=0)
+        with pytest.raises(ValueError, match="requires"):
+            sparse_topk(df, q, k=5, rescore_shortlist=10)
+        with pytest.raises(ValueError, match=">= k"):
+            sparse_topk(
+                df, q, k=5, max_postings_per_term=3, rescore_shortlist=4
+            )
+
+    def test_rescore_scores_are_exact_full_scores(self, spark):
+        """The cap+rescore tier's returned SCORES are the full
+        (uncapped) posting scores of the shortlisted docs — the cap
+        only selects candidates. With a corpus-sized shortlist the
+        result is identical to the exact uncapped top-k."""
+        df, q, mats = _sparse_frames(spark, n=60, vocab=10, nnz=4, seed=4)
+        exact = {
+            (r.query_id, r.rank, r.doc_id, r.score_micros)
+            for r in sparse_topk(df, q, k=5).collect()
+        }
+        # loose cap + corpus-sized shortlist: identical to exact (a doc
+        # evicted from EVERY champion list is unreachable by design —
+        # candidate generation is capped; with a loose cap nothing is)
+        resc = {
+            (r.query_id, r.rank, r.doc_id, r.score_micros)
+            for r in sparse_topk(
+                df, q, k=5, max_postings_per_term=60, rescore_shortlist=60
+            ).collect()
+        }
+        assert resc == exact
+        # tighter shortlist: every returned score still equals the
+        # full-posting score (never the capped partial sum)
+        full = _expected_scores(mats, 0)
+        got = sparse_topk(
+            df, q, k=5, max_postings_per_term=2, rescore_shortlist=8
+        ).collect()
+        for r in got:
+            if r.query_id == 0:
+                assert r.score_micros == full[r.doc_id]
+
+    def test_rescore_recovers_cap_quality_on_skew(self, spark):
+        """Planted hot-term skew (the regime the cap exists for): the
+        bare cap loses true top-k docs whose mass sits in a hot term's
+        evicted tail; cap+rescore recovers them whenever the capped
+        shortlist still surfaces the doc via any term."""
+        rng = np.random.default_rng(9)
+        rows = []
+        # every doc shares hot term 0 (the cap evicts most of its
+        # postings), plus 3 rare discriminative terms carrying the
+        # mass (the idf regime): true top-k docs stay REACHABLE via
+        # their uncapped rare terms, but the bare cap's scores drop
+        # the hot-term contribution of every evicted doc — rescore
+        # restores it
+        for i in range(80):
+            idx = [0] + [
+                int(x) for x in np.sort(rng.choice(np.arange(1, 60), 3, False))
+            ]
+            w = [float(rng.uniform(0.5, 1.5))] + [
+                float(x) for x in rng.uniform(2.0, 3.0, 3)
+            ]
+            rows.append((i, idx, w))
+        df = spark.createDataFrame(
+            rows, "doc_id long, indices array<int>, weights array<double>"
+        )
+        q = spark.createDataFrame(
+            rows[:3],
+            "query_id long, indices array<int>, weights array<double>",
+        )
+        exact = {
+            (r.query_id, r.doc_id)
+            for r in sparse_topk(df, q, k=10).collect()
+        }
+        capped = {
+            (r.query_id, r.doc_id)
+            for r in sparse_topk(
+                df, q, k=10, max_postings_per_term=5
+            ).collect()
+        }
+        resc = {
+            (r.query_id, r.doc_id)
+            for r in sparse_topk(
+                df, q, k=10, max_postings_per_term=5, rescore_shortlist=40
+            ).collect()
+        }
+        assert len(resc & exact) >= len(capped & exact)
+        assert len(resc & exact) >= 25  # near-full recovery (30 pairs)
 
 
 class TestSparseEncode:

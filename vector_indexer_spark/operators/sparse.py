@@ -145,53 +145,40 @@ def _postings(
     ).select(id_out, F.col("p.term").alias("term"), F.col("p.w").alias(w_out))
 
 
-def _topk_postings(
-    d: DataFrame,
-    q: DataFrame,
-    k: int,
-    max_postings_per_term: int | None,
-) -> DataFrame:
-    """Score ``(doc_id, term, dw)`` against broadcast ``(query_id,
-    term, qw)`` postings — the single scoring kernel behind both entry
-    points."""
-    if k <= 0:
-        raise ValueError("k must be positive")
-    if max_postings_per_term is not None and max_postings_per_term <= 0:
-        raise ValueError("max_postings_per_term must be positive")
-    if max_postings_per_term is not None:
-        # Two-stage cap (skew-safe, exact). A single window on `term`
-        # would route EVERY posting of a hot stopword-like term through
-        # one task — the exact skew the cap exists to tame. Stage 1
-        # ranks within (term, salt-of-doc_id) so a 10^9-posting term
-        # spreads over _CAP_SALTS tasks; stage 2 ranks the bounded
-        # survivors (<= _CAP_SALTS * cap per term) globally.
-        w1 = Window.partitionBy("term", "__salt").orderBy(
-            F.col("dw").desc(), "doc_id"
+def _cap_postings(d: DataFrame, cap: int) -> DataFrame:
+    """Two-stage champion-list cap (skew-safe, exact). A single window
+    on `term` would route EVERY posting of a hot stopword-like term
+    through one task — the exact skew the cap exists to tame. Stage 1
+    ranks within (term, salt-of-doc_id) so a 10^9-posting term spreads
+    over _CAP_SALTS tasks; stage 2 ranks the bounded survivors
+    (<= _CAP_SALTS * cap per term) globally."""
+    w1 = Window.partitionBy("term", "__salt").orderBy(
+        F.col("dw").desc(), "doc_id"
+    )
+    w2 = Window.partitionBy("term").orderBy(
+        F.col("dw").desc(), "doc_id"
+    )
+    return (
+        d.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SALTS)),
         )
-        w2 = Window.partitionBy("term").orderBy(
-            F.col("dw").desc(), "doc_id"
-        )
-        d = (
-            d.withColumn(
-                "__salt",
-                F.pmod(F.xxhash64("doc_id"), F.lit(_CAP_SALTS)),
-            )
-            .withColumn("__pr", F.row_number().over(w1))
-            .filter(F.col("__pr") <= max_postings_per_term)
-            .drop("__salt")
-            .withColumn("__pr", F.row_number().over(w2))
-            .filter(F.col("__pr") <= max_postings_per_term)
-            .drop("__pr")
-        )
-    contrib = F.floor(
+        .withColumn("__pr", F.row_number().over(w1))
+        .filter(F.col("__pr") <= cap)
+        .drop("__salt")
+        .withColumn("__pr", F.row_number().over(w2))
+        .filter(F.col("__pr") <= cap)
+        .drop("__pr")
+    )
+
+
+def _contrib() -> Column:
+    return F.floor(
         F.col("qw") * F.col("dw") * F.lit(float(MICROS))
     ).cast("long")
-    scored = (
-        d.join(F.broadcast(q), "term")
-        .select("query_id", "doc_id", contrib.alias("c"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.sum("c").alias("score_micros"))
-    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     wr = Window.partitionBy("query_id").orderBy(
         F.col("score_micros").desc(), "doc_id"
     )
@@ -200,6 +187,67 @@ def _topk_postings(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score_micros")
     )
+
+
+def _topk_postings(
+    d: DataFrame,
+    q: DataFrame,
+    k: int,
+    max_postings_per_term: int | None,
+    rescore_shortlist: int | None = None,
+) -> DataFrame:
+    """Score ``(doc_id, term, dw)`` against broadcast ``(query_id,
+    term, qw)`` postings — the single scoring kernel behind both entry
+    points.
+
+    ``rescore_shortlist`` (requires the cap): cap+rescore tier — the
+    capped posting join only SELECTS a per-query shortlist of that many
+    candidates; the returned top-k and scores come from rescoring the
+    shortlist against the FULL postings of those documents. Recovers
+    the quality the bare cap forfeits on hot-term corpora (a doc
+    evicted from one hot term's champion list still wins via its other
+    terms) while the expensive join stays cap-bounded; the rescore join
+    fans out by candidate DOC, not by term — ≤ shortlist·nq bounded
+    pairs against a broadcast pair set."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if max_postings_per_term is not None and max_postings_per_term <= 0:
+        raise ValueError("max_postings_per_term must be positive")
+    if rescore_shortlist is not None:
+        if max_postings_per_term is None:
+            raise ValueError(
+                "rescore_shortlist requires max_postings_per_term"
+            )
+        if rescore_shortlist < k:
+            raise ValueError("rescore_shortlist must be >= k")
+        cand = _topk_postings(
+            _cap_postings(d, max_postings_per_term),
+            q,
+            rescore_shortlist,
+            None,
+        ).select("query_id", "doc_id")
+        # exact rescore of the bounded (query, candidate-doc) pair set:
+        # full postings of candidate docs only — the pair set is
+        # broadcast (nq · shortlist rows), the posting table never
+        # shuffles, and a term shared with a NON-shortlisting query
+        # contributes nothing (join keys include query_id)
+        rescored = (
+            d.join(F.broadcast(cand), "doc_id")
+            .join(F.broadcast(q), ["query_id", "term"])
+            .select("query_id", "doc_id", _contrib().alias("c"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum("c").alias("score_micros"))
+        )
+        return _rank_topk(rescored, k)
+    if max_postings_per_term is not None:
+        d = _cap_postings(d, max_postings_per_term)
+    scored = (
+        d.join(F.broadcast(q), "term")
+        .select("query_id", "doc_id", _contrib().alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_micros"))
+    )
+    return _rank_topk(scored, k)
 
 
 def sparse_topk(
@@ -212,6 +260,7 @@ def sparse_topk(
     indices_col: str = "indices",
     weights_col: str = "weights",
     max_postings_per_term: int | None = None,
+    rescore_shortlist: int | None = None,
 ) -> DataFrame:
     """Top-k documents per query by sparse dot product.
 
@@ -233,7 +282,9 @@ def sparse_topk(
     q = _postings(
         queries, "query_id", "qw", query_id_col, indices_col, weights_col
     )
-    return _topk_postings(d, q, k, max_postings_per_term)
+    return _topk_postings(
+        d, q, k, max_postings_per_term, rescore_shortlist
+    )
 
 
 def sparse_search_tokens(
@@ -249,6 +300,7 @@ def sparse_search_tokens(
     k1: float = 1.2,
     b: float = 0.75,
     max_postings_per_term: int | None = None,
+    rescore_shortlist: int | None = None,
 ) -> DataFrame:
     """Text-in/text-out composition: encode the corpus, weight the
     query TEXTS against the CORPUS's term statistics (df/N/avgdl come
@@ -284,6 +336,7 @@ def sparse_search_tokens(
         query_id_col=query_id_col, text_col=text_col,
         weighting=weighting, k1=k1, b=b,
         max_postings_per_term=max_postings_per_term,
+        rescore_shortlist=rescore_shortlist,
     )
 
 
@@ -300,6 +353,7 @@ def _search_from_tf(
     k1: float,
     b: float,
     max_postings_per_term: int | None,
+    rescore_shortlist: int | None = None,
 ) -> DataFrame:
     """Score token queries against a corpus ``(id, term, tf)`` frame —
     the shared kernel behind :func:`sparse_search_tokens` (tf derived
@@ -327,7 +381,9 @@ def _search_from_tf(
                 _tfidf_weight().alias("qw"),
             )
         )
-        return _topk_postings(d, q, k, max_postings_per_term)
+        return _topk_postings(
+            d, q, k, max_postings_per_term, rescore_shortlist
+        )
     # BM25: per-doc length + corpus stats, all from the one tf frame.
     # dl is computed as a window sum over the tf frame itself (one
     # shuffle on `id`, bounded partitions — a doc has at most doc-length
@@ -359,7 +415,9 @@ def _search_from_tf(
     q = qtf.select(
         F.col("id").alias("query_id"), "term", tfd.alias("qw")
     )
-    return _topk_postings(d, q, k, max_postings_per_term)
+    return _topk_postings(
+        d, q, k, max_postings_per_term, rescore_shortlist
+    )
 
 
 def sparse_manifest(
@@ -403,6 +461,7 @@ def sparse_search_manifest(
     k1: float = 1.2,
     b: float = 0.75,
     max_postings_per_term: int | None = None,
+    rescore_shortlist: int | None = None,
 ) -> DataFrame:
     """Search token queries against a persisted posting manifest —
     identical scoring contract to :func:`sparse_search_tokens`, with
@@ -424,4 +483,5 @@ def sparse_search_manifest(
         query_id_col=query_id_col, text_col=text_col,
         weighting=weighting, k1=k1, b=b,
         max_postings_per_term=max_postings_per_term,
+        rescore_shortlist=rescore_shortlist,
     )
