@@ -592,6 +592,18 @@ def _sparse_bm25_manifest_df(spark, docs):
     )
 
 
+def _sparse_rescored_df(spark, docs):
+    from pyspark.sql import functions as F
+
+    from vector_indexer_spark.operators.sparse import sparse_search_tokens
+
+    q = docs.filter(F.col("doc_id") < 5)
+    return sparse_search_tokens(
+        docs, q, k=10, query_id_col="doc_id",
+        max_postings_per_term=20, rescore_shortlist=30,
+    )
+
+
 def _ivfbq_df(spark, emb):
     from pyspark.sql import functions as F
 
@@ -1098,6 +1110,17 @@ def main():
             "hot term spreads over 32 tasks before its bounded global "
             "rank.",
             _sparse_bm25_manifest_df(spark, docs),
+        ),
+        (
+            "Sparse cap+rescore tier (shortlist select, full rescore)",
+            "The capped join only SELECTS a per-query shortlist; the "
+            "returned top-k rescore those docs' FULL postings. The "
+            "rescore joins the posting table against the BROADCAST "
+            "(query_id, doc_id) candidate pair set (bounded: nq x "
+            "shortlist) and the broadcast query postings on (query_id, "
+            "term) — the posting table never shuffles and hot-term "
+            "fan-out stays cap-bounded in the selection stage.",
+            _sparse_rescored_df(spark, docs),
         ),
         (
             "IVF-BQ scaled ADC search (1-bit pruned scan)",
