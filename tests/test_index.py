@@ -210,6 +210,33 @@ def test_search_arrow_window_fallback_matches_driver_merge(
     assert list(a.neighbor_id) == list(b.neighbor_id)
 
 
+def test_search_arrow_big_batch_routes_native_same_results(
+    spark, index, queries_df, monkeypatch
+):
+    """Corpus-sized query batches must leave the arrow kernel (its
+    masked all-queries GEMM wastes ~(1 − n_probe/nlist) of its flops —
+    measured 10× slower than the relational path at 20k queries) and
+    route to the native plan with identical results."""
+    import vector_indexer_spark.operators.search as S
+
+    a = search_index(spark, index, queries_df, k=5, n_probe=4).toPandas()
+    called = {}
+    orig = S._search_native
+
+    def _spy(*args, **kwargs):
+        called["native"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(S, "_search_native", _spy, raising=True)
+    monkeypatch.setattr(S, "_ARROW_MAX_QUERY_BATCH", 1, raising=True)
+    b = search_index(spark, index, queries_df, k=5, n_probe=4).toPandas()
+    assert called.get("native"), "big batch did not route to native"
+    a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(a.neighbor_id) == list(b.neighbor_id)
+    assert np.allclose(a.dist2, b.dist2)
+
+
 def test_concurrent_searches_identical(spark, index, queries_df):
     # reference runs searches concurrently against one index
     # (tests/ivf_index_tests.rs:768-807, shards_tests.rs:729-767);

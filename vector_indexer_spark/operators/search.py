@@ -75,6 +75,16 @@ _HIER_PROBE_NLIST = 65_536
 # batch routes to the fully-distributed native path instead.
 _ARROW_DENSE_MASK_LIMIT = 256 * 1024 * 1024
 
+# Past this many queries, the arrow path routes to the relational
+# native path even when the mask fits: the masked all-queries GEMM
+# wastes ~(1 − n_probe/nlist) of its flops, and at corpus-sized query
+# batches that waste dominates (measured 102 s arrow vs 7.4 s native
+# at 20k queries × 20k docs, nlist 284, n_probe 8 — ~5 ms/query). The
+# arrow kernel's contract is a DRIVER-SIZED batch (the reference's
+# whole query input is one NumPy matrix); a corpus-sized query side is
+# a join workload and belongs on the distributed plan.
+_ARROW_MAX_QUERY_BATCH = 8192
+
 # Past this many centroid-matrix bytes (nlist·d·8), the native path
 # stops broadcasting the matrix and ranks probes RELATIONALLY — a
 # knn_exact over the persisted centroid table with the query batch
@@ -416,6 +426,14 @@ def _search_arrow(
     if not qrows:
         return spark.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, dist2 double"
+        )
+    if len(qrows) > _ARROW_MAX_QUERY_BATCH:
+        # corpus-sized query batch: the masked all-queries GEMM would
+        # waste ~(1 − n_probe/nlist) of its flops — route to the
+        # fully-relational path (same semantics, distributed ranking)
+        return _search_native(
+            spark, index, queries, k, n_probe, query_id_col, query_col,
+            vectors, filter_expr,
         )
     # P2 — validate on the collected batch (no extra Spark job)
     bad = sum(1 for r in qrows if len(r[1]) != index.dimension)
