@@ -947,6 +947,99 @@ _register(
 )
 
 
+def _bitext_shortlist_mined(spark, sf_dir):
+    """The candidates-path composition the miner deploys at scale
+    (ANN/knn shortlist → margin mining on declared pairs only —
+    mining.py's two-web-scale-sides mode, post-r10 join plan): top-5
+    L2 shortlist per source, then margins computed WITHIN the
+    shortlist (neighborhood sums from the same candidate set, the
+    paper's FAISS-shortlist practice)."""
+    from vector_indexer_spark.operators.knn import knn_exact
+    from vector_indexer_spark.operators.mining import (  # noqa: PLC0415
+        mine_bitext,
+    )
+
+    src, tgt = _bitext_frames(spark, sf_dir)
+    q = src.select(
+        F.col("id").alias("query_id"), F.col("values").alias("query")
+    )
+    cand = knn_exact(tgt, q, k=5, method="native").select(
+        F.col("query_id").alias("src_id"),
+        F.col("neighbor_id").alias("tgt_id"),
+    )
+    return mine_bitext(src, tgt, k=4, threshold=0.0, candidates=cand)
+
+
+_register(
+    "bitext_shortlist_mined",
+    _bitext_shortlist_mined,
+    f"""
+    WITH
+    bxc_s AS (SELECT vec_id AS src_id, embedding AS sv
+              FROM embeddings WHERE vec_id < 30),
+    bxc_t AS (SELECT vec_id AS tgt_id, embedding AS tv
+              FROM embeddings WHERE vec_id >= 30),
+    bxc_d2 AS (
+      SELECT src_id, tgt_id,
+        {_DD_DIST2.format(a="sv", b="tv")} AS d2
+      FROM bxc_s CROSS JOIN bxc_t
+    ),
+    bxc_cand AS (
+      SELECT src_id, tgt_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY src_id
+                   ORDER BY d2, tgt_id) AS rn
+        FROM bxc_d2
+      ) WHERE rn <= 5
+    ),
+    bxc_scored AS (
+      SELECT c.src_id, c.tgt_id,
+        {_DD_DOT.format(a="sv", b="tv")}
+          / ({_DD_NORM.format(a="sv")} * {_DD_NORM.format(a="tv")}) AS cos
+      FROM bxc_cand c
+      JOIN bxc_s s ON s.src_id = c.src_id
+      JOIN bxc_t t ON t.tgt_id = c.tgt_id
+    ),
+    bxc_ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY src_id
+                           ORDER BY cos DESC, tgt_id) AS fr,
+        row_number() OVER (PARTITION BY tgt_id
+                           ORDER BY cos DESC, src_id) AS br
+      FROM bxc_scored
+    ),
+    bxc_fsum AS (
+      SELECT src_id,
+        CAST(SUM(CAST(floor(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS fsum,
+        CAST(count(*) AS BIGINT) AS fn
+      FROM bxc_ranked WHERE fr <= 4 GROUP BY 1
+    ),
+    bxc_bsum AS (
+      SELECT tgt_id,
+        CAST(SUM(CAST(floor(cos * 1000000.0) AS BIGINT)) AS BIGINT) AS bsum,
+        CAST(count(*) AS BIGINT) AS bn
+      FROM bxc_ranked WHERE br <= 4 GROUP BY 1
+    ),
+    bxc_withm AS (
+      SELECT sc.src_id, sc.tgt_id, sc.cos,
+        CASE WHEN (fsum + bsum) > 0
+          THEN sc.cos * (CAST((fn + bn) AS DOUBLE) * 1000000.0)
+            / CAST((fsum + bsum) AS DOUBLE)
+          ELSE CAST('-infinity' AS DOUBLE) END AS margin
+      FROM bxc_scored sc
+      JOIN bxc_fsum USING (src_id)
+      JOIN bxc_bsum USING (tgt_id)
+    ),
+    bxc_best AS (
+      SELECT *, row_number() OVER (PARTITION BY src_id
+                 ORDER BY margin DESC, tgt_id) AS r
+      FROM bxc_withm
+    )
+    SELECT src_id, tgt_id, cos, margin FROM bxc_best
+    WHERE r = 1 AND margin > 0.0
+    """,
+)
+
+
 def _sim_near_dup_cosine(spark, sf_dir):
     """Blocked cosine near-dup pairs (block = label, τ=0.3)."""
     from vector_indexer_spark.operators.dedup import embedding_near_dups
@@ -13112,6 +13205,7 @@ _HEAD_KEYS = (
     "sq_search_top10",
     # new r10 operator keys
     "sparse_topk_capped_rescored",
+    "bitext_shortlist_mined",
 )
 
 # Rows-only by design (trained/RNG paths, SURVEY §7) — keep them out of
