@@ -326,6 +326,27 @@ class TestManifest:
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
         assert len(a) > 0
 
+    def test_manifest_rescore_matches_tokens_rescore(self, spark, documents):
+        # the cap+rescore tier threads through both entry points with
+        # identical stats derivation, so results match exactly
+        from vector_indexer_spark.operators.sparse import (
+            sparse_manifest,
+            sparse_search_manifest,
+        )
+
+        docs = documents.select("doc_id", "text")
+        q = docs.filter(F.col("doc_id") < 3)
+        a = sparse_search_manifest(
+            sparse_manifest(docs), q, k=8, query_id_col="doc_id",
+            max_postings_per_term=20, rescore_shortlist=24,
+        ).collect()
+        b = sparse_search_tokens(
+            docs, q, k=8, query_id_col="doc_id",
+            max_postings_per_term=20, rescore_shortlist=24,
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        assert len(a) > 0
+
     def test_manifest_bm25_matches_tokens_path(self, spark, documents):
         # BM25 stats (df, N, avgdl) all come from postings on both
         # paths, so manifest search == tokens search exactly
