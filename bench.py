@@ -2140,15 +2140,13 @@ def main() -> None:
             )
             t0 = time.perf_counter()
             cand_bx = (
-                # method="native": a 100k-query batch is NOT a
-                # driver-sized query set — the relational path keeps
-                # probe ranking distributed and scores via the
-                # broadcast probe-pair join (measured 10x faster than
-                # the arrow kernel's masked all-queries GEMM at 20k+
-                # queries, and the only shape that survives 1M x 1M)
+                # default dispatch: a 100k-query batch routes to the
+                # bulk per-cluster GEMM tier (r10 — measured 1.5 s vs
+                # 7.4 s relational vs 102 s masked-GEMM at 20k
+                # queries); a corpus too large to broadcast would
+                # route itself to the fully-relational plan
                 search_index(
-                    spark, bxidx, bxq, k=8, n_probe=8, vectors=bxvec,
-                    method="native",
+                    spark, bxidx, bxq, k=8, n_probe=8, vectors=bxvec
                 )
                 .select(
                     F.col("query_id").alias("src_id"),

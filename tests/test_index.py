@@ -210,31 +210,42 @@ def test_search_arrow_window_fallback_matches_driver_merge(
     assert list(a.neighbor_id) == list(b.neighbor_id)
 
 
-def test_search_arrow_big_batch_routes_native_same_results(
+def test_search_arrow_big_batch_tier_routing_same_results(
     spark, index, queries_df, monkeypatch
 ):
-    """Corpus-sized query batches must leave the arrow kernel (its
-    masked all-queries GEMM wastes ~(1 − n_probe/nlist) of its flops —
-    measured 10× slower than the relational path at 20k queries) and
-    route to the native plan with identical results."""
+    """Query batches above the masked-GEMM threshold must leave that
+    kernel (it wastes ~(1 − n_probe/nlist) of its flops — measured 10×
+    slower than alternatives at 20k queries): to the per-cluster bulk
+    GEMM while the query matrix fits its broadcast budget, to the
+    fully-relational native plan beyond it — identical results on all
+    three tiers."""
     import vector_indexer_spark.operators.search as S
 
     a = search_index(spark, index, queries_df, k=5, n_probe=4).toPandas()
     called = {}
-    orig = S._search_native
+    orig_bulk, orig_native = S._search_arrow_bulk, S._search_native
 
-    def _spy(*args, **kwargs):
+    def _spy_bulk(*args, **kwargs):
+        called["bulk"] = True
+        return orig_bulk(*args, **kwargs)
+
+    def _spy_native(*args, **kwargs):
         called["native"] = True
-        return orig(*args, **kwargs)
+        return orig_native(*args, **kwargs)
 
-    monkeypatch.setattr(S, "_search_native", _spy, raising=True)
+    monkeypatch.setattr(S, "_search_arrow_bulk", _spy_bulk, raising=True)
+    monkeypatch.setattr(S, "_search_native", _spy_native, raising=True)
     monkeypatch.setattr(S, "_ARROW_MAX_QUERY_BATCH", 1, raising=True)
     b = search_index(spark, index, queries_df, k=5, n_probe=4).toPandas()
-    assert called.get("native"), "big batch did not route to native"
+    assert called.get("bulk"), "big batch did not route to the bulk kernel"
+    monkeypatch.setattr(S, "_ARROW_BULK_QUERY_BYTES", 0, raising=True)
+    c = search_index(spark, index, queries_df, k=5, n_probe=4).toPandas()
+    assert called.get("native"), "over-budget batch did not route native"
     a = a.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    b = b.sort_values(["query_id", "rank"]).reset_index(drop=True)
-    assert list(a.neighbor_id) == list(b.neighbor_id)
-    assert np.allclose(a.dist2, b.dist2)
+    for other in (b, c):
+        o = other.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert list(a.neighbor_id) == list(o.neighbor_id)
+        assert np.allclose(a.dist2, o.dist2)
 
 
 def test_concurrent_searches_identical(spark, index, queries_df):

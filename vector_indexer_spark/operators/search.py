@@ -75,15 +75,24 @@ _HIER_PROBE_NLIST = 65_536
 # batch routes to the fully-distributed native path instead.
 _ARROW_DENSE_MASK_LIMIT = 256 * 1024 * 1024
 
-# Past this many queries, the arrow path routes to the relational
-# native path even when the mask fits: the masked all-queries GEMM
-# wastes ~(1 − n_probe/nlist) of its flops, and at corpus-sized query
-# batches that waste dominates (measured 102 s arrow vs 7.4 s native
-# at 20k queries × 20k docs, nlist 284, n_probe 8 — ~5 ms/query). The
-# arrow kernel's contract is a DRIVER-SIZED batch (the reference's
-# whole query input is one NumPy matrix); a corpus-sized query side is
-# a join workload and belongs on the distributed plan.
+# Past this many queries, the arrow path leaves the masked all-queries
+# GEMM kernel: it wastes ~(1 − n_probe/nlist) of its flops, and at
+# bulk query batches that waste dominates (measured 102 s masked vs
+# 7.4 s native at 20k queries × 20k docs, nlist 284, n_probe 8 —
+# ~5 ms/query). Bulk batches whose query matrix still fits
+# _ARROW_BULK_QUERY_BYTES go to the per-cluster GEMM kernel
+# (_search_arrow_bulk); truly corpus-sized query sides are a join
+# workload and run the fully-relational native plan.
 _ARROW_MAX_QUERY_BATCH = 8192
+
+# Broadcast budget for the bulk per-cluster kernel's query matrix
+# (float64); 256 MB ≈ 250k × 128d or 1M × 32d queries.
+_ARROW_BULK_QUERY_BYTES = 256 * 1024 * 1024
+
+# Query-chunk size for driver probe ranking in the bulk kernel — keeps
+# the dense (chunk × nlist) distance matrix bounded (~8192 × 4000 × 8B
+# ≈ 256 MB at the default).
+_BULK_PROBE_CHUNK = 8192
 
 # Past this many centroid-matrix bytes (nlist·d·8), the native path
 # stops broadcasting the matrix and ranks probes RELATIONALLY — a
@@ -427,18 +436,28 @@ def _search_arrow(
         return spark.createDataFrame(
             [], "query_id long, rank int, neighbor_id long, dist2 double"
         )
-    if len(qrows) > _ARROW_MAX_QUERY_BATCH:
-        # corpus-sized query batch: the masked all-queries GEMM would
-        # waste ~(1 − n_probe/nlist) of its flops — route to the
-        # fully-relational path (same semantics, distributed ranking)
-        return _search_native(
-            spark, index, queries, k, n_probe, query_id_col, query_col,
-            vectors, filter_expr,
-        )
     # P2 — validate on the collected batch (no extra Spark job)
     bad = sum(1 for r in qrows if len(r[1]) != index.dimension)
     if bad:
         raise ValueError(f"{bad} queries have dimension != {index.dimension}")
+    if len(qrows) > _ARROW_MAX_QUERY_BATCH:
+        # bulk batch: the masked all-queries GEMM would waste
+        # ~(1 − n_probe/nlist) of its flops. While the query matrix
+        # still fits the broadcast budget, use the per-cluster GEMM
+        # kernel (each cluster's rows scored against ONLY its probing
+        # queries — the same shape as the IVF-BQ/SQ r9 rewrites,
+        # measured ~10× faster than the relational join at 20k–100k
+        # queries); beyond the budget the query side is a corpus and
+        # the fully-relational plan is the only honest shape.
+        qmat_bytes = len(qrows) * index.dimension * 8
+        if qmat_bytes <= _ARROW_BULK_QUERY_BYTES:
+            return _search_arrow_bulk(
+                spark, index, qrows, k, n_probe, vectors, filter_expr
+            )
+        return _search_native(
+            spark, index, queries, k, n_probe, query_id_col, query_col,
+            vectors, filter_expr,
+        )
 
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = stack_arrays([r[1] for r in qrows])
@@ -473,6 +492,87 @@ def _search_arrow(
     )
     return _score_arrow_scan(
         spark, pruned, qids, qmat, cluster_ids, probe_mask, k
+    )
+
+
+def _search_arrow_bulk(spark, index, qrows, k, n_probe, vectors, filter_expr):
+    """Bulk-batch arrow search: per-cluster GEMM of each cluster's rows
+    against ONLY the queries probing it (work ∝ probed rows × probing
+    queries — the IVF-BQ/SQ r9 kernel shape), for query batches too
+    large for the masked all-queries GEMM but small enough to
+    broadcast. Probe ranking runs on the driver in bounded query
+    chunks; the global rank is a window (a bulk batch is past the
+    driver-merge regime by definition)."""
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = stack_arrays([r[1] for r in qrows])
+    nq = len(qids)
+    # chunked driver probe ranking — never materialize (nq, nlist)
+    hier = index.nlist >= _HIER_PROBE_NLIST
+    meta = index.probe_hierarchy() if hier else None
+    probe_chunks = []
+    for lo in range(0, nq, _BULK_PROBE_CHUNK):
+        chunk = qmat[lo : lo + _BULK_PROBE_CHUNK]
+        if hier:
+            _, pids = topk_per_row_hierarchical(
+                chunk, index.centroids, meta[0], meta[1], n_probe
+            )
+        else:
+            _, pids = topk_per_row(
+                pairwise_dist2(chunk, index.centroids), n_probe
+            )
+        probe_chunks.append(pids)
+    probe_ids = np.concatenate(probe_chunks, axis=0)  # (nq, n_probe)
+    cluster_ids = np.unique(probe_ids)
+    shard_ids = np.unique(index.centroid_shards[cluster_ids])
+    # invert to per-cluster probing-query index lists via one sort of
+    # the flattened (cluster, query) pairs — O(nq·n_probe log ·)
+    flat_c = probe_ids.reshape(-1)
+    flat_q = np.repeat(np.arange(nq, dtype=np.int64), probe_ids.shape[1])
+    order = np.argsort(flat_c, kind="stable")
+    sc, sq = flat_c[order], flat_q[order]
+    bounds = np.searchsorted(sc, cluster_ids)
+    bounds = np.append(bounds, len(sc))
+    qprobe = {
+        int(c): sq[bounds[i] : bounds[i + 1]]
+        for i, c in enumerate(cluster_ids)
+    }
+    pruned = _pruned_scan(
+        spark, index, vectors, shard_ids, cluster_ids, filter_expr
+    )
+    bc = spark.sparkContext.broadcast((qids, qmat, qprobe))
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_, qmat_, qprobe_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vmat = stack_arrays(pdf["values"])
+            vids = pdf["id"].to_numpy()
+            cl = pdf["cluster_id"].to_numpy()
+            for c in np.unique(cl):
+                qidx = qprobe_.get(int(c))
+                if qidx is None or not len(qidx):
+                    continue
+                rows = np.flatnonzero(cl == c)
+                d2 = pairwise_dist2(qmat_[qidx], vmat[rows])
+                # tie-safe local cut (ties-by-id contract)
+                td, ti = topk_per_row(d2, k, vids[rows])
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids_[qidx], td.shape[1]),
+                        "neighbor_id": ti.reshape(-1),
+                        "dist2": td.reshape(-1),
+                    }
+                )
+
+    local = pruned.select("id", "values", "cluster_id").mapInPandas(
+        _score, "query_id long, neighbor_id long, dist2 double"
+    )
+    w = Window.partitionBy("query_id").orderBy("dist2", "neighbor_id")
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "dist2")
     )
 
 
