@@ -1110,6 +1110,100 @@ def main() -> None:
             extras["d768_section_error"] = f"{type(e).__name__}: {e}"[:300]
             spark.catalog.clearCache()
 
+    # --- bitext mining at scale: 100k x 100k via IVF shortlist (the
+    # paper's FAISS-shortlist practice, composed from this engine's own
+    # index — r9 VERDICT "Next round" #5). Target side = deterministic
+    # noise-perturbed copies of the source (planted twins), shortlist =
+    # top-8 IVF neighbors per source, then margin-mine ONLY the
+    # candidate pairs (the two-web-scale-sides path whose join plan the
+    # r10 fix un-broadcast). Precision on the planted twins is the
+    # quality row; wall-clock covers shortlist + mining end-to-end.
+    # Placed BEFORE the cached-1M sections: these are single-shot
+    # absolute-throughput rows, and at the tail of the bench the
+    # 1M sections' heap churn inflated them 4-7x (measured 6.9 s
+    # isolated vs 44.1 s tail-placed for the same shortlist). ---
+    if os.environ.get("BENCH_BITEXT", "1") == "1":
+        try:
+            from vector_indexer_spark.operators.mining import mine_bitext
+            from vector_indexer_spark.sources.files import (
+                generate_clustered_vectors,
+            )
+
+            n_bx = int(os.environ.get("BENCH_BITEXT_N", "100000"))
+            d_bx = 32
+            src_bx = (
+                generate_clustered_vectors(
+                    spark, n_bx, d_bx, n_clusters=1000, seed=17
+                )
+                .drop("true_cluster")
+                .cache()
+            )
+            src_bx.count()
+            # planted twins: tgt[i] = src[i] + U(-0.05, 0.05) noise per
+            # component, id-offset by 10^7 — deterministic (hash-seeded,
+            # JVM-side), so precision is reproducible
+            tgt_bx = src_bx.select(
+                (F.col("id") + F.lit(10_000_000)).alias("id"),
+                F.expr(
+                    "transform(values, (x, i) -> x + "
+                    "(pmod(xxhash64(id * 37 + i), 1000) / 1000.0 - 0.5)"
+                    " * 0.1)"
+                ).alias("values"),
+            ).cache()
+            tgt_bx.count()
+            t0 = time.perf_counter()
+            bxpath = tempfile.mkdtemp(prefix="bench_bitext_") + "/index"
+            bxidx = build_index(tgt_bx, bxpath, seed=17, mode="minibatch")
+            bxvec = bxidx.vectors(spark).coalesce(32).cache()
+            bxvec.count()
+            extras["bitext_index_build_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            bxq = src_bx.select(
+                F.col("id").alias("query_id"), F.col("values").alias("query")
+            )
+            t0 = time.perf_counter()
+            cand_bx = (
+                # default dispatch: a 100k-query batch routes to the
+                # bulk per-cluster GEMM tier (r10 — measured 1.5 s vs
+                # 7.4 s relational vs 102 s masked-GEMM at 20k
+                # queries); a corpus too large to broadcast would
+                # route itself to the fully-relational plan
+                search_index(
+                    spark, bxidx, bxq, k=8, n_probe=8, vectors=bxvec
+                )
+                .select(
+                    F.col("query_id").alias("src_id"),
+                    F.col("neighbor_id").alias("tgt_id"),
+                )
+                .localCheckpoint()  # shortlist materialized once; the
+                # miner consumes it in four branches
+            )
+            extras["bitext_shortlist_sec"] = round(
+                time.perf_counter() - t0, 3
+            )
+            t0 = time.perf_counter()
+            mined_bx = mine_bitext(
+                src_bx, tgt_bx, k=4, threshold=1.0, candidates=cand_bx
+            ).persist()
+            n_mined = mined_bx.count()
+            extras["bitext_mine_sec"] = round(time.perf_counter() - t0, 3)
+            n_twin = mined_bx.filter(
+                F.col("tgt_id") == F.col("src_id") + 10_000_000
+            ).count()
+            extras["bitext_n"] = n_bx
+            extras["bitext_pairs_mined"] = n_mined
+            extras["bitext_twin_precision"] = round(
+                n_twin / max(1, n_mined), 4
+            )
+            extras["bitext_twin_recall"] = round(n_twin / n_bx, 4)
+            mined_bx.unpersist()
+            src_bx.unpersist(), tgt_bx.unpersist(), bxvec.unpersist()
+        except Exception as e:  # noqa: BLE001
+            extras["bitext_section_error"] = f"{type(e).__name__}: {e}"[:300]
+            spark.catalog.clearCache()
+
+
     if os.environ.get("BENCH_SWEEP", "1") == "1":
         try:
             from vector_indexer_spark.sources.files import generate_vectors
@@ -2102,95 +2196,6 @@ def main() -> None:
             extras["graph1M_section_error"] = f"{type(e).__name__}: {e}"[:300]
             # a failed section must not leave its cached frames
             # pinned — heap pressure skews every later timing
-            spark.catalog.clearCache()
-
-    # --- bitext mining at scale: 100k x 100k via IVF shortlist (the
-    # paper's FAISS-shortlist practice, composed from this engine's own
-    # index — r9 VERDICT "Next round" #5). Target side = deterministic
-    # noise-perturbed copies of the source (planted twins), shortlist =
-    # top-8 IVF neighbors per source, then margin-mine ONLY the
-    # candidate pairs (the two-web-scale-sides path whose join plan the
-    # r10 fix un-broadcast). Precision on the planted twins is the
-    # quality row; wall-clock covers shortlist + mining end-to-end. ---
-    if os.environ.get("BENCH_BITEXT", "1") == "1":
-        try:
-            from vector_indexer_spark.operators.mining import mine_bitext
-            from vector_indexer_spark.sources.files import (
-                generate_clustered_vectors,
-            )
-
-            n_bx = int(os.environ.get("BENCH_BITEXT_N", "100000"))
-            d_bx = 32
-            src_bx = (
-                generate_clustered_vectors(
-                    spark, n_bx, d_bx, n_clusters=1000, seed=17
-                )
-                .drop("true_cluster")
-                .cache()
-            )
-            src_bx.count()
-            # planted twins: tgt[i] = src[i] + U(-0.05, 0.05) noise per
-            # component, id-offset by 10^7 — deterministic (hash-seeded,
-            # JVM-side), so precision is reproducible
-            tgt_bx = src_bx.select(
-                (F.col("id") + F.lit(10_000_000)).alias("id"),
-                F.expr(
-                    "transform(values, (x, i) -> x + "
-                    "(pmod(xxhash64(id * 37 + i), 1000) / 1000.0 - 0.5)"
-                    " * 0.1)"
-                ).alias("values"),
-            ).cache()
-            tgt_bx.count()
-            t0 = time.perf_counter()
-            bxpath = tempfile.mkdtemp(prefix="bench_bitext_") + "/index"
-            bxidx = build_index(tgt_bx, bxpath, seed=17, mode="minibatch")
-            bxvec = bxidx.vectors(spark).coalesce(32).cache()
-            bxvec.count()
-            extras["bitext_index_build_sec"] = round(
-                time.perf_counter() - t0, 3
-            )
-            bxq = src_bx.select(
-                F.col("id").alias("query_id"), F.col("values").alias("query")
-            )
-            t0 = time.perf_counter()
-            cand_bx = (
-                # default dispatch: a 100k-query batch routes to the
-                # bulk per-cluster GEMM tier (r10 — measured 1.5 s vs
-                # 7.4 s relational vs 102 s masked-GEMM at 20k
-                # queries); a corpus too large to broadcast would
-                # route itself to the fully-relational plan
-                search_index(
-                    spark, bxidx, bxq, k=8, n_probe=8, vectors=bxvec
-                )
-                .select(
-                    F.col("query_id").alias("src_id"),
-                    F.col("neighbor_id").alias("tgt_id"),
-                )
-                .localCheckpoint()  # shortlist materialized once; the
-                # miner consumes it in four branches
-            )
-            extras["bitext_shortlist_sec"] = round(
-                time.perf_counter() - t0, 3
-            )
-            t0 = time.perf_counter()
-            mined_bx = mine_bitext(
-                src_bx, tgt_bx, k=4, threshold=1.0, candidates=cand_bx
-            ).persist()
-            n_mined = mined_bx.count()
-            extras["bitext_mine_sec"] = round(time.perf_counter() - t0, 3)
-            n_twin = mined_bx.filter(
-                F.col("tgt_id") == F.col("src_id") + 10_000_000
-            ).count()
-            extras["bitext_n"] = n_bx
-            extras["bitext_pairs_mined"] = n_mined
-            extras["bitext_twin_precision"] = round(
-                n_twin / max(1, n_mined), 4
-            )
-            extras["bitext_twin_recall"] = round(n_twin / n_bx, 4)
-            mined_bx.unpersist()
-            src_bx.unpersist(), tgt_bx.unpersist(), bxvec.unpersist()
-        except Exception as e:  # noqa: BLE001
-            extras["bitext_section_error"] = f"{type(e).__name__}: {e}"[:300]
             spark.catalog.clearCache()
 
     results = {k: round(v, 4) for k, v in results.items()}
