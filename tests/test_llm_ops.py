@@ -45,6 +45,36 @@ def test_minhash_deterministic_and_identical_docs_collide(spark, doubled):
     assert uniq > 90
 
 
+def test_minhash_inner_equals_reattached_filtered(spark, doubled):
+    """The LSH paths skip the sentinel-reattach join (r10 optimization:
+    one docs scan + one join dropped from the banding plan). That is
+    only sound if the inner aggregate equals the reattached frame
+    filtered on the sentinel — proven here row-for-row, including on a
+    frame that CONTAINS shingle-less docs."""
+    from vector_indexer_spark.functions.text import HASH_MOD
+
+    mixed = doubled.select("doc_id", "text").unionByName(
+        spark.createDataFrame(
+            [(90_000 + i, f"hi {i % 7}") for i in range(20)],
+            "doc_id long, text string",
+        )
+    )
+    full = dedup.minhash_sig_columns(mixed)
+    inner = dedup.minhash_sig_columns(mixed, include_shingleless=False)
+    filt = full.filter(F.col("s0") != F.lit(HASH_MOD))
+    a = sorted(map(tuple, filt.collect()))
+    b = sorted(map(tuple, inner.collect()))
+    assert a == b
+    # and the inner plan drops the reattach: fewer input scans and no
+    # join (the reattached plan scans the input twice and left-joins)
+    from vector_indexer_spark.plans import audit
+
+    inner_plan = audit.executed_plan(inner)
+    full_plan = audit.executed_plan(full)
+    assert "Join" not in inner_plan
+    assert full_plan.count("Join") >= 1
+
+
 def test_lsh_finds_identical_pairs(spark, doubled):
     small = doubled.filter((F.col("doc_id") % 10_000) < 50)
     pairs = dedup.lsh_candidate_pairs(small).toPandas()
@@ -772,6 +802,56 @@ class TestMaxSim:
 
         with pytest.raises(ValueError):
             maxsim_multivector(toks, q, k=0)
+
+    def test_arrow_equals_native_bit_exact(self, spark, embeddings):
+        """The r10 arrow scoring path (pairwise_cosine_foldexact +
+        partition-local maxima) must be BIT-identical to the native
+        crossJoin fold-expression chain — same micros, same ranks —
+        on a real float32 embedding corpus."""
+        from vector_indexer_spark.operators.similarity import (
+            maxsim_multivector,
+        )
+
+        toks = embeddings.select(
+            F.expr("vec_id div 4").alias("doc_id"),
+            F.col("embedding"),
+        )
+        q = embeddings.filter(F.col("vec_id") < 12).select(
+            F.expr("vec_id div 4").alias("query_id"),
+            F.col("vec_id").alias("qtok_id"),
+            F.col("embedding").alias("query"),
+        )
+        a = sorted(
+            map(tuple, maxsim_multivector(toks, q, k=7).collect())
+        )
+        n = sorted(
+            map(
+                tuple,
+                maxsim_multivector(toks, q, k=7, method="native").collect(),
+            )
+        )
+        assert a == n
+
+    def test_pairwise_cosine_foldexact_matches_rowwise(self):
+        """Kernel unit: every cell of the pairwise fold-exact cosine
+        equals the rowwise fold-exact kernel on the same pair — the
+        bitwise contract the maxsim arrow path relies on."""
+        import numpy as np
+
+        from vector_indexer_spark.functions.kernels import (
+            pairwise_cosine_foldexact,
+            rowwise_cosine_foldexact,
+        )
+
+        rng = np.random.default_rng(7)
+        a = rng.normal(size=(13, 9)).astype(np.float32)
+        b = rng.normal(size=(5, 9)).astype(np.float32)
+        full = pairwise_cosine_foldexact(a, b)
+        for j in range(b.shape[0]):
+            row = rowwise_cosine_foldexact(
+                a, np.repeat(b[j][None, :], a.shape[0], axis=0)
+            )
+            assert (full[:, j] == row).all()
 
 
 class TestMaxSimAnn:

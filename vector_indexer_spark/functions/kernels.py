@@ -325,6 +325,30 @@ def rowwise_dist2_foldexact(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return acc
 
 
+def pairwise_cosine_foldexact(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """All-pairs cosine similarity, (n, d) × (m, d) → (n, m) float64,
+    accumulated column-by-column: ``dot += a_j ⊗ b_j`` for j = 0..d-1.
+
+    Every cell's dot product and both squared norms are the exact
+    fold-left IEEE sequence of ``functions.distance.cosine_expr``
+    (and of the DuckDB oracles' ``list_reduce``), vectorized ACROSS
+    pairs — bit-identical to the native expression, with none of
+    :func:`pairwise_dist2`'s GEMM-blocking caveats. Use where a
+    (rows × queries) cosine matrix must stay oracle-exact (the brute
+    MaxSim scoring pass)."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    dot = np.zeros((a.shape[0], b.shape[0]))
+    na = np.zeros(a.shape[0])
+    nb = np.zeros(b.shape[0])
+    for j in range(a.shape[1]):
+        x, y = a[:, j], b[:, j]
+        dot += x[:, None] * y[None, :]
+        na += x * x
+        nb += y * y
+    return dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+
+
 def rowwise_cosine_foldexact(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Per-row cosine similarity between PAIRED rows of two (n, d)
     arrays, float64 — the exact operation sequence of

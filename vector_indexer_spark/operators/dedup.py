@@ -112,6 +112,7 @@ def minhash_sig_columns(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    include_shingleless: bool = True,
 ) -> DataFrame:
     """(doc_id, s0..s{num_hashes-1}) MinHash signature columns.
 
@@ -123,6 +124,12 @@ def minhash_sig_columns(
     aggregates. Duplicate shingles are NOT removed first: MIN is
     idempotent under duplicates, so the distinct pass would be pure
     cost. Docs with < k tokens get the sentinel p via the left join.
+
+    ``include_shingleless=False`` skips that reattach join (one scan of
+    ``df`` plus one join dropped from the plan): per-column mins are
+    strictly < HASH_MOD by construction, so the inner result equals the
+    reattached one filtered on ``s0 != HASH_MOD`` — the exact filter the
+    LSH banding paths apply.
     """
     from vector_indexer_spark.functions.text import token_hash_expr
 
@@ -153,6 +160,8 @@ def minhash_sig_columns(
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     sig = hs.groupBy("doc_id").agg(*aggs)
+    if not include_shingleless:
+        return sig
     # reattach shingle-less docs with the sentinel signature
     base = df.select(F.col(id_col).alias("doc_id"))
     return base.join(sig, "doc_id", "left").select(
@@ -214,14 +223,14 @@ def lsh_candidate_pairs(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
+    # shingle-less docs cannot near-dup (J = 0) and must not band, so
+    # skip the sentinel reattach entirely: the inner aggregate equals
+    # the reattached frame filtered on s0 != HASH_MOD (per-column mins
+    # are strictly < HASH_MOD), minus one docs scan and one join
     sig = minhash_sig_columns(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
-        shingle_k=shingle_k,
+        shingle_k=shingle_k, include_shingleless=False,
     )
-    # the sentinel appears iff the doc had zero shingles (per-column
-    # mins are < HASH_MOD by construction), and then in every column —
-    # checking s0 is exact
-    sig = sig.filter(F.col("s0") != F.lit(HASH_MOD))
     # sig feeds the self-join twice (left/right) and, with the cap, the
     # bucket-count branch too — Catalyst does not reuse the MinHash
     # aggregation exchange across those branches (verified: 4x subtree
@@ -1126,8 +1135,8 @@ def banded_signatures(
     rows = num_hashes // bands
     sig = minhash_sig_columns(
         df, text_col=text_col, id_col=id_col, num_hashes=num_hashes,
-        shingle_k=shingle_k,
-    ).filter(F.col("s0") != F.lit(HASH_MOD))
+        shingle_k=shingle_k, include_shingleless=False,
+    )
     return sig.select(
         "doc_id",
         F.explode(
