@@ -542,10 +542,14 @@ def main() -> None:
                 midx2_vec = midx2.vectors(spark).coalesce(16).cache()
                 midx2_vec.count()
                 mlabel2 = f"maxsim{n_tok2 // 1000}k"
+                # heavy pair (several seconds per side at 4x corpus):
+                # fixed-count interleaved minima, the graph sections'
+                # protocol — timed_pair's adaptive warm-up costs tens
+                # of minutes here when the host is unstable
                 (
                     results[f"{mlabel2}_brute_{nq_m2}q"],
                     results[f"{mlabel2}_ann_{nq_m2}q"],
-                ) = timed_pair(
+                ) = timed_pair_min(
                     lambda: maxsim_multivector(
                         mtoks2, mq2, k=10, vec_col="embedding"
                     ).count(),
@@ -555,7 +559,7 @@ def main() -> None:
                     ).count(),
                     f"{mlabel2}_brute_{nq_m2}q",
                     f"{mlabel2}_ann_{nq_m2}q",
-                    min_duration=20.0,
+                    pairs=3,
                 )
                 extras["maxsim_scale_ann_speedup_vs_brute"] = round(
                     MIN_TIMES[f"{mlabel2}_brute_{nq_m2}q"]
