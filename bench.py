@@ -31,6 +31,35 @@ MIN_DURATION = float(os.environ.get("BENCH_MIN_DURATION", "3.0"))
 MAX_REPEATS = int(os.environ.get("BENCH_MAX_REPEATS", "20"))
 MIN_TIMES: dict = {}  # query key -> fastest observed run (noise floor)
 
+# Heavy scale sections (graph builds, 1M dedup corpus, bitext mining,
+# media codecs, nprobe sweeps, the 1.6M MaxSim pair) produce
+# EXTRAS-only evidence — none of them feeds a headline `queries` key.
+# They are opt-in (BENCH_HEAVY=1 enables the lot; each per-section env
+# still overrides) so the default bench — the one the harness times at
+# TWO core counts — finishes well inside its timeout. r10 lesson: the
+# default pile grew past the budget and both official runs died rc=124
+# (BENCH_r10.json "parsed": null), costing the round its entire bench
+# artifact. Committed heavy numbers come from explicit BENCH_HEAVY=1
+# runs recorded in bench_extras.json (merge-written, see below).
+_HEAVY_DEFAULT = os.environ.get("BENCH_HEAVY", "0")
+# Deterministic quality bookkeeping (recall / overlap / score-ratio
+# extras): identical on every run of the same code+seed, so the lean
+# default run skips recomputing them — committed values come from the
+# BENCH_HEAVY=1 evidence runs and survive via the merge-written sidecar.
+_QUALITY = os.environ.get("BENCH_QUALITY", _HEAVY_DEFAULT) == "1"
+
+_T0 = time.perf_counter()
+
+
+def _mark(label: str) -> None:
+    """Per-section stopwatch on stderr (stdout stays the JSON contract)."""
+    print(
+        f"[bench +{time.perf_counter() - _T0:8.1f}s] {label}",
+        file=sys.stderr,
+        flush=True,
+    )
+
+
 
 def timed_pair(fn_a, fn_b, key_a, key_b, min_duration: float = 6.0):
     """Interleaved A-B-A-B measurement of two competing queries: host
@@ -89,14 +118,26 @@ def timed_pair(fn_a, fn_b, key_a, key_b, min_duration: float = 6.0):
     return ta[0], tb[0]
 
 
-def interleaved_min(variants: dict, rounds: int = 2) -> dict:
+def interleaved_min(
+    variants: dict, rounds: int = 2, warmup_rounds: int = 0
+) -> dict:
     """Round-robin interleaved measurement of N competing variants —
     the k-ary generalization of :func:`timed_pair_min` for sections
     that compare more than two plans (e.g. full vs capped vs
     cap+rescore). Runs each variant once per round in a fixed order
     and returns per-variant minima; the first round doubles as
     warm-up, and a host-noise burst spanning a round hits every
-    variant equally so min-ratios stay fair."""
+    variant equally so min-ratios stay fair.
+
+    ``warmup_rounds`` runs that many UNTIMED full passes first: the
+    first executions over a freshly cached 1M-row table run up to 20x
+    slower than steady state (JIT of the Arrow IPC path + GC of the
+    materialized cache — the documented timed_pair warm-up curve), so
+    sections whose variants are all fresh-cache 1M scans need explicit
+    warm passes before minima mean anything."""
+    for _ in range(max(0, warmup_rounds)):
+        for fn in variants.values():
+            fn()
     times: dict = {k: [] for k in variants}
     for _ in range(max(1, rounds)):
         for key, fn in variants.items():
@@ -207,6 +248,7 @@ def main() -> None:
     results: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    _mark("section: build+headline (sf inputs)")
     # --- index build (measured once — it is a minutes-scale pipeline) ---
     t0 = time.perf_counter()
     path = tempfile.mkdtemp(prefix="bench_ivf_") + "/index"
@@ -353,16 +395,17 @@ def main() -> None:
         / MIN_TIMES.get("ivf_search_100q", results["ivf_search_100q"]),
         3,
     )
-    extras["recall_at_10_nprobe8"] = round(
-        calculate_recall(
-            search_index(
-                spark, idx, queries_df, k=10, n_probe=8, vectors=idx_vec
+    if _QUALITY:
+        extras["recall_at_10_nprobe8"] = round(
+            calculate_recall(
+                search_index(
+                    spark, idx, queries_df, k=10, n_probe=8, vectors=idx_vec
+                ),
+                exact,
+                10,
             ),
-            exact,
-            10,
-        ),
-        4,
-    )
+            4,
+        )
 
     # --- late-interaction (MaxSim) yardstick: brute sum-of-max vs the
     # PLAID-shaped ANN path on a token corpus where pruning physically
@@ -371,6 +414,7 @@ def main() -> None:
     # Interleaved min-of-pair, so placement affects only the absolute
     # seconds, never the ratio. Candidate recall is reported next to
     # the speedup — a fast wrong shortlist is not a win. ---
+    _mark("section: maxsim 400k")
     if os.environ.get("BENCH_MAXSIM", "1") == "1":
         try:
             from vector_indexer_spark.operators.similarity import (
@@ -433,7 +477,7 @@ def main() -> None:
             (
                 results[f"{mlabel}_brute_{nq_m}q"],
                 results[f"{mlabel}_ann_{nq_m}q"],
-            ) = timed_pair(
+            ) = timed_pair_min(
                 lambda: maxsim_multivector(
                     mtoks, mq, k=10, vec_col="embedding"
                 ).count(),
@@ -443,48 +487,56 @@ def main() -> None:
                 ).count(),
                 f"{mlabel}_brute_{nq_m}q",
                 f"{mlabel}_ann_{nq_m}q",
-                min_duration=20.0,
+                pairs=6,
             )
             extras["maxsim_ann_speedup_vs_brute"] = round(
                 MIN_TIMES[f"{mlabel}_brute_{nq_m}q"]
                 / MIN_TIMES[f"{mlabel}_ann_{nq_m}q"],
                 3,
             )
-            mb = maxsim_multivector(mtoks, mq, k=10, vec_col="embedding")
-            ma = maxsim_multivector_ann(
-                spark, mtoks, mq, midx, k=10, token_k=32, n_probe=16,
-                vectors=midx_vec,
-            )
-            # id-overlap recall is a TIE LOTTERY on this synthetic: the
-            # 512-cluster geometry gives hundreds of docs bit-identical
-            # floored scores, ids break the ties, and the candidate set
-            # can't know which tied ids the full scan would pick
-            # (verified r10: ann and brute top-10 SCORE VECTORS agree
-            # to within the tie groups — 6 of 160 cells differ by
-            # ≤ 3 micros, the adjacent tied docs — while id overlap
-            # reads 0.13–0.17). Report both — the score-mass ratio is
-            # the honest shortlist-quality number.
-            extras["maxsim_ann_id_overlap_at_10"] = round(
-                ma.select("query_id", "doc_id")
-                .join(mb.select("query_id", "doc_id"), ["query_id", "doc_id"])
-                .count() / (nq_m * 10),
-                4,
-            )
-            bsum = mb.groupBy("query_id").agg(
-                F.sum("score_micros").alias("b")
-            )
-            asum = ma.groupBy("query_id").agg(
-                F.sum("score_micros").alias("a")
-            )
-            ratio = (
-                bsum.join(asum, "query_id")
-                .select(
-                    (F.col("a").cast("double") / F.col("b")).alias("r")
+            if _QUALITY:
+                # (nq x 10)-row result frames, each consumed by TWO quality
+                # stats below (id overlap + score-mass ratio) — cache the
+                # tiny outputs so the bookkeeping runs each side once, not
+                # twice (untimed harness overhead)
+                mb = maxsim_multivector(
+                    mtoks, mq, k=10, vec_col="embedding"
+                ).cache()
+                ma = maxsim_multivector_ann(
+                    spark, mtoks, mq, midx, k=10, token_k=32, n_probe=16,
+                    vectors=midx_vec,
+                ).cache()
+                # id-overlap recall is a TIE LOTTERY on this synthetic: the
+                # 512-cluster geometry gives hundreds of docs bit-identical
+                # floored scores, ids break the ties, and the candidate set
+                # can't know which tied ids the full scan would pick
+                # (verified r10: ann and brute top-10 SCORE VECTORS agree
+                # to within the tie groups — 6 of 160 cells differ by
+                # ≤ 3 micros, the adjacent tied docs — while id overlap
+                # reads 0.13–0.17). Report both — the score-mass ratio is
+                # the honest shortlist-quality number.
+                extras["maxsim_ann_id_overlap_at_10"] = round(
+                    ma.select("query_id", "doc_id")
+                    .join(mb.select("query_id", "doc_id"), ["query_id", "doc_id"])
+                    .count() / (nq_m * 10),
+                    4,
                 )
-                .agg(F.avg("r"))
-                .first()[0]
-            )
-            extras["maxsim_ann_score_ratio_at_10"] = round(float(ratio), 6)
+                bsum = mb.groupBy("query_id").agg(
+                    F.sum("score_micros").alias("b")
+                )
+                asum = ma.groupBy("query_id").agg(
+                    F.sum("score_micros").alias("a")
+                )
+                ratio = (
+                    bsum.join(asum, "query_id")
+                    .select(
+                        (F.col("a").cast("double") / F.col("b")).alias("r")
+                    )
+                    .agg(F.avg("r"))
+                    .first()[0]
+                )
+                extras["maxsim_ann_score_ratio_at_10"] = round(float(ratio), 6)
+                mb.unpersist(), ma.unpersist()
             mtoks.unpersist(), mq.unpersist(), midx_vec.unpersist()
 
             # --- 4x scale pair (new r10): the arrow fold-exact brute
@@ -495,7 +547,8 @@ def main() -> None:
             # committed and documented, not hidden. This pair shows
             # where pruning pays again: measured 8.5 s brute vs 4.8 s
             # ANN (1.77x) at 1.6M tokens in the isolated run. ---
-            if os.environ.get("BENCH_MAXSIM_SCALE", "1") == "1":
+            _mark("section: maxsim scale 1.6M")
+            if os.environ.get("BENCH_MAXSIM_SCALE", _HEAVY_DEFAULT) == "1":
                 n_tok2 = int(
                     os.environ.get("BENCH_MAXSIM_SCALE_TOKENS", "1600000")
                 )
@@ -577,6 +630,7 @@ def main() -> None:
     # shortlist covers n_probe/nlist of the prefix index per query;
     # top-10 agreement with the brute path is reported next to the
     # speedup. ---
+    _mark("section: mrl 1M")
     if os.environ.get("BENCH_MRL", "1") == "1":
         try:
             from vector_indexer_spark.operators.similarity import (
@@ -638,11 +692,18 @@ def main() -> None:
             extras["mrl_n"] = n_mrl
             extras["mrl_prefix_dims"] = pdims
             extras["mrl_nlist"] = mrlidx.nlist
+            # hot prefix-index table (1M x 8 dims, ~50 MB) — the same
+            # pinned-scan protocol as the headline IVF and maxsim ANN
+            # sides: without it each repeated batch re-lists ~nlist
+            # cluster sliver dirs and the pair measures file-open
+            # overhead, not the beam of the search
+            mrl_vec = mrlidx.vectors(spark).coalesce(8).cache()
+            mrl_vec.count()
             mrl_lbl = f"mrl{n_mrl // 1000}k"
             (
                 results[f"{mrl_lbl}_brute_{nq_mrl}q"],
                 results[f"{mrl_lbl}_ann_{nq_mrl}q"],
-            ) = timed_pair(
+            ) = timed_pair_min(
                 lambda: mrl_search(
                     mrlv, mrlq, k=10, prefix_dims=pdims, refine_factor=4,
                     id_col="id", vec_col="values",
@@ -650,31 +711,34 @@ def main() -> None:
                 lambda: mrl_search_ann(
                     spark, mrlv, mrlq, mrlidx, k=10, prefix_dims=pdims,
                     refine_factor=4, n_probe=16, id_col="id",
-                    vec_col="values",
+                    vec_col="values", index_vectors=mrl_vec,
                 ).count(),
                 f"{mrl_lbl}_brute_{nq_mrl}q",
                 f"{mrl_lbl}_ann_{nq_mrl}q",
-                min_duration=30.0,
+                pairs=6,
             )
             extras["mrl_ann_speedup_vs_brute"] = round(
                 MIN_TIMES[f"{mrl_lbl}_brute_{nq_mrl}q"]
                 / MIN_TIMES[f"{mrl_lbl}_ann_{nq_mrl}q"],
                 3,
             )
-            bt = mrl_search(
-                mrlv, mrlq, k=10, prefix_dims=pdims, refine_factor=4,
-                id_col="id", vec_col="values",
-            ).select("query_id", "neighbor_id")
-            at = mrl_search_ann(
-                spark, mrlv, mrlq, mrlidx, k=10, prefix_dims=pdims,
-                refine_factor=4, n_probe=16, id_col="id", vec_col="values",
-            ).select("query_id", "neighbor_id")
-            extras["mrl_ann_vs_brute_overlap_at_10"] = round(
-                at.join(bt, ["query_id", "neighbor_id"]).count()
-                / (nq_mrl * 10),
-                4,
-            )
-            mrlv.unpersist(), mrlq.unpersist()
+            if _QUALITY:
+                bt = mrl_search(
+                    mrlv, mrlq, k=10, prefix_dims=pdims, refine_factor=4,
+                    id_col="id", vec_col="values",
+                ).select("query_id", "neighbor_id")
+                at = mrl_search_ann(
+                    spark, mrlv, mrlq, mrlidx, k=10, prefix_dims=pdims,
+                    refine_factor=4, n_probe=16, id_col="id",
+                    vec_col="values", index_vectors=mrl_vec,
+                ).select("query_id", "neighbor_id")
+                extras["mrl_ann_vs_brute_overlap_at_10"] = round(
+                    at.join(bt, ["query_id", "neighbor_id"]).count()
+                    / (nq_mrl * 10),
+                    4,
+                )
+
+            mrlv.unpersist(), mrlq.unpersist(), mrl_vec.unpersist()
         except Exception as e:  # noqa: BLE001
             extras["mrl_section_error"] = f"{type(e).__name__}: {e}"[:300]
             spark.catalog.clearCache()
@@ -694,6 +758,7 @@ def main() -> None:
     # synthetic, docker-compose.bench.yml:28-30; we default to n=1M —
     # the scale where nlist≈4k pruning physically pays; the sf tables
     # are far too small to exercise it) ---
+    _mark("section: synth 1M ladder")
     if os.environ.get("BENCH_SYNTH", "1") == "1":
         try:
             from vector_indexer_spark.sources.files import generate_clustered_vectors
@@ -733,7 +798,7 @@ def main() -> None:
             extras["synth_n"] = n_synth
             sidx_vec = sidx.vectors(spark).coalesce(32).cache()
             sidx_vec.count()
-            if os.environ.get("BENCH_BYTES", "1") == "1":
+            if os.environ.get("BENCH_BYTES", _HEAVY_DEFAULT) == "1":
                 # flat tier footprint: what a cold IVF scan reads
                 # (id + float vector + cluster id per row)
                 extras["synth_bytes_flat"] = parquet_bytes(
@@ -743,38 +808,39 @@ def main() -> None:
                     extras["synth_bytes_flat"] / n_synth, 1
                 )
 
-            # min_duration 30s: a single exact pass costs ~4-8s at n=1M, so
-            # the default 6s window yields ONE pair iteration and the
-            # "median"/min are a single noisy sample (observed 1.3x-18x
-            # speedup swings between runs); ~4+ iterations stabilize it.
-            (
-                results[f"{slabel}_exact_256q"],
-                results[f"{slabel}_ivf_256q"],
-            ) = timed_pair(
-                lambda: knn_exact(synth, sq, k=10).count(),
-                lambda: search_index(
+            if _QUALITY:
+                # tiny (nq x k) reference frame, reused by every tier's
+                # recall row below — cache it so the recall bookkeeping
+                # doesn't re-run the exact 1M scan once per tier (harness
+                # overhead, never part of a timed region)
+                sexact = knn_exact(synth, sq, k=10).cache()
+                sexact.count()
+
+            # --- every ladder tier is TIMED in one k-ary interleaved
+            # round-robin (interleaved_min — the fixed-count
+            # interleaved-minimum protocol timed_pair_min gave the heavy
+            # pairs in r10, generalized to the whole ladder) AFTER all
+            # tiers are built and encoded. Committed values stay
+            # interleaved minima; every tier sees the same heap/noise
+            # state so the speedup ratios are fair; and the per-tier
+            # adaptive warm-up + repeat-to-duration wall-clock (the r10
+            # ladder spent ~10 min at 32 cores on timing alone, and an
+            # 8-core run died on the harness timeout, BENCH_r10_c8
+            # rc=124) collapses to rounds x one-ladder-pass. The
+            # quantized-tier keys previously committed the MEDIAN of a
+            # 12 s repeat window; the exact/ivf pair already committed
+            # interleaved minima (the r9 MIN_TIMES fix) — this round
+            # finishes that conversion for the whole ladder, documented
+            # in OPTIMIZATION_r11.md with the old values kept.
+            ladder: dict = {
+                f"{slabel}_exact_256q": lambda: knn_exact(
+                    synth, sq, k=10
+                ).count(),
+                f"{slabel}_ivf_256q": lambda: search_index(
                     spark, sidx, sq, k=10, n_probe=16, vectors=sidx_vec
                 ).count(),
-                f"{slabel}_exact_256q",
-                f"{slabel}_ivf_256q",
-                min_duration=30.0,
-            )
-            extras["synth_ann_speedup"] = round(
-                MIN_TIMES.get(f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"])
-                / MIN_TIMES.get(f"{slabel}_ivf_256q", results[f"{slabel}_ivf_256q"]),
-                3,
-            )
-            sexact = knn_exact(synth, sq, k=10)
-            extras["synth_recall_at_10_nprobe16"] = round(
-                calculate_recall(
-                    search_index(
-                        spark, sidx, sq, k=10, n_probe=16, vectors=sidx_vec
-                    ),
-                    sexact,
-                    10,
-                ),
-                4,
-            )
+            }
+            ladder_cleanup: list = []
 
             # Residual IVF-SQ at the same scale: the compressed tier that
             # SURVIVES this distribution. Flat SQ8 is useless here (global
@@ -810,7 +876,7 @@ def main() -> None:
                 extras["synth_ivfsq_encode_sec"] = round(
                     time.perf_counter() - t0, 3
                 )
-                if os.environ.get("BENCH_BYTES", "1") == "1":
+                if os.environ.get("BENCH_BYTES", _HEAVY_DEFAULT) == "1":
                     extras["synth_bytes_ivfsq"] = parquet_bytes(
                         scodes,
                         tempfile.mkdtemp(prefix="bench_bytes_") + "/ivfsq",
@@ -818,38 +884,26 @@ def main() -> None:
                     extras["synth_bytes_ivfsq_per_vec"] = round(
                         extras["synth_bytes_ivfsq"] / n_synth, 1
                     )
-                results[f"{slabel}_ivfsq_256q"] = timed(
-                    lambda: ivfsq_search(
-                        scodes, cents_df, sqm, sq, k=10, n_probe=16
-                    ).count(),
-                    min_duration=12.0,
-                    key=f"{slabel}_ivfsq_256q",
-                )
                 # wins even against a cached corpus: the probe mask prunes
                 # the decode set to ~nprobe/nlist of rows and the codes
                 # column ships 4x fewer bytes through Arrow (measured 27x
                 # vs exact at n=1M, recall 0.987); the byte advantage only
                 # grows in the I/O-bound regime.
-                extras["synth_ivfsq_speedup_vs_exact"] = round(
-                    MIN_TIMES.get(
-                        f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"]
-                    )
-                    / MIN_TIMES.get(
-                        f"{slabel}_ivfsq_256q", results[f"{slabel}_ivfsq_256q"]
-                    ),
-                    3,
-                )
-                extras["synth_ivfsq_recall_at_10_nprobe16"] = round(
-                    calculate_recall(
-                        ivfsq_search(
-                            scodes, cents_df, sqm, sq, k=10, n_probe=16
+                ladder[f"{slabel}_ivfsq_256q"] = lambda: ivfsq_search(
+                    scodes, cents_df, sqm, sq, k=10, n_probe=16
+                ).count()
+                if _QUALITY:
+                    extras["synth_ivfsq_recall_at_10_nprobe16"] = round(
+                        calculate_recall(
+                            ivfsq_search(
+                                scodes, cents_df, sqm, sq, k=10, n_probe=16
+                            ),
+                            sexact,
+                            10,
                         ),
-                        sexact,
-                        10,
-                    ),
-                    4,
-                )
-                scodes.unpersist()
+                        4,
+                    )
+                ladder_cleanup.append(scodes)
 
             # IVF-BQ at the same scale: the 1-bit tier (d/8 bytes/vec —
             # 32x below flat, 8x below SQ8). Residual signs against each
@@ -889,7 +943,7 @@ def main() -> None:
                 extras["synth_ivfbq_encode_sec"] = round(
                     time.perf_counter() - t0, 3
                 )
-                if os.environ.get("BENCH_BYTES", "1") == "1":
+                if os.environ.get("BENCH_BYTES", _HEAVY_DEFAULT) == "1":
                     extras["synth_bytes_ivfbq"] = parquet_bytes(
                         bcodes,
                         tempfile.mkdtemp(prefix="bench_bytes_") + "/ivfbq",
@@ -897,47 +951,34 @@ def main() -> None:
                     extras["synth_bytes_ivfbq_per_vec"] = round(
                         extras["synth_bytes_ivfbq"] / n_synth, 1
                     )
-                results[f"{slabel}_ivfbq_256q"] = timed(
-                    lambda: ivfbq_search(
-                        bcodes, bq_cents, sq, k=10, n_probe=16,
-                        scales=bscales, method="arrow",
-                    ).count(),
-                    min_duration=12.0,
-                    key=f"{slabel}_ivfbq_256q",
-                )
-                extras["synth_ivfbq_speedup_vs_exact"] = round(
-                    MIN_TIMES.get(
-                        f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"]
-                    )
-                    / MIN_TIMES.get(
-                        f"{slabel}_ivfbq_256q",
-                        results[f"{slabel}_ivfbq_256q"],
-                    ),
-                    3,
-                )
-                extras["synth_ivfbq_recall_at_10"] = round(
-                    calculate_recall(
-                        ivfbq_search(
-                            bcodes, bq_cents, sq, k=10, n_probe=16,
-                            scales=bscales, method="arrow",
+                ladder[f"{slabel}_ivfbq_256q"] = lambda: ivfbq_search(
+                    bcodes, bq_cents, sq, k=10, n_probe=16,
+                    scales=bscales, method="arrow",
+                ).count()
+                if _QUALITY:
+                    extras["synth_ivfbq_recall_at_10"] = round(
+                        calculate_recall(
+                            ivfbq_search(
+                                bcodes, bq_cents, sq, k=10, n_probe=16,
+                                scales=bscales, method="arrow",
+                            ),
+                            sexact,
+                            10,
                         ),
-                        sexact,
-                        10,
-                    ),
-                    4,
-                )
-                t0 = time.perf_counter()
-                refined = ivfbq_search_refined(
-                    bcodes, bq_cents, sidx_vec, sq, k=10, shortlist=100,
-                    n_probe=16, scales=bscales, method="arrow", **kwb,
-                )
-                extras["synth_ivfbq_refined_recall_at_10"] = round(
-                    calculate_recall(refined, sexact, 10), 4
-                )
-                extras["synth_ivfbq_refined_sec"] = round(
-                    time.perf_counter() - t0, 3
-                )
-                bcodes.unpersist(), bscales.unpersist()
+                        4,
+                    )
+                    t0 = time.perf_counter()
+                    refined = ivfbq_search_refined(
+                        bcodes, bq_cents, sidx_vec, sq, k=10, shortlist=100,
+                        n_probe=16, scales=bscales, method="arrow", **kwb,
+                    )
+                    extras["synth_ivfbq_refined_recall_at_10"] = round(
+                        calculate_recall(refined, sexact, 10), 4
+                    )
+                    extras["synth_ivfbq_refined_sec"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                ladder_cleanup.extend([bcodes, bscales])
 
             # IVF-RaBitQ at the same scale: the principled 1-bit rung
             # (rotated residual signs vs each vector's own centroid +
@@ -973,7 +1014,7 @@ def main() -> None:
                 extras["synth_ivfrabitq_encode_sec"] = round(
                     time.perf_counter() - t0, 3
                 )
-                if os.environ.get("BENCH_BYTES", "1") == "1":
+                if os.environ.get("BENCH_BYTES", _HEAVY_DEFAULT) == "1":
                     extras["synth_bytes_ivfrabitq"] = parquet_bytes(
                         rcodes,
                         tempfile.mkdtemp(prefix="bench_bytes_") + "/ivfrbq",
@@ -981,48 +1022,70 @@ def main() -> None:
                     extras["synth_bytes_ivfrabitq_per_vec"] = round(
                         extras["synth_bytes_ivfrabitq"] / n_synth, 1
                     )
-                results[f"{slabel}_ivfrabitq_256q"] = timed(
-                    lambda: ivf_rabitq_search(
-                        rcodes, r_cents, sq, rrot, k=10, n_probe=16,
-                        method="arrow",
-                    ).count(),
-                    min_duration=12.0,
-                    key=f"{slabel}_ivfrabitq_256q",
-                )
-                extras["synth_ivfrabitq_speedup_vs_exact"] = round(
-                    MIN_TIMES.get(
-                        f"{slabel}_exact_256q", results[f"{slabel}_exact_256q"]
+                ladder[f"{slabel}_ivfrabitq_256q"] = lambda: ivf_rabitq_search(
+                    rcodes, r_cents, sq, rrot, k=10, n_probe=16,
+                    method="arrow",
+                ).count()
+                if _QUALITY:
+                    extras["synth_ivfrabitq_recall_at_10"] = round(
+                        calculate_recall(
+                            ivf_rabitq_search(
+                                rcodes, r_cents, sq, rrot, k=10, n_probe=16,
+                                method="arrow",
+                            ),
+                            sexact,
+                            10,
+                        ),
+                        4,
                     )
-                    / MIN_TIMES.get(
-                        f"{slabel}_ivfrabitq_256q",
-                        results[f"{slabel}_ivfrabitq_256q"],
-                    ),
-                    3,
-                )
-                extras["synth_ivfrabitq_recall_at_10"] = round(
+                    t0 = time.perf_counter()
+                    rrefined = ivf_rabitq_search_refined(
+                        rcodes, r_cents, sidx_vec, sq, rrot, k=10,
+                        shortlist=100, n_probe=16, method="arrow",
+                    )
+                    extras["synth_ivfrabitq_refined_recall_at_10"] = round(
+                        calculate_recall(rrefined, sexact, 10), 4
+                    )
+                    extras["synth_ivfrabitq_refined_sec"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                ladder_cleanup.append(rcodes)
+
+            # one interleaved pass over the whole ladder; minima commit
+            mins = interleaved_min(
+                ladder,
+                rounds=int(os.environ.get("BENCH_SYNTH_ROUNDS", "3")),
+                warmup_rounds=int(
+                    os.environ.get("BENCH_SYNTH_WARMUP", "3")
+                ),
+            )
+            results.update({k_: round(v_, 4) for k_, v_ in mins.items()})
+            exact_min = mins[f"{slabel}_exact_256q"]
+            extras["synth_ann_speedup"] = round(
+                exact_min / mins[f"{slabel}_ivf_256q"], 3
+            )
+            for tier in ("ivfsq", "ivfbq", "ivfrabitq"):
+                tkey = f"{slabel}_{tier}_256q"
+                if tkey in mins:
+                    extras[f"synth_{tier}_speedup_vs_exact"] = round(
+                        exact_min / mins[tkey], 3
+                    )
+            if _QUALITY:
+                extras["synth_recall_at_10_nprobe16"] = round(
                     calculate_recall(
-                        ivf_rabitq_search(
-                            rcodes, r_cents, sq, rrot, k=10, n_probe=16,
-                            method="arrow",
+                        search_index(
+                            spark, sidx, sq, k=10, n_probe=16, vectors=sidx_vec
                         ),
                         sexact,
                         10,
                     ),
                     4,
                 )
-                t0 = time.perf_counter()
-                rrefined = ivf_rabitq_search_refined(
-                    rcodes, r_cents, sidx_vec, sq, rrot, k=10,
-                    shortlist=100, n_probe=16, method="arrow",
-                )
-                extras["synth_ivfrabitq_refined_recall_at_10"] = round(
-                    calculate_recall(rrefined, sexact, 10), 4
-                )
-                extras["synth_ivfrabitq_refined_sec"] = round(
-                    time.perf_counter() - t0, 3
-                )
-                rcodes.unpersist()
 
+            for _df in ladder_cleanup:
+                _df.unpersist()
+            if _QUALITY:
+                sexact.unpersist()
             synth.unpersist()
             sidx_vec.unpersist()
 
@@ -1048,6 +1111,7 @@ def main() -> None:
     # broadcast centroid table is ~12 MB at d=768) deserve a measured
     # row, not arithmetic. 250k clustered vectors, the same bounded-
     # region 256-query methodology as the 1M d=128 ladder.
+    _mark("section: d768 250k")
     if os.environ.get("BENCH_D768", "1") == "1":
         try:
             from vector_indexer_spark.sources.files import (
@@ -1090,31 +1154,32 @@ def main() -> None:
             (
                 results[f"{lbl768}_exact_256q"],
                 results[f"{lbl768}_ivf_256q"],
-            ) = timed_pair(
+            ) = timed_pair_min(
                 lambda: knn_exact(v768, q768, k=10).count(),
                 lambda: search_index(
                     spark, idx768, q768, k=10, n_probe=16, vectors=iv768
                 ).count(),
                 f"{lbl768}_exact_256q",
                 f"{lbl768}_ivf_256q",
-                min_duration=20.0,
+                pairs=6,
             )
             extras["d768_ivf_speedup"] = round(
                 MIN_TIMES[f"{lbl768}_exact_256q"]
                 / MIN_TIMES[f"{lbl768}_ivf_256q"],
                 3,
             )
-            extras["d768_recall_at_10_nprobe16"] = round(
-                calculate_recall(
-                    search_index(
-                        spark, idx768, q768, k=10, n_probe=16,
-                        vectors=iv768,
+            if _QUALITY:
+                extras["d768_recall_at_10_nprobe16"] = round(
+                    calculate_recall(
+                        search_index(
+                            spark, idx768, q768, k=10, n_probe=16,
+                            vectors=iv768,
+                        ),
+                        knn_exact(v768, q768, k=10),
+                        10,
                     ),
-                    knn_exact(v768, q768, k=10),
-                    10,
-                ),
-                4,
-            )
+                    4,
+                )
             # graph family at real embedding width (r9 VERDICT "Next
             # round" #6): the r9 d=768 pair covered IVF only. Build a
             # beam-walk graph over the first 50k rows of the same
@@ -1125,7 +1190,8 @@ def main() -> None:
             # (~300 MB) still amortizes slowly, so the committed row
             # documents the crossover regime honestly rather than
             # cherry-picking a winning point.
-            if os.environ.get("BENCH_GRAPH768", "1") == "1":
+            _mark("section: graph768")
+            if os.environ.get("BENCH_GRAPH768", _HEAVY_DEFAULT) == "1":
                 from vector_indexer_spark.operators.graph_index import (
                     build_graph_index,
                     search_graph_index_local,
@@ -1214,7 +1280,8 @@ def main() -> None:
     # absolute-throughput rows, and at the tail of the bench the
     # 1M sections' heap churn inflated them 4-7x (measured 6.9 s
     # isolated vs 44.1 s tail-placed for the same shortlist). ---
-    if os.environ.get("BENCH_BITEXT", "1") == "1":
+    _mark("section: bitext 100k")
+    if os.environ.get("BENCH_BITEXT", _HEAVY_DEFAULT) == "1":
         try:
             from vector_indexer_spark.operators.mining import mine_bitext
             from vector_indexer_spark.sources.files import (
@@ -1296,7 +1363,8 @@ def main() -> None:
             spark.catalog.clearCache()
 
 
-    if os.environ.get("BENCH_SWEEP", "1") == "1":
+    _mark("section: nprobe sweep")
+    if os.environ.get("BENCH_SWEEP", _HEAVY_DEFAULT) == "1":
         try:
             from vector_indexer_spark.sources.files import generate_vectors
 
@@ -1391,7 +1459,8 @@ def main() -> None:
             # pinned — heap pressure skews every later timing
             spark.catalog.clearCache()
 
-    if os.environ.get("BENCH_DEDUP1M", "1") == "1":
+    _mark("section: dedup 1M")
+    if os.environ.get("BENCH_DEDUP1M", _HEAVY_DEFAULT) == "1":
         try:
             # section isolation: the preceding 1M ANN sections leave the
             # executor heap pressured (the identical LSH call runs 15 s
@@ -1492,6 +1561,7 @@ def main() -> None:
             # and term skew); at 16 queries its one-off term-window
             # cost can exceed the scoring it saves — both numbers are
             # reported, with top-10 agreement next to the ratio.
+            _mark("section: sparse 200k skew")
             if os.environ.get("BENCH_SPARSE", "1") == "1":
                 from vector_indexer_spark.operators.sparse import (
                     sparse_search_tokens,
@@ -1781,7 +1851,8 @@ def main() -> None:
             # pinned — heap pressure skews every later timing
             spark.catalog.clearCache()
 
-    if os.environ.get("BENCH_MEDIA", "1") == "1":
+    _mark("section: media 50k")
+    if os.environ.get("BENCH_MEDIA", _HEAVY_DEFAULT) == "1":
         try:
             from vector_indexer_spark.operators.multimodal import (
                 encode_png,
@@ -1840,7 +1911,8 @@ def main() -> None:
     # scan on the same query batch. ids are cluster-round-robin, so
     # entries 0..63 seed one node per cluster (the coarse layer HNSW's
     # upper levels provide). ---
-    if os.environ.get("BENCH_GRAPH", "1") == "1":
+    _mark("section: graph 20k")
+    if os.environ.get("BENCH_GRAPH", _HEAVY_DEFAULT) == "1":
         # a failed section must never cost the round its artifact
         try:
             from vector_indexer_spark.operators.graph_index import (
@@ -2038,7 +2110,8 @@ def main() -> None:
     # graph evidence previously stopped at 100k). Same build config as
     # the 20k point; NN-Descent is O(n*k^2) candidates/round so build
     # should scale ~linearly from the 20k/100k committed numbers. ---
-    if os.environ.get("BENCH_GRAPH_1M", "1") == "1":
+    _mark("section: graph 1M")
+    if os.environ.get("BENCH_GRAPH_1M", _HEAVY_DEFAULT) == "1":
         try:
             from vector_indexer_spark.operators.graph_index import (
                 build_graph_index,
@@ -2226,6 +2299,7 @@ def main() -> None:
             # measured 11.3x at this point (BASELINE round-7); this row
             # puts it in the per-round artifact, whatever the JVM's heap
             # state, because the margin dwarfs placement noise.
+            _mark("section: graph 8k queries")
             if os.environ.get("BENCH_GRAPH_8K", "1") == "1":
                 g1q_8k = (
                     g1vec.filter((F.col("id") % 122) == 3)
@@ -2290,6 +2364,7 @@ def main() -> None:
             # pinned — heap pressure skews every later timing
             spark.catalog.clearCache()
 
+    _mark("sections done; writing artifacts")
     results = {k: round(v, 4) for k, v in results.items()}
     # extras (sweeps, 1M suite, plan audits) go to a sidecar file plus a
     # PRECEDING stdout line; the FINAL line is the compact headline only.
@@ -2303,8 +2378,20 @@ def main() -> None:
         ),
     )
     try:
+        # merge-update: keys from sections this run skipped (the heavy
+        # opt-in ones) keep their last recorded values instead of being
+        # wiped by a lean run. Keys this run DID compute are replaced.
+        merged = {}
+        try:
+            with open(extras_path) as f:
+                prior = json.load(f)
+            if isinstance(prior, dict):
+                merged.update(prior)
+        except (OSError, ValueError):
+            pass
+        merged.update(extras)
         with open(extras_path, "w") as f:
-            json.dump(extras, f, indent=2, sort_keys=True)
+            json.dump(merged, f, indent=2, sort_keys=True)
             f.write("\n")
     except OSError:
         extras_path = None

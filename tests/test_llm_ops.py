@@ -854,6 +854,68 @@ class TestMaxSim:
             assert (full[:, j] == row).all()
 
 
+    def test_arrow_empty_query_batch_returns_empty(self, spark):
+        """An empty query_tokens frame must yield an empty result on
+        the arrow path (it used to crash stack_arrays([]) inside
+        executors where the native path returned empty)."""
+        from vector_indexer_spark.operators.similarity import (
+            maxsim_multivector,
+        )
+
+        toks = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "doc_id long, embedding array<double>"
+        )
+        q = spark.createDataFrame(
+            [], "query_id long, qtok_id long, query array<double>"
+        )
+        assert maxsim_multivector(toks, q, k=5).count() == 0
+
+    def test_string_ids_fall_back_to_native(self, spark):
+        """Non-integral id columns can't ride the long-id arrow kernel;
+        the default must auto-route to the native chain and still
+        return correct rows."""
+        from vector_indexer_spark.operators.similarity import (
+            maxsim_multivector,
+        )
+
+        toks = spark.createDataFrame(
+            [("a", [1.0, 0.0]), ("b", [0.0, 1.0])],
+            "doc_id string, embedding array<double>",
+        )
+        q = spark.createDataFrame(
+            [("q1", "t0", [1.0, 0.0])],
+            "query_id string, qtok_id string, query array<double>",
+        )
+        rows = maxsim_multivector(toks, q, k=1).collect()
+        assert [(r.query_id, r.doc_id) for r in rows] == [("q1", "a")]
+
+    def test_query_broadcast_reused_across_calls(self, spark, embeddings):
+        """Repeated calls with the same query batch must reuse ONE
+        executor broadcast (the bench re-invokes a pair 4+ times); a
+        different batch replaces (and unpersists) the cached one."""
+        from vector_indexer_spark.operators import similarity as sim
+
+        toks = embeddings.limit(40).select(
+            F.expr("vec_id div 4").alias("doc_id"), F.col("embedding")
+        )
+        q1 = embeddings.filter(F.col("vec_id") < 4).select(
+            F.expr("vec_id div 4").alias("query_id"),
+            F.col("vec_id").alias("qtok_id"),
+            F.col("embedding").alias("query"),
+        )
+        sim.maxsim_multivector(toks, q1, k=3).count()
+        bc_first = sim._MAXSIM_QBC["bc"]
+        sim.maxsim_multivector(toks, q1, k=3).count()
+        assert sim._MAXSIM_QBC["bc"] is bc_first
+        q2 = embeddings.filter(F.col("vec_id") < 8).select(
+            F.expr("vec_id div 4").alias("query_id"),
+            F.col("vec_id").alias("qtok_id"),
+            F.col("embedding").alias("query"),
+        )
+        sim.maxsim_multivector(toks, q2, k=3).count()
+        assert sim._MAXSIM_QBC["bc"] is not bc_first
+
+
 class TestMaxSimAnn:
     def test_full_candidates_equal_brute_maxsim(
         self, spark, embeddings, tmp_path

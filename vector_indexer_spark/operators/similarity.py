@@ -565,6 +565,45 @@ def maxsim_topk(
     )
 
 
+# Single-slot reuse of the query-token broadcast: repeated calls with
+# the SAME query batch (the bench invokes one pair 4+ times; a serving
+# loop re-issues the hot batch constantly) would otherwise pile up one
+# executor-resident broadcast per call. The replaced entry is
+# unpersisted; only the latest batch stays live. Keyed on content, not
+# object identity, so a re-read of the same parquet batch still hits.
+_MAXSIM_QBC: dict = {"ctx": None, "key": None, "bc": None}
+
+
+def _is_integral(df: DataFrame, col: str) -> bool:
+    from pyspark.sql import types as T  # noqa: PLC0415
+
+    return isinstance(
+        df.schema[col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+
+
+def _maxsim_query_broadcast(spark, qids, qtoks, qmat):
+    import hashlib  # noqa: PLC0415
+
+    h = hashlib.sha256()
+    for arr in (qids, qtoks, qmat):
+        h.update(arr.tobytes())
+    key = (qmat.shape, h.hexdigest())
+    sc = spark.sparkContext
+    cache = _MAXSIM_QBC
+    if cache["bc"] is not None and cache["ctx"] is sc and cache["key"] == key:
+        return cache["bc"]
+    if cache["bc"] is not None and cache["ctx"] is sc:
+        try:
+            cache["bc"].unpersist()
+        except Exception:  # noqa: BLE001 — a dead context is fine to drop
+            pass
+    bc = sc.broadcast((qids, qtoks, qmat))
+    cache.update(ctx=sc, key=key, bc=bc)
+    return bc
+
+
 def _maxsim_per_token_arrow(
     doc_tokens: DataFrame,
     q: DataFrame,
@@ -592,12 +631,19 @@ def _maxsim_per_token_arrow(
         stack_arrays,
     )
 
-    qrows = q.collect()  # bounded: the query batch broadcasts by contract
+    spark = doc_tokens.sparkSession
+    # NOTE: this collect is EAGER — building the arrow-path DataFrame
+    # runs one Spark job over the (bounded-by-contract) query batch.
+    qrows = q.collect()
+    out_schema = "query_id long, __qtok long, doc_id long, __best double"
+    if not qrows:
+        # stack_arrays([]) would yield a (0,)-shaped array and crash the
+        # kernel inside executors; the empty result needs no job at all.
+        return spark.createDataFrame([], out_schema)
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qtoks = np.array([r[1] for r in qrows], dtype=np.int64)
     qmat = stack_arrays([r[2] for r in qrows])
-    spark = doc_tokens.sparkSession
-    bc = spark.sparkContext.broadcast((qids, qtoks, qmat))
+    bc = _maxsim_query_broadcast(spark, qids, qtoks, qmat)
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids_, qtoks_, qmat_ = bc.value
@@ -627,9 +673,7 @@ def _maxsim_per_token_arrow(
 
     local = doc_tokens.select(
         F.col(doc_col).alias("doc_id"), F.col(vec_col).alias("__vec")
-    ).mapInPandas(
-        _score, "query_id long, __qtok long, doc_id long, __best double"
-    )
+    ).mapInPandas(_score, out_schema)
     return local.groupBy("query_id", "__qtok", "doc_id").agg(
         F.max("__best").alias("__best")
     )
@@ -691,6 +735,14 @@ def maxsim_multivector(
         F.col(qtok_col).alias("__qtok"),
         F.col(query_col).alias("__q"),
     )
+    if method == "arrow" and not (
+        _is_integral(query_tokens, query_id_col)
+        and _is_integral(query_tokens, qtok_col)
+        and _is_integral(doc_tokens, doc_col)
+    ):
+        # the arrow kernel emits long ids; string/decimal id columns
+        # keep the native chain, which is id-type agnostic
+        method = "native"
     if method == "arrow":
         per_token = _maxsim_per_token_arrow(
             doc_tokens, q, doc_col=doc_col, vec_col=vec_col
@@ -895,6 +947,7 @@ def mrl_search_ann(
     n_probe: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Matryoshka search with an INDEXED shortlist — the
     adaptive-retrieval scale rung :func:`mrl_search` stops short of:
@@ -908,6 +961,12 @@ def mrl_search_ann(
     exact-refine the ``refine_factor·k`` shortlist against the FULL
     vectors — the identical shared ``refine_topk`` stage brute MRL
     uses, so the two paths differ only in how the shortlist is found.
+
+    ``index_vectors`` passes an already-cached copy of the index's
+    persisted prefix table through to ``search_index(vectors=...)`` —
+    repeated query batches then hit a pinned scan instead of re-listing
+    the partitioned cluster directories per batch (the protocol every
+    repeated-batch bench pair uses); results are identical either way.
 
     At full probe (``n_probe = index.nlist``) the shortlist is the
     exact prefix-space top-``refine_factor·k`` regardless of where
@@ -941,7 +1000,8 @@ def mrl_search_ann(
         "query_id", F.slice(F.col("query"), 1, prefix_dims).alias("query")
     )
     hits = search_index(
-        spark, index, q_cut, k=refine_factor * k, n_probe=n_probe
+        spark, index, q_cut, k=refine_factor * k, n_probe=n_probe,
+        vectors=index_vectors,
     )
     return refine_topk(
         hits, vectors, queries, k, id_col=id_col, vec_col=vec_col
